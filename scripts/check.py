@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Loads oracle_sql.json from the Verify output dir, runs each oracle SQL in
+DuckDB over the testdata parquet tables, and compares against the Spark
+result parquet: columns sorted by name, rows sorted by all columns, exact
+equality (floats compared bitwise first, with max-abs-diff reported).
+"""
+import json
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a stable sort across dtypes (incl. None/NaN)
+    key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1) if len(df) else None
+    if key is not None:
+        df = df.iloc[np.argsort(key.values, kind="stable")]
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        try:
+            sdf = duckdb.query(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            failures += 1
+            continue
+        o, s = norm(odf), norm(sdf)
+        if list(o.columns) != list(s.columns):
+            print(f"FAIL {name}: columns oracle={list(o.columns)} spark={list(s.columns)}")
+            failures += 1
+            continue
+        if len(o) != len(s):
+            print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
+            failures += 1
+            continue
+        bad = []
+        for c in o.columns:
+            oc, sc = o[c], s[c]
+            if pd.api.types.is_float_dtype(oc) or pd.api.types.is_float_dtype(sc):
+                a = oc.astype(float).values
+                b = sc.astype(float).values
+                eq = (a == b) | (np.isnan(a) & np.isnan(b))
+                if not eq.all():
+                    d = np.nanmax(np.abs(a - b))
+                    bad.append(f"{c} (float, maxdiff={d:.3e}, n_bad={int((~eq).sum())})")
+            else:
+                oc2 = oc.astype(str).where(~oc.isna(), "<NULL>")
+                sc2 = sc.astype(str).where(~sc.isna(), "<NULL>")
+                if not (oc2.values == sc2.values).all():
+                    n_bad = int((oc2.values != sc2.values).sum())
+                    i = int(np.argmax(oc2.values != sc2.values))
+                    bad.append(f"{c} (n_bad={n_bad}, first: oracle={oc2.values[i]!r} spark={sc2.values[i]!r})")
+        if bad:
+            print(f"FAIL {name}: value mismatch: {'; '.join(bad)}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(o)} rows x {len(o.columns)} cols")
+    # rows-only queries (no oracle)
+    import glob, os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracles:
+            try:
+                n = duckdb.query(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+                print(f"ROWS {name}: {n} rows (no oracle)")
+            except Exception as e:
+                print(f"FAIL {name}: unreadable: {e}")
+                failures += 1
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    sys.exit(main(sf, out))

@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, DecimalType}
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Parquet table loaders for the driver testdata plus shared
+  * numeric-exactness helpers used by every oracle-checked query.
+  *
+  * Scale posture: all readers are plain `spark.read.parquet` scans so
+  * Catalyst owns predicate pushdown / column pruning; nothing here
+  * collects to the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
+
+/** Exact-arithmetic aggregate builders.
+  *
+  * Double aggregation is order-dependent, and Spark's partial/final
+  * aggregation order differs from any single-threaded oracle — so a raw
+  * `sum(double)` can never be bit-compared across engines. Every money
+  * aggregate therefore runs through exact DECIMAL arithmetic internally
+  * (order-independent) and casts to DOUBLE only at the very end, which
+  * is bit-identical in Spark and DuckDB given identical exact inputs.
+  */
+object Exact {
+  private val Money: DataType = DecimalType(18, 2)
+  private val Rate: DataType = DecimalType(4, 2)
+
+  /** Exact sum of a 2-decimal money column, emitted as double. */
+  def sumMoney(c: Column): Column = F.sum(c.cast(Money)).cast("double")
+
+  /** Exact average of a 2-decimal money column, emitted as double:
+    * exact decimal sum -> double, divided by count (both bit-stable). */
+  def avgMoney(c: Column): Column =
+    F.sum(c.cast(Money)).cast("double") / F.count(c)
+
+  /** Exact revenue sum: x * (1 - d) with 2-decimal x and d. */
+  def sumRevenue(x: Column, d: Column): Column =
+    F.sum(x.cast(Money) * (F.lit(1).cast(Rate) - d.cast(Rate))).cast("double")
+
+  /** SQL fragments for the DuckDB oracle mirroring the above. */
+  def sumMoneySql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  def avgMoneySql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c)"
+  def sumRevenueSql(x: String, d: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST($d AS DECIMAL(4,2)))) AS DOUBLE)"
+}

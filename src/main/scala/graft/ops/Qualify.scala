@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snowflake `QUALIFY` surface, which OSS Spark SQL lacks.
+  *
+  * Reference sites: workfile_design_data_warehouse.sql:181,265 (keep-one-
+  * per-key dedup) and workfile_ad-hoc_analysis.sql:77,124 (top-1 rank).
+  * Implemented as sugar over `row_number`/`rank` + filter — exactly the
+  * rewrite Snowflake's own planner performs; the transient rank column is
+  * dropped so downstream schemas match the reference.
+  *
+  * Scale: one hash-partition shuffle on `partCols`; no driver collect.
+  * Skewed keys are handled by AQE (enabled session-wide).
+  */
+object Qualify {
+
+  /** QUALIFY ROW_NUMBER() OVER (PARTITION BY partCols ORDER BY orderCols) <= n */
+  def rowNumber(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+                n: Int = 1): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** QUALIFY RANK() OVER (PARTITION BY partCols ORDER BY orderCols) <= n
+    * (keeps ties, per workfile_ad-hoc_analysis.sql:77). */
+  def rank(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+           n: Int = 1): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__rk", org.apache.spark.sql.functions.rank().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Keep one row per key set — the staging-layer dedup of
+    * workfile_design_data_warehouse.sql:265–266. Order by `orderCols`
+    * for determinism (the reference orders by the key itself, which is
+    * arbitrary among true duplicates — see SURVEY §7.5.5). */
+  def dedup(df: DataFrame, keys: Seq[Column], orderCols: Seq[Column]): DataFrame =
+    rowNumber(df, keys, orderCols, 1)
+}

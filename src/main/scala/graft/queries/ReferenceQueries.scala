@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+import graft.ops.{Cleanse, Kpis, Qualify}
+
+/** SURVEY §2 operator inventory re-expressed over the driver testdata,
+  * each with a DuckDB oracle. Reference sites cited per query.
+  *
+  * Numeric discipline (SURVEY §7.5.1): money aggregates use exact decimal
+  * arithmetic internally and cast to double at the end (see
+  * [[graft.core.Exact]]) so Spark's parallel aggregation order cannot
+  * perturb results vs the single-threaded oracle.
+  */
+object ReferenceQueries {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  /** year/month of a timestamp col, as INT on both sides. */
+  private def ym(c: Column): (Column, Column) = (year(c), month(c))
+
+  // ---------------------------------------------------------------- queries
+
+  /** A1–A7 + P7: TPC-H-Q1-shaped pricing summary. Plays the reference's
+    * grouped KPI aggregates (workfile_populate_data_warehouse.py:552–577)
+    * with the snapshot-validity date filter (design.sql:543). */
+  private val q_a1_pricing_summary = Q(
+    "q_a1_pricing_summary",
+    (s, d) => {
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
+          Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          Exact.avgMoney(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      SUM(l_quantity) AS sum_qty,
+      ${Exact.sumMoneySql("l_extendedprice")} AS sum_base_price,
+      ${Exact.sumRevenueSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+      ${Exact.avgMoneySql("l_extendedprice")} AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus"""))
+
+  /** Flagship (SURVEY §7.2): per (nation, order year/month) — counts,
+    * distinct customers, min/max/avg totalprice, exact revenue, and LAG
+    * month-over-month pct change (W4, populate.py:569–570). Exercises
+    * scan→join(J6)→groupBy(A1–A7)→window(W4). */
+  private val q_kpi_nation_month = Q(
+    "q_kpi_nation_month",
+    (s, d) => {
+      val (yy, mm) = ym(col("o_orderdate"))
+      val agg = ord(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), yy.as("order_year"), mm.as("order_month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          Exact.avgMoney(col("o_totalprice")).as("avg_price"),
+          Exact.sumMoney(col("o_totalprice")).as("total_price"))
+      Kpis.lagPctChange(agg, Seq("nation"), Seq("order_year", "order_month"),
+        "n_orders", "pct_change_orders")
+    },
+    Some(s"""WITH agg AS (
+      SELECT n.n_name AS nation,
+        CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+        CAST(month(o.o_orderdate) AS INTEGER) AS order_month,
+        COUNT(*) AS n_orders,
+        COUNT(DISTINCT o.o_custkey) AS n_customers,
+        MIN(o.o_totalprice) AS min_price,
+        MAX(o.o_totalprice) AS max_price,
+        ${Exact.avgMoneySql("o_totalprice")} AS avg_price,
+        ${Exact.sumMoneySql("o_totalprice")} AS total_price
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3)
+    SELECT *,
+      (CAST(n_orders AS DOUBLE) - CAST(LAG(n_orders) OVER w AS DOUBLE))
+        / CAST(LAG(n_orders) OVER w AS DOUBLE) * 100.0 AS pct_change_orders
+    FROM agg
+    WINDOW w AS (PARTITION BY nation ORDER BY order_year, order_month)"""))
+
+  /** P9/W1/W7: QUALIFY row_number dedup — keep first lineitem row per
+    * order (design.sql:265–266 keyed dedup; deterministic tiebreak per
+    * SURVEY §7.5.5). */
+  private val q_p9_qualify_dedup = Q(
+    "q_p9_qualify_dedup",
+    (s, d) => {
+      Qualify.dedup(
+        li(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice")),
+        keys = Seq(col("l_orderkey")),
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata, so
+        // order by every projected column for a deterministic pick
+        // (SURVEY §7.5.5: dedup-tie nondeterminism).
+        orderCols = Seq(col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), col("l_quantity")))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      ORDER BY l_linenumber, l_partkey, l_extendedprice, l_quantity) = 1"""))
+
+  /** J5: the reference's self-join-of-aggregates KPI pattern — 4
+    * independently filtered aggregates of orders FULL OUTER joined on the
+    * grouping keys (populate.py:552–619; 3-key variant of KPI1). The
+    * high-price arm is sparse so real outer-null rows appear. */
+  private val q_j5_kpi_4way = Q(
+    "q_j5_kpi_4way",
+    (s, d) => {
+      val (yy, mm) = ym(col("o_orderdate"))
+      def arm(f: DataFrame => DataFrame, cnt: String, rev: String) =
+        (df: DataFrame) => f(df)
+          .groupBy(col("o_orderpriority").as("priority"), yy.as("order_year"), mm.as("order_month"))
+          .agg(count(lit(1)).as(cnt), Exact.sumMoney(col("o_totalprice")).as(rev))
+      val o = ord(s, d)
+      val total = arm(identity, "ct_total", "rev_total")(o)
+      val open = arm(_.filter(col("o_orderstatus") === "O"), "ct_open", "rev_open")(o)
+      val fin = arm(_.filter(col("o_orderstatus") === "F"), "ct_finished", "rev_finished")(o)
+      val high = arm(_.filter(col("o_totalprice") > 400000.0), "ct_high", "rev_high")(o)
+      Kpis.fullOuterOfAggs(Seq("priority", "order_year", "order_month"),
+        Seq(total, open, fin, high))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderpriority AS priority,
+        CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        o_orderstatus, o_totalprice
+      FROM orders),
+    t AS (SELECT priority, order_year, order_month, COUNT(*) AS ct_total,
+            ${Exact.sumMoneySql("o_totalprice")} AS rev_total
+          FROM base GROUP BY 1,2,3),
+    op AS (SELECT priority, order_year, order_month, COUNT(*) AS ct_open,
+            ${Exact.sumMoneySql("o_totalprice")} AS rev_open
+          FROM base WHERE o_orderstatus = 'O' GROUP BY 1,2,3),
+    f AS (SELECT priority, order_year, order_month, COUNT(*) AS ct_finished,
+            ${Exact.sumMoneySql("o_totalprice")} AS rev_finished
+          FROM base WHERE o_orderstatus = 'F' GROUP BY 1,2,3),
+    h AS (SELECT priority, order_year, order_month, COUNT(*) AS ct_high,
+            ${Exact.sumMoneySql("o_totalprice")} AS rev_high
+          FROM base WHERE o_totalprice > 400000.0 GROUP BY 1,2,3)
+    SELECT * FROM t
+    FULL OUTER JOIN op USING (priority, order_year, order_month)
+    FULL OUTER JOIN f USING (priority, order_year, order_month)
+    FULL OUTER JOIN h USING (priority, order_year, order_month)"""))
+
+  /** W2: global ROW_NUMBER best/worst pick (adhoc.sql:17–23) — the single
+    * best and worst order by totalprice, unique tiebreak on key. */
+  private val q_w2_best_worst = Q(
+    "q_w2_best_worst",
+    (s, d) => {
+      val base = ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val wBest = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wWorst = Window.orderBy(col("o_totalprice").asc, col("o_orderkey"))
+      base
+        .withColumn("rk_best", row_number().over(wBest))
+        .withColumn("rk_worst", row_number().over(wWorst))
+        .filter(col("rk_best") === 1 || col("rk_worst") === 1)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+      CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk_best,
+      CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey) AS INTEGER) AS rk_worst
+    FROM orders
+    QUALIFY rk_best = 1 OR rk_worst = 1"""))
+
+  /** O3 + J7: top-5 nations by exact revenue (ORDER BY+LIMIT with unique
+    * tiebreak, adhoc.sql:50–60) LEFT JOINed back to a per-(nation, segment)
+    * aggregate, restricting it to the top-k groups (adhoc.sql:63–76). */
+  private val q_j7_top5_restrict = Q(
+    "q_j7_top5_restrict",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      val joined = ord(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      val top5 = joined
+        .groupBy(col("n_name").as("nation"))
+        .agg(Exact.sumMoney(col("o_totalprice")).as("nation_revenue"))
+        .orderBy(col("nation_revenue").desc, col("nation"))
+        .limit(5)
+      val perSeg = joined
+        .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+        .agg(Exact.avgMoney(col("o_totalprice")).as("avg_price"),
+          count(lit(1)).as("n_orders"))
+      top5.join(perSeg, Seq("nation"), "left")
+    },
+    Some(s"""WITH joined AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment, o.o_totalprice
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    top5 AS (
+      SELECT nation, ${Exact.sumMoneySql("o_totalprice")} AS nation_revenue
+      FROM joined GROUP BY nation
+      ORDER BY nation_revenue DESC, nation LIMIT 5),
+    per_seg AS (
+      SELECT nation, segment,
+        ${Exact.avgMoneySql("o_totalprice")} AS avg_price,
+        COUNT(*) AS n_orders
+      FROM joined GROUP BY nation, segment)
+    SELECT t.nation, t.nation_revenue, p.segment, p.avg_price, p.n_orders
+    FROM top5 t LEFT JOIN per_seg p ON t.nation = p.nation"""))
+
+  /** F1–F12 scalar suite over part+supplier strings (SURVEY §2.8):
+    * split_part (±n), trim/upper, replace chain, try_cast, CASE buckets,
+    * isin, arithmetic. */
+  private val q_f_scalar_suite = Q(
+    "q_f_scalar_suite",
+    (s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        Cleanse.splitPart(col("p_type"), " ", 1).as("type_first"),
+        Cleanse.splitPart(col("p_type"), " ", -1).as("type_last"),
+        upper(trim(col("p_brand"))).as("brand_up"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_underscored"),
+        Cleanse.splitPart(col("p_brand"), "#", 2).try_cast("int").as("brand_num"),
+        when(col("p_size") <= 10, "SMALL")
+          .when(col("p_size") <= 30, "MEDIUM")
+          .otherwise("LARGE").as("size_bucket"),
+        col("p_brand").isin("Brand#11", "Brand#22", "Brand#33").as("is_focus_brand"),
+        (col("p_retailprice").cast("decimal(18,2)") * 12).cast("double").as("annual_price"))
+    },
+    Some("""SELECT p_partkey,
+      split_part(p_type, ' ', 1) AS type_first,
+      split_part(p_type, ' ', -1) AS type_last,
+      upper(trim(p_brand)) AS brand_up,
+      regexp_replace(p_name, ' ', '_', 'g') AS name_underscored,
+      TRY_CAST(split_part(p_brand, '#', 2) AS INTEGER) AS brand_num,
+      CASE WHEN p_size <= 10 THEN 'SMALL'
+           WHEN p_size <= 30 THEN 'MEDIUM'
+           ELSE 'LARGE' END AS size_bucket,
+      p_brand IN ('Brand#11', 'Brand#22', 'Brand#33') AS is_focus_brand,
+      CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 12 AS DOUBLE) AS annual_price
+    FROM part"""))
+
+  /** F5/F6/F7 + P7: date-function suite — year/month extraction, month
+    * start via make_date (design.sql:447), month end via last_day
+    * (design.sql:543), and the snapshot-validity month-window filter. */
+  private val q_f_date_suite = Q(
+    "q_f_date_suite",
+    (s, d) => {
+      val (yy, mm) = ym(col("o_orderdate"))
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          yy.as("order_year"), mm.as("order_month"),
+          Cleanse.monthStart(yy, mm).as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .filter(col("o_orderdate").cast("date")
+          .between(col("month_start"), col("month_end")))
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+      CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      CAST(month(o_orderdate) AS INTEGER) AS order_month,
+      make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_start,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+      BETWEEN make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1)
+          AND last_day(CAST(o_orderdate AS DATE))"""))
+
+  def all: Seq[Q] = Seq(
+    q_a1_pricing_summary,
+    q_kpi_nation_month,
+    q_p9_qualify_dedup,
+    q_j5_kpi_4way,
+    q_w2_best_worst,
+    q_j7_top5_restrict,
+    q_f_scalar_suite,
+    q_f_date_suite,
+  )
+}
