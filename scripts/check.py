@@ -60,20 +60,29 @@ def main(sf_dir: str, out_dir: str) -> int:
         bad = []
         for c in o.columns:
             oc, sc = o[c], s[c]
-            if pd.api.types.is_float_dtype(oc) or pd.api.types.is_float_dtype(sc):
-                a = oc.astype(float).values
-                b = sc.astype(float).values
-                eq = (a == b) | (np.isnan(a) & np.isnan(b))
-                if not eq.all():
-                    d = np.nanmax(np.abs(a - b))
-                    bad.append(f"{c} (float, maxdiff={d:.3e}, n_bad={int((~eq).sum())})")
-            else:
+            try:
+                if pd.api.types.is_float_dtype(oc) or pd.api.types.is_float_dtype(sc):
+                    # astype(float) can raise if the other side is a
+                    # non-numeric object column (e.g. decimal vs string);
+                    # fall through to the string compare in that case.
+                    a = oc.astype(float).values
+                    b = sc.astype(float).values
+                    eq = (a == b) | (np.isnan(a) & np.isnan(b))
+                    if not eq.all():
+                        d = np.nanmax(np.abs(a - b))
+                        bad.append(f"{c} (float, maxdiff={d:.3e}, n_bad={int((~eq).sum())})")
+                    continue
+            except (ValueError, TypeError):
+                pass
+            try:
                 oc2 = oc.astype(str).where(~oc.isna(), "<NULL>")
                 sc2 = sc.astype(str).where(~sc.isna(), "<NULL>")
                 if not (oc2.values == sc2.values).all():
                     n_bad = int((oc2.values != sc2.values).sum())
                     i = int(np.argmax(oc2.values != sc2.values))
                     bad.append(f"{c} (n_bad={n_bad}, first: oracle={oc2.values[i]!r} spark={sc2.values[i]!r})")
+            except Exception as e:
+                bad.append(f"{c} (compare error: {e})")
         if bad:
             print(f"FAIL {name}: value mismatch: {'; '.join(bad)}")
             failures += 1

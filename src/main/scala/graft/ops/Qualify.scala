@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Qualify {
 
+  /** Transient column name guaranteed absent from `df` (an input that
+    * already has a `__rn` column must not be clobbered). */
+  private def freshName(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** QUALIFY ROW_NUMBER() OVER (PARTITION BY partCols ORDER BY orderCols) <= n */
   def rowNumber(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
                 n: Int = 1): DataFrame = {
     val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    val rn = freshName(df, "__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
   }
 
   /** QUALIFY RANK() OVER (PARTITION BY partCols ORDER BY orderCols) <= n
@@ -31,9 +38,10 @@ object Qualify {
   def rank(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
            n: Int = 1): DataFrame = {
     val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
-    df.withColumn("__rk", org.apache.spark.sql.functions.rank().over(w))
-      .filter(col("__rk") <= n)
-      .drop("__rk")
+    val rk = freshName(df, "__rk")
+    df.withColumn(rk, org.apache.spark.sql.functions.rank().over(w))
+      .filter(col(rk) <= n)
+      .drop(rk)
   }
 
   /** Keep one row per key set — the staging-layer dedup of

@@ -252,18 +252,21 @@ object ReferenceQueries {
 
   /** F5/F6/F7 + P7: date-function suite — year/month extraction, month
     * start via make_date (design.sql:447), month end via last_day
-    * (design.sql:543), and the snapshot-validity month-window filter. */
+    * (design.sql:543), and the snapshot-validity month-window filter
+    * against an INDEPENDENT snapshot date (the reference's file_date):
+    * keep only rows whose date falls inside the snapshot file's month,
+    * like `last_scraped BETWEEN file_date AND last_day(file_date)`. */
   private val q_f_date_suite = Q(
     "q_f_date_suite",
     (s, d) => {
       val (yy, mm) = ym(col("o_orderdate"))
+      val fileDate = lit("1997-06-01").cast("date") // snapshot month
       ord(s, d)
         .select(col("o_orderkey"), col("o_orderdate"),
           yy.as("order_year"), mm.as("order_month"),
           Cleanse.monthStart(yy, mm).as("month_start"),
           last_day(col("o_orderdate")).as("month_end"))
-        .filter(col("o_orderdate").cast("date")
-          .between(col("month_start"), col("month_end")))
+        .filter(Cleanse.withinMonthOf(col("o_orderdate").cast("date"), fileDate))
     },
     Some("""SELECT o_orderkey, o_orderdate,
       CAST(year(o_orderdate) AS INTEGER) AS order_year,
@@ -271,9 +274,8 @@ object ReferenceQueries {
       make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_start,
       last_day(CAST(o_orderdate AS DATE)) AS month_end
     FROM orders
-    WHERE CAST(o_orderdate AS DATE)
-      BETWEEN make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1)
-          AND last_day(CAST(o_orderdate AS DATE))"""))
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
+      AND CAST(o_orderdate AS DATE) <= last_day(DATE '1997-06-01')"""))
 
   def all: Seq[Q] = Seq(
     q_a1_pricing_summary,

@@ -17,7 +17,18 @@ object Registry {
     ReferenceQueries.all ++ ExtensionQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    all.map(q => q.name -> withSessionDefaults(q.fn)).toMap
+
+  /** Oracle correctness contract: year/month extraction and
+    * timestamp-literal casts assume a UTC session. Verify/Bench set it,
+    * but a driver invoking SparkEntry.queries with its own session must
+    * get the same results — so pin it at query-build time. */
+  private def withSessionDefaults(
+      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      fn(s, d)
+    }
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
