@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the graft extension operators.
+  *
+  * These are tier-(b) custom expressions (SURVEY §7.3 preference order):
+  * full `doGenCode` implementations whose generated code is a single
+  * static kernel call (see [[Kernels]]), so they participate in
+  * whole-stage codegen and run JIT-compiled — unlike higher-order-
+  * function formulations, which Spark evaluates interpreted.
+  */
+
+/** minhash signature of a token array: array<long> of length numHashes. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireStringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit simhash of a token array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireStringArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints of a string (byte k-grams, window w). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** Sorted-distinct word n-gram shingles of a token array. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireStringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.wordShingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** |A ∩ B| of two sorted-distinct string arrays (merge count). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(e => GraftFunctions.requireStringArray(e, prettyName))
+      .collectFirst { case f: TypeCheckResult.TypeCheckFailure => f }
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API + SQL-registration surface for the native expressions. */
+object GraftFunctions {
+
+  private[functions] def requireStringArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<string>, got ${other.catalogString}")
+    }
+
+  def minhashSig(toks: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(toks), numHashes))
+
+  def simhash64(toks: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(toks)))
+
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+
+  def wordShingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  /** Register `graft_*` as session SQL functions so `spark.sql` users get
+    * the same operators: graft_minhash_sig(arr, n), graft_simhash64(arr),
+    * graft_winnow(text, k, w), graft_sorted_intersect_count(a, b). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def info(name: String) = new ExpressionInfo("graft.functions", name)
+    reg.registerFunction(FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig"),
+      { case Seq(e, n) => MinHashSig(e, intLit(n, "numHashes")) })
+    reg.registerFunction(FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64"),
+      { case Seq(e) => SimHash64(e) })
+    reg.registerFunction(FunctionIdentifier("graft_winnow"),
+      info("graft_winnow"),
+      { case Seq(e, k, w) => WinnowFingerprints(e, intLit(k, "k"), intLit(w, "w")) })
+    reg.registerFunction(FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles"),
+      { case Seq(e, n) => WordShingles(e, intLit(n, "n")) })
+    reg.registerFunction(FunctionIdentifier("graft_sorted_intersect_count"),
+      info("graft_sorted_intersect_count"),
+      { case Seq(a, b) => SortedIntersectCount(a, b) })
+  }
+}

@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight JIT-compiled kernels behind the graft native expressions.
+  *
+  * Rationale: Spark evaluates higher-order-function lambdas interpreted
+  * (no whole-stage codegen inside `transform`/`aggregate`), so hash-heavy
+  * per-row loops (64-seed minhash, 64-bit simhash tallies, rolling-hash
+  * winnowing) cost 10-50x their compiled equivalent. Each kernel is one
+  * static call from generated code — the loop itself runs as ordinary
+  * JVM bytecode operating directly on Spark's unsafe representations
+  * (UTF8String bytes, ArrayData), no row conversion, no allocation
+  * beyond the output.
+  *
+  * Methods are called from Janino-generated Java via the Scala static
+  * forwarders on this object's companion class.
+  */
+object Kernels {
+
+  /** MinHash signature: out[i] = min over tokens of h_i(token), where
+    * h_i = XXH64(XXH64(tokenBytes, 0), seed=i) — one strong byte-hash per
+    * token, then a cheap long-rehash per seed (standard one-permutation
+    * family derivation; seeds are statistically independent enough for
+    * LSH banding). Null tokens are skipped. */
+  def minhashSig(tokens: ArrayData, numHashes: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val s = tokens.getUTF8String(t)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashLong(base, i.toLong)
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash: bit i set iff Σ_tokens (2·bit_i(XXH64(token)) − 1)
+    * is positive. Null tokens skipped. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val s = tokens.getUTF8String(t)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+        var i = 0
+        while (i < 64) {
+          counts(i) += (((h >>> i) & 1L).toInt << 1) - 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) sim |= 1L << i
+      i += 1
+    }
+    sim
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) over the
+    * UTF-8 BYTE stream: hash every k-byte gram, keep the min hash of
+    * each w-length sliding window, de-duplicated in first-seen order.
+    * Degenerate short inputs fingerprint the whole text. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    if (n < k) {
+      return new GenericArrayData(Array(XXH64.hashUnsafeBytes(base, off, n, 0L)))
+    }
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      grams(i) = XXH64.hashUnsafeBytes(base, off + i, k, 0L)
+      i += 1
+    }
+    val windows = if (m >= w) m - w + 1 else 1
+    val effW = math.min(w, m)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < windows) {
+      var mn = Long.MaxValue
+      var x = 0
+      while (x < effW) {
+        val g = grams(j + x)
+        if (g < mn) mn = g
+        x += 1
+      }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** SORTED-distinct word n-gram shingle set of a token array: shingle i
+    * = tokens[i..i+n) joined by a single space. Output order is
+    * UTF8String binary order — the same ordering array_sort uses — so the
+    * result satisfies the merge-intersect invariant. Null tokens
+    * contribute empty strings (callers tokenize with split(), which never
+    * yields nulls). Short inputs (<n tokens) yield an empty array. */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val total = tokens.numElements()
+    val m = total - (n - 1)
+    if (m < 1) return new GenericArrayData(new Array[Any](0))
+    val sep = UTF8String.fromString(" ")
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (tokens.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+                   else tokens.getUTF8String(i + j)
+        j += 1
+      }
+      set.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size)))
+  }
+
+  /** |A ∩ B| for two SORTED string arrays (strictly ascending, i.e.
+    * sorted distinct sets): single merge pass, zero allocation. The
+    * caller owns the sorted-distinct invariant (see Dedup.shingled). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}

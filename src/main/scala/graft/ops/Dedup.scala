@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for large-scale text corpora — the extension
+  * tier beyond the reference's own surface (the reference's only dedup is
+  * keyed row_number, workfile_design_data_warehouse.sql:265–266; these add
+  * the content-addressed and near-duplicate variants an LLM-data pipeline
+  * needs).
+  *
+  * Scale posture (100 TB): every operator here is either row-local
+  * (minhash/simhash signatures are computed per row with higher-order
+  * array expressions — zero shuffle, no explode of the token stream) or
+  * an equi-join on a bounded blocking/bucket key (LSH band join). There
+  * are no cross joins and no driver-side collects; candidate volume is
+  * controlled by the band/blocking parameters, not the corpus size.
+  *
+  * Evaluation-cost rule used throughout (this is load-bearing): Spark
+  * evaluates higher-order-function lambdas interpreted, with NO common-
+  * subexpression elimination — an array-valued EXPRESSION referenced
+  * inside a lambda body is recomputed once per element. So every
+  * intermediate array (tokens, shingles, per-token hashes) is first
+  * materialized as a projection output and only ever referenced as an
+  * attribute afterwards; each staged step is then O(array) per row
+  * instead of O(array²).
+  */
+object Dedup {
+
+  /** (doc_id, toks) table of de-duplicated whitespace word tokens.
+    * `toks` is SORTED-distinct — the invariant the merge-intersect kernel
+    * relies on (see [[jaccardPairs]]). */
+  def tokenized(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), array_sort(array_distinct(split(lower(text), " "))).as("toks"))
+
+  /** (doc_id, toks) table of word n-gram shingle sets (sorted-distinct).
+    * Shingles (not unigram tokens) are what near-dup detection must hash:
+    * unigram sets from a bounded vocabulary make almost every document
+    * pair look similar, while shingle overlap decays fast unless passages
+    * genuinely repeat. Shingle assembly is a native codegen'd kernel
+    * (graft.functions.WordShingles) — this projection sits under every
+    * join side of the pair generators and is re-evaluated per side, so
+    * its constant factor matters. */
+  def shingled(df: DataFrame, id: Column, text: Column, n: Int = 3,
+               keep: Seq[Column] = Nil): DataFrame =
+    df.select(id.as("doc_id") +:
+      GraftFunctions.wordShingles(split(lower(text), " "), n).as("toks") +: keep: _*)
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact content dedup: hash-groupBy on a normalized text digest, keep
+    * the smallest id per digest plus the duplicate count. One shuffle on
+    * the digest; at 100 TB this is the standard first pass (hash is 128
+    * bits → collisions negligible, and grouping on the digest rather
+    * than the text keeps shuffle rows tiny). */
+  def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val digest = md5(lower(trim(text)))
+    df.select(id.as("doc_id"), digest.as("text_digest"))
+      .groupBy(col("text_digest"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // ---------------------------------------------------- n-gram Jaccard
+
+  /** Exact within-block Jaccard near-duplicate pairs over a
+    * (doc_id, toks) table (see [[tokenized]]/[[shingled]]).
+    *
+    * Pairs are generated only inside a blocking key (an equi-join, not a
+    * cross join): at scale the block bounds candidate count, and skewed
+    * blocks are split by AQE. Jaccard uses |A∩B| / (|A|+|B|-|A∩B|) on
+    * distinct sets — integer sizes, so the double division is bit-stable
+    * across engines. The intersection size is materialized once per pair
+    * (it appears twice in the formula).
+    *
+    * @param block blocking key over the (doc_id, toks) row, e.g. a
+    *              metadata join back or a cheap function of doc_id
+    */
+  def jaccardPairs(docs: DataFrame, block: Column, minJaccard: Double): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("toks"), block.as("blk"))
+    val a = keyed.select(col("blk"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = keyed.select(col("blk"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, "blk")
+      .filter(col("doc_a") < col("doc_b"))
+      // size filter implied by the threshold: J(A,B) <= min/max sizes,
+      // so pairs failing it can never reach minJaccard — prunes before
+      // the per-pair intersection without changing results
+      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double")
+        >= lit(minJaccard) * greatest(size(col("toks_a")), size(col("toks_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        GraftFunctions.sortedIntersectCount(col("toks_a"), col("toks_b")).as("__i"),
+        (size(col("toks_a")) + size(col("toks_b"))).as("__t"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__i").cast("double") / (col("__t") - col("__i")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------------------ MinHash
+
+  /** Per-row MinHash signature: for seed i, min over tokens of h_i(token)
+    * (native codegen'd kernel — see graft.functions.MinHashSig; the
+    * higher-order-function formulation evaluates interpreted and is an
+    * order of magnitude slower). Row-local, no shuffle. Returns
+    * array<long> of length `numHashes`. */
+  def minhashSignature(toks: Column, numHashes: Int): Column =
+    GraftFunctions.minhashSig(toks, numHashes)
+
+  /** LSH banding of a materialized signature attribute: `bands` keys,
+    * each hashing `rowsPerBand` consecutive signature components (plus
+    * the band index, so buckets never collide across bands). Returns
+    * array<struct<band:int, key:long>> for exploding into the band join. */
+  def lshBands(sigAttr: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => element_at(sigAttr, b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(parts :+ lit(b): _*).as("key"))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate candidate pairs over a (doc_id, toks)
+    * table, verified.
+    *
+    * Pipeline: per-row signature → band keys → explode bands →
+    * self-equi-join on (band, key) → distinct candidate pairs → estimate
+    * similarity as the fraction of matching signature components, and
+    * verify with exact Jaccard (two hash joins back to the token sets).
+    * The only shuffles are the band join and the two verify joins, all
+    * on keys — the classic shape that survives 1000 executors.
+    *
+    * Defaults 16 bands × 4 rows ≈ s-curve threshold (1/16)^(1/4) ≈ 0.5.
+    */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        minhashSignature(col("toks"), numHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val withSig = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("toks").as("toks_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("toks").as("toks_b")), "doc_b")
+    val matching = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b))
+    withSig.select(
+        col("doc_a"), col("doc_b"),
+        round(matching.cast("double") / numHashes, 6).as("est_jaccard"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("__i"),
+        (size(col("toks_a")) + size(col("toks_b"))).as("__t"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(col("__i").cast("double") / (col("__t") - col("__i")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash over a (doc_id, toks) table: bit i of the signature
+    * is the sign of Σ_tokens (2·bit_i(hash(token)) − 1). Native codegen'd
+    * kernel (graft.functions.SimHash64) — one pass over the tokens per
+    * row, zero shuffle. Returns (doc_id, sim). */
+  def simhashed(docs: DataFrame): DataFrame =
+    docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), GraftFunctions.simhash64(col("toks")).as("sim"))
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`.
+    *
+    * Candidate generation blocks on 16-bit chunks of the signature: any
+    * pair within Hamming distance ≤ 3 must agree on at least one of the
+    * 4 chunks (pigeonhole), so a 4-way chunk equi-join has perfect recall
+    * for maxHamming ≤ 3 — again joins on bounded keys, no cross join. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sims = simhashed(docs)
+    val chunked = sims.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    chunked.as("x").join(chunked.as("y"), Seq("chunk", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

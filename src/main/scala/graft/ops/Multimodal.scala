@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing — extension tier.
+  *
+  * Media (image/audio/video) is carried through the pipeline as an opaque
+  * `binary` payload column plus a typed metadata struct; decode/feature
+  * extraction runs per-partition over iterators so a real decoder slots
+  * in without touching the plumbing. The decode step itself is a STUB
+  * (this environment ships no image/audio libraries): a deterministic
+  * fake that derives features from the bytes. Everything around it —
+  * schema, encoders, partition-iterator batching, column pruning — is
+  * real and tested.
+  *
+  * Scale posture: payloads stay distributed (never collected); decode is
+  * `mapPartitions` so per-record library-init cost amortizes across a
+  * partition (the same shape a Python pipeline gets from mapInPandas);
+  * feature output is narrow so downstream shuffles don't carry bytes.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+                         width: Int, height: Int, format: String)
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
+                           width: Int, height: Int, format: String,
+                           frames_sampled: Int)
+
+  /** Wrap a text table as fake media rows: payload = UTF-8 bytes of the
+    * text (stands in for encoded image bytes), metadata derived
+    * deterministically from the id. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 640 + 64).cast("int").as("width"),
+      (col("doc_id") % 480 + 48).cast("int").as("height"),
+      element_at(typedlit(Seq("jpeg", "png", "webp")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"))
+
+  /** STUB decoder: a real implementation would decode `payload` with an
+    * imaging library here (one library init per partition, then stream
+    * the iterator). The fake derives deterministic features: byte count,
+    * additive checksum, and a frame-sample count = one "frame" per 64
+    * payload bytes, capped at 8 — exercising exactly the batch shape and
+    * signature a real decoder needs. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // (real pipeline: init decoder once per partition here)
+      it.map { r =>
+        var sum = 0L
+        var i = 0
+        while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+        MediaFeatures(r.doc_id, r.payload.length, sum, r.width, r.height,
+          r.format, math.min(8, r.payload.length / 64))
+      }
+    }
+  }
+
+  /** End-to-end fake-media feature table (plumbing demo used by the
+    * x_multimodal_features query and MultimodalSpec). */
+  def features(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeFeatures(spark, asMediaTable(docs)).toDF()
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — extension tier (the reference has no vector ops;
+  * this is the similarity-search leg of the LLM-data-pipeline surface).
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is expected
+  *     to be small (it is broadcast), so the work is one pass over the
+  *     corpus per batch of queries — the correct baseline up to a few
+  *     thousand queries even at large corpus scale.
+  *   - [[lshTopK]]: random-hyperplane LSH bucketing; candidates are only
+  *     the corpus vectors sharing the query's bucket, so the join is an
+  *     equi-join on the signature and the per-query work drops by the
+  *     bucket-count factor (recall < 1, tunable by `planes`).
+  *
+  * Dot products use higher-order array expressions in double precision
+  * (sequential fold per row — deterministic), no UDFs. Norms are
+  * precomputed per vector BEFORE the pair join (norm work is O(corpus),
+  * not O(pairs)), and the double-cast array is materialized once per row
+  * — lambda-referenced expressions re-evaluate per element, so staging
+  * is what keeps the per-pair cost at one O(dim) fold.
+  */
+object Similarity {
+
+  /** Adds `vecOut: array<double>` (exact float→double widening) and
+    * `normOut: double` (L2 norm) for an embedding column. */
+  private def withVecNorm(df: DataFrame, embedding: Column,
+                          vecOut: String, normOut: String): DataFrame =
+    df.withColumn(vecOut, transform(embedding, x => x.cast("double")))
+      .withColumn(normOut,
+        sqrt(aggregate(col(vecOut), lit(0.0), (acc, v) => acc + v * v)))
+
+  /** Dot product of two materialized array<double> ATTRIBUTES. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Exact top-k neighbors per query vector by cosine, deterministic
+    * tiebreak on neighbor id; cosine rounded to 6dp BEFORE ranking so
+    * ordering is robust to engine-level float summation differences.
+    * `queries` is broadcast — the corpus is streamed once, never
+    * materialized per query. Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = withVecNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding")), col("embedding"), "qv", "qn").drop("embedding")
+    val c = withVecNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding")), col("embedding"), "cv", "cn").drop("embedding")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `planes` × `dim` Gaussian weights
+    * from a fixed seed, as a literal nested array (driver-side constant,
+    * broadcast with the plan — no data-dependent state). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-signature bucket id of a materialized array<double> ATTRIBUTE
+    * under the given planes: bit p = [dot(v, plane_p) > 0]. Row-local. */
+  def lshBucket(vAttr: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = aggregate(zip_with(vAttr, typedlit(p), (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t)
+      when(d > 0, shiftleft(lit(1), i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN top-k via MULTI-TABLE hyperplane LSH: `tables` independent sets
+    * of `planes` hyperplanes; a corpus vector is a candidate for a query
+    * iff they share a bucket in ANY table (union of per-table equi-joins,
+    * realized as one join on (table, bucket)). Per-table collision
+    * probability for angle θ is (1-θ/π)^planes, so tables trade recall
+    * against the 2^planes candidate reduction — the standard knob pair.
+    * Candidates are deduplicated BEFORE scoring, so each pair is scored
+    * once no matter how many tables it collides in. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 4, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val allPlanes = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
+    def prep(df: DataFrame, idAs: String, vecAs: String, normAs: String) =
+      withVecNorm(df.select(col("vec_id").as(idAs), col("embedding")),
+        col("embedding"), vecAs, normAs).drop("embedding")
+    def banded(df: DataFrame, idCol: String, vecAs: String) =
+      df.select(col(idCol),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"),
+              lshBucket(col(vecAs), allPlanes(t)).as("bucket"))): _*)).as("tb"))
+        .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = prep(queries, "query_id", "qv", "qn")
+    val c = prep(corpus, "neighbor_id", "cv", "cn")
+    val cands = banded(c, "neighbor_id", "cv")
+      .join(broadcast(banded(q, "query_id", "qv")), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cands
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation — extension tier.
+  * All row-local builtin-function compositions (no UDFs): they stay
+  * inside whole-stage codegen and scale embarrassingly.
+  */
+object TextOps {
+
+  /** Whitespace tokens (with duplicates), lower-cased. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphabetic runs, digit runs, and any other
+    * non-space symbol each count as one piece — a cheap deterministic
+    * proxy for tokenizer cost used to budget training data. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Per-language marker-word sets for the language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  /** N-gram/stopword language-ID heuristic: score = marker-token hits per
+    * language; CJK characters short-circuit to "zh"; argmax with a fixed
+    * alphabetical tiebreak; "und" (undetermined) when nothing scores.
+    * Deterministic and SQL-mirrorable (greatest + CASE in the oracle). */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, typedlit(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight + when-chain means ties resolve to the FIRST language in
+    // langMarkers order (alphabetical), matching the oracle's CASE order.
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Quality score in [0,1]: weighted blend of length saturation,
+    * lexical diversity, and stopword-rate sanity — the standard cheap
+    * pre-filters for web-scraped training text. Fixed double arithmetic
+    * (same expression order as the SQL oracle → bit-stable). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      typedlit(Seq("a", "the", "of", "and", "is")))).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val diversity = nDistinct / nToks
+    val stopScore = least(stopHits / lit(2.0), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.3) * diversity + lit(0.3) * stopScore, 6)
+  }
+
+  /** Winnowing document fingerprints (rolling-hash): hash every k-byte
+    * gram of the text, then keep the minimum hash of each sliding window
+    * of `w` consecutive gram hashes (Schleimer et al., SIGMOD'03
+    * winnowing scheme), de-duplicated. Adds column `out: array<long>`.
+    * Near-identical documents share most fingerprints, so a later explode
+    * + groupBy on the fingerprint finds overlap clusters with one
+    * shuffle. Native codegen'd kernel (graft.functions.WinnowFingerprints). */
+  def withFingerprints(df: org.apache.spark.sql.DataFrame, text: Column,
+                       out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, graft.functions.GraftFunctions.winnowFingerprints(text, k, w))
+}

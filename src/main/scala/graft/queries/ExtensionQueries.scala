@@ -1,9 +1,281 @@
 package graft.queries
 
-/** LLM-data-pipeline extension operators (dedup, similarity, text,
-  * multimodal) over the documents/embeddings tables. Populated
-  * incrementally — see graft.functions.
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Extension tier (BASELINE.json north star): the LLM-training-data
+  * operators beyond the reference's own surface — dedup, similarity
+  * search, text analysis, multimodal plumbing — over the `documents`,
+  * `embeddings` and `events` testdata tables.
+  *
+  * Queries whose semantics are hash-based (xxhash64 minhash/simhash/
+  * fingerprints, seeded hyperplane LSH) have no DuckDB equivalent and are
+  * registered without an oracle (driver records a rows-only check); their
+  * correctness is covered by ScalaTest specs instead (DedupSpec,
+  * SimilaritySpec) which cross-check them against exact computations.
   */
 object ExtensionQueries {
-  def all: Seq[Q] = Seq.empty
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact content dedup via normalized-text digest (hash-groupBy). */
+  private val x_dedup_exact = Q(
+    "x_dedup_exact",
+    (s, d) => Dedup.exactDedup(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text")),
+    Some("""SELECT md5(lower(trim(text))) AS text_digest,
+      min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1"""))
+
+  /** Exact blocked shingle-Jaccard near-dup pairs (block = lang x length
+    * bucket) — the oracle-checkable ground truth the LSH variants
+    * approximate. 3-word shingle sets, not unigrams: with a bounded
+    * vocabulary unigram sets make every pair look alike. */
+  private val x_dedup_jaccard = Q(
+    "x_dedup_jaccard",
+    (s, d) => Dedup.jaccardPairs(
+      Dedup.shingled(
+        Tables.documents(s, d)
+          .filter(col("text").isNotNull && size(split(lower(col("text")), " ")) >= 3),
+        col("doc_id"), col("text"),
+        keep = Seq(col("lang"), (col("n_chars") / lit(50)).cast("long").as("lb"))),
+      block = struct(col("lang"), col("lb")),
+      minJaccard = 0.5),
+    Some("""WITH docs AS (
+      SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS lb,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, len(toks) - 1)]) AS shingles
+      FROM (SELECT *, string_split(lower(text), ' ') AS toks
+            FROM documents WHERE text IS NOT NULL)
+      WHERE len(toks) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
+          6) AS jaccard
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5"""))
+
+  /** MinHash + LSH band-join near-dup candidates, Jaccard-verified.
+    * xxhash64-based — no oracle; exactness covered by DedupSpec. */
+  private val x_dedup_minhash_lsh = Q(
+    "x_dedup_minhash_lsh",
+    (s, d) => Dedup.minhashLshPairs(
+      Dedup.shingled(Tables.documents(s, d).filter(col("text").isNotNull),
+        col("doc_id"), col("text"))),
+    None)
+
+  /** SimHash near-dup pairs within Hamming distance 3 (16-bit chunk
+    * blocking). xxhash64-based — no oracle. */
+  private val x_dedup_simhash = Q(
+    "x_dedup_simhash",
+    (s, d) => Dedup.simhashPairs(
+      Dedup.shingled(Tables.documents(s, d).filter(col("text").isNotNull),
+        col("doc_id"), col("text"))),
+    None)
+
+  // -------------------------------------------------------- similarity
+
+  /** Brute-force exact cosine top-5 for a small query batch (vec_id<10)
+    * against the full corpus — the ANN ground-truth baseline. Cosine is
+    * rounded to 6dp BEFORE ranking (with id tiebreak) so the ordering is
+    * robust to engine-level float summation differences. */
+  private val x_sim_cosine_topk = Q(
+    "x_sim_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    Some("""WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        ROUND(list_inner_product(qv, cv)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+          6) AS cosine
+      FROM c, q WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""))
+
+  /** Hyperplane-LSH bucketed ANN top-5 — the scale path (equi-join on
+    * the sign-signature bucket instead of a full scan per query). Seeded
+    * hyperplanes — no oracle; recall vs brute force checked in
+    * SimilaritySpec. */
+  private val x_sim_lsh_topk = Q(
+    "x_sim_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    None)
+
+  // --------------------------------------------------------------- text
+
+  /** Per-document text statistics: token counts (whitespace + BPE-ish
+    * regex), lexical diversity, quality score. */
+  private val x_text_stats = Q(
+    "x_text_stats",
+    (s, d) => Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.subwordCount(col("text")).as("n_subwords"),
+        size(array_distinct(TextOps.tokens(col("text")))).as("n_distinct_tokens"),
+        TextOps.qualityScore(col("text")).as("quality_score")),
+    Some("""SELECT doc_id,
+      length(text) AS n_chars_calc,
+      len(string_split(lower(text), ' ')) AS n_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
+      len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
+      ROUND(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+          + 0.3 * least(CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                 ['a','the','of','and','is'])) AS DOUBLE) / 2.0, 1.0),
+          6) AS quality_score
+    FROM documents WHERE text IS NOT NULL"""))
+
+  /** Marker-word language-ID heuristic vs the labeled lang column. */
+  private val x_text_langid = Q(
+    "x_text_langid",
+    (s, d) => Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred")),
+    Some("""WITH t AS (
+      SELECT doc_id, lang, text,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT doc_id, lang, text,
+        len(list_intersect(toks, ['the','a','of','and','is'])) AS s_en,
+        len(list_intersect(toks, ['der','die','das','und','ist'])) AS s_de,
+        len(list_intersect(toks, ['el','los','y','es','una'])) AS s_es,
+        len(list_intersect(toks, ['le','la','et','les','est'])) AS s_fr
+      FROM t)
+    SELECT doc_id, lang,
+      CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+           WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+           WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+           WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM s"""))
+
+  /** Winnowing rolling-hash fingerprints (xxhash64 — no oracle; scheme
+    * checked in TextOpsSpec). Output: per-doc fingerprint count. */
+  private val x_text_fingerprint = Q(
+    "x_text_fingerprint",
+    (s, d) => TextOps.withFingerprints(
+        Tables.documents(s, d).filter(col("text").isNotNull), col("text"), "fp")
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints")),
+    None)
+
+  // --------------------------------------------------------- multimodal
+
+  /** Binary media-column plumbing with stubbed decode (mapPartitions) —
+    * no oracle (typed-Dataset path); checked in MultimodalSpec. */
+  private val x_multimodal_features = Q(
+    "x_multimodal_features",
+    (s, d) => Multimodal.features(s, Tables.documents(s, d)
+      .filter(col("text").isNotNull)),
+    None)
+
+  // ------------------------------------------------------------- events
+
+  /** Tumbling 1-hour window aggregate over the event stream (batch form
+    * of the Structured Streaming windowed agg — see streaming package). */
+  private val x_events_hourly = Q(
+    "x_events_hourly",
+    (s, d) => Tables.events(s, d)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value")),
+    Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users,
+      min(value) AS min_value,
+      max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2"""))
+
+  /** Sessionization: 30-minute-gap sessions per user via running-sum
+    * window (the batch analog of mapGroupsWithState sessionization).
+    * Timestamps are second-truncated on both sides so ns-vs-us parquet
+    * precision cannot perturb the compare. */
+  private val x_events_sessionize = Q(
+    "x_events_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // Total order (ts_s, event_id): same-second ties would otherwise
+      // make LAG/running-sum nondeterministic across engines.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val gap = col("ts_s").cast("double") - lag(col("ts_s"), 1).over(w).cast("double")
+      val isNew = when(gap.isNull || gap > 1800.0, 1L).otherwise(0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), date_trunc("second", col("ts")).as("ts_s"))
+        .withColumn("session_id",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_s")).as("session_start"),
+          max(col("ts_s")).as("session_end"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts_s,
+        CASE WHEN LAG(ts_s) OVER w IS NULL
+               OR epoch(ts_s) - epoch(LAG(ts_s) OVER w) > 1800.0
+             THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+    sessions AS (
+      SELECT user_id, ts_s,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+      count(*) AS n_events,
+      min(ts_s) AS session_start,
+      max(ts_s) AS session_end
+    FROM sessions
+    GROUP BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(
+    x_dedup_exact,
+    x_dedup_jaccard,
+    x_dedup_minhash_lsh,
+    x_dedup_simhash,
+    x_sim_cosine_topk,
+    x_sim_lsh_topk,
+    x_text_stats,
+    x_text_langid,
+    x_text_fingerprint,
+    x_multimodal_features,
+    x_events_hourly,
+    x_events_sessionize,
+  )
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+  private val nearDup = base.trim + " lambda mu"   // small tail edit
+  private val distinct1 = "one two three four five six seven eight nine ten " * 5
+  private val distinct2 = "red green blue cyan magenta yellow black white pink grey " * 5
+
+  private def docs = Seq(
+    (0L, base.trim), (1L, base.trim), (2L, nearDup),
+    (3L, distinct1.trim), (4L, distinct2.trim)
+  ).toDF("doc_id", "text")
+
+  test("shingled emits distinct word 3-grams; short texts yield empty set") {
+    val out = Dedup.shingled(Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    val m = out.as[(Long, Seq[String])].collect().toMap
+    assert(m(1L).toSet == Set("a b c", "b c d"))
+    assert(m(2L).isEmpty)
+  }
+
+  test("exactDedup groups identical normalized text") {
+    val out = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+    val byKeep = out.select("keep_doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(byKeep(0L) == 2L) // docs 0 and 1 identical, keeper = min id
+    assert(out.count() == 4)
+  }
+
+  test("jaccardPairs finds the planted near-dup pair and nothing else") {
+    val shingles = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val pairs = Dedup.jaccardPairs(shingles, block = lit(1), minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("minhashLshPairs recovers the exact-Jaccard pairs on planted dups, with sane estimates") {
+    val shingles = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val got = Dedup.minhashLshPairs(shingles)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    got.foreach { case (_, _, est, exact) =>
+      assert(math.abs(est - exact) < 0.35, s"estimate $est too far from exact $exact")
+    }
+    val identical = got.find(r => (r._1, r._2) == (0L, 1L)).get
+    assert(identical._3 == 1.0 && identical._4 == 1.0)
+  }
+
+  test("simhash: identical texts collide, unrelated texts are far") {
+    val shingles = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val sims = Dedup.simhashed(shingles).as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(1L))
+    val hammingUnrelated = java.lang.Long.bitCount(sims(3L) ^ sims(4L))
+    assert(hammingUnrelated > 10, s"unrelated docs too close: $hammingUnrelated")
+  }
+
+  test("simhashPairs finds identical + near pairs within hamming 3") {
+    val shingles = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val pairs = Dedup.simhashPairs(shingles)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val asMap = pairs.map(r => (r._1, r._2) -> r._3).toMap
+    assert(asMap((0L, 1L)) == 0)
+    assert(!asMap.contains((3L, 4L)))
+  }
+
+  test("minhash LSH candidates superset blocked-jaccard pairs on real sf0.001 documents") {
+    val d = graft.core.Tables.documents(spark, sf001).filter(col("text").isNotNull)
+    val shingles = Dedup.shingled(d, col("doc_id"), col("text"),
+      keep = Seq(col("lang"), (col("n_chars") / lit(50)).cast("long").as("lb")))
+    val exact = Dedup.jaccardPairs(shingles, struct(col("lang"), col("lb")), 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(shingles.select("doc_id", "toks"), minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // high-similarity pairs must be recalled by LSH (s-curve ~0.5 threshold)
+    assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
+  }
+}

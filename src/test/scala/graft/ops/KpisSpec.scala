@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KpisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lagPctChange: previous ROW not previous month — gaps are not filled (SURVEY §7.5.3)") {
+    // months 1, 2, 4 (gap at 3): pct for month 4 must compare against month 2
+    val df = Seq(("x", 2020, 1, 100L), ("x", 2020, 2, 150L), ("x", 2020, 4, 75L))
+      .toDF("g", "y", "m", "cnt")
+    val out = Kpis.lagPctChange(df, Seq("g"), Seq("y", "m"), "cnt", "pct")
+      .orderBy("m").select("pct").as[Option[Double]].collect()
+    assert(out(0).isEmpty)                       // first row: no previous
+    assert(out(1).contains(50.0))                // 100 -> 150
+    assert(out(2).contains(-50.0))               // 150 -> 75 (vs row, not month 3)
+  }
+
+  test("fullOuterOfAggs covers the union of keys with nulls off-side") {
+    val a = Seq(("k1", 1L), ("k2", 2L)).toDF("k", "ca")
+    val b = Seq(("k2", 20L), ("k3", 30L)).toDF("k", "cb")
+    val out = Kpis.fullOuterOfAggs(Seq("k"), Seq(a, b))
+    assert(out.select("k").as[String].collect().toSet == Set("k1", "k2", "k3"))
+    val k1 = out.filter($"k" === "k1").select("cb").as[Option[Long]].head()
+    assert(k1.isEmpty)
+  }
+
+  test("conditionalCounts = one-pass rewrite of repeated scalar-subquery counts (adhoc.sql:183-187)") {
+    val df = Seq(1, 2, 3, 4, 5, 6).toDF("v")
+    val out = Kpis.conditionalCounts(df, Map(
+      "n_even" -> ($"v" % 2 === 0), "n_big" -> ($"v" > 4))).head()
+    assert(out.getAs[Long]("n_even") == 3L)
+    assert(out.getAs[Long]("n_big") == 2L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "cosine", "rank")
+      .as[(Long, Double, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 > 0.99)
+    assert(out(1)._2 == 0.0)
+    assert(out(2)._2 == -1.0)
+  }
+
+  test("lshTopK: identical-direction vectors share a bucket; neighbors found") {
+    val out = Similarity.lshTopK(vecs.filter($"vec_id" === 0), vecs, k = 3,
+      planes = 4, seed = 7L)
+    val ids = out.select("neighbor_id").as[Long].collect().toSet
+    assert(ids.contains(1L)) // near-identical vector must share the bucket
+    assert(!ids.contains(0L)) // no self-match
+  }
+
+  test("lshTopK recall vs brute force on real sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, f"LSH recall $recall%.2f collapsed — bucketing broken")
+    // and LSH candidates must all be genuine corpus ids (no fabrication)
+    assert(approx.forall { case (a, b) => a != b })
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, input: String)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(input).toDF("s").select(c.as("r").as[T]).head()
+
+  test("tokenCount and subwordCount") {
+    assert(one[Int](TextOps.tokenCount(col("s")), "the cat sat") == 3)
+    // 'v2.1-beta' -> v, 2, ., 1, -, beta
+    assert(one[Int](TextOps.subwordCount(col("s")), "v2.1-beta") == 6)
+  }
+
+  test("langId picks marker language, CJK short-circuits, und when nothing matches") {
+    assert(one[String](TextOps.langId(col("s")), "der hund und die katze ist da") == "de")
+    assert(one[String](TextOps.langId(col("s")), "the quick fox is a friend") == "en")
+    assert(one[String](TextOps.langId(col("s")), "le chat et la souris est petite") == "fr")
+    assert(one[String](TextOps.langId(col("s")), "你好 world") == "zh")
+    assert(one[String](TextOps.langId(col("s")), "xyzzy plugh") == "und")
+  }
+
+  test("qualityScore stays in [0,1] and rewards longer diverse text") {
+    val short = one[Double](TextOps.qualityScore(col("s")), "word word word")
+    val rich = one[Double](TextOps.qualityScore(col("s")),
+      ("the quality of a document is measured and scored " * 12).trim)
+    assert(short >= 0.0 && short <= 1.0 && rich >= 0.0 && rich <= 1.0)
+    assert(rich > short)
+  }
+
+  test("winnowing fingerprints: identical text -> identical set; shared passage -> overlap") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a + " with an extra tail appended here"
+    val c = "completely unrelated content with different characters entirely"
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "text")
+    val fp = TextOps.withFingerprints(df, col("text"), "fp")
+      .select("id", "fp").as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val overlapNear = (fp(1L).toSet & fp(3L).toSet).size.toDouble / fp(1L).size
+    val overlapFar = (fp(1L).toSet & fp(4L).toSet).size.toDouble / fp(1L).size
+    assert(overlapNear > 0.8, s"prefix-sharing docs should share fingerprints: $overlapNear")
+    assert(overlapFar < 0.2, s"unrelated docs should not: $overlapFar")
+  }
+
+  test("fingerprints handle degenerate short text") {
+    val fp = TextOps.withFingerprints(Seq((1L, "hi")).toDF("id", "text"), col("text"), "fp")
+      .select("fp").as[Seq[Long]].head()
+    assert(fp.nonEmpty)
+  }
+}
