@@ -277,6 +277,184 @@ object ReferenceQueries {
     WHERE CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
       AND CAST(o_orderdate AS DATE) <= last_day(DATE '1997-06-01')"""))
 
+  /** A6: exact interpolated median + quartiles via percentile_cont
+    * (populate.py:564,685,813 — PERCENTILE_CONT(0.5) WITHIN GROUP). */
+  private val q_a6_median = Q(
+    "q_a6_median",
+    (s, d) => ord(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        median(col("o_totalprice")).as("median_price"),
+        percentile(col("o_totalprice"), lit(0.25)).as("p25_price"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75_price"),
+        count(lit(1)).as("n_orders")),
+    Some("""SELECT o_orderpriority AS priority,
+      median(o_totalprice) AS median_price,
+      quantile_cont(o_totalprice, 0.25) AS p25_price,
+      quantile_cont(o_totalprice, 0.75) AS p75_price,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY 1"""))
+
+  /** A9: the reference's repeated-scalar-subquery pattern
+    * (adhoc.sql:181–188) — N counts of one CTE under different
+    * predicates + a global scalar — rewritten as ONE conditional
+    * aggregation pass plus a cross join of a 1-row aggregate (the
+    * scale-correct rewrite; 2 scans instead of 6). */
+  private val q_a9_scalar_subquery = Q(
+    "q_a9_scalar_subquery",
+    (s, d) => {
+      val perCust = ord(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val buckets = Kpis.conditionalCounts(perCust, Map(
+        "n_cust_single" -> (col("n_orders") === 1),
+        "n_cust_2_5" -> (col("n_orders").between(2, 5)),
+        "n_cust_6plus" -> (col("n_orders") >= 6)))
+      val total = perCust.agg(count(lit(1)).as("n_cust_total"))
+      buckets.crossJoin(total)
+        .withColumn("pct_single",
+          round(col("n_cust_single").cast("double") / col("n_cust_total").cast("double") * 100.0, 2))
+    },
+    Some("""WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+    SELECT
+      (SELECT COUNT(*) FROM per_cust WHERE n_orders = 1) AS n_cust_single,
+      (SELECT COUNT(*) FROM per_cust WHERE n_orders BETWEEN 2 AND 5) AS n_cust_2_5,
+      (SELECT COUNT(*) FROM per_cust WHERE n_orders >= 6) AS n_cust_6plus,
+      (SELECT COUNT(*) FROM per_cust) AS n_cust_total,
+      ROUND(CAST((SELECT COUNT(*) FROM per_cust WHERE n_orders = 1) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM per_cust) AS DOUBLE) * 100.0, 2) AS pct_single"""))
+
+  /** A10: SELECT DISTINCT projection dedup (design.sql:170,545;
+    * adhoc.sql:25,87,...). */
+  private val q_a10_distinct = Q(
+    "q_a10_distinct",
+    (s, d) => ord(s, d).select(col("o_orderpriority"), col("o_orderstatus")).distinct(),
+    Some("SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders"))
+
+  /** W3: RANK top-1-with-ties per group (adhoc.sql:77 QUALIFY RANK()=1):
+    * best revenue month per priority, keeping ties. Revenue is exact
+    * decimal so tie behavior is engine-independent. */
+  private val q_w3_rank_top1 = Q(
+    "q_w3_rank_top1",
+    (s, d) => {
+      val (yy, mm) = ym(col("o_orderdate"))
+      val monthly = ord(s, d)
+        .groupBy(col("o_orderpriority").as("priority"), yy.as("order_year"), mm.as("order_month"))
+        .agg(Exact.sumMoney(col("o_totalprice")).as("rev"))
+      Qualify.rank(monthly, Seq(col("priority")), Seq(col("rev").desc))
+    },
+    Some(s"""WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+        CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        ${Exact.sumMoneySql("o_totalprice")} AS rev
+      FROM orders GROUP BY 1, 2, 3)
+    SELECT priority, order_year, order_month, rev FROM monthly
+    QUALIFY RANK() OVER (PARTITION BY priority ORDER BY rev DESC) = 1"""))
+
+  /** W5+W6+F8: whole-partition window SUM (design.sql:174; exact decimal
+    * internally — double window-sums are accumulation-order-dependent),
+    * window COUNT (adhoc.sql:90–92), then range bucketing of the window
+    * result (adhoc.sql:93–96) and a per-bucket rollup — the adhoc-c
+    * shape. */
+  private val q_w5_w6_window_suite = Q(
+    "q_w5_w6_window_suite",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy(col("o_custkey"))
+      val enriched = ord(s, d).select(
+          col("o_custkey"), col("o_totalprice"),
+          count(lit(1)).over(byCust).as("n_orders_cust"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(byCust)
+            .cast("double").as("cust_revenue"))
+      enriched
+        .select(col("o_custkey"), col("n_orders_cust"), col("cust_revenue"),
+          when(col("n_orders_cust") === 1, "SINGLE")
+            .when(col("n_orders_cust").between(2, 5), "REGULAR")
+            .otherwise("FREQUENT").as("bucket"))
+        .distinct()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.sumMoney(col("cust_revenue")).as("bucket_revenue"))
+    },
+    Some("""WITH enriched AS (
+      SELECT o_custkey,
+        COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders_cust,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_revenue
+      FROM orders),
+    bucketed AS (
+      SELECT DISTINCT o_custkey, n_orders_cust, cust_revenue,
+        CASE WHEN n_orders_cust = 1 THEN 'SINGLE'
+             WHEN n_orders_cust BETWEEN 2 AND 5 THEN 'REGULAR'
+             ELSE 'FREQUENT' END AS bucket
+      FROM enriched)
+    SELECT bucket, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(cust_revenue AS DECIMAL(18,2))) AS DOUBLE) AS bucket_revenue
+    FROM bucketed GROUP BY 1"""))
+
+  /** F8 (large literal map) + P10 (LIKE) + F10 (isin): the reference's
+    * ~25-branch suburb→LGA CASE tables (design.sql:477–541) as a
+    * literal-map column over the nation dimension, with LIKE predicates. */
+  private val q_f8_lookup_map = Q(
+    "q_f8_lookup_map",
+    (s, d) => Tables.nation(s, d).select(
+      col("n_name"),
+      Cleanse.literalMap(col("n_name"),
+        Seq("FRANCE" -> "EU-WEST", "GERMANY" -> "EU-WEST", "ROMANIA" -> "EU-EAST",
+          "RUSSIA" -> "EU-EAST", "CHINA" -> "APAC", "JAPAN" -> "APAC",
+          "INDIA" -> "APAC", "UNITED STATES" -> "AMER", "CANADA" -> "AMER",
+          "BRAZIL" -> "AMER"),
+        lit("OTHER")).as("zone"),
+      col("n_name").like("%IA").as("ends_ia"),
+      col("n_name").like("UNITED%").as("is_united"),
+      col("n_name").isin("KENYA", "MOROCCO", "MOZAMBIQUE").as("is_focus")),
+    Some("""SELECT n_name,
+      CASE n_name WHEN 'FRANCE' THEN 'EU-WEST' WHEN 'GERMANY' THEN 'EU-WEST'
+        WHEN 'ROMANIA' THEN 'EU-EAST' WHEN 'RUSSIA' THEN 'EU-EAST'
+        WHEN 'CHINA' THEN 'APAC' WHEN 'JAPAN' THEN 'APAC' WHEN 'INDIA' THEN 'APAC'
+        WHEN 'UNITED STATES' THEN 'AMER' WHEN 'CANADA' THEN 'AMER'
+        WHEN 'BRAZIL' THEN 'AMER' ELSE 'OTHER' END AS zone,
+      n_name LIKE '%IA' AS ends_ia,
+      n_name LIKE 'UNITED%' AS is_united,
+      n_name IN ('KENYA', 'MOROCCO', 'MOZAMBIQUE') AS is_focus
+    FROM nation"""))
+
+  /** J1/J2: FULL OUTER join of two independently aggregated dimension
+    * views with key coalescing (census G01⋈G02, design.sql:157–159;
+    * SSC⋈LGA, design.sql:175–177). */
+  private val q_j1_full_outer_dims = Q(
+    "q_j1_full_outer_dims",
+    (s, d) => {
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cu = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      su.join(cu, col("s_nationkey") === col("c_nationkey"), "full_outer")
+        .select(coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          col("n_suppliers"), col("n_customers"))
+    },
+    Some("""WITH su AS (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1),
+    cu AS (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1)
+    SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey, n_suppliers, n_customers
+    FROM su FULL OUTER JOIN cu ON s_nationkey = c_nationkey"""))
+
+  /** §2.7: union-by-name across heterogeneous schemas — the notebook's
+    * 74/102/106-column harmonization (preprocess.ipynb cells 11–17) —
+    * via unionByName(allowMissingColumns): missing columns become NULL. */
+  private val q_u1_union_by_name = Q(
+    "q_u1_union_by_name",
+    (s, d) => {
+      val open = ord(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val finished = ord(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      open.unionByName(finished, allowMissingColumns = true)
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderpriority, NULL::BIGINT AS o_custkey
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_custkey, o_orderpriority, NULL::DOUBLE AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'"""))
+
   def all: Seq[Q] = Seq(
     q_a1_pricing_summary,
     q_kpi_nation_month,
@@ -286,5 +464,13 @@ object ReferenceQueries {
     q_j7_top5_restrict,
     q_f_scalar_suite,
     q_f_date_suite,
+    q_a6_median,
+    q_a9_scalar_subquery,
+    q_a10_distinct,
+    q_w3_rank_top1,
+    q_w5_w6_window_suite,
+    q_f8_lookup_map,
+    q_j1_full_outer_dims,
+    q_u1_union_by_name,
   )
 }
