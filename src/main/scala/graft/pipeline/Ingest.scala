@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cleanse
+
+/** Raw-layer ingestion: the reference's external tables over a cloud
+  * stage (design.sql:28–128) restated as Spark CSV directory scans.
+  *
+  * - filename-pattern scans (S1): `pathGlobFilter`, so pruning happens at
+  *   file listing, before any bytes are read
+  * - CSV options (S2): header skip, quote/escape `"`, multiline quoted
+  *   fields (descriptions contain newlines), one nullValue spelling at
+  *   parse time — the remaining NULL_IF spellings of design.sql:38–44
+  *   are normalized post-read (Cleanse.normNulls), since Spark's reader
+  *   takes a single null token
+  * - file identity (metadata$filename, design.sql:263): input_file_name()
+  *
+  * Scale posture: a directory of monthly CSVs is one multi-file scan —
+  * Spark parallelizes by file/split; no driver-side file loops.
+  */
+object Ingest {
+
+  private def csv(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("nullValue", "NULL")
+      .option("pathGlobFilter", glob)
+      .csv(dir)
+
+  /** Raw listings scan (PATTERN '.*listings.*[.]csv', design.sql:101–104)
+    * with the source filename attached. Header names are lower-cased
+    * (preprocess.ipynb cell 5: rename(columns=str.lower)). */
+  def rawListings(spark: SparkSession, dir: String): DataFrame = {
+    val df = csv(spark, dir, "*listings*.csv")
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+      .withColumn("filename",
+        element_at(split(input_file_name(), "/"), -1))
+  }
+
+  /** Positional view of a raw census/geography table: columns renamed to
+    * c1..cN, mirroring the reference's VARIANT paths value:c1..cN
+    * (design.sql:142–159). */
+  def positional(df: DataFrame): DataFrame =
+    df.toDF((1 to df.columns.length).map(i => s"c$i"): _*)
+
+  def rawCensusG01(spark: SparkSession, dir: String): DataFrame =
+    positional(csv(spark, dir, "*G01*.csv"))
+
+  def rawCensusG02(spark: SparkSession, dir: String): DataFrame =
+    positional(csv(spark, dir, "*G02*.csv"))
+
+  def rawLga(spark: SparkSession, dir: String): DataFrame =
+    positional(csv(spark, dir, "*LGA_2020*.csv"))
+
+  def rawSsc(spark: SparkSession, dir: String): DataFrame =
+    positional(csv(spark, dir, "*SSC*.csv"))
+
+  /** Multi-valued NULL normalization applied to every string column
+    * (design.sql:42 NULL_IF ('\\N','NULL','NUL','')). */
+  def normalizeNulls(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType.typeName == "string") Cleanse.normNulls(col(f.name)).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+}

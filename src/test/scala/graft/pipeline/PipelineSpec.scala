@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end pipeline test over the synthetic raw CSVs (FIXTURES.md §B):
+  * raw → staging → warehouse → datamart, with hand-computed golden
+  * values for the KPI view (SURVEY §5.4).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tables: AirbnbPipeline.Tables = {
+    val dir = Files.createTempDirectory("airbnb_fixtures")
+    Fixtures.writeAll(dir)
+    AirbnbPipeline.run(spark, dir.toString)
+  }
+
+  test("staging_listing: harmonized to 74+1 cols, deduped, typed, null-normalized") {
+    val st = tables.stagingListing
+    assert(st.columns.length == 75) // filename + canonical 74
+    assert(st.count() == 12)        // 9+2+2 raw rows, one (id,filename) dup removed
+    val id1 = st.filter($"id" === 1).collect()
+    assert(id1.length == 1 && id1.head.getAs[String]("name") == "Alpha") // kept latest scrape
+    val id8 = st.filter($"id" === 8).head()
+    assert(id8.getAs[String]("license") == null)          // 'NUL' normalized
+    assert(id8.getAs[String]("host_about") == null)       // '\N' normalized
+    assert(id8.getAs[String]("calendar_updated") == null) // 'NULL' normalized
+    val p1 = id1.head.getAs[java.math.BigDecimal]("price")
+    assert(p1 != null && p1.doubleValue() == 1234.0)      // '$1,234.00' parsed
+    // multiline quoted description survived CSV parsing
+    assert(tables.stagingListing.filter($"id" === 4).head()
+      .getAs[String]("description").contains("\nsecond line"))
+    // heterogeneous-schema harmonization: column missing from 05_2020
+    // is null there but populated for canonical-file rows
+    assert(st.filter($"id" === 9).head().getAs[String]("bathrooms_text") == null)
+  }
+
+  test("staging_census: G01 full-outer G02 with coalesced LGA key") {
+    val c = tables.stagingCensus
+    assert(c.count() == 4) // 3 shared + 1 G02-only
+    val only = c.filter($"lga_code" === 19999).head()
+    assert(only.getAs[Long]("median_age_persons") == 50L)
+    assert(only.isNullAt(only.fieldIndex("tot_p_p"))) // G01 side absent
+  }
+
+  test("staging_location: windowed area + keep-largest-area per suburb") {
+    val loc = tables.stagingLocation
+    val pyrmont = loc.filter($"suburb_name" === "PYRMONT").collect()
+    assert(pyrmont.length == 1)
+    assert(pyrmont.head.getAs[Int]("lga_code") == 10050) // total area 100 beats 80
+    assert(pyrmont.head.getAs[Double]("lga_total_area") == 100.0)
+  }
+
+  test("fact_listing: filters, derivations, suburb fixups, month validity") {
+    val f = tables.factListing
+    val ids = f.select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L, 6L, 7L, 8L, 9L, 10L, 11L, 12L)) // 2,3 filtered; 5 out-of-month
+    val id4 = f.filter($"id" === 4).head()
+    assert(id4.getAs[String]("neighbourhood_lga") == "SYDNEY")     // 悉尼 fixup
+    assert(id4.getAs[Int]("neighbourhood_lga_code") == 10050)
+    assert(id4.getAs[String]("host_lga") == "SYDNEY")              // РЕДФЕРН fixup
+    val id7 = f.filter($"id" === 7).head()
+    assert(id7.getAs[String]("neighbourhood_lga") == "NORTHERN BEACHES") // LIKE fixup
+    assert(id7.getAs[Int]("neighbourhood_lga_code") == 10470)
+    val id6 = f.filter($"id" === 6).head()
+    assert(id6.getAs[String]("neighbourhood_suburb") == "OTHER")
+    assert(id6.getAs[String]("host_suburb") == "MISSING")
+    val id8 = f.filter($"id" === 8).head()
+    assert(id8.getAs[String]("neighbourhood_suburb") == "SYDNEY")  // COUNCIL stripped
+    assert(id8.getAs[Int]("file_year") == 2021 && id8.getAs[Int]("file_month") == 1)
+  }
+
+  test("kpi_neighbourhood_month: golden values for the SYDNEY series") {
+    val kpi = tables.kpiNeighbourhoodMonth.filter($"area" === "SYDNEY")
+      .orderBy("file_year", "file_month").collect()
+    assert(kpi.length == 3) // 2020-05, 2020-07, 2021-01
+    val Array(m05, m07, m21) = kpi
+    assert(m05.getAs[Long]("n_listings") == 2 && m05.getAs[Long]("n_active") == 1)
+    assert(m05.getAs[Long]("n_inactive") == 1)
+    assert(m05.getAs[Double]("est_revenue_active") == 1350.0) // (30-15)*90
+    assert(m07.getAs[Long]("n_active") == 2)
+    assert(m07.getAs[Double]("est_revenue_active") == 3000.0) // (30-5)*120 + 0
+    assert(m07.getAs[Double]("pct_change_active") == 100.0)   // 1 -> 2
+    assert(m21.getAs[Long]("n_listings") == 3)                // ids 1, 4, 8
+    assert(m21.getAs[Long]("n_hosts") == 2)                   // hosts 100, 101
+    assert(m21.getAs[Long]("n_superhosts") == 1)              // host 100
+    assert(m21.getAs[Double]("est_revenue_active") == 26180.0) // 24680+0+1500
+    assert(m21.getAs[Double]("pct_change_active") == 50.0)    // 2 -> 3
+    assert(m21.getAs[Double]("active_rate") == 100.0)
+  }
+
+  test("kpi variants + SQL serving layer (views registered)") {
+    // OTHER bucket exists with an inactive-only month
+    val other = tables.kpiNeighbourhoodMonth
+      .filter($"area" === "OTHER" && $"file_year" === 2021).head()
+    assert(other.getAs[Long]("n_inactive") == 1)
+    assert(other.isNullAt(other.fieldIndex("n_active"))) // full-outer null side
+    // property-type view groups on 5 keys
+    val prop = tables.kpiPropertyTypeMonth
+      .filter($"property_type" === "House").head()
+    assert(prop.getAs[Long]("n_listings") == 1)
+    // raw cross-check view uses neighbourhood_cleansed
+    assert(tables.kpiNeighbourhoodMonthRaw.filter($"area" === "Bondi").count() == 1)
+    // serving layer: plain SQL over the registered views
+    val viaSql = spark.sql(
+      """SELECT n_active FROM kpi_neighbourhood_month
+         WHERE area = 'SYDNEY' AND file_year = 2020 AND file_month = 7""")
+      .as[Long].head()
+    assert(viaSql == 2L)
+    // host-side view
+    assert(spark.sql("SELECT count(*) FROM kpi_host_month").as[Long].head() > 0)
+  }
+}
