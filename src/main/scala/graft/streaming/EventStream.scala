@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — the extension tier beyond the
+  * reference's batch-only cadence (SURVEY §2.10: its "incremental" load
+  * is ALTER EXTERNAL TABLE REFRESH + full recompute; populate.py:65–68).
+  *
+  * Two streaming restatements of the events workload:
+  *  - [[hourlyCounts]]: watermarked tumbling-window aggregation — the
+  *    streaming twin of the batch x_events_hourly query; late data
+  *    beyond the watermark is dropped instead of recomputing the layer.
+  *  - [[sessionize]]: explicit session state via flatMapGroupsWithState
+  *    with processing-time timeouts — the streaming twin of the batch
+  *    window-function sessionization.
+  *
+  * `Trigger.AvailableNow` + a file source reproduces the reference's
+  * REFRESH semantics incrementally: each run picks up exactly the new
+  * files, then stops — but without recomputing history.
+  *
+  * Scale posture: state is keyed by (window|user), so it partitions
+  * across executors; watermarks bound state size; no driver collects.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event files (json or parquet
+    * written with microsecond timestamps). */
+  def readEvents(spark: SparkSession, dir: String, format: String = "json"): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .format(format)
+      .option("maxFilesPerTrigger", "16") // bounded micro-batches on backfill
+      .load(dir)
+
+  /** Watermarked 1-hour tumbling counts per event type. Update-mode
+    * compatible; with watermark + append mode, a window finalizes once
+    * the watermark passes its end. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("approx_users"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, n_events: Long,
+                           start_ms: Long, end_ms: Long)
+
+  /** Custom session state: 30-minute-EVENT-TIME-gap sessions per user.
+    * A session closes either when a later event for the same user
+    * arrives past the gap (emitted in that batch), or when the WATERMARK
+    * passes session_end + gap (event-time timeout) — so idle sessions
+    * flush deterministically with event time, never wall clock.
+    * (ProcessingTimeTimeout would make the query self-trigger empty
+    * micro-batches in a busy loop — each committing the state store —
+    * which is both nondeterministic and pathological.)
+    *
+    * The batch analog (ExtensionQueries.x_events_sessionize) computes
+    * the same sessions with window functions; this version holds one
+    * open session per user in the state store, keyed and partitioned by
+    * user — watermark bounds state lifetime at scale. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n, s.start, s.end))
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.n, s.start, s.end)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush when the watermark passes the gap horizon; must
+              // stay strictly above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-source stream with AvailableNow: windowed counts match batch") {
+    val dir = Files.createTempDirectory("events_stream")
+    // two "monthly drops" of event files — the REFRESH analog
+    Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:10:00.000Z","user_id":1,"event_type":"click","value":1.0,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T00:20:00.000Z","user_id":2,"event_type":"click","value":1.0,"props":"{}"}""",
+      """{"event_id":3,"ts":"2024-01-01T01:05:00.000Z","user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""
+    ).zipWithIndex.foreach { case (line, i) =>
+      Files.write(dir.resolve(s"drop$i.json"), line.getBytes("UTF-8"))
+    }
+    val counts = EventStream.hourlyCounts(EventStream.readEvents(spark, dir.toString))
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("hourly_counts_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("hourly_counts_test")
+      .select(date_format(col("hour_start"), "HH").as("h"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("00", "click", 2L), ("01", "view", 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionize(spark, input.toDS())
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_test")
+      .outputMode("append")
+      .start()
+    def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+    // user 1: two events 5 min apart (one session), then a 40-min gap
+    // opens a NEW session -> the first one is emitted as closed
+    input.addData(
+      EventStream.Event(1, ts(0), 1),
+      EventStream.Event(2, ts(5), 1))
+    q.processAllAvailable()
+    input.addData(EventStream.Event(3, ts(45), 1))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_test")
+      .as[EventStream.Session].collect()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 1 && closed.head.n_events == 2)
+    assert(closed.head.start_ms == ts(0).getTime && closed.head.end_ms == ts(5).getTime)
+    q.stop()
+  }
+}
