@@ -134,26 +134,42 @@ object GraftFunctions {
       s"$what must be an integer literal, got: $other")
   }
 
+  /** (name, info, builder) triples for every graft_* SQL function —
+    * shared by session-level [[register]] and the
+    * [[GraftSparkExtensions]] extensions injector. */
+  def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def info(name: String) = new ExpressionInfo("graft.functions", name)
+    Seq(
+      (FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
+        { case Seq(e, n) => MinHashSig(e, intLit(n, "numHashes")) }: Seq[Expression] => Expression),
+      (FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
+        { case Seq(e) => SimHash64(e) }: Seq[Expression] => Expression),
+      (FunctionIdentifier("graft_winnow"), info("graft_winnow"),
+        { case Seq(e, k, w) => WinnowFingerprints(e, intLit(k, "k"), intLit(w, "w")) }: Seq[Expression] => Expression),
+      (FunctionIdentifier("graft_word_shingles"), info("graft_word_shingles"),
+        { case Seq(e, n) => WordShingles(e, intLit(n, "n")) }: Seq[Expression] => Expression),
+      (FunctionIdentifier("graft_sorted_intersect_count"), info("graft_sorted_intersect_count"),
+        { case Seq(a, b) => SortedIntersectCount(a, b) }: Seq[Expression] => Expression))
+  }
+
   /** Register `graft_*` as session SQL functions so `spark.sql` users get
     * the same operators: graft_minhash_sig(arr, n), graft_simhash64(arr),
-    * graft_winnow(text, k, w), graft_sorted_intersect_count(a, b). */
+    * graft_winnow(text, k, w), graft_word_shingles(arr, n),
+    * graft_sorted_intersect_count(a, b). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def info(name: String) = new ExpressionInfo("graft.functions", name)
-    reg.registerFunction(FunctionIdentifier("graft_minhash_sig"),
-      info("graft_minhash_sig"),
-      { case Seq(e, n) => MinHashSig(e, intLit(n, "numHashes")) })
-    reg.registerFunction(FunctionIdentifier("graft_simhash64"),
-      info("graft_simhash64"),
-      { case Seq(e) => SimHash64(e) })
-    reg.registerFunction(FunctionIdentifier("graft_winnow"),
-      info("graft_winnow"),
-      { case Seq(e, k, w) => WinnowFingerprints(e, intLit(k, "k"), intLit(w, "w")) })
-    reg.registerFunction(FunctionIdentifier("graft_word_shingles"),
-      info("graft_word_shingles"),
-      { case Seq(e, n) => WordShingles(e, intLit(n, "n")) })
-    reg.registerFunction(FunctionIdentifier("graft_sorted_intersect_count"),
-      info("graft_sorted_intersect_count"),
-      { case Seq(a, b) => SortedIntersectCount(a, b) })
+    registrations.foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
   }
+}
+
+/** Deployment entry point for clusters: set
+  * `spark.sql.extensions=graft.functions.GraftSparkExtensions` and every
+  * session (incl. thrift/connect users) gets the graft_* functions
+  * without code changes — the idiomatic way to ship custom Catalyst
+  * expressions (SparkSessionExtensions.injectFunction). */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach(ext.injectFunction)
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL surface: graft_* functions usable from spark.sql after register") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("fn_docs")
+    val row = spark.sql(
+      """SELECT
+           size(graft_minhash_sig(split(text, ' '), 16)) AS sig_len,
+           graft_simhash64(split(text, ' ')) AS sim,
+           size(graft_winnow(text, 8, 4)) AS n_fp,
+           graft_word_shingles(split(text, ' '), 3) AS sh,
+           graft_sorted_intersect_count(sort_array(array('a','b')), sort_array(array('b','c'))) AS ic
+         FROM fn_docs""").head()
+    assert(row.getAs[Int]("sig_len") == 16)
+    assert(row.getAs[Long]("sim") != 0L)
+    assert(row.getAs[Int]("n_fp") > 0)
+    assert(row.getAs[scala.collection.Seq[String]]("sh").contains("quick brown fox"))
+    assert(row.getAs[Int]("ic") == 1)
+  }
+
+  test("expressions survive codegen and interpreted paths identically") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val toks = split(col("text"), " ")
+    val viaExpr = df.select(
+      GraftFunctions.minhashSig(toks, 8).as("sig"),
+      GraftFunctions.simhash64(toks).as("sim")).head()
+    // same kernel, forced interpreted (no codegen)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try {
+      df.select(
+        GraftFunctions.minhashSig(toks, 8).as("sig"),
+        GraftFunctions.simhash64(toks).as("sim")).head()
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(viaExpr.getAs[scala.collection.Seq[Long]]("sig") == interp.getAs[scala.collection.Seq[Long]]("sig"))
+    assert(viaExpr.getAs[Long]("sim") == interp.getAs[Long]("sim"))
+  }
+
+  test("type checking rejects wrong inputs") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val ex = intercept[Exception] {
+      df.select(GraftFunctions.simhash64(col("id"))).head()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("sorted_intersect_count matches array_intersect size on sorted-distinct arrays") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
+      (Seq[String](), Seq("x")),
+      (Seq("m"), Seq("m"))
+    ).toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+}
