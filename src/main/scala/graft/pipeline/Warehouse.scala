@@ -17,6 +17,19 @@ object Warehouse {
     * full-outer + coalesce). */
   def dimCensus(stagingCensus: DataFrame): DataFrame = stagingCensus
 
+  /** Cluster-scale fact materialization: parquet partitioned by
+    * (file_year, file_month) — the fact's natural monthly-snapshot grain
+    * (PK (id, filename), design.sql:413). Month-scoped reads then prune
+    * at the PLANNER (PartitionFilters), so a single-month KPI refresh
+    * touches 1/Nth of a 100 TB fact instead of scanning it. */
+  def writeFact(fact: DataFrame, path: String): Unit =
+    fact.write.mode("overwrite")
+      .partitionBy("file_year", "file_month")
+      .parquet(path)
+
+  def readFact(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** The reference's suburb→LGA manual fixup tables
     * (design.sql:473–529 neighbourhood map, 530–541 host map), applied
     * AFTER the suburb join: NULL suburb → sentinel; known-problem

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+import graft.functions.Kernels
+
+/** Property-based tests (SURVEY §5.3). Kernel properties run pure-JVM on
+  * ArrayData (no Spark jobs — thousands of cases are cheap); DataFrame
+  * laws use small fixed datasets in the shared session.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private def arr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private val tokenGen = Gen.listOf(Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+
+  test("sortedIntersectCount == |A ∩ B| for sorted-distinct arrays") {
+    check(forAll(tokenGen, tokenGen) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      Kernels.sortedIntersectCount(arr(sa), arr(sb)) == (sa.toSet & sb.toSet).size
+    })
+  }
+
+  test("minhash signature: permutation-invariant, self-similarity 1, length n") {
+    check(forAll(tokenGen, Gen.choose(1, 64)) { (toks, n) =>
+      val s1 = Kernels.minhashSig(arr(toks), n).toLongArray()
+      val s2 = Kernels.minhashSig(arr(scala.util.Random.shuffle(toks)), n).toLongArray()
+      s1.length == n && s1.sameElements(s2)
+    })
+  }
+
+  test("simhash: permutation-invariant; equal multisets collide") {
+    check(forAll(tokenGen) { toks =>
+      Kernels.simhash64(arr(toks)) ==
+        Kernels.simhash64(arr(scala.util.Random.shuffle(toks)))
+    })
+  }
+
+  test("winnow: deterministic, non-empty, and duplicates-free") {
+    val textGen = Gen.alphaLowerStr.suchThat(_.nonEmpty)
+    check(forAll(textGen) { t =>
+      val u = UTF8String.fromString(t)
+      val f1 = Kernels.winnow(u, 4, 3).toLongArray()
+      val f2 = Kernels.winnow(u, 4, 3).toLongArray()
+      f1.sameElements(f2) && f1.nonEmpty && f1.length == f1.distinct.length
+    })
+  }
+
+  test("wordShingles: sorted-distinct output; |shingles| <= max(0, n_toks - 2)") {
+    check(forAll(tokenGen) { toks =>
+      val out = Kernels.wordShingles(arr(toks), 3).toArray[UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+      val sorted = out.sorted.sameElements(out)
+      val distinct = out.length == out.distinct.length
+      sorted && distinct && out.length <= math.max(0, toks.length - 2)
+    })
+  }
+
+  test("dedup idempotence + unique keys (DataFrame law)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 1), ("c", 9)).toDF("k", "v")
+    val once = Qualify.dedup(df, Seq(col("k")), Seq(col("v")))
+    val twice = Qualify.dedup(once, Seq(col("k")), Seq(col("v")))
+    assert(once.count() == once.select("k").distinct().count())
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("fullOuterOfAggs key coverage = union of input key sets (DataFrame law)") {
+    val a = Seq(("x", 1L), ("y", 2L)).toDF("k", "ca")
+    val b = Seq(("y", 3L), ("z", 4L)).toDF("k", "cb")
+    val c = Seq(("w", 5L)).toDF("k", "cc")
+    val out = Kpis.fullOuterOfAggs(Seq("k"), Seq(a, b, c))
+    assert(out.select("k").as[String].collect().toSet == Set("x", "y", "z", "w"))
+  }
+}
