@@ -65,27 +65,40 @@ object Dedup {
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Exact within-block Jaccard near-duplicate pairs over a
-    * (doc_id, toks) table (see [[tokenized]]/[[shingled]]).
+    * (doc_id, toks) table (see [[tokenized]]/[[shingled]]) — result =
+    * ALL pairs with J ≥ minJaccard inside a block; candidate generation
+    * uses PPJoin-style prefix filtering, which is lossless.
     *
-    * Pairs are generated only inside a blocking key (an equi-join, not a
-    * cross join): at scale the block bounds candidate count, and skewed
-    * blocks are split by AQE. Jaccard uses |A∩B| / (|A|+|B|-|A∩B|) on
-    * distinct sets — integer sizes, so the double division is bit-stable
-    * across engines. The intersection size is materialized once per pair
-    * (it appears twice in the formula).
+    * Candidate generation: a pair with J(A,B) ≥ t must share at least
+    * one token within the first |X| − ⌈t·|X|⌉ + 1 elements of each
+    * SORTED set X (prefix-filtering principle, Chaudhuri et al. SSJoin
+    * '06 / Xiao et al. PPJoin '08) — so candidates come from an
+    * equi-join on (block, prefix-token) instead of all block pairs:
+    * the array-carrying join shrinks from O(block²) to near the true
+    * match count. Then the threshold-implied size filter
+    * (min|A|,|B| ≥ t·max) and one merge-intersect per surviving pair.
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) on integer sizes — the double
+    * division is bit-stable across engines.
     *
     * @param block blocking key over the (doc_id, toks) row, e.g. a
     *              metadata join back or a cheap function of doc_id
     */
   def jaccardPairs(docs: DataFrame, block: Column, minJaccard: Double): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("toks"), block.as("blk"))
-    val a = keyed.select(col("blk"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = keyed.select(col("blk"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, "blk")
-      .filter(col("doc_a") < col("doc_b"))
-      // size filter implied by the threshold: J(A,B) <= min/max sizes,
-      // so pairs failing it can never reach minJaccard — prunes before
-      // the per-pair intersection without changing results
+      .filter(size(col("toks")) > 0)
+    // prefix length for sorted-set prefix filtering: |X| - ceil(t|X|) + 1
+    val prefLen = (size(col("toks"))
+      - ceil(lit(minJaccard) * size(col("toks"))).cast("int") + 1)
+    val prefixes = keyed.select(col("blk"), col("doc_id"),
+        explode(slice(col("toks"), lit(1), prefLen)).as("ptok"))
+    val cands = prefixes.as("x").join(prefixes.as("y"), Seq("blk", "ptok"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(keyed.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(keyed.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      // size filter implied by the threshold: J(A,B) <= min/max sizes
       .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double")
         >= lit(minJaccard) * greatest(size(col("toks_a")), size(col("toks_b"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),

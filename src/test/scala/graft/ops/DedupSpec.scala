@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(!asMap.contains((3L, 4L)))
   }
 
+  test("prefix-filtered jaccardPairs is lossless vs brute-force block pairs (sf0.001 docs)") {
+    import spark.implicits._
+    val d = graft.core.Tables.documents(spark, sf001).filter(col("text").isNotNull)
+    val sh = Dedup.shingled(d, col("doc_id"), col("text"), keep = Seq(col("lang")))
+    val got = Dedup.jaccardPairs(sh, col("lang"), 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // brute force: all in-block pairs, no prefix/size filtering
+    val a = sh.select(col("lang"), col("doc_id").as("da"), col("toks").as("ta"))
+    val b = sh.select(col("lang"), col("doc_id").as("db"), col("toks").as("tb"))
+    val brute = a.join(b, "lang").filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          (size(col("ta")) + size(col("tb"))
+            - size(array_intersect(col("ta"), col("tb")))).cast("double"), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+  }
+
   test("minhash LSH candidates superset blocked-jaccard pairs on real sf0.001 documents") {
     val d = graft.core.Tables.documents(spark, sf001).filter(col("text").isNotNull)
     val shingles = Dedup.shingled(d, col("doc_id"), col("text"),
