@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-tier operators: the knobs a 100 TB deployment reaches for when
+  * the default shuffle shapes stop being enough. None of these exist in
+  * the reference (its data fits one warehouse node); they are the
+  * idiomatic Spark counterparts required by the north star.
+  */
+object Scale {
+
+  /** Salted equi-join for skewed build sides.
+    *
+    * When a handful of hot keys dominate `left` (e.g. one LGA holds half
+    * the listings), the shuffle partition owning a hot key becomes the
+    * straggler. Salting splits each hot key into `factor` sub-keys:
+    * the skewed side gets a deterministic salt from its row hash, the
+    * small side is replicated `factor` times — turning one straggler
+    * partition into `factor` even ones at the cost of an `factor`-times
+    * replicated (still bounded) build side.
+    *
+    * AQE's skew-join handles the sort-merge case automatically; explicit
+    * salting remains the tool for aggregate-then-join shapes and for
+    * engines/joins AQE can't split. Results are identical to the plain
+    * join (spec-checked).
+    *
+    * @param saltCols columns of `left` whose hash spreads rows; must be
+    *                 stable within a row (any non-key payload works)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 factor: Int, saltCols: Seq[Column], joinType: String = "inner"): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val salted = left.withColumn("__salt", pmod(hash(saltCols: _*), lit(factor)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Broadcast-lookup form of a literal mapping table — the scale-robust
+    * alternative to a ~25-branch CASE chain (design.sql:477–529): the
+    * map becomes a broadcast hash join, so adding the 26th entry doesn't
+    * grow generated code, and the map can come from data instead of
+    * source. NULL and unmatched keys fall back to `default`. */
+  def broadcastLookup(df: DataFrame, keyCol: String, mapping: Seq[(String, String)],
+                      as: String, default: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lookup = mapping.toDF("__lk_key", "__lk_val")
+    df.join(broadcast(lookup), df(keyCol) === col("__lk_key"), "left")
+      .withColumn(as, coalesce(col("__lk_val"), default))
+      .drop("__lk_key", "__lk_val")
+  }
+
+  /** Sketch-tier aggregate columns — the swap-ins for exact distinct /
+    * exact percentile once groups stop fitting a partition:
+    * HyperLogLog++ cardinality and a fixed-error percentile sketch.
+    * Bounded error, constant memory, mergeable across partitions. */
+  def approxDistinct(c: Column, rsd: Double = 0.02): Column =
+    approx_count_distinct(c, rsd)
+
+  def approxMedian(c: Column, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(0.5), lit(accuracy))
+}

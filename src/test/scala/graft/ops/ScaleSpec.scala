@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows on skewed data") {
+    // skewed left: 90% of rows share one key
+    val left = ((1 to 90).map(i => ("hot", i.toLong)) ++
+      (1 to 10).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k3", "C3"), ("k7", "C7")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).select("k", "v", "tag")
+      .as[(String, Long, String)].collect().toSet
+    val salted = Scale.saltedJoin(left, right, Seq("k"), factor = 8,
+      saltCols = Seq(col("v"))).select("k", "v", "tag")
+      .as[(String, Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(salted.count(_._1 == "hot") == 90)
+  }
+
+  test("saltedJoin left-outer keeps unmatched left rows once") {
+    val left = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val right = Seq(("a", "A")).toDF("k", "tag")
+    val out = Scale.saltedJoin(left, right, Seq("k"), factor = 4,
+      saltCols = Seq(col("v")), joinType = "left")
+      .select("k", "tag").as[(String, Option[String])].collect().toSet
+    assert(out == Set(("a", Some("A")), ("b", None)))
+  }
+
+  test("broadcastLookup matches the literalMap CASE semantics") {
+    val df = Seq("FRANCE", "CHINA", "PERU", null).toDF("n")
+    val mapping = Seq("FRANCE" -> "EU", "CHINA" -> "APAC")
+    val viaJoin = Scale.broadcastLookup(df, "n", mapping, "zone", lit("OTHER"))
+      .select("zone").as[String].collect().sorted
+    val viaCase = df.select(
+        Cleanse.literalMap(col("n"), mapping, lit("OTHER")).as("zone"))
+      .select("zone").as[String].collect().sorted
+    assert(viaJoin.sameElements(viaCase))
+    // and the plan really broadcasts
+    val plan = Scale.broadcastLookup(df, "n", mapping, "zone", lit("OTHER"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sketch aggregates land within tolerance of exact on real data") {
+    val o = Tables.orders(spark, sf001)
+    val r = o.agg(
+      countDistinct(col("o_custkey")).as("exact_d"),
+      Scale.approxDistinct(col("o_custkey")).as("approx_d"),
+      median(col("o_totalprice")).as("exact_m"),
+      Scale.approxMedian(col("o_totalprice")).as("approx_m")).head()
+    val (ed, ad) = (r.getAs[Long]("exact_d"), r.getAs[Long]("approx_d"))
+    assert(math.abs(ad - ed).toDouble / ed < 0.1, s"hll off: $ad vs $ed")
+    val (em, am) = (r.getAs[Double]("exact_m"), r.getAs[Double]("approx_m"))
+    assert(math.abs(am - em) / em < 0.05, s"percentile sketch off: $am vs $em")
+  }
+}
