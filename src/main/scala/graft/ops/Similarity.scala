@@ -60,6 +60,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine ≥ minCosine, a.vec_id < b.vec_id. Candidates come from a
+    * bucket equi-join on hyperplane sign-signatures of `tables`
+    * independent LSH tables (union, deduped) — the same lossless-in-
+    * expectation trade as minhash LSH: recall rises with `tables`,
+    * candidate volume falls with `planes`. Set `tables = 0` for exact
+    * brute force within the corpus (O(n²) — only for modest n or as
+    * the ground-truth oracle path). */
+  def cosinePairs(corpus: DataFrame, minCosine: Double,
+                  planes: Int = 4, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = withVecNorm(corpus.select(col("vec_id"), col("embedding")),
+      col("embedding"), "v", "n").drop("embedding")
+    val cands =
+      if (tables <= 0) {
+        c.select(col("vec_id").as("id_a")).crossJoin(c.select(col("vec_id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+      } else {
+        val hp = (0 until tables).map(t => hyperplanes(planes, 64, seed + t))
+        val banded = c.select(col("vec_id"),
+            explode(array((0 until tables).map(t =>
+              struct(lit(t).as("tbl"),
+                lshBucket(col("v"), hp(t)).as("bucket"))): _*)).as("tb"))
+          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        banded.as("x").join(banded.as("y"), Seq("tbl", "bucket"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+      }
+    cands
+      .join(c.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(c.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Deterministic random hyperplanes: `planes` × `dim` Gaussian weights
     * from a fixed seed, as a literal nested array (driver-side constant,
     * broadcast with the plan — no data-dependent state). */

@@ -123,6 +123,27 @@ object ExtensionQueries {
     },
     None)
 
+  /** Embedding-cosine near-duplicate pairs — exact variant (tables=0)
+    * over a bounded corpus slice so DuckDB can brute-force the oracle;
+    * the LSH-bucketed variant of the same operator is the scale path
+    * (Similarity.cosinePairs with tables>0, exercised in
+    * SimilaritySpec). */
+  private val x_dedup_embedding = Q(
+    "x_dedup_embedding",
+    (s, d) => Similarity.cosinePairs(
+      Tables.embeddings(s, d).filter(col("vec_id") < 500),
+      minCosine = 0.3, tables = 0),
+    Some("""WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 500),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(list_inner_product(a.v, b.v)
+          / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+          6) AS cosine
+      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3"""))
+
   // --------------------------------------------------------------- text
 
   /** Per-document text statistics: token counts (whitespace + BPE-ish
@@ -271,6 +292,7 @@ object ExtensionQueries {
     x_dedup_simhash,
     x_sim_cosine_topk,
     x_sim_lsh_topk,
+    x_dedup_embedding,
     x_text_stats,
     x_text_langid,
     x_text_fingerprint,

@@ -34,6 +34,17 @@ class SimilaritySpec extends SparkSpec {
     assert(!ids.contains(0L)) // no self-match
   }
 
+  test("cosinePairs: LSH-bucketed variant recalls a healthy share of exact pairs") {
+    val emb = Tables.embeddings(spark, sf001).filter($"vec_id" < 200)
+    val exact = Similarity.cosinePairs(emb, minCosine = 0.25, tables = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairs(emb, minCosine = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))               // LSH never fabricates pairs
+    assert(exact.isEmpty || (lsh.size.toDouble / exact.size) >= 0.2,
+      s"recall collapsed: ${lsh.size}/${exact.size}")
+  }
+
   test("lshTopK recall vs brute force on real sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val q = emb.filter($"vec_id" < 20)
