@@ -93,6 +93,24 @@ class PipelineSpec extends SparkSpec {
     assert(m21.getAs[Double]("active_rate") == 100.0)
   }
 
+  test("fact plan shape: dim joins broadcast; one wide shuffle for the dedup window") {
+    // rebuild without cache so the full lineage is visible in the plan
+    val dir = Files.createTempDirectory("airbnb_fixtures_plan")
+    Fixtures.writeAll(dir)
+    val staging = Staging.listingFromDir(spark, dir.toString)
+    val loc = Staging.location(
+      Ingest.rawSsc(spark, dir.toString), Ingest.rawLga(spark, dir.toString))
+    val plan = Warehouse.factListing(staging, loc).queryExecution.executedPlan.toString
+    // 4 dim joins + the location staging's internal joins (its subplan
+    // is replicated per dim reference) — all broadcast, none SMJ
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast")
+    assert(!plan.contains("SortMergeJoin"), "a dim join fell back to SMJ")
+    // the fact-side stream shuffles once: the (id, filename) dedup window
+    val factShuffles = "hashpartitioning\\(id#".r.findAllIn(plan).length
+    assert(factShuffles == 1, s"expected the single dedup-window shuffle, got $factShuffles")
+  }
+
   test("kpi variants + SQL serving layer (views registered)") {
     // OTHER bucket exists with an inactive-only month
     val other = tables.kpiNeighbourhoodMonth
