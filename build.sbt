@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 30-query suite generates enough whole-stage-codegen classes to
+  // overflow the default 240MB JIT code cache; once full the compiler
+  // silently disables and everything runs interpreted (observed 12x
+  // suite slowdown with arbitrary queries going 50x). Size it so the
+  // JIT never stops.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -455,7 +455,54 @@ object ReferenceQueries {
     SELECT o_orderkey, o_custkey, o_orderpriority, NULL::DOUBLE AS o_totalprice
     FROM orders WHERE o_orderstatus = 'F'"""))
 
+  /** Composite ad-hoc query a (adhoc.sql:9–45): global best/worst group
+    * by a metric via ROW_NUMBER (W2), restricted output joined back to
+    * the census-like dimension (J6) with ratio columns (A8) — the whole
+    * E3-style flow in one statement. */
+  private val q_adhoc_a_composite = Q(
+    "q_adhoc_a_composite",
+    (s, d) => {
+      val perNation = ord(s, d).filter(col("o_orderstatus") === "O")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("n_regionkey").as("regionkey"))
+        .agg(count(lit(1)).as("n_open_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+      val wBest = Window.orderBy(col("n_open_orders").desc, col("nation"))
+      val wWorst = Window.orderBy(col("n_open_orders").asc, col("nation"))
+      perNation
+        .withColumn("rk_best", row_number().over(wBest))
+        .withColumn("rk_worst", row_number().over(wWorst))
+        .filter(col("rk_best") === 1 || col("rk_worst") === 1)
+        .join(broadcast(Tables.region(s, d)), col("regionkey") === col("r_regionkey"))
+        .select(col("nation"), col("r_name").as("region"),
+          col("n_open_orders"), col("n_customers"),
+          round(col("n_open_orders").cast("double") / col("n_customers").cast("double"), 2)
+            .as("orders_per_customer"),
+          col("rk_best"), col("rk_worst"))
+    },
+    Some("""WITH per_nation AS (
+      SELECT n.n_name AS nation, n.n_regionkey AS regionkey,
+        COUNT(*) AS n_open_orders,
+        COUNT(DISTINCT o.o_custkey) AS n_customers
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderstatus = 'O'
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_open_orders DESC, nation) AS INTEGER) AS rk_best,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_open_orders ASC, nation) AS INTEGER) AS rk_worst
+      FROM per_nation)
+    SELECT nation, r.r_name AS region, n_open_orders, n_customers,
+      ROUND(CAST(n_open_orders AS DOUBLE) / CAST(n_customers AS DOUBLE), 2) AS orders_per_customer,
+      rk_best, rk_worst
+    FROM ranked JOIN region r ON regionkey = r.r_regionkey
+    WHERE rk_best = 1 OR rk_worst = 1"""))
+
   def all: Seq[Q] = Seq(
+    q_adhoc_a_composite,
     q_a1_pricing_summary,
     q_kpi_nation_month,
     q_p9_qualify_dedup,
