@@ -85,6 +85,23 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Dot product of two array<double> (hot loop of every similarity op). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(e => GraftFunctions.requireDoubleArray(e, prettyName))
+      .collectFirst { case f: TypeCheckResult.TypeCheckFailure => f }
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** |A ∩ B| of two sorted-distinct string arrays (merge count). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -112,6 +129,13 @@ object GraftFunctions {
         s"$name expects array<string>, got ${other.catalogString}")
     }
 
+  private[functions] def requireDoubleArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<double>, got ${other.catalogString}")
+    }
+
   def minhashSig(toks: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(toks), numHashes))
 
@@ -126,6 +150,10 @@ object GraftFunctions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -149,7 +177,9 @@ object GraftFunctions {
       (FunctionIdentifier("graft_word_shingles"), info("graft_word_shingles"),
         { case Seq(e, n) => WordShingles(e, intLit(n, "n")) }: Seq[Expression] => Expression),
       (FunctionIdentifier("graft_sorted_intersect_count"), info("graft_sorted_intersect_count"),
-        { case Seq(a, b) => SortedIntersectCount(a, b) }: Seq[Expression] => Expression))
+        { case Seq(a, b) => SortedIntersectCount(a, b) }: Seq[Expression] => Expression),
+      (FunctionIdentifier("graft_dot"), info("graft_dot"),
+        { case Seq(a, b) => DotProduct(a, b) }: Seq[Expression] => Expression))
   }
 
   /** Register `graft_*` as session SQL functions so `spark.sql` users get

@@ -140,6 +140,24 @@ object Kernels {
     new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size)))
   }
 
+  /** Dot product of two array<double> of equal length (element nulls not
+    * allowed — callers build inputs with transform-cast, which preserves
+    * values). Summed left-to-right, the same order as the higher-order
+    * `aggregate(zip_with(...))` fold it replaces, so results are
+    * bit-identical to the HOF formulation — but the loop JIT-compiles
+    * and reads ArrayData directly instead of interpreting two lambda
+    * trees per element. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
   /** |A ∩ B| for two SORTED string arrays (strictly ascending, i.e.
     * sorted distinct sets): single merge pass, zero allocation. The
     * caller owns the sorted-distinct invariant (see Dedup.shingled). */

@@ -40,6 +40,54 @@ object Kpis {
   def fullOuterOfAggs(keys: Seq[String], aggs: Seq[DataFrame]): DataFrame =
     aggs.reduce((a, b) => a.join(b, keys, "full_outer"))
 
+  /** Global best/worst row pick (W2, workfile_ad-hoc_analysis.sql:17–23)
+    * WITHOUT a single-partition window.
+    *
+    * The literal translation — `ROW_NUMBER() OVER (ORDER BY metric)` with
+    * no PARTITION BY — moves the entire table through one task (Spark
+    * even warns); at 100 TB that is a non-starter. Equivalent distributed
+    * shape:
+    *   1. best = orderBy(desc).limit(1), worst = orderBy(asc).limit(1) —
+    *      both compile to TakeOrderedAndProject (per-partition top-1 +
+    *      driver merge of #partitions rows, no shuffle);
+    *   2. the surviving rows' ranks in the OPPOSITE direction are
+    *      rank = #rows strictly ahead + 1 — ONE conditional-aggregate
+    *      scan against the two broadcast 1-row extremes.
+    * Output matches `QUALIFY rk_best = 1 OR rk_worst = 1` exactly,
+    * including rank values and the best==worst degenerate case.
+    *
+    * `tiebreak` must be unique per row (the reference uses the PK), every
+    * direction's tiebreak is ascending, and `metric`/`tiebreak` must be
+    * non-null — same preconditions under which the window form is
+    * deterministic at all.
+    */
+  def globalBestWorst(df: DataFrame, metric: String, tiebreak: String): DataFrame = {
+    val m = col(metric)
+    val k = col(tiebreak)
+    val best = df.orderBy(m.desc, k.asc).limit(1)
+    val worst = df.orderBy(m.asc, k.asc).limit(1)
+    val extremes = broadcast(
+      best.select(m.as("__bm"), k.as("__bk"))
+        .crossJoin(worst.select(m.as("__wm"), k.as("__wk"))))
+    // rank of best under ASC order and of worst under DESC order, in one pass
+    val ranks = df.crossJoin(extremes).agg(
+      (sum(when(m < col("__bm") || (m === col("__bm") && k < col("__bk")), 1L)
+        .otherwise(0L)) + 1L).cast("int").as("__rk_worst_of_best"),
+      (sum(when(m > col("__wm") || (m === col("__wm") && k < col("__wk")), 1L)
+        .otherwise(0L)) + 1L).cast("int").as("__rk_best_of_worst"))
+    val outCols = df.columns.map(col) :+ col("rk_best") :+ col("rk_worst")
+    best.crossJoin(broadcast(ranks))
+      .withColumn("rk_best", lit(1))
+      .withColumnRenamed("__rk_worst_of_best", "rk_worst")
+      .select(outCols: _*)
+      .unionByName(
+        worst.crossJoin(broadcast(ranks))
+          .withColumnRenamed("__rk_best_of_worst", "rk_best")
+          .withColumn("rk_worst", lit(1))
+          .select(outCols: _*))
+      .distinct() // best == worst collapses to one row, as QUALIFY does
+  }
+
   /** One-pass conditional-aggregation rewrite of the reference's repeated
     * scalar-subquery scans (workfile_ad-hoc_analysis.sql:183–187):
     * 5 x (SELECT COUNT(*) FROM cte WHERE pred) becomes a single scan with

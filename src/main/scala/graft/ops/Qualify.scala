@@ -50,4 +50,24 @@ object Qualify {
     * arbitrary among true duplicates — see SURVEY §7.5.5). */
   def dedup(df: DataFrame, keys: Seq[Column], orderCols: Seq[Column]): DataFrame =
     rowNumber(df, keys, orderCols, 1)
+
+  /** Keep-one-per-key as a hash AGGREGATE instead of a window:
+    * `min_by(struct(<all cols>), struct(orderCols))` per key group.
+    *
+    * Same result as [[dedup]] when `orderCols` is a total order within
+    * each key and every direction is ascending with no nulls (struct
+    * comparison is lexicographic-ascending, nulls-first like ASC NULLS
+    * FIRST) — but the physical shape is the one that survives 100 TB:
+    * a window dedup shuffles and SORTS every input row on `keys`,
+    * while a hash aggregate partially combines map-side, so only one
+    * candidate row per (mapper partition, key) reaches the shuffle and
+    * nothing is ever sorted. Prefer this form for n=1 dedup at scale;
+    * the window form remains for n>1 / mixed sort directions.
+    */
+  def dedupAgg(df: DataFrame, keys: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    val kept = freshName(df, "__kept")
+    df.groupBy(keys: _*)
+      .agg(min_by(struct(df.columns.map(col): _*), struct(orderCols: _*)).as(kept))
+      .select(col(s"$kept.*"))
+  }
 }

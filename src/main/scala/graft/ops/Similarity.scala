@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import scala.util.Random
 
+import graft.functions.GraftFunctions
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`) — extension tier (the reference has no vector ops;
   * this is the similarity-search leg of the LLM-data-pipeline surface).
@@ -33,12 +35,15 @@ object Similarity {
   private def withVecNorm(df: DataFrame, embedding: Column,
                           vecOut: String, normOut: String): DataFrame =
     df.withColumn(vecOut, transform(embedding, x => x.cast("double")))
-      .withColumn(normOut,
-        sqrt(aggregate(col(vecOut), lit(0.0), (acc, v) => acc + v * v)))
+      .withColumn(normOut, sqrt(dot(col(vecOut), col(vecOut))))
 
-  /** Dot product of two materialized array<double> ATTRIBUTES. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two materialized array<double> ATTRIBUTES — the
+    * native codegen'd kernel (graft.functions.DotProduct). Bit-identical
+    * to the `aggregate(zip_with(...))` left-to-right fold, but the inner
+    * loop JIT-compiles instead of interpreting two lambda trees per
+    * element — this sits under every scored candidate pair, and under
+    * every corpus×centroid product in [[ivfTopK]]. */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
   /** Exact top-k neighbors per query vector by cosine, deterministic
     * tiebreak on neighbor id; cosine rounded to 6dp BEFORE ranking so
@@ -144,6 +149,63 @@ object Similarity {
     val scored = cands
       .join(c, "neighbor_id")
       .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-Flat ANN (the inverted-file index of Sivic & Zisserman '03 /
+    * FAISS IVF): coarse-quantize the corpus into cells by argmax-cosine
+    * against a bounded centroid set, then answer each query by scanning
+    * only its `nprobe` closest cells.
+    *
+    * `centroids` is any bounded deterministic subset of the corpus (the
+    * caller picks, e.g. `vec_id % stride = 0`; a k-means refit would
+    * slot in unchanged — assignment is the same argmax). All steps are
+    * DataFrame ops with no driver collect:
+    *   - assignment: corpus × broadcast(centroids) nested-loop product,
+    *     reduced to one row per vector by a map-side-combinable `max_by`
+    *     hash aggregate — the raw product never reaches a shuffle;
+    *   - probe lists: same product on the (small) query side, top-nprobe
+    *     cells per query;
+    *   - candidates: equi-join on cell id → ~nprobe/nlist of the corpus
+    *     scored per query, vs 1.0 for brute force.
+    * `nprobe >= nlist` degrades gracefully to exact brute force
+    * (SimilaritySpec proves bit-equality to [[bruteForceTopK]]); recall
+    * at nprobe < nlist is the IVF trade, checked in the same spec.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val cent = broadcast(
+      withVecNorm(centroids.select(col("vec_id").as("cell_id"), col("embedding")),
+        col("embedding"), "ev", "en").drop("embedding"))
+    def cellScored(df: DataFrame, idAs: String, vecAs: String, normAs: String) =
+      withVecNorm(df.select(col("vec_id").as(idAs), col("embedding")),
+        col("embedding"), vecAs, normAs).drop("embedding")
+        .crossJoin(cent)
+        .withColumn("__sim", dot(col(vecAs), col("ev")) / (col(normAs) * col("en")))
+        .drop("ev", "en")
+    // corpus side: one row per vector with its argmax cell (ties → larger
+    // cell id, a total order so the index is deterministic)
+    val cells = cellScored(corpus, "neighbor_id", "cv", "cn")
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("cell_id"), col("cv"), col("cn")),
+        struct(col("__sim"), col("cell_id"))).as("__c"))
+      .select(col("neighbor_id"), col("__c.cell_id").as("cell_id"),
+        col("__c.cv").as("cv"), col("__c.cn").as("cn"))
+    // query side: nprobe closest cells each
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cell_id"))
+    val probes = cellScored(queries, "query_id", "qv", "qn")
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))
+    val scored = cells.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window

@@ -123,6 +123,20 @@ object ExtensionQueries {
     },
     None)
 
+  /** IVF-Flat bucketed ANN top-5 — the inverted-file scale path (argmax-
+    * cosine cell assignment, nprobe-cell probing). Centroids are a
+    * deterministic corpus sample (vec_id % 97 = 0); no oracle (exactness
+    * at nprobe>=nlist and recall at nprobe<nlist proven in
+    * SimilaritySpec). */
+  private val x_sim_ivf_topk = Q(
+    "x_sim_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        centroids = emb.filter(col("vec_id") % 97 === 0), nprobe = 4)
+    },
+    None)
+
   /** Embedding-cosine near-duplicate pairs — exact variant (tables=0)
     * over a bounded corpus slice so DuckDB can brute-force the oracle;
     * the LSH-bucketed variant of the same operator is the scale path
@@ -292,6 +306,7 @@ object ExtensionQueries {
     x_dedup_simhash,
     x_sim_cosine_topk,
     x_sim_lsh_topk,
+    x_sim_ivf_topk,
     x_dedup_embedding,
     x_text_stats,
     x_text_langid,

@@ -97,11 +97,14 @@ object ReferenceQueries {
 
   /** P9/W1/W7: QUALIFY row_number dedup — keep first lineitem row per
     * order (design.sql:265–266 keyed dedup; deterministic tiebreak per
-    * SURVEY §7.5.5). */
+    * SURVEY §7.5.5). Runs as the hash-aggregate form (Qualify.dedupAgg):
+    * map-side partial min_by combine instead of the window's full
+    * shuffle+sort — QualifySpec proves result equality to the window
+    * form and asserts the partial-aggregate plan shape. */
   private val q_p9_qualify_dedup = Q(
     "q_p9_qualify_dedup",
     (s, d) => {
-      Qualify.dedup(
+      Qualify.dedupAgg(
         li(s, d).select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"), col("l_extendedprice")),
@@ -161,18 +164,16 @@ object ReferenceQueries {
     FULL OUTER JOIN h USING (priority, order_year, order_month)"""))
 
   /** W2: global ROW_NUMBER best/worst pick (adhoc.sql:17–23) — the single
-    * best and worst order by totalprice, unique tiebreak on key. */
+    * best and worst order by totalprice, unique tiebreak on key. Runs as
+    * Kpis.globalBestWorst (TakeOrderedAndProject + one rank-count pass)
+    * rather than the literal single-partition global window — identical
+    * output, distributed plan (KpisSpec proves equality to the window
+    * form). */
   private val q_w2_best_worst = Q(
     "q_w2_best_worst",
-    (s, d) => {
-      val base = ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val wBest = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      val wWorst = Window.orderBy(col("o_totalprice").asc, col("o_orderkey"))
-      base
-        .withColumn("rk_best", row_number().over(wBest))
-        .withColumn("rk_worst", row_number().over(wWorst))
-        .filter(col("rk_best") === 1 || col("rk_worst") === 1)
-    },
+    (s, d) => Kpis.globalBestWorst(
+      ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      metric = "o_totalprice", tiebreak = "o_orderkey"),
     Some("""SELECT o_orderkey, o_custkey, o_totalprice,
       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk_best,
       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey) AS INTEGER) AS rk_worst

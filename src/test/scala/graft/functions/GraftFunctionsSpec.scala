@@ -17,13 +17,26 @@ class GraftFunctionsSpec extends SparkSpec {
            graft_simhash64(split(text, ' ')) AS sim,
            size(graft_winnow(text, 8, 4)) AS n_fp,
            graft_word_shingles(split(text, ' '), 3) AS sh,
-           graft_sorted_intersect_count(sort_array(array('a','b')), sort_array(array('b','c'))) AS ic
+           graft_sorted_intersect_count(sort_array(array('a','b')), sort_array(array('b','c'))) AS ic,
+           graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dp
          FROM fn_docs""").head()
     assert(row.getAs[Int]("sig_len") == 16)
     assert(row.getAs[Long]("sim") != 0L)
     assert(row.getAs[Int]("n_fp") > 0)
     assert(row.getAs[scala.collection.Seq[String]]("sh").contains("quick brown fox"))
     assert(row.getAs[Int]("ic") == 1)
+    assert(row.getAs[Double]("dp") == 32.0)
+  }
+
+  test("graft_dot is bit-identical to the higher-order aggregate fold") {
+    val df = Seq((Seq(0.1, -2.3, 7.77, 0.003), Seq(9.9, 0.27, -3.14, 1.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.dot(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof")).head()
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0))
+      == java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
   }
 
   test("expressions survive codegen and interpreted paths identically") {

@@ -27,6 +27,31 @@ class KpisSpec extends SparkSpec {
     assert(k1.isEmpty)
   }
 
+  test("globalBestWorst equals the global-window form on real data, without a global window") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val viaAgg = Kpis.globalBestWorst(orders, "o_totalprice", "o_orderkey")
+    val wBest = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wWorst = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").asc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rk_best", row_number().over(wBest))
+      .withColumn("rk_worst", row_number().over(wWorst))
+      .filter(col("rk_best") === 1 || col("rk_worst") === 1)
+    assert(viaAgg.columns.toSeq == viaWindow.columns.toSeq)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+    assert(!viaAgg.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("globalBestWorst collapses the single-row (best == worst) case to one row") {
+    val one = Seq((7L, 1L, 42.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Kpis.globalBestWorst(one, "o_totalprice", "o_orderkey")
+    assert(out.count() == 1)
+    val r = out.head()
+    assert(r.getAs[Int]("rk_best") == 1 && r.getAs[Int]("rk_worst") == 1)
+  }
+
   test("conditionalCounts = one-pass rewrite of repeated scalar-subquery counts (adhoc.sql:183-187)") {
     val df = Seq(1, 2, 3, 4, 5, 6).toDF("v")
     val out = Kpis.conditionalCounts(df, Map(

@@ -35,6 +35,29 @@ class QualifySpec extends SparkSpec {
     assert(Qualify.dedup(once, Seq(col("k")), Seq(col("id"))).count() == 2)
   }
 
+  test("dedupAgg equals window dedup on real data (all-asc total order)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+    val keys = Seq(col("l_orderkey"))
+    val ord = Seq(col("l_linenumber"), col("l_partkey"),
+      col("l_extendedprice"), col("l_quantity"))
+    val viaWindow = Qualify.dedup(li, keys, ord)
+    val viaAgg = Qualify.dedupAgg(li, keys, ord)
+    assert(viaAgg.columns.toSeq == viaWindow.columns.toSeq)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("dedupAgg plan is a partial-combine hash aggregate, not a sort") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val plan = Qualify.dedupAgg(li, Seq(col("l_orderkey")), Seq(col("l_linenumber")))
+      .queryExecution.executedPlan.toString
+    // partial min_by below the exchange (map-side combine), no window/sort
+    assert(plan.contains("partial_min_by"), s"expected partial_min_by in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+  }
+
   test("input with a pre-existing __rn column is not clobbered") {
     val tricky = df.withColumn("__rn", lit(99))
     val out = Qualify.rowNumber(tricky, Seq(col("k")), Seq(col("id")))

@@ -45,6 +45,29 @@ class SimilaritySpec extends SparkSpec {
       s"recall collapsed: ${lsh.size}/${exact.size}")
   }
 
+  test("ivfTopK with nprobe >= nlist is exactly brute force (sf0.001 embeddings)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 10)
+    val cents = emb.filter($"vec_id" % 31 === 0) // ~16 cells
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+    val ivfAll = Similarity.ivfTopK(q, emb, k = 5, centroids = cents, nprobe = 1000)
+    assert(ivfAll.columns.toSeq == exact.columns.toSeq)
+    assert(ivfAll.exceptAll(exact).isEmpty && exact.exceptAll(ivfAll).isEmpty)
+  }
+
+  test("ivfTopK recall at nprobe < nlist is above the random-probe floor") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 20)
+    val cents = emb.filter($"vec_id" % 31 === 0) // ~16 cells
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, k = 5, centroids = cents, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.25, f"IVF recall $recall%.2f at/below the 4/16 random floor")
+    assert(ivf.forall { case (a, b) => a != b }) // no self-matches
+  }
+
   test("lshTopK recall vs brute force on real sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val q = emb.filter($"vec_id" < 20)
