@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Exact
+
 /** KPI-layer aggregate builders mirroring the reference datamart views
   * (workfile_populate_data_warehouse.py:507–925).
   */
@@ -39,6 +41,42 @@ object Kpis {
     */
   def fullOuterOfAggs(keys: Seq[String], aggs: Seq[DataFrame]): DataFrame =
     aggs.reduce((a, b) => a.join(b, keys, "full_outer"))
+
+  /** One arm of [[fullOuterOfAggsOnePass]]: an optional row filter, the
+    * name of the arm's COUNT(*) column, and (name, money column) pairs
+    * summed exactly over the arm's rows. */
+  final case class AggArm(pred: Option[Column], cntName: String,
+                          sums: Seq[(String, Column)])
+
+  /** One-pass equivalent of the reference's KPI pattern — N filtered
+    * aggregates of the SAME input full-outer-joined on the grouping keys
+    * (workfile_populate_data_warehouse.py:552–619) — as a single grouped
+    * conditional aggregation.
+    *
+    * Identical output to [[fullOuterOfAggs]] over the same arms: an
+    * arm's columns are null exactly where the join would have produced
+    * an unmatched side (no rows satisfy the arm's filter), and groups
+    * matching NO arm are dropped, like keys absent from every join
+    * input. The physical win is the point: the join form scans the fact
+    * N times and shuffles N aggregates plus N−1 joins; this scans ONCE
+    * and shuffles ONCE (map-side partial aggregation) — the rewrite a
+    * 100 TB KPI view needs. KpisSpec proves output equality on real
+    * data with a sparse arm.
+    */
+  def fullOuterOfAggsOnePass(df: DataFrame, keys: Seq[Column],
+                             arms: Seq[AggArm]): DataFrame = {
+    val aggCols = arms.flatMap { arm =>
+      def masked(v: Column) = arm.pred.map(p => when(p, v)).getOrElse(v)
+      val rawCnt = count(masked(lit(1)))
+      val cnt = when(rawCnt === 0, lit(null).cast("long")).otherwise(rawCnt)
+        .as(arm.cntName)
+      cnt +: arm.sums.map { case (n, v) => Exact.sumMoney(masked(v)).as(n) }
+    }
+    df.groupBy(keys: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      // a group no arm matched does not exist in any join input → drop
+      .filter(coalesce(arms.map(a => col(a.cntName)): _*).isNotNull)
+  }
 
   /** Global best/worst row pick (W2, workfile_ad-hoc_analysis.sql:17–23)
     * WITHOUT a single-partition window.

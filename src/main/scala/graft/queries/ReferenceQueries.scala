@@ -128,17 +128,22 @@ object ReferenceQueries {
     "q_j5_kpi_4way",
     (s, d) => {
       val (yy, mm) = ym(col("o_orderdate"))
-      def arm(f: DataFrame => DataFrame, cnt: String, rev: String) =
-        (df: DataFrame) => f(df)
-          .groupBy(col("o_orderpriority").as("priority"), yy.as("order_year"), mm.as("order_month"))
-          .agg(count(lit(1)).as(cnt), Exact.sumMoney(col("o_totalprice")).as(rev))
-      val o = ord(s, d)
-      val total = arm(identity, "ct_total", "rev_total")(o)
-      val open = arm(_.filter(col("o_orderstatus") === "O"), "ct_open", "rev_open")(o)
-      val fin = arm(_.filter(col("o_orderstatus") === "F"), "ct_finished", "rev_finished")(o)
-      val high = arm(_.filter(col("o_totalprice") > 400000.0), "ct_high", "rev_high")(o)
-      Kpis.fullOuterOfAggs(Seq("priority", "order_year", "order_month"),
-        Seq(total, open, fin, high))
+      // Runs as the one-pass conditional-aggregation form
+      // (Kpis.fullOuterOfAggsOnePass): one scan + one shuffle instead of
+      // the literal 4 scans + 3 full-outer joins; KpisSpec proves output
+      // equality to the join form, the oracle below stays the join SQL.
+      Kpis.fullOuterOfAggsOnePass(
+        ord(s, d),
+        Seq(col("o_orderpriority").as("priority"), yy.as("order_year"), mm.as("order_month")),
+        Seq(
+          Kpis.AggArm(None, "ct_total",
+            Seq("rev_total" -> col("o_totalprice"))),
+          Kpis.AggArm(Some(col("o_orderstatus") === "O"), "ct_open",
+            Seq("rev_open" -> col("o_totalprice"))),
+          Kpis.AggArm(Some(col("o_orderstatus") === "F"), "ct_finished",
+            Seq("rev_finished" -> col("o_totalprice"))),
+          Kpis.AggArm(Some(col("o_totalprice") > 400000.0), "ct_high",
+            Seq("rev_high" -> col("o_totalprice")))))
     },
     Some(s"""WITH base AS (
       SELECT o_orderpriority AS priority,

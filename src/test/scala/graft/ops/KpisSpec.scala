@@ -52,6 +52,44 @@ class KpisSpec extends SparkSpec {
     assert(r.getAs[Int]("rk_best") == 1 && r.getAs[Int]("rk_worst") == 1)
   }
 
+  test("fullOuterOfAggsOnePass equals the join-of-aggregates form on real data, one shuffle, no join") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val keys = Seq(col("o_orderpriority").as("priority"))
+    // includes a SPARSE arm (matches ~no groups) so the null-out /
+    // dropped-group paths are exercised against the join semantics
+    val preds = Seq(
+      None,
+      Some(col("o_orderstatus") === "O"),
+      Some(col("o_totalprice") > 550000.0))
+    val arms = preds.zipWithIndex.map { case (p, i) =>
+      Kpis.AggArm(p, s"ct_$i", Seq(s"sum_$i" -> col("o_totalprice")))
+    }
+    val viaJoin = Kpis.fullOuterOfAggs(
+      Seq("priority"),
+      preds.zipWithIndex.map { case (p, i) =>
+        p.fold(orders)(orders.filter)
+          .groupBy(keys: _*)
+          .agg(count(lit(1)).as(s"ct_$i"),
+            graft.core.Exact.sumMoney(col("o_totalprice")).as(s"sum_$i"))
+      })
+    val viaOnePass = Kpis.fullOuterOfAggsOnePass(orders, keys, arms)
+    assert(viaOnePass.columns.toSeq == viaJoin.columns.toSeq)
+    assert(viaOnePass.schema == viaJoin.schema)
+    assert(viaOnePass.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaOnePass).isEmpty)
+    val plan = viaOnePass.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in one-pass plan:\n$plan")
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly one shuffle, got:\n$plan")
+  }
+
+  test("fullOuterOfAggsOnePass drops groups matched by no arm (all arms filtered)") {
+    val df = Seq(("a", 1.0), ("b", 100.0)).toDF("k", "v")
+    val out = Kpis.fullOuterOfAggsOnePass(df, Seq(col("k")),
+      Seq(Kpis.AggArm(Some(col("v") > 50.0), "ct", Seq("s" -> col("v")))))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "b")
+  }
+
   test("conditionalCounts = one-pass rewrite of repeated scalar-subquery counts (adhoc.sql:183-187)") {
     val df = Seq(1, 2, 3, 4, 5, 6).toDF("v")
     val out = Kpis.conditionalCounts(df, Map(
