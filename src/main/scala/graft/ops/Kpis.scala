@@ -131,8 +131,10 @@ object Kpis {
     * 5 x (SELECT COUNT(*) FROM cte WHERE pred) becomes a single scan with
     * sum(when(pred,1)). Oracle-equivalent, one shuffle instead of five. */
   def conditionalCounts(df: DataFrame, preds: Map[String, Column]): DataFrame = {
+    // count(when(p, 1)) not sum(when(p, 1, 0)): COUNT is 0 on empty
+    // input, like the scalar subqueries this rewrites; SUM would be null
     val cols = preds.toSeq.sortBy(_._1).map { case (name, p) =>
-      sum(when(p, 1L).otherwise(0L)).as(name)
+      count(when(p, lit(1))).as(name)
     }
     df.agg(cols.head, cols.tail: _*)
   }

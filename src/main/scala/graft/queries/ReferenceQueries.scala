@@ -507,8 +507,203 @@ object ReferenceQueries {
     FROM ranked JOIN region r ON regionkey = r.r_regionkey
     WHERE rk_best = 1 OR rk_worst = 1"""))
 
+  /** Ad-hoc query b end-to-end (adhoc.sql:50–78): top-5 groups by an
+    * average-revenue CTE (O3), LEFT-joined to a finer per-subtype
+    * aggregate (J7), then QUALIFY RANK()=1 per group keeping ties (W3).
+    * Testdata analogue: top-5 nations by avg open-order value; best
+    * (priority, segment) per top nation by avg order value. The
+    * aggregated per-type side is broadcast (build-right of the left
+    * outer join — the probe side is the 5-row CTE). */
+  private val q_adhoc_b_composite = Q(
+    "q_adhoc_b_composite",
+    (s, d) => {
+      val joined = ord(s, d).filter(col("o_orderstatus") === "O")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      val top5 = joined.groupBy(col("n_name").as("nation"))
+        .agg(Exact.avgMoney(col("o_totalprice")).as("est_revenue"))
+        .orderBy(col("est_revenue").desc, col("nation"))
+        .limit(5)
+      val perType = joined
+        .groupBy(col("n_name").as("nation"), col("o_orderpriority").as("priority"),
+          col("c_mktsegment").as("segment"))
+        .agg(Exact.avgMoney(col("o_totalprice")).as("avg_price"),
+          count(lit(1)).as("n_orders"))
+      Qualify.rank(
+        top5.join(broadcast(perType), Seq("nation"), "left"),
+        Seq(col("nation")),
+        Seq(col("avg_price").desc, col("priority"), col("segment")))
+    },
+    Some(s"""WITH joined AS (
+      SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+        c.c_mktsegment AS segment, o.o_totalprice
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderstatus = 'O'),
+    top5 AS (
+      SELECT nation, ${Exact.avgMoneySql("o_totalprice")} AS est_revenue
+      FROM joined GROUP BY nation
+      ORDER BY est_revenue DESC, nation LIMIT 5),
+    per_type AS (
+      SELECT nation, priority, segment,
+        ${Exact.avgMoneySql("o_totalprice")} AS avg_price,
+        COUNT(*) AS n_orders
+      FROM joined GROUP BY nation, priority, segment),
+    j AS (
+      SELECT t.nation, t.est_revenue, p.priority, p.segment, p.avg_price, p.n_orders
+      FROM top5 t LEFT JOIN per_type p ON t.nation = p.nation)
+    SELECT nation, est_revenue, priority, segment, avg_price, n_orders
+    FROM (SELECT *, RANK() OVER (PARTITION BY nation ORDER BY avg_price DESC,
+            priority, segment) AS rk FROM j)
+    WHERE rk = 1"""))
+
+  /** Ad-hoc query c end-to-end (adhoc.sql:84–150): dedup (A10) → tri-state
+    * CASE flag (F8) → window counts over two partitionings (W6) → percent
+    * bucketing (F8/F9) → ct>1 filter (P8) → scalar-subquery distinct
+    * count (A9, as a broadcast 1-row aggregate) → second-level window
+    * counts + ratio arithmetic → DISTINCT. Testdata analogue: do repeat
+    * customers keep ordering with the same outcome (order status as the
+    * same-neighbourhood stand-in)? All windows partition by bounded keys
+    * — nothing single-partition. */
+  private val q_adhoc_c_composite = Q(
+    "q_adhoc_c_composite",
+    (s, d) => {
+      val flagged = ord(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderstatus") === "O", "TRUE")
+          .when(col("o_orderstatus") === "F", "FALSE")
+          .otherwise("NOT_SURE").as("flag"))
+        .distinct() // unique (customer, order) pairs, adhoc.sql:124
+      val wCF = Window.partitionBy(col("o_custkey"), col("flag"))
+      val wC = Window.partitionBy(col("o_custkey"))
+      val cte = flagged
+        .withColumn("ct_same", count(lit(1)).over(wCF))
+        .withColumn("ct_total", count(lit(1)).over(wC))
+        .withColumn("percent",
+          floor(lit(100).cast("double") * col("ct_same").cast("double")
+            / col("ct_total").cast("double")).cast("long"))
+        .withColumn("percent_range",
+          when(col("percent") === 100, "100%")
+            .when(col("percent") >= 50, "50% - 99%")
+            .otherwise("<50%"))
+        .select(col("o_custkey"), col("flag"), col("ct_same"), col("ct_total"),
+          col("percent"), col("percent_range"))
+        .distinct()
+        .filter(col("ct_total") > 1)
+      // (SELECT COUNT(DISTINCT host_id) FROM CTE) — broadcast 1-row agg
+      val totalMulti = cte.agg(countDistinct(col("o_custkey")).as("total_multi"))
+      val truth = cte.filter(col("flag") === "TRUE")
+        .crossJoin(broadcast(totalMulti))
+      val wRange = Window.partitionBy(col("percent_range"))
+      val wFlag = Window.partitionBy(col("flag"))
+      truth
+        .withColumn("n_per_range", count(lit(1)).over(wRange))
+        .withColumn("n_same_total", count(lit(1)).over(wFlag))
+        .select(col("percent_range"), col("n_per_range"), col("n_same_total"),
+          col("total_multi"),
+          (lit(100).cast("double") * col("n_per_range").cast("double")
+            / col("n_same_total").cast("double")).as("pct_of_same_status"),
+          (lit(100).cast("double") * col("n_per_range").cast("double")
+            / col("total_multi").cast("double")).as("pct_of_multi_custs"))
+        .distinct()
+    },
+    Some("""WITH flagged AS (
+      SELECT DISTINCT o_custkey, o_orderkey,
+        CASE WHEN o_orderstatus = 'O' THEN 'TRUE'
+             WHEN o_orderstatus = 'F' THEN 'FALSE'
+             ELSE 'NOT_SURE' END AS flag
+      FROM orders),
+    lvl AS (
+      SELECT DISTINCT o_custkey, flag,
+        ct_same, ct_total,
+        CAST(FLOOR(CAST(100 AS DOUBLE) * CAST(ct_same AS DOUBLE)
+          / CAST(ct_total AS DOUBLE)) AS BIGINT) AS percent
+      FROM (
+        SELECT o_custkey, flag,
+          COUNT(*) OVER (PARTITION BY o_custkey, flag) AS ct_same,
+          COUNT(*) OVER (PARTITION BY o_custkey) AS ct_total
+        FROM flagged)),
+    cte AS (
+      SELECT *,
+        CASE WHEN percent = 100 THEN '100%'
+             WHEN percent >= 50 THEN '50% - 99%'
+             ELSE '<50%' END AS percent_range
+      FROM lvl WHERE ct_total > 1),
+    tm AS (SELECT COUNT(DISTINCT o_custkey) AS total_multi FROM cte),
+    truth AS (SELECT cte.*, tm.total_multi FROM cte, tm WHERE flag = 'TRUE')
+    SELECT DISTINCT percent_range,
+      COUNT(*) OVER (PARTITION BY percent_range) AS n_per_range,
+      COUNT(*) OVER (PARTITION BY flag) AS n_same_total,
+      total_multi,
+      CAST(100 AS DOUBLE) * CAST(COUNT(*) OVER (PARTITION BY percent_range) AS DOUBLE)
+        / CAST(COUNT(*) OVER (PARTITION BY flag) AS DOUBLE) AS pct_of_same_status,
+      CAST(100 AS DOUBLE) * CAST(COUNT(*) OVER (PARTITION BY percent_range) AS DOUBLE)
+        / CAST(total_multi AS DOUBLE) AS pct_of_multi_custs
+    FROM truth"""))
+
+  /** Ad-hoc query d end-to-end (adhoc.sql:154–190): per-entity aggregate
+    * restricted to single-listing hosts (A7/P8), LEFT join to the
+    * dimension for a threshold (J6), then the 5 repeated scalar-subquery
+    * coverage counts rewritten as ONE conditional-aggregation pass
+    * (A9 — the oracle keeps the literal 5-subquery form). Testdata
+    * analogue: can a single-order customer's order value cover 12×
+    * account balance (and half / 20% of it)? */
+  private val q_adhoc_d_composite = Q(
+    "q_adhoc_d_composite",
+    (s, d) => {
+      val single = ord(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("revenue"))
+        .filter(col("n_orders") === 1)
+      val cte = single
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_custkey"), col("revenue"),
+          (col("c_acctbal") * lit(12)).as("threshold"))
+      val counts = Kpis.conditionalCounts(cte, Map(
+        "n_total" -> lit(true),
+        "n_cover_all" -> (col("revenue") >= col("threshold")),
+        "n_cover_half" -> (col("revenue") >= col("threshold") * lit(0.5)),
+        "n_cover_20pct" -> (col("revenue") >= col("threshold") * lit(0.2)),
+        "n_cannot_cover" -> (col("revenue") < col("threshold"))))
+      // guard the empty-input case: ANSI Spark errors on 0/0 where the
+      // oracle's float division yields NULL/NaN — emit null explicitly
+      def pct(n: String) =
+        when(col("n_total") === 0, lit(null).cast("double"))
+          .otherwise(round(col(n).cast("double") / col("n_total").cast("double") * 100.0, 2))
+      counts
+        .withColumn("pct_cover_all", pct("n_cover_all"))
+        .withColumn("pct_cover_half", pct("n_cover_half"))
+        .withColumn("pct_cover_20pct", pct("n_cover_20pct"))
+        .withColumn("pct_cannot_cover", pct("n_cannot_cover"))
+    },
+    Some(s"""WITH single AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        ${Exact.sumMoneySql("o_totalprice")} AS revenue
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) = 1),
+    cte AS (
+      SELECT s.o_custkey, s.revenue, c.c_acctbal * 12 AS threshold
+      FROM single s LEFT JOIN customer c ON s.o_custkey = c.c_custkey)
+    SELECT
+      (SELECT COUNT(*) FROM cte WHERE revenue < threshold) AS n_cannot_cover,
+      (SELECT COUNT(*) FROM cte WHERE revenue >= threshold * CAST(0.2 AS DOUBLE)) AS n_cover_20pct,
+      (SELECT COUNT(*) FROM cte WHERE revenue >= threshold) AS n_cover_all,
+      (SELECT COUNT(*) FROM cte WHERE revenue >= threshold * CAST(0.5 AS DOUBLE)) AS n_cover_half,
+      (SELECT COUNT(*) FROM cte) AS n_total,
+      ROUND(CAST((SELECT COUNT(*) FROM cte WHERE revenue >= threshold) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM cte) AS DOUBLE) * 100.0, 2) AS pct_cover_all,
+      ROUND(CAST((SELECT COUNT(*) FROM cte WHERE revenue >= threshold * CAST(0.5 AS DOUBLE)) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM cte) AS DOUBLE) * 100.0, 2) AS pct_cover_half,
+      ROUND(CAST((SELECT COUNT(*) FROM cte WHERE revenue >= threshold * CAST(0.2 AS DOUBLE)) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM cte) AS DOUBLE) * 100.0, 2) AS pct_cover_20pct,
+      ROUND(CAST((SELECT COUNT(*) FROM cte WHERE revenue < threshold) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM cte) AS DOUBLE) * 100.0, 2) AS pct_cannot_cover"""))
+
   def all: Seq[Q] = Seq(
     q_adhoc_a_composite,
+    q_adhoc_b_composite,
+    q_adhoc_c_composite,
+    q_adhoc_d_composite,
     q_a1_pricing_summary,
     q_kpi_nation_month,
     q_p9_qualify_dedup,

@@ -97,4 +97,12 @@ class KpisSpec extends SparkSpec {
     assert(out.getAs[Long]("n_even") == 3L)
     assert(out.getAs[Long]("n_big") == 2L)
   }
+
+  test("conditionalCounts on EMPTY input yields 0s like scalar-subquery COUNT(*), not nulls") {
+    val empty = Seq.empty[Int].toDF("v")
+    val out = Kpis.conditionalCounts(empty, Map(
+      "n_total" -> lit(true), "n_big" -> ($"v" > 4))).head()
+    assert(out.getAs[Long]("n_total") == 0L)
+    assert(out.getAs[Long]("n_big") == 0L)
+  }
 }
