@@ -64,4 +64,55 @@ object Multimodal {
     * x_multimodal_features query and MultimodalSpec). */
   def features(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeFeatures(spark, asMediaTable(docs)).toDF()
+
+  /** STUB resize: a real implementation decodes `payload`, resamples to
+    * (targetW, targetH) and re-encodes (library init once per partition,
+    * stream the iterator). The fake preserves the real contract — output
+    * metadata carries the target dims and payload size scales with the
+    * pixel-count ratio (bytes cycled deterministically) — so swapping in
+    * a real codec changes no schema, partitioning, or downstream code. */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // (real pipeline: init codec once per partition here)
+      it.map { r =>
+        if (r.payload.isEmpty) r.copy(width = targetW, height = targetH)
+        else {
+          val ratio = (targetW.toLong * targetH).toDouble / (r.width.toLong * r.height)
+          val tlen = math.max(1, math.ceil(r.payload.length * ratio).toInt)
+          val out = new Array[Byte](tlen)
+          var i = 0
+          while (i < tlen) { out(i) = r.payload(i % r.payload.length); i += 1 }
+          MediaRecord(r.doc_id, out, targetW, targetH, r.format)
+        }
+      }
+    }.toDF()
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** STUB frame sampler (video path): emit every `everyK`-th fixed-size
+    * "frame" of the payload as its own row — the 1:N explode shape a real
+    * video pipeline produces (decode container → sample frames → one
+    * feature row per sampled frame). Checksums stand in for per-frame
+    * features; trailing partial frames are dropped, as a real sampler
+    * drops undecodable tails. */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  frameBytes: Int = 64, everyK: Int = 2): Dataset[Frame] = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by everyK).iterator.map { f =>
+          var sum = 0L
+          var i = f * frameBytes
+          val end = i + frameBytes
+          while (i < end) { sum += (r.payload(i) & 0xff); i += 1 }
+          Frame(r.doc_id, f, sum)
+        }
+      }
+    }
+  }
 }

@@ -232,6 +232,22 @@ object ExtensionQueries {
       .filter(col("text").isNotNull)),
     None)
 
+  /** Resize + frame-sample pipeline over the fake media table: resize to
+    * 320×240 (payload scales with pixel ratio), sample every 2nd 64-byte
+    * frame, aggregate per document — the video-shaped 1:N explode path.
+    * No oracle (typed-Dataset path); semantics in MultimodalSpec. */
+  private val x_multimodal_resize_frames = Q(
+    "x_multimodal_resize_frames",
+    (s, d) => {
+      val media = Multimodal.asMediaTable(
+        Tables.documents(s, d).filter(col("text").isNotNull))
+      Multimodal.frameSample(s, Multimodal.resize(s, media, 320, 240))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          sum(col("frame_checksum")).as("checksum_total"))
+    },
+    None)
+
   // ------------------------------------------------------------- events
 
   /** Tumbling 1-hour window aggregate over the event stream (batch form
@@ -312,6 +328,7 @@ object ExtensionQueries {
     x_text_langid,
     x_text_fingerprint,
     x_multimodal_features,
+    x_multimodal_resize_frames,
     x_events_hourly,
     x_events_sessionize,
   )

@@ -23,6 +23,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.frames_sampled == math.min(8, f1.n_bytes / 64))
   }
 
+  test("resize scales payload by pixel ratio and rewrites dims; empty payload survives") {
+    val docs = Seq((0L, "x" * 200), (1L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs)
+    val out = Multimodal.resize(spark, media, 320, 240)
+    assert(out.columns.toSeq == media.columns.toSeq)
+    val r0 = out.filter($"doc_id" === 0).as[Multimodal.MediaRecord].head()
+    val orig = media.filter($"doc_id" === 0).as[Multimodal.MediaRecord].head()
+    val ratio = (320L * 240).toDouble / (orig.width.toLong * orig.height)
+    assert(r0.width == 320 && r0.height == 240 && r0.format == orig.format)
+    assert(r0.payload.length == math.max(1, math.ceil(200 * ratio).toInt))
+    assert(r0.payload(0) == 'x'.toByte) // cycled from source bytes
+    val r1 = out.filter($"doc_id" === 1).as[Multimodal.MediaRecord].head()
+    assert(r1.payload.isEmpty && r1.width == 320 && r1.height == 240)
+  }
+
+  test("frameSample emits every k-th frame with per-frame checksums, drops partial tail") {
+    // 130 bytes of 'a' (97): frames of 64 bytes -> 2 whole frames, 2-byte tail dropped
+    val docs = Seq((0L, "a" * 130)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(spark, Multimodal.asMediaTable(docs),
+      frameBytes = 64, everyK = 1).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1))
+    assert(frames.forall(_.frame_checksum == 64L * 97))
+    val sampled = Multimodal.frameSample(spark, Multimodal.asMediaTable(docs),
+      frameBytes = 64, everyK = 2).collect()
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0))
+  }
+
   test("metadata derivation is stable per doc_id") {
     val docs = Seq((7L, "x")).toDF("doc_id", "text")
     val row = Multimodal.asMediaTable(docs).head()
