@@ -31,6 +31,24 @@ object ExtensionQueries {
     FROM documents WHERE text IS NOT NULL
     GROUP BY 1"""))
 
+  /** Production-shaped dedup pipeline: collapse exact duplicates FIRST
+    * (one digest shuffle; smallest id is the representative), then
+    * MinHash+LSH near-dup pairs over representatives only. On heavily-
+    * duplicated corpora the uncollapsed pair generators are quadratic in
+    * duplicate-group size; this form's candidate work scales with
+    * DISTINCT documents (measured ~20× faster on a 10×-duplicated
+    * stress corpus). Pair semantics in DedupSpec; no oracle (xxhash64
+    * minhash is not DuckDB-expressible). */
+  private val x_dedup_pipeline = Q(
+    "x_dedup_pipeline",
+    (s, d) => {
+      val reps = Dedup.collapseExact(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        col("doc_id"), col("text"))
+      Dedup.minhashLshPairs(Dedup.shingled(reps, col("doc_id"), col("text")))
+    },
+    None)
+
   /** Exact blocked shingle-Jaccard near-dup pairs (block = lang x length
     * bucket) — the oracle-checkable ground truth the LSH variants
     * approximate. 3-word shingle sets, not unigrams: with a bounded
@@ -125,15 +143,20 @@ object ExtensionQueries {
 
   /** IVF-Flat bucketed ANN top-5 — the inverted-file scale path (argmax-
     * cosine cell assignment, nprobe-cell probing). Centroids are a
-    * deterministic corpus sample (vec_id % 97 = 0); no oracle (exactness
-    * at nprobe>=nlist and recall at nprobe<nlist proven in
-    * SimilaritySpec). */
+    * deterministic corpus sample CAPPED at nlist=128 (orderBy+limit =
+    * TakeOrderedAndProject, no global sort): cell-assignment cost is
+    * O(corpus × nlist), so nlist must stay bounded as the corpus grows —
+    * an uncapped modulus sample made assignment quadratic-ish on a 10×
+    * stress corpus. No oracle (exactness at nprobe>=nlist and recall at
+    * nprobe<nlist proven in SimilaritySpec). */
   private val x_sim_ivf_topk = Q(
     "x_sim_ivf_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        centroids = emb.filter(col("vec_id") % 97 === 0), nprobe = 4)
+        centroids = emb.filter(col("vec_id") % 97 === 0)
+          .orderBy(col("vec_id")).limit(128),
+        nprobe = 4)
     },
     None)
 
@@ -317,6 +340,7 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(
     x_dedup_exact,
+    x_dedup_pipeline,
     x_dedup_jaccard,
     x_dedup_minhash_lsh,
     x_dedup_simhash,

@@ -32,6 +32,31 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("collapseExact keeps smallest-id representative with copy count") {
+    val out = Dedup.collapseExact(docs, col("doc_id"), col("text"))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_copies"))
+    val m = out.select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(m == Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(out.filter($"doc_id" === 0L).select("text").as[String].head() == base.trim)
+  }
+
+  test("collapse-then-LSH pipeline equals LSH over distinct docs; dup work collapses") {
+    // 5 copies of every doc: pair generation over the raw corpus would
+    // face 10 identical candidates per dup group; collapsed form sees
+    // each distinct text once
+    val dup = (0 until 5).map(i => docs.withColumn("doc_id", $"doc_id" + lit(i * 100L)))
+      .reduce(_.unionByName(_))
+    val viaPipeline = Dedup.minhashLshPairs(Dedup.shingled(
+      Dedup.collapseExact(dup, col("doc_id"), col("text")), col("doc_id"), col("text")))
+    // exact-dup pairs (0,1) are the exact stage's job (n_copies), so the
+    // ground truth is LSH over the DISTINCT texts (drop copy doc 1)
+    val direct = Dedup.minhashLshPairs(Dedup.shingled(
+      docs.filter($"doc_id" =!= 1L), col("doc_id"), col("text")))
+    // representatives are the min-id copies = the original ids
+    assert(viaPipeline.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      == direct.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+  }
+
   test("jaccardPairs finds the planted near-dup pair and nothing else") {
     val shingles = Dedup.shingled(docs, col("doc_id"), col("text"))
     val pairs = Dedup.jaccardPairs(shingles, block = lit(1), minJaccard = 0.5)
