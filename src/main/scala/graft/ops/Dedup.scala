@@ -73,15 +73,20 @@ object Dedup {
     * Collapsing first makes all downstream near-dup work scale with
     * DISTINCT documents — measured on a 10×-duplicated stress corpus,
     * pair generation over representatives runs at 1× cost while the
-    * uncollapsed form pays ~20×. */
-  def collapseExact(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), text.as("text"),
-        md5(lower(trim(text))).as("__dig"))
-      .groupBy(col("__dig"))
-      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("__r"),
+    * uncollapsed form pays ~20×.
+    *
+    * @param keep extra columns carried from the representative (min-id)
+    *             row, e.g. blocking metadata for a downstream pair join
+    */
+  def collapseExact(df: DataFrame, id: Column, text: Column,
+                    keep: Seq[Column] = Nil): DataFrame = {
+    val proj = df.select(id.as("doc_id") +: text.as("text") +: keep: _*)
+    val outNames = proj.columns
+    proj.groupBy(md5(lower(trim(col("text")))).as("__dig"))
+      .agg(min_by(struct(outNames.map(col): _*), col("doc_id")).as("__r"),
         count(lit(1)).as("n_copies"))
-      .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"),
-        col("n_copies"))
+      .select(outNames.map(n => col(s"__r.$n").as(n)) :+ col("n_copies"): _*)
+  }
 
   // ---------------------------------------------------- n-gram Jaccard
 

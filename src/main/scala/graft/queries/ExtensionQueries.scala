@@ -31,6 +31,48 @@ object ExtensionQueries {
     FROM documents WHERE text IS NOT NULL
     GROUP BY 1"""))
 
+  /** ORACLE-CHECKED collapse composition: exact-duplicate collapse (with
+    * blocking metadata carried from the representative row) feeding the
+    * blocked exact-Jaccard pair generator. Same semantics computed
+    * independently by DuckDB (arg_min collapse + brute-force block
+    * pairs) — this is the correctness gate on the collapse-then-near-dup
+    * pattern that x_dedup_pipeline runs with (non-oracle-able) MinHash. */
+  private val x_dedup_jaccard_collapsed = Q(
+    "x_dedup_jaccard_collapsed",
+    (s, d) => {
+      val reps = Dedup.collapseExact(
+        Tables.documents(s, d)
+          .filter(col("text").isNotNull && size(split(lower(col("text")), " ")) >= 3),
+        col("doc_id"), col("text"),
+        keep = Seq(col("lang"), (col("n_chars") / lit(50)).cast("long").as("lb")))
+      Dedup.jaccardPairs(
+        Dedup.shingled(reps, col("doc_id"), col("text"),
+          keep = Seq(col("lang"), col("lb"))),
+        block = struct(col("lang"), col("lb")),
+        minJaccard = 0.5)
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, text, lang, CAST(n_chars // 50 AS BIGINT) AS lb
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 3),
+    reps AS (
+      SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+             arg_min(lang, doc_id) AS lang, arg_min(lb, doc_id) AS lb
+      FROM base GROUP BY md5(lower(trim(text)))),
+    docs AS (
+      SELECT doc_id, lang, lb,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, len(toks) - 1)]) AS shingles
+      FROM (SELECT *, string_split(lower(text), ' ') AS toks FROM reps)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
+          6) AS jaccard
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5"""))
+
   /** Production-shaped dedup pipeline: collapse exact duplicates FIRST
     * (one digest shuffle; smallest id is the representative), then
     * MinHash+LSH near-dup pairs over representatives only. On heavily-
@@ -342,6 +384,7 @@ object ExtensionQueries {
     x_dedup_exact,
     x_dedup_pipeline,
     x_dedup_jaccard,
+    x_dedup_jaccard_collapsed,
     x_dedup_minhash_lsh,
     x_dedup_simhash,
     x_sim_cosine_topk,
