@@ -564,8 +564,15 @@ object ReferenceQueries {
     * count (A9, as a broadcast 1-row aggregate) → second-level window
     * counts + ratio arithmetic → DISTINCT. Testdata analogue: do repeat
     * customers keep ordering with the same outcome (order status as the
-    * same-neighbourhood stand-in)? All windows partition by bounded keys
-    * — nothing single-partition. */
+    * same-neighbourhood stand-in)?
+    *
+    * Distributed shapes (same output as the literal translation, which
+    * the oracle SQL still is): the per-(customer,flag) window count runs
+    * as a hash aggregate with a per-customer window ON TOP of the
+    * aggregate (≤3 rows per customer reach the window); the final
+    * DISTINCT + COUNT-OVER-3-bucket windows — which would funnel every
+    * row into ≤3 tasks at scale — run as groupBy counts crossJoined with
+    * broadcast 1-row totals. */
   private val q_adhoc_c_composite = Q(
     "q_adhoc_c_composite",
     (s, d) => {
@@ -575,11 +582,11 @@ object ReferenceQueries {
           .when(col("o_orderstatus") === "F", "FALSE")
           .otherwise("NOT_SURE").as("flag"))
         .distinct() // unique (customer, order) pairs, adhoc.sql:124
-      val wCF = Window.partitionBy(col("o_custkey"), col("flag"))
-      val wC = Window.partitionBy(col("o_custkey"))
+      val wC = Window.partitionBy(col("o_custkey")) // bounded: ≤3 rows/cust
       val cte = flagged
-        .withColumn("ct_same", count(lit(1)).over(wCF))
-        .withColumn("ct_total", count(lit(1)).over(wC))
+        .groupBy(col("o_custkey"), col("flag"))
+        .agg(count(lit(1)).as("ct_same"))
+        .withColumn("ct_total", sum(col("ct_same")).over(wC))
         .withColumn("percent",
           floor(lit(100).cast("double") * col("ct_same").cast("double")
             / col("ct_total").cast("double")).cast("long"))
@@ -587,26 +594,21 @@ object ReferenceQueries {
           when(col("percent") === 100, "100%")
             .when(col("percent") >= 50, "50% - 99%")
             .otherwise("<50%"))
-        .select(col("o_custkey"), col("flag"), col("ct_same"), col("ct_total"),
-          col("percent"), col("percent_range"))
-        .distinct()
         .filter(col("ct_total") > 1)
       // (SELECT COUNT(DISTINCT host_id) FROM CTE) — broadcast 1-row agg
       val totalMulti = cte.agg(countDistinct(col("o_custkey")).as("total_multi"))
       val truth = cte.filter(col("flag") === "TRUE")
+      val totals = truth.agg(count(lit(1)).as("n_same_total"))
         .crossJoin(broadcast(totalMulti))
-      val wRange = Window.partitionBy(col("percent_range"))
-      val wFlag = Window.partitionBy(col("flag"))
-      truth
-        .withColumn("n_per_range", count(lit(1)).over(wRange))
-        .withColumn("n_same_total", count(lit(1)).over(wFlag))
+      truth.groupBy(col("percent_range"))
+        .agg(count(lit(1)).as("n_per_range"))
+        .crossJoin(broadcast(totals))
         .select(col("percent_range"), col("n_per_range"), col("n_same_total"),
           col("total_multi"),
           (lit(100).cast("double") * col("n_per_range").cast("double")
             / col("n_same_total").cast("double")).as("pct_of_same_status"),
           (lit(100).cast("double") * col("n_per_range").cast("double")
             / col("total_multi").cast("double")).as("pct_of_multi_custs"))
-        .distinct()
     },
     Some("""WITH flagged AS (
       SELECT DISTINCT o_custkey, o_orderkey,
