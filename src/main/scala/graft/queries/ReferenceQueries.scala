@@ -474,6 +474,10 @@ object ReferenceQueries {
         .groupBy(col("n_name").as("nation"), col("n_regionkey").as("regionkey"))
         .agg(count(lit(1)).as("n_open_orders"),
           countDistinct(col("o_custkey")).as("n_customers"))
+      // global (unpartitioned) windows are safe HERE ONLY because the
+      // input is the per-nation aggregate — bounded at |nation| rows
+      // regardless of fact size; for unbounded inputs use
+      // Kpis.globalBestWorst (see q_w2_best_worst)
       val wBest = Window.orderBy(col("n_open_orders").desc, col("nation"))
       val wWorst = Window.orderBy(col("n_open_orders").asc, col("nation"))
       perNation

@@ -85,4 +85,22 @@ class PropertiesSpec extends SparkSpec {
     val out = Kpis.fullOuterOfAggs(Seq("k"), Seq(a, b, c))
     assert(out.select("k").as[String].collect().toSet == Set("x", "y", "z", "w"))
   }
+
+  test("collapseExact laws: copies partition the input, idempotent, min-id rep (DataFrame law)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a"), (5L, "A "), (3L, "a"), (2L, "b"), (9L, " B"))
+      .toDF("doc_id", "text")
+    val once = Dedup.collapseExact(df, col("doc_id"), col("text"))
+    // n_copies partitions the input rows
+    assert(once.agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .head().getLong(0) == df.count())
+    // representative is the min id of its group ("a"/"A " normalize equal)
+    val reps = once.select("doc_id").as[Long].collect().toSet
+    assert(reps == Set(1L, 2L))
+    // idempotent: collapsing representatives changes nothing but n_copies=1
+    val twice = Dedup.collapseExact(once.drop("n_copies"), col("doc_id"), col("text"))
+    assert(twice.select("doc_id", "text").collect().toSet
+      == once.select("doc_id", "text").collect().toSet)
+    assert(twice.select("n_copies").as[Long].collect().forall(_ == 1L))
+  }
 }
