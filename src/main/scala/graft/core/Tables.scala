@@ -34,7 +34,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
-    df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    // `div` = integral long division: `/` would promote to double, whose
+    // 53-bit mantissa cannot hold epoch nanos (~2^60) — the ±128ns
+    // representation error can push a boundary-exact timestamp 1µs low,
+    // flipping its window/second bucket vs the exact-integer oracle
+    df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

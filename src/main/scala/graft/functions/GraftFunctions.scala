@@ -167,19 +167,30 @@ object GraftFunctions {
     * [[GraftSparkExtensions]] extensions injector. */
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def info(name: String) = new ExpressionInfo("graft.functions", name)
+    // applyOrElse: a bare partial function would throw a raw MatchError
+    // on a wrong argument count — surface the signature instead
+    def builder(name: String, signature: String)(
+        pf: PartialFunction[Seq[Expression], Expression]): Seq[Expression] => Expression =
+      args => pf.applyOrElse(args, (bad: Seq[Expression]) =>
+        throw new IllegalArgumentException(
+          s"$name expects $signature, got ${bad.size} argument(s)"))
     Seq(
       (FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
-        { case Seq(e, n) => MinHashSig(e, intLit(n, "numHashes")) }: Seq[Expression] => Expression),
+        builder("graft_minhash_sig", "(arr, numHashes)") { case Seq(e, n) =>
+          MinHashSig(e, intLit(n, "numHashes")) }),
       (FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
-        { case Seq(e) => SimHash64(e) }: Seq[Expression] => Expression),
+        builder("graft_simhash64", "(arr)") { case Seq(e) => SimHash64(e) }),
       (FunctionIdentifier("graft_winnow"), info("graft_winnow"),
-        { case Seq(e, k, w) => WinnowFingerprints(e, intLit(k, "k"), intLit(w, "w")) }: Seq[Expression] => Expression),
+        builder("graft_winnow", "(text, k, w)") { case Seq(e, k, w) =>
+          WinnowFingerprints(e, intLit(k, "k"), intLit(w, "w")) }),
       (FunctionIdentifier("graft_word_shingles"), info("graft_word_shingles"),
-        { case Seq(e, n) => WordShingles(e, intLit(n, "n")) }: Seq[Expression] => Expression),
+        builder("graft_word_shingles", "(arr, n)") { case Seq(e, n) =>
+          WordShingles(e, intLit(n, "n")) }),
       (FunctionIdentifier("graft_sorted_intersect_count"), info("graft_sorted_intersect_count"),
-        { case Seq(a, b) => SortedIntersectCount(a, b) }: Seq[Expression] => Expression),
+        builder("graft_sorted_intersect_count", "(a, b)") { case Seq(a, b) =>
+          SortedIntersectCount(a, b) }),
       (FunctionIdentifier("graft_dot"), info("graft_dot"),
-        { case Seq(a, b) => DotProduct(a, b) }: Seq[Expression] => Expression))
+        builder("graft_dot", "(a, b)") { case Seq(a, b) => DotProduct(a, b) }))
   }
 
   /** Register `graft_*` as session SQL functions so `spark.sql` users get

@@ -149,6 +149,9 @@ object Kernels {
     * trees per element. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: array lengths differ (${n} vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {

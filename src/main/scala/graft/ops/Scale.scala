@@ -31,6 +31,12 @@ object Scale {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  factor: Int, saltCols: Seq[Column], joinType: String = "inner"): DataFrame = {
     require(factor > 0, "factor must be positive")
+    // right/full outer would emit `factor` copies of every unmatched
+    // RIGHT row (one per salt replica) — not equal to the plain join
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer").contains(normalized),
+      s"saltedJoin: $joinType would duplicate unmatched right-side rows " +
+        "(the right side is replicated per salt); salt the other side instead")
     val salted = left.withColumn("__salt", pmod(hash(saltCols: _*), lit(factor)))
     val replicated = right.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))

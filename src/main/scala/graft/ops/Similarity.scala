@@ -31,11 +31,16 @@ import graft.functions.GraftFunctions
 object Similarity {
 
   /** Adds `vecOut: array<double>` (exact float→double widening) and
-    * `normOut: double` (L2 norm) for an embedding column. */
+    * `normOut: double` (L2 norm) for an embedding column, and DROPS
+    * zero-norm vectors: cosine against them is 0/0 = NaN, and NaN sorts
+    * ABOVE every real double in Spark — one all-zero embedding would
+    * otherwise become the rank-1 "neighbor" of every query. Excluding
+    * them is the only self-consistent cosine semantics. */
   private def withVecNorm(df: DataFrame, embedding: Column,
                           vecOut: String, normOut: String): DataFrame =
     df.withColumn(vecOut, transform(embedding, x => x.cast("double")))
       .withColumn(normOut, sqrt(dot(col(vecOut), col(vecOut))))
+      .filter(col(normOut) > 0.0)
 
   /** Dot product of two materialized array<double> ATTRIBUTES — the
     * native codegen'd kernel (graft.functions.DotProduct). Bit-identical
@@ -74,7 +79,8 @@ object Similarity {
     * brute force within the corpus (O(n²) — only for modest n or as
     * the ground-truth oracle path). */
   def cosinePairs(corpus: DataFrame, minCosine: Double,
-                  planes: Int = 4, tables: Int = 8, seed: Long = 42L): DataFrame = {
+                  planes: Int = 4, tables: Int = 8, seed: Long = 42L,
+                  dim: Int = 64): DataFrame = {
     val c = withVecNorm(corpus.select(col("vec_id"), col("embedding")),
       col("embedding"), "v", "n").drop("embedding")
     val cands =
@@ -82,7 +88,7 @@ object Similarity {
         c.select(col("vec_id").as("id_a")).crossJoin(c.select(col("vec_id").as("id_b")))
           .filter(col("id_a") < col("id_b"))
       } else {
-        val hp = (0 until tables).map(t => hyperplanes(planes, 64, seed + t))
+        val hp = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
         val banded = c.select(col("vec_id"),
             explode(array((0 until tables).map(t =>
               struct(lit(t).as("tbl"),
@@ -110,13 +116,25 @@ object Similarity {
   }
 
   /** Sign-signature bucket id of a materialized array<double> ATTRIBUTE
-    * under the given planes: bit p = [dot(v, plane_p) > 0]. Row-local. */
-  def lshBucket(vAttr: Column, planes: Seq[Seq[Double]]): Column =
+    * under the given planes: bit p = [dot(v, plane_p) > 0]. Row-local.
+    *
+    * FAILS LOUDLY on a vector whose length differs from the planes'
+    * dimension: zip_with would null-pad the shorter side, the fold would
+    * go null, every `when` would be false, and EVERY vector would
+    * silently land in bucket 0 — degenerating the band equi-join into a
+    * full self-join (the exact O(n²) blowup LSH exists to avoid). */
+  def lshBucket(vAttr: Column, planes: Seq[Seq[Double]]): Column = {
+    val dim = planes.head.size
+    val checked = when(size(vAttr) === dim, vAttr)
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected embedding dim $dim, got "),
+        size(vAttr).cast("string"))))
     planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(zip_with(vAttr, typedlit(p), (x, w) => x * w),
+      val d = aggregate(zip_with(checked, typedlit(p), (x, w) => x * w),
         lit(0.0), (acc, t) => acc + t)
       when(d > 0, shiftleft(lit(1), i)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** ANN top-k via MULTI-TABLE hyperplane LSH: `tables` independent sets
     * of `planes` hyperplanes; a corpus vector is a candidate for a query
@@ -127,8 +145,8 @@ object Similarity {
     * Candidates are deduplicated BEFORE scoring, so each pair is scored
     * once no matter how many tables it collides in. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              planes: Int = 4, tables: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = 64
+              planes: Int = 4, tables: Int = 8, seed: Long = 42L,
+              dim: Int = 64): DataFrame = {
     val allPlanes = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
     def prep(df: DataFrame, idAs: String, vecAs: String, normAs: String) =
       withVecNorm(df.select(col("vec_id").as(idAs), col("embedding")),

@@ -54,7 +54,12 @@ object Warehouse {
     */
   def factListing(stagingListing: DataFrame, stagingLocation: DataFrame): DataFrame = {
     val loc = stagingLocation.select(col("suburb_name"), col("lga_name"))
-    val locCodes = stagingLocation.select(col("lga_name"), col("lga_code")).distinct()
+    // ONE code per name, not distinct (name, code) PAIRS: two source LGAs
+    // can clean to the same name (e.g. 'SYDNEY (A)' / 'SYDNEY (C)'), and
+    // a pair-distinct would then fan out every joined fact row, breaking
+    // the (id, filename) PK. Keyed min = deterministic resolution.
+    val locCodes = stagingLocation.groupBy(col("lga_name"))
+      .agg(min(col("lga_code")).as("lga_code"))
 
     val base = stagingListing
       // design.sql:459

@@ -39,6 +39,25 @@ class GraftFunctionsSpec extends SparkSpec {
       == java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
   }
 
+  test("graft_dot rejects mismatched array lengths with a clear error") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(1.0D))").collect()
+    }
+    assert(ex.getMessage.contains("array lengths differ") ||
+      Option(ex.getCause).exists(_.getMessage.contains("array lengths differ")),
+      s"wrong error: ${ex.getMessage}")
+  }
+
+  test("wrong arity on a graft_* SQL function names the expected signature, not a MatchError") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array('a'))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("graft_minhash_sig expects (arr, numHashes)")),
+      s"wrong error: ${messages(ex).mkString(" | ")}")
+  }
+
   test("expressions survive codegen and interpreted paths identically") {
     val df = Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text")
     val toks = split(col("text"), " ")

@@ -31,6 +31,18 @@ class ScaleSpec extends SparkSpec {
     assert(out == Set(("a", Some("A")), ("b", None)))
   }
 
+  test("saltedJoin rejects right/full outer (replicated right side would duplicate unmatched rows)") {
+    val left = Seq(("a", 1L)).toDF("k", "v")
+    val right = Seq(("a", "A"), ("z", "Z")).toDF("k", "tag")
+    Seq("right", "right_outer", "full", "full_outer", "outer").foreach { jt =>
+      val ex = intercept[IllegalArgumentException] {
+        Scale.saltedJoin(left, right, Seq("k"), factor = 4,
+          saltCols = Seq(col("v")), joinType = jt)
+      }
+      assert(ex.getMessage.contains("duplicate unmatched right-side rows"))
+    }
+  }
+
   test("broadcastLookup matches the literalMap CASE semantics") {
     val df = Seq("FRANCE", "CHINA", "PERU", null).toDF("n")
     val mapping = Seq("FRANCE" -> "EU", "CHINA" -> "APAC")

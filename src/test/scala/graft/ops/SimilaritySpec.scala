@@ -27,8 +27,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("lshTopK: identical-direction vectors share a bucket; neighbors found") {
+    // dim must match the data: before lshBucket's dim guard existed,
+    // omitting it here silently collapsed ALL vectors into bucket 0
+    // (null-padded fold) — the test passed for the wrong reason
     val out = Similarity.lshTopK(vecs.filter($"vec_id" === 0), vecs, k = 3,
-      planes = 4, seed = 7L)
+      planes = 4, seed = 7L, dim = 3)
     val ids = out.select("neighbor_id").as[Long].collect().toSet
     assert(ids.contains(1L)) // near-identical vector must share the bucket
     assert(!ids.contains(0L)) // no self-match
@@ -66,6 +69,30 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.25, f"IVF recall $recall%.2f at/below the 4/16 random floor")
     assert(ivf.forall { case (a, b) => a != b }) // no self-matches
+  }
+
+  test("zero-norm vectors are excluded, never NaN-ranked as top neighbors") {
+    val dim = 64
+    val mk = (id: Long, v: Float) => (id, Seq.fill(dim)(v))
+    val corpus = Seq(mk(0L, 0.0f), mk(1L, 1.0f), mk(2L, 2.0f), mk(3L, 3.0f))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 1), corpus, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!out.contains(0L), "zero vector surfaced as a neighbor")
+    assert(out == Set(2L, 3L))
+    // zero-norm QUERY rows vanish rather than emitting NaN rows
+    val qOut = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, k = 3)
+    assert(qOut.isEmpty)
+  }
+
+  test("lshBucket fails loudly on an embedding whose dim mismatches the planes") {
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "v") // dim 2, planes dim 64
+    val planes = Similarity.hyperplanes(4, 64)
+    val ex = intercept[Exception] {
+      bad.select(Similarity.lshBucket($"v", planes)).collect()
+    }
+    assert(ex.getMessage.contains("expected embedding dim 64"),
+      s"wrong error: ${ex.getMessage}")
   }
 
   test("lshTopK recall vs brute force on real sf0.001 embeddings") {
