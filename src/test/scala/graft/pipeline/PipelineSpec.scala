@@ -55,6 +55,24 @@ class PipelineSpec extends SparkSpec {
     assert(pyrmont.head.getAs[Double]("lga_total_area") == 100.0)
   }
 
+  test("fact_listing: colliding cleaned LGA names resolve to ONE code — no row fanout") {
+    // two location rows whose lga_name cleans identically but with
+    // different codes: a pair-distinct name->code dim would fan out
+    // every joined fact row (breaking the (id, filename) PK)
+    val stagingListing = Seq(
+      (1L, 50.0, 100L, "Bondi, NSW, Australia", "Bondi Beach",
+        "listings_01_2021.csv", java.sql.Date.valueOf("2021-01-05"))
+    ).toDF("id", "price", "host_id", "host_location", "neighbourhood",
+      "filename", "last_scraped")
+    val stagingLocation = Seq(
+      ("BONDI BEACH", "SYDNEY", 17200),
+      ("BONDI", "SYDNEY", 10050) // same cleaned name, different code
+    ).toDF("suburb_name", "lga_name", "lga_code")
+    val f = Warehouse.factListing(stagingListing, stagingLocation)
+    assert(f.count() == 1, "name->code resolution fanned out the fact row")
+    assert(f.head().getAs[Int]("neighbourhood_lga_code") == 10050) // min code
+  }
+
   test("fact_listing: filters, derivations, suburb fixups, month validity") {
     val f = tables.factListing
     val ids = f.select("id").as[Long].collect().toSet
