@@ -26,9 +26,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // noop sink, NOT count(): count(1) lets Catalyst prune the entire
+    // projection body, so a projection-only query would "benchmark" a
+    // column-pruned empty scan and never execute its expressions
     def run(n: String): Unit =
-      try { SparkEntry.queries(n)(spark, sfDir).count(); () }
-      catch { case _: Throwable => () }
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        if (!failed.contains(n)) failed += n
+        System.err.println(s"[bench] $n failed: ${e.getMessage}")
+      }
     names.foreach(run) // warmup: codegen + JIT, once per plan shape
     val results = names.map { n =>
       val t0 = System.nanoTime()
@@ -38,7 +46,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a crashing query must not read as a speedup: surface failures in
+    // the JSON line (additive key) and exit nonzero
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

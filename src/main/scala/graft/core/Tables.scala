@@ -32,8 +32,15 @@ object Tables {
     * TimestampType column ourselves (truncation toward the epoch, same as
     * any ns->us narrowing). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
+    // scope the legacy conf to schema inference (eager in spark.read):
+    // leaving it set session-wide would silently turn every LATER
+    // nanos-timestamped parquet read in the session into LongType
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val df =
+      try { val d = load(spark, dir, "events"); d.schema; d } // force inference
+      finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     // `div` = integral long division: `/` would promote to double, whose
     // 53-bit mantissa cannot hold epoch nanos (~2^60) — the ±128ns
     // representation error can push a boundary-exact timestamp 1µs low,

@@ -42,7 +42,9 @@ object ExtensionQueries {
     (s, d) => {
       val reps = Dedup.collapseExact(
         Tables.documents(s, d)
-          .filter(col("text").isNotNull && size(split(lower(col("text")), " ")) >= 3),
+          .filter(col("text").isNotNull && col("lang").isNotNull
+            && col("n_chars").isNotNull
+            && size(split(lower(col("text")), " ")) >= 3),
         col("doc_id"), col("text"),
         keep = Seq(col("lang"), (col("n_chars") / lit(50)).cast("long").as("lb")))
       Dedup.jaccardPairs(
@@ -54,7 +56,8 @@ object ExtensionQueries {
     Some("""WITH base AS (
       SELECT doc_id, text, lang, CAST(n_chars // 50 AS BIGINT) AS lb
       FROM documents
-      WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 3),
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+        AND len(string_split(lower(text), ' ')) >= 3),
     reps AS (
       SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(text, doc_id) AS text,
              arg_min(lang, doc_id) AS lang, arg_min(lb, doc_id) AS lb
@@ -97,10 +100,15 @@ object ExtensionQueries {
     * vocabulary unigram sets make every pair look alike. */
   private val x_dedup_jaccard = Q(
     "x_dedup_jaccard",
+    // lang/n_chars IS NOT NULL on BOTH sides: Spark's struct-key join
+    // treats NULL fields as equal while the oracle's a.lang = b.lang
+    // drops them — pin one semantics so the engines cannot diverge
     (s, d) => Dedup.jaccardPairs(
       Dedup.shingled(
         Tables.documents(s, d)
-          .filter(col("text").isNotNull && size(split(lower(col("text")), " ")) >= 3),
+          .filter(col("text").isNotNull && col("lang").isNotNull
+            && col("n_chars").isNotNull
+            && size(split(lower(col("text")), " ")) >= 3),
         col("doc_id"), col("text"),
         keep = Seq(col("lang"), (col("n_chars") / lit(50)).cast("long").as("lb"))),
       block = struct(col("lang"), col("lb")),
@@ -110,7 +118,8 @@ object ExtensionQueries {
              list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                             for i in range(1, len(toks) - 1)]) AS shingles
       FROM (SELECT *, string_split(lower(text), ' ') AS toks
-            FROM documents WHERE text IS NOT NULL)
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL)
       WHERE len(toks) >= 3),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -319,7 +328,11 @@ object ExtensionQueries {
     * of the Structured Streaming windowed agg — see streaming package). */
   private val x_events_hourly = Q(
     "x_events_hourly",
+    // explicit ts IS NOT NULL on BOTH sides: Spark's window() injects the
+    // filter implicitly (NULL-ts rows vanish) while date_trunc groups
+    // them under NULL — pin one semantics so the engines cannot diverge
     (s, d) => Tables.events(s, d)
+      .filter(col("ts").isNotNull)
       .groupBy(
         window(col("ts"), "1 hour").getField("start").as("hour_start"),
         col("event_type"))
@@ -334,6 +347,7 @@ object ExtensionQueries {
       min(value) AS min_value,
       max(value) AS max_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2"""))
 
   /** Sessionization: 30-minute-gap sessions per user via running-sum
