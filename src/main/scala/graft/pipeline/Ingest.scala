@@ -69,4 +69,17 @@ object Ingest {
     }
     df.select(cols.toSeq: _*)
   }
+
+  /** CSV export (S11 — preprocess.ipynb cell 17: df.to_csv(index=False)):
+    * header on, quoting symmetric with [[csv]] so a write/read roundtrip
+    * preserves values, incl. embedded quotes/newlines. One file per
+    * partition — at scale the parallel write IS the point (coalesce(1)
+    * only for small exports). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .mode("overwrite")
+      .csv(path)
 }

@@ -55,6 +55,24 @@ class PipelineSpec extends SparkSpec {
     assert(pyrmont.head.getAs[Double]("lga_total_area") == 100.0)
   }
 
+  test("writeCsv roundtrip preserves quotes, newlines, and unicode (S11)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/export"
+    val df = Seq(
+      (1L, "plain"),
+      (2L, "has \"quotes\" and, commas"),
+      (3L, "multi\nline"),
+      (4L, "悉尼 unicode")
+    ).toDF("id", "text")
+    Ingest.writeCsv(df, out)
+    val back = spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(out)
+      .select($"id".cast("long"), $"text")
+    assert(back.count() == 4)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("fact_listing: colliding cleaned LGA names resolve to ONE code — no row fanout") {
     // two location rows whose lga_name cleans identically but with
     // different codes: a pair-distinct name->code dim would fan out
