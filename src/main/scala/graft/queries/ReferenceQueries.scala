@@ -168,6 +168,49 @@ object ReferenceQueries {
     FULL OUTER JOIN f USING (priority, order_year, order_month)
     FULL OUTER JOIN h USING (priority, order_year, order_month)"""))
 
+  /** J5 at KPI2's arity (populate.py:797–879 groups by FIVE keys:
+    * property_type, room_type, accommodates, year, month): the same
+    * full-outer-of-filtered-aggregates pattern over a 5-key grain, run
+    * as the one-pass conditional aggregation; the oracle stays the
+    * literal 3-scan + 2-full-outer-join SQL. */
+  private val q_j5b_kpi2_5key = Q(
+    "q_j5b_kpi2_5key",
+    (s, d) => Kpis.fullOuterOfAggsOnePass(
+      li(s, d),
+      Seq(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"),
+        col("l_linenumber").as("linenum"),
+        year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month")),
+      Seq(
+        Kpis.AggArm(None, "ct_total",
+          Seq("rev_total" -> col("l_extendedprice"))),
+        Kpis.AggArm(Some(col("l_discount") > lit(0.05)), "ct_disc",
+          Seq("rev_disc" -> col("l_extendedprice"))),
+        Kpis.AggArm(Some(col("l_quantity") >= lit(25.0)), "ct_bulk",
+          Seq("rev_bulk" -> col("l_extendedprice"))))),
+    Some(s"""WITH base AS (
+      SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+        l_linenumber AS linenum,
+        CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        l_extendedprice, l_discount, l_quantity
+      FROM lineitem),
+    t AS (SELECT rflag, lstatus, linenum, ship_year, ship_month,
+            COUNT(*) AS ct_total,
+            ${Exact.sumMoneySql("l_extendedprice")} AS rev_total
+          FROM base GROUP BY 1,2,3,4,5),
+    d AS (SELECT rflag, lstatus, linenum, ship_year, ship_month,
+            COUNT(*) AS ct_disc,
+            ${Exact.sumMoneySql("l_extendedprice")} AS rev_disc
+          FROM base WHERE l_discount > CAST(0.05 AS DOUBLE) GROUP BY 1,2,3,4,5),
+    b AS (SELECT rflag, lstatus, linenum, ship_year, ship_month,
+            COUNT(*) AS ct_bulk,
+            ${Exact.sumMoneySql("l_extendedprice")} AS rev_bulk
+          FROM base WHERE l_quantity >= CAST(25.0 AS DOUBLE) GROUP BY 1,2,3,4,5)
+    SELECT * FROM t
+    FULL OUTER JOIN d USING (rflag, lstatus, linenum, ship_year, ship_month)
+    FULL OUTER JOIN b USING (rflag, lstatus, linenum, ship_year, ship_month)"""))
+
   /** W2: global ROW_NUMBER best/worst pick (adhoc.sql:17–23) — the single
     * best and worst order by totalprice, unique tiebreak on key. Runs as
     * Kpis.globalBestWorst (TakeOrderedAndProject + one rank-count pass)
@@ -714,6 +757,7 @@ object ReferenceQueries {
     q_kpi_nation_month,
     q_p9_qualify_dedup,
     q_j5_kpi_4way,
+    q_j5b_kpi2_5key,
     q_w2_best_worst,
     q_j7_top5_restrict,
     q_f_scalar_suite,
