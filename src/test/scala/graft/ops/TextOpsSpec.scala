@@ -51,4 +51,19 @@ class TextOpsSpec extends SparkSpec {
       .select("fp").as[Seq[Long]].head()
     assert(fp.nonEmpty)
   }
+
+  test("staged withLangId / withTextStats are value-identical to the inline forms (real docs)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val inlineLang = docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+    val stagedLang = TextOps.withLangId(docs, col("text"), "lang_pred")
+      .select(col("doc_id"), col("lang_pred"))
+    assert(stagedLang.exceptAll(inlineLang).isEmpty && inlineLang.exceptAll(stagedLang).isEmpty)
+    val inlineStats = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+    val stagedStats = TextOps.withTextStats(docs, col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    assert(stagedStats.exceptAll(inlineStats).isEmpty && inlineStats.exceptAll(stagedStats).isEmpty)
+  }
 }
