@@ -64,18 +64,52 @@ object Kpis {
     * data with a sparse arm.
     */
   def fullOuterOfAggsOnePass(df: DataFrame, keys: Seq[Column],
-                             arms: Seq[AggArm]): DataFrame = {
-    val aggCols = arms.flatMap { arm =>
+                             arms: Seq[AggArm]): DataFrame =
+    fullOuterOfAggsOnePassArms(df, keys, arms.map(a => Arm(
+      a.pred,
+      masked => (a.cntName -> count(masked(lit(1)))) +:
+        a.sums.map { case (n, v) => n -> Exact.sumMoney(masked(v)) },
+      zeroWhenEmpty = Set(a.cntName))))
+
+  /** Generalized arm for [[fullOuterOfAggsOnePassArms]]: `build` receives
+    * a `masked` function that nulls its argument outside the arm's rows
+    * and returns the arm's named aggregates. Aggregates that yield 0
+    * (not null) over an empty arm — count, count_distinct — must be
+    * listed in `zeroWhenEmpty` so they null out exactly where the join
+    * form's unmatched side would. Null-ignoring aggregates (min / max /
+    * median / sum / avg) need no declaration: all-null input already
+    * yields null. */
+  final case class Arm(pred: Option[Column],
+                       build: (Column => Column) => Seq[(String, Column)],
+                       zeroWhenEmpty: Set[String] = Set.empty)
+
+  /** [[fullOuterOfAggsOnePass]] for ARBITRARY aggregates per arm (the
+    * KPI views need median / count_distinct / exact avg, not just count
+    * + sum). Same output as [[fullOuterOfAggs]] over the same arms; one
+    * scan + one map-side-combinable shuffle instead of N scans + N−1
+    * full-outer joins. PipelineSpec's KPI goldens pin the equivalence on
+    * the restated reference views. */
+  def fullOuterOfAggsOnePassArms(df: DataFrame, keys: Seq[Column],
+                                 arms: Seq[Arm]): DataFrame = {
+    def cntCol(i: Int) = s"__arm_cnt_$i"
+    val aggCols = arms.zipWithIndex.flatMap { case (arm, i) =>
       def masked(v: Column) = arm.pred.map(p => when(p, v)).getOrElse(v)
-      val rawCnt = count(masked(lit(1)))
-      val cnt = when(rawCnt === 0, lit(null).cast("long")).otherwise(rawCnt)
-        .as(arm.cntName)
-      cnt +: arm.sums.map { case (n, v) => Exact.sumMoney(masked(v)).as(n) }
+      count(masked(lit(1))).as(cntCol(i)) +:
+        arm.build(masked).map { case (n, c) => c.as(n) }
     }
-    df.groupBy(keys: _*)
-      .agg(aggCols.head, aggCols.tail: _*)
+    val agged = df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+    val keyNames = agged.columns.take(keys.size)
+    val outCols = keyNames.map(col) ++ arms.zipWithIndex.flatMap { case (arm, i) =>
+      arm.build(identity).map { case (n, _) =>
+        if (arm.zeroWhenEmpty.contains(n))
+          when(col(cntCol(i)) === 0, lit(null)).otherwise(col(n)).as(n)
+        else col(n)
+      }
+    }
+    agged
       // a group no arm matched does not exist in any join input → drop
-      .filter(coalesce(arms.map(a => col(a.cntName)): _*).isNotNull)
+      .filter(arms.indices.map(i => col(cntCol(i)) > 0).reduce(_ || _))
+      .select(outCols: _*)
   }
 
   /** Global best/worst row pick (W2, workfile_ad-hoc_analysis.sql:17–23)

@@ -82,6 +82,39 @@ class KpisSpec extends SparkSpec {
       s"expected exactly one shuffle, got:\n$plan")
   }
 
+  test("fullOuterOfAggsOnePassArms with median/countDistinct arms equals the join form") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val keys = Seq(col("o_orderpriority").as("priority"))
+    val viaJoin = Kpis.fullOuterOfAggs(
+      Seq("priority"),
+      Seq(
+        orders.groupBy(keys: _*).agg(
+          count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"),
+          median(col("o_totalprice")).as("med")),
+        orders.filter(col("o_orderstatus") === "O").groupBy(keys: _*).agg(
+          countDistinct(col("o_custkey")).as("n_open_cust")),
+        // sparse arm: exercises the unmatched-side null columns
+        orders.filter(col("o_totalprice") > 550000.0).groupBy(keys: _*).agg(
+          count(lit(1)).as("n_big"), median(col("o_totalprice")).as("med_big"))))
+    val viaOnePass = Kpis.fullOuterOfAggsOnePassArms(
+      orders, keys,
+      Seq(
+        Kpis.Arm(None, m => Seq(
+          "n" -> count(m(lit(1))), "n_cust" -> countDistinct(m(col("o_custkey"))),
+          "med" -> median(m(col("o_totalprice")))),
+          zeroWhenEmpty = Set("n", "n_cust")),
+        Kpis.Arm(Some(col("o_orderstatus") === "O"), m => Seq(
+          "n_open_cust" -> countDistinct(m(col("o_custkey")))),
+          zeroWhenEmpty = Set("n_open_cust")),
+        Kpis.Arm(Some(col("o_totalprice") > 550000.0), m => Seq(
+          "n_big" -> count(m(lit(1))), "med_big" -> median(m(col("o_totalprice")))),
+          zeroWhenEmpty = Set("n_big"))))
+    assert(viaOnePass.columns.toSeq == viaJoin.columns.toSeq)
+    assert(viaOnePass.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaOnePass).isEmpty)
+    val plan = viaOnePass.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in one-pass plan:\n$plan")
+  }
+
   test("fullOuterOfAggsOnePass drops groups matched by no arm (all arms filtered)") {
     val df = Seq(("a", 1.0), ("b", 100.0)).toDF("k", "v")
     val out = Kpis.fullOuterOfAggsOnePass(df, Seq(col("k")),
