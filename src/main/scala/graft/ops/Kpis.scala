@@ -53,7 +53,9 @@ object Kpis {
     * (workfile_populate_data_warehouse.py:552–619) — as a single grouped
     * conditional aggregation.
     *
-    * Identical output to [[fullOuterOfAggs]] over the same arms: an
+    * Identical output to [[fullOuterOfAggs]] over the same arms — for
+    * NON-NULL grouping keys (see the NULL-key caveat on
+    * [[fullOuterOfAggsOnePassArms]]): an
     * arm's columns are null exactly where the join would have produced
     * an unmatched side (no rows satisfy the arm's filter), and groups
     * matching NO arm are dropped, like keys absent from every join
@@ -85,22 +87,38 @@ object Kpis {
 
   /** [[fullOuterOfAggsOnePass]] for ARBITRARY aggregates per arm (the
     * KPI views need median / count_distinct / exact avg, not just count
-    * + sum). Same output as [[fullOuterOfAggs]] over the same arms; one
-    * scan + one map-side-combinable shuffle instead of N scans + N−1
-    * full-outer joins. PipelineSpec's KPI goldens pin the equivalence on
-    * the restated reference views. */
+    * + sum). Same output as [[fullOuterOfAggs]] over the same arms
+    * PROVIDED every grouping key is non-null; one scan + one map-side-
+    * combinable shuffle instead of N scans + N−1 full-outer joins.
+    *
+    * NULL-key caveat (the precondition is load-bearing): SQL equality
+    * never matches NULL, so the full-outer join emits one row PER ARM
+    * for a NULL-keyed group (each with the other arms' columns null),
+    * while groupBy treats NULL as an ordinary value and merges them into
+    * one row. Callers with nullable keys must either coalesce them or
+    * stay on the join form (KpisSpec pins the divergence; the Datamart
+    * raw/KPI2 views stay on the join form for exactly this reason). */
   def fullOuterOfAggsOnePassArms(df: DataFrame, keys: Seq[Column],
                                  arms: Seq[Arm]): DataFrame = {
     def cntCol(i: Int) = s"__arm_cnt_$i"
-    val aggCols = arms.zipWithIndex.flatMap { case (arm, i) =>
+    // build ONCE per arm: names for the output projection and exprs for
+    // the aggregate must come from the same invocation
+    val built = arms.zipWithIndex.map { case (arm, i) =>
       def masked(v: Column) = arm.pred.map(p => when(p, v)).getOrElse(v)
-      count(masked(lit(1))).as(cntCol(i)) +:
-        arm.build(masked).map { case (n, c) => c.as(n) }
+      val named = arm.build(masked)
+      val unknown = arm.zeroWhenEmpty -- named.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"zeroWhenEmpty names not produced by the arm: ${unknown.mkString(", ")}")
+      (arm, i, named)
+    }
+    val aggCols = built.flatMap { case (_, i, named) =>
+      val maskedOne = arms(i).pred.map(p => when(p, lit(1))).getOrElse(lit(1))
+      count(maskedOne).as(cntCol(i)) +: named.map { case (n, c) => c.as(n) }
     }
     val agged = df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
     val keyNames = agged.columns.take(keys.size)
-    val outCols = keyNames.map(col) ++ arms.zipWithIndex.flatMap { case (arm, i) =>
-      arm.build(identity).map { case (n, _) =>
+    val outCols = keyNames.map(col) ++ built.flatMap { case (arm, i, named) =>
+      named.map { case (n, _) =>
         if (arm.zeroWhenEmpty.contains(n))
           when(col(cntCol(i)) === 0, lit(null)).otherwise(col(n)).as(n)
         else col(n)

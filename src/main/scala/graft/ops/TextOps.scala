@@ -28,12 +28,12 @@ object TextOps {
     "es" -> Seq("el", "los", "y", "es", "una"),
     "fr" -> Seq("le", "la", "et", "les", "est"))
 
-  /** N-gram/stopword language-ID heuristic: score = marker-token hits per
-    * language; CJK characters short-circuit to "zh"; argmax with a fixed
-    * alphabetical tiebreak; "und" (undetermined) when nothing scores.
-    * Deterministic and SQL-mirrorable (greatest + CASE in the oracle). */
-  def langId(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
+  /** The language-ID decision expression over an ALREADY-AVAILABLE
+    * distinct-token expression — the single source of truth both public
+    * forms build on, so they cannot drift apart. Ties resolve to the
+    * FIRST language in [[langMarkers]] order (alphabetical, the
+    * foldRight when-chain), matching the oracle's CASE order. */
+  private def langIdFromToks(toks: Column, text: Column): Column = {
     val scores = langMarkers.map { case (lang, markers) =>
       lang -> size(array_intersect(toks, typedlit(markers)))
     }
@@ -41,49 +41,52 @@ object TextOps {
     val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
-    // foldRight + when-chain means ties resolve to the FIRST language in
-    // langMarkers order (alphabetical), matching the oracle's CASE order.
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
   }
+
+  /** N-gram/stopword language-ID heuristic: score = marker-token hits per
+    * language; CJK characters short-circuit to "zh"; argmax with a fixed
+    * alphabetical tiebreak; "und" (undetermined) when nothing scores.
+    * Deterministic and SQL-mirrorable (greatest + CASE in the oracle). */
+  def langId(text: Column): Column =
+    langIdFromToks(array_distinct(tokens(text)), text)
 
   /** [[langId]] with the distinct-token array STAGED as a column first.
     * The Column-only form inlines token derivation into every marker
     * score, and Catalyst's subexpression elimination does not reach
     * through the conditional when-chain — the split/distinct gets
     * re-evaluated per language. Staging measured 2.2× faster at sf0.1;
-    * identical output (TextOpsSpec proves equality). Prefer this form
+    * identical output by construction (both forms expand
+    * [[langIdFromToks]]; TextOpsSpec also proves it). Prefer this form
     * in pipelines. */
   def withLangId(df: DataFrame, text: Column, out: String): DataFrame = {
     val toks = "__langid_toks"
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(array_intersect(col(toks), typedlit(markers)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
     df.withColumn(toks, array_distinct(tokens(text)))
-      .withColumn(out,
-        when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick))
+      .withColumn(out, langIdFromToks(col(toks), text))
       .drop(toks)
   }
 
-  /** Quality score in [0,1]: weighted blend of length saturation,
-    * lexical diversity, and stopword-rate sanity — the standard cheap
-    * pre-filters for web-scraped training text. Fixed double arithmetic
-    * (same expression order as the SQL oracle → bit-stable). */
-  def qualityScore(text: Column): Column = {
+  /** The quality formula over ALREADY-AVAILABLE token/distinct-token
+    * expressions — single source of truth for both public forms (weights
+    * and stoplist defined exactly once). */
+  private def qualityFrom(text: Column, toks: Column, dtoks: Column): Column = {
     val nChars = length(text).cast("double")
-    val toks = tokens(text)
     val nToks = size(toks).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
-    val stopHits = size(array_intersect(array_distinct(toks),
+    val nDistinct = size(dtoks).cast("double")
+    val stopHits = size(array_intersect(dtoks,
       typedlit(Seq("a", "the", "of", "and", "is")))).cast("double")
     val lenScore = least(nChars / lit(500.0), lit(1.0))
     val diversity = nDistinct / nToks
     val stopScore = least(stopHits / lit(2.0), lit(1.0))
     round(lit(0.4) * lenScore + lit(0.3) * diversity + lit(0.3) * stopScore, 6)
   }
+
+  /** Quality score in [0,1]: weighted blend of length saturation,
+    * lexical diversity, and stopword-rate sanity — the standard cheap
+    * pre-filters for web-scraped training text. Fixed double arithmetic
+    * (same expression order as the SQL oracle → bit-stable). */
+  def qualityScore(text: Column): Column =
+    qualityFrom(text, tokens(text), array_distinct(tokens(text)))
 
   /** One-pass text-statistics block with the token arrays STAGED: adds
     * `n_chars_calc, n_tokens, n_subwords, n_distinct_tokens,
@@ -95,22 +98,13 @@ object TextOps {
   def withTextStats(df: DataFrame, text: Column): DataFrame = {
     val toks = "__ts_toks"
     val dtoks = "__ts_dtoks"
-    val nChars = length(text).cast("double")
-    val nToks = size(col(toks)).cast("double")
-    val nDistinct = size(col(dtoks)).cast("double")
-    val stopHits = size(array_intersect(col(dtoks),
-      typedlit(Seq("a", "the", "of", "and", "is")))).cast("double")
-    val lenScore = least(nChars / lit(500.0), lit(1.0))
-    val diversity = nDistinct / nToks
-    val stopScore = least(stopHits / lit(2.0), lit(1.0))
     df.withColumn(toks, tokens(text))
       .withColumn(dtoks, array_distinct(col(toks)))
       .withColumn("n_chars_calc", length(text))
       .withColumn("n_tokens", size(col(toks)))
       .withColumn("n_subwords", subwordCount(text))
       .withColumn("n_distinct_tokens", size(col(dtoks)))
-      .withColumn("quality_score",
-        round(lit(0.4) * lenScore + lit(0.3) * diversity + lit(0.3) * stopScore, 6))
+      .withColumn("quality_score", qualityFrom(text, col(toks), col(dtoks)))
       .drop(toks, dtoks)
   }
 

@@ -43,7 +43,9 @@ object AirbnbPipeline {
       dimCensus = dimCensus,
       factListing = fact,
       kpiNeighbourhoodMonth = Datamart.kpiNeighbourhoodMonth(fact, "neighbourhood_lga"),
-      kpiNeighbourhoodMonthRaw = Datamart.kpiNeighbourhoodMonth(fact, "neighbourhood_cleansed"),
+      // raw cross-check view groups by the NULLABLE raw column → join form
+      kpiNeighbourhoodMonthRaw = Datamart.kpiNeighbourhoodMonth(
+        fact, "neighbourhood_cleansed", areaNonNull = false),
       kpiPropertyTypeMonth = Datamart.kpiPropertyTypeMonth(fact),
       kpiHostMonth = Datamart.kpiHostMonth(fact))
     register(t)

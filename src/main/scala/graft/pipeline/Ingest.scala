@@ -71,15 +71,20 @@ object Ingest {
   }
 
   /** CSV export (S11 — preprocess.ipynb cell 17: df.to_csv(index=False)):
-    * header on, quoting symmetric with [[csv]] so a write/read roundtrip
-    * preserves values, incl. embedded quotes/newlines. One file per
-    * partition — at scale the parallel write IS the point (coalesce(1)
-    * only for small exports). */
+    * header on, quote/escape/nullValue symmetric with [[csv]] so a
+    * write/read roundtrip preserves values incl. embedded quotes and
+    * newlines, and SQL NULL roundtrips as the `NULL` token. Inherent
+    * format ambiguity (same as the reference's NULL_IF CSV format,
+    * design.sql:38–44): a field whose VALUE is the literal string
+    * "NULL" is indistinguishable from SQL NULL and collapses to NULL on
+    * read-back. One file per partition — at scale the parallel write IS
+    * the point (coalesce(1) only for small exports). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write
       .option("header", "true")
       .option("quote", "\"")
       .option("escape", "\"")
+      .option("nullValue", "NULL")
       .mode("overwrite")
       .csv(path)
 }

@@ -115,6 +115,27 @@ class KpisSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in one-pass plan:\n$plan")
   }
 
+  test("NULL grouping keys: join form splits per-arm, one-pass merges — the documented precondition") {
+    val df = Seq((Option.empty[String], 1.0), (None, 100.0), (Some("k"), 5.0))
+      .toDF("k", "v")
+    def arm(p: Option[org.apache.spark.sql.Column], n: String) = p match {
+      case Some(pred) => df.filter(pred).groupBy(col("k")).agg(count(lit(1)).as(n))
+      case None => df.groupBy(col("k")).agg(count(lit(1)).as(n))
+    }
+    val viaJoin = Kpis.fullOuterOfAggs(Seq("k"),
+      Seq(arm(None, "n_all"), arm(Some(col("v") > 50.0), "n_big")))
+    val viaOnePass = Kpis.fullOuterOfAggsOnePass(df, Seq(col("k")),
+      Seq(Kpis.AggArm(None, "n_all", Nil),
+        Kpis.AggArm(Some(col("v") > 50.0), "n_big", Nil)))
+    // join: SQL equality never matches NULL, so the NULL group appears
+    // once per arm (2 rows); one-pass groupBy merges it into 1 row.
+    assert(viaJoin.filter(col("k").isNull).count() == 2)
+    assert(viaOnePass.filter(col("k").isNull).count() == 1)
+    // on the non-null key the two forms agree exactly
+    assert(viaOnePass.filter(col("k") === "k").collect().toSeq
+      == viaJoin.filter(col("k") === "k").collect().toSeq)
+  }
+
   test("fullOuterOfAggsOnePass drops groups matched by no arm (all arms filtered)") {
     val df = Seq(("a", 1.0), ("b", 100.0)).toDF("k", "v")
     val out = Kpis.fullOuterOfAggsOnePass(df, Seq(col("k")),

@@ -55,22 +55,28 @@ class PipelineSpec extends SparkSpec {
     assert(pyrmont.head.getAs[Double]("lga_total_area") == 100.0)
   }
 
-  test("writeCsv roundtrip preserves quotes, newlines, and unicode (S11)") {
+  test("writeCsv roundtrip through the Ingest reader options (S11)") {
     val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/export"
     val df = Seq(
-      (1L, "plain"),
-      (2L, "has \"quotes\" and, commas"),
-      (3L, "multi\nline"),
-      (4L, "悉尼 unicode")
+      (1L, Some("plain")),
+      (2L, Some("has \"quotes\" and, commas")),
+      (3L, Some("multi\nline")),
+      (4L, Some("悉尼 unicode")),
+      (5L, None),          // SQL NULL must roundtrip as NULL
+      (6L, Some("NULL"))   // literal "NULL" collapses to SQL NULL (documented)
     ).toDF("id", "text")
     Ingest.writeCsv(df, out)
+    // EXACTLY the Ingest.csv reader options — the symmetry writeCsv claims
     val back = spark.read
       .option("header", "true").option("multiLine", "true")
       .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "NULL")
       .csv(out)
       .select($"id".cast("long"), $"text")
-    assert(back.count() == 4)
-    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    assert(back.count() == 6)
+    val expected = df.withColumn("text",
+      when($"text" === "NULL", lit(null)).otherwise($"text"))
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
   }
 
   test("fact_listing: colliding cleaned LGA names resolve to ONE code — no row fanout") {
