@@ -53,17 +53,16 @@ object Kpis {
     * (workfile_populate_data_warehouse.py:552–619) — as a single grouped
     * conditional aggregation.
     *
-    * Identical output to [[fullOuterOfAggs]] over the same arms — for
-    * NON-NULL grouping keys (see the NULL-key caveat on
-    * [[fullOuterOfAggsOnePassArms]]): an
-    * arm's columns are null exactly where the join would have produced
-    * an unmatched side (no rows satisfy the arm's filter), and groups
-    * matching NO arm are dropped, like keys absent from every join
-    * input. The physical win is the point: the join form scans the fact
-    * N times and shuffles N aggregates plus N−1 joins; this scans ONCE
-    * and shuffles ONCE (map-side partial aggregation) — the rewrite a
-    * 100 TB KPI view needs. KpisSpec proves output equality on real
-    * data with a sparse arm.
+    * Identical output to [[fullOuterOfAggs]] over the same arms
+    * (including NULL grouping keys — see [[fullOuterOfAggsOnePassArms]]
+    * for how): an arm's columns are null exactly where the join would
+    * have produced an unmatched side (no rows satisfy the arm's
+    * filter), and groups matching NO arm are dropped, like keys absent
+    * from every join input. The physical win is the point: the join
+    * form scans the fact N times and shuffles N aggregates plus N−1
+    * joins; this scans ONCE and shuffles ONCE (map-side partial
+    * aggregation) — the rewrite a 100 TB KPI view needs. KpisSpec
+    * proves output equality on real data with a sparse arm.
     */
   def fullOuterOfAggsOnePass(df: DataFrame, keys: Seq[Column],
                              arms: Seq[AggArm]): DataFrame =
@@ -87,17 +86,22 @@ object Kpis {
 
   /** [[fullOuterOfAggsOnePass]] for ARBITRARY aggregates per arm (the
     * KPI views need median / count_distinct / exact avg, not just count
-    * + sum). Same output as [[fullOuterOfAggs]] over the same arms
-    * PROVIDED every grouping key is non-null; one scan + one map-side-
+    * + sum). Same output as [[fullOuterOfAggs]] over the same arms —
+    * for ANY keys, nullable included; one scan + one map-side-
     * combinable shuffle instead of N scans + N−1 full-outer joins.
     *
-    * NULL-key caveat (the precondition is load-bearing): SQL equality
-    * never matches NULL, so the full-outer join emits one row PER ARM
-    * for a NULL-keyed group (each with the other arms' columns null),
-    * while groupBy treats NULL as an ordinary value and merges them into
-    * one row. Callers with nullable keys must either coalesce them or
-    * stay on the join form (KpisSpec pins the divergence; the Datamart
-    * raw/KPI2 views stay on the join form for exactly this reason). */
+    * NULL-key semantics (where a naive groupBy rewrite diverges): SQL
+    * equality never matches NULL, so the chained full-outer join emits
+    * one row PER MATCHED ARM for a group whose key tuple contains any
+    * NULL (each row carrying that arm's columns, the others null),
+    * while groupBy treats NULL as an ordinary value and would merge
+    * them into one row. We reproduce the join exactly by splitting
+    * AFTER aggregating: each NULL-keyed output group explodes into one
+    * row per arm with rows, with the other arms' columns nulled. The
+    * split runs over already-aggregated data — one row per (group,
+    * arm) — so the fact is still scanned once and shuffled once;
+    * KpisSpec pins equality with the join form on null, partially-null
+    * and non-null keys. */
   def fullOuterOfAggsOnePassArms(df: DataFrame, keys: Seq[Column],
                                  arms: Seq[Arm]): DataFrame = {
     def cntCol(i: Int) = s"__arm_cnt_$i"
@@ -111,23 +115,41 @@ object Kpis {
         s"zeroWhenEmpty names not produced by the arm: ${unknown.mkString(", ")}")
       (arm, i, named)
     }
+    val valueNames = built.flatMap(_._3.map(_._1))
+    require(!valueNames.exists(n => n == "__keep" || n == "__row"),
+      "arm output names __keep/__row are reserved")
     val aggCols = built.flatMap { case (_, i, named) =>
       val maskedOne = arms(i).pred.map(p => when(p, lit(1))).getOrElse(lit(1))
       count(maskedOne).as(cntCol(i)) +: named.map { case (n, c) => c.as(n) }
     }
     val agged = df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
     val keyNames = agged.columns.take(keys.size)
-    val outCols = keyNames.map(col) ++ built.flatMap { case (arm, i, named) =>
-      named.map { case (n, _) =>
-        if (arm.zeroWhenEmpty.contains(n))
-          when(col(cntCol(i)) === 0, lit(null)).otherwise(col(n)).as(n)
-        else col(n)
-      }
+    // the output value columns, either merged (all arms' values in one
+    // row — the non-null-key case) or restricted to a single arm with
+    // the others' columns nulled (one per-arm row of a NULL-keyed group)
+    def valueCols(onlyArm: Option[Int]): Seq[Column] = built.flatMap {
+      case (arm, i, named) =>
+        named.map { case (n, _) =>
+          if (onlyArm.exists(_ != i))
+            lit(null).cast(agged.schema(n).dataType).as(n)
+          else if (arm.zeroWhenEmpty.contains(n))
+            // an empty arm = the join's unmatched side → all-null columns
+            when(col(cntCol(i)) === 0, lit(null)).otherwise(col(n)).as(n)
+          else col(n).as(n)
+        }
     }
+    val mergedRow = struct(lit(true).as("__keep") +: valueCols(None): _*)
+    val armRows = arms.indices.map(i =>
+      struct((col(cntCol(i)) > 0).as("__keep") +: valueCols(Some(i)): _*))
+    val anyKeyNull = keyNames.map(col(_).isNull).reduce(_ || _)
     agged
       // a group no arm matched does not exist in any join input → drop
       .filter(arms.indices.map(i => col(cntCol(i)) > 0).reduce(_ || _))
-      .select(outCols: _*)
+      .withColumn("__row", explode(filter(
+        when(anyKeyNull, array(armRows: _*)).otherwise(array(mergedRow)),
+        r => r.getField("__keep"))))
+      .select(keyNames.map(col) ++
+        valueNames.map(n => col("__row").getField(n).as(n)): _*)
   }
 
   /** Global best/worst row pick (W2, workfile_ad-hoc_analysis.sql:17–23)

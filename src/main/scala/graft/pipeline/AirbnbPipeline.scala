@@ -43,9 +43,7 @@ object AirbnbPipeline {
       dimCensus = dimCensus,
       factListing = fact,
       kpiNeighbourhoodMonth = Datamart.kpiNeighbourhoodMonth(fact, "neighbourhood_lga"),
-      // raw cross-check view groups by the NULLABLE raw column → join form
-      kpiNeighbourhoodMonthRaw = Datamart.kpiNeighbourhoodMonth(
-        fact, "neighbourhood_cleansed", areaNonNull = false),
+      kpiNeighbourhoodMonthRaw = Datamart.kpiNeighbourhoodMonth(fact, "neighbourhood_cleansed"),
       kpiPropertyTypeMonth = Datamart.kpiPropertyTypeMonth(fact),
       kpiHostMonth = Datamart.kpiHostMonth(fact))
     register(t)

@@ -11,16 +11,17 @@ import graft.ops.Kpis
   * filtered aggregates FULL OUTER joined on the grouping keys, plus LAG
   * month-over-month deltas (W4) and ratio columns (A8).
   *
-  * Views whose grouping keys are non-null by construction (KPI 1
-  * cleaned, KPI 3) RUN as the one-pass conditional-aggregation rewrite
+  * Every view RUNS as the one-pass conditional-aggregation rewrite
   * (Kpis.fullOuterOfAggsOnePassArms): one fact scan + one map-side-
   * combinable shuffle instead of the literal N scans + N−1 full-outer
   * joins — the difference between reading the fact once and reading it
-  * four times at 100 TB. Output is identical to the join form there
-  * (KpisSpec equivalence + the PipelineSpec goldens, which pin the
-  * null-armed groups). Views with NULLABLE keys (KPI 1 raw, KPI 2)
-  * stay on the join form: under a NULL key the reference's FULL OUTER
-  * JOIN splits the group per-arm, which groupBy cannot reproduce.
+  * four times at 100 TB. Output is identical to the join form for ALL
+  * inputs, nullable grouping keys included: the one-pass form
+  * reproduces the FULL OUTER JOIN's per-arm split of NULL-keyed groups
+  * by exploding them after aggregation (see the NULL-key notes on
+  * Kpis.fullOuterOfAggsOnePassArms; KpisSpec + the PipelineSpec
+  * goldens pin the equivalence, null-armed and null-keyed groups
+  * included).
   *
   * Views are lazy DataFrames (CREATE OR REPLACE VIEW ≙
   * createOrReplaceTempView at the orchestrator).
@@ -36,63 +37,33 @@ object Datamart {
     * month) — the area key is `neighbourhood_lga` for the cleaned view
     * and `neighbourhood_cleansed` for the raw cross-check view (the
     * reference's duplicate-implementation habit, populate.py:625–627). */
-  /** @param areaNonNull whether `areaCol` is non-null by construction
-    *        (true for the coalesced `neighbourhood_lga`; FALSE for the
-    *        raw `neighbourhood_cleansed` cross-check view). One-pass
-    *        aggregation requires non-null keys — under NULL keys the
-    *        reference's FULL OUTER JOIN splits the group per-arm, which
-    *        only the join form reproduces. */
-  def kpiNeighbourhoodMonth(fact: DataFrame, areaCol: String,
-                            areaNonNull: Boolean = true): DataFrame = {
-    val keys = Seq("area", "file_year", "file_month")
-    val joined =
-      if (areaNonNull)
-        // one-pass conditional aggregation (one scan + one shuffle) —
-        // output identical to the literal 4-aggregate full-outer join
-        // for non-null keys; PipelineSpec goldens pin the equivalence
-        Kpis.fullOuterOfAggsOnePassArms(
-          fact,
-          Seq(col(areaCol).as("area"), col("file_year"), col("file_month")),
-          Seq(
-            Kpis.Arm(None, m => Seq(
-              "n_listings" -> count(m(lit(1))),
-              "n_hosts" -> countDistinct(m(col("host_id"))),
-              "min_price" -> min(m(col("price"))).cast("double"),
-              "max_price" -> max(m(col("price"))).cast("double"),
-              "median_price" -> median(m(col("price"))),
-              "avg_price" -> Exact.avgMoney(m(col("price")))),
-              zeroWhenEmpty = Set("n_listings", "n_hosts")),
-            Kpis.Arm(Some(col("has_availability") === "t"), m => Seq(
-              "n_active" -> count(m(lit(1))),
-              "est_revenue_active" -> Exact.sumMoney(m(estRevenue))),
-              zeroWhenEmpty = Set("n_active")),
-            Kpis.Arm(Some(col("host_is_superhost") === "t"), m => Seq(
-              "n_superhosts" -> countDistinct(m(col("host_id")))),
-              zeroWhenEmpty = Set("n_superhosts")),
-            Kpis.Arm(Some(col("has_availability") === "f"), m => Seq(
-              "n_inactive" -> count(m(lit(1)))),
-              zeroWhenEmpty = Set("n_inactive"))))
-      else {
-        // nullable area: stay on the literal join form so NULL-keyed
-        // groups split per-arm exactly as the reference's FULL OUTER does
-        def grouped(df: DataFrame) =
-          df.groupBy(col(areaCol).as("area"), col("file_year"), col("file_month"))
-        Kpis.fullOuterOfAggs(keys, Seq(
-          grouped(fact).agg(
-            count(lit(1)).as("n_listings"),
-            countDistinct(col("host_id")).as("n_hosts"),
-            min(col("price")).cast("double").as("min_price"),
-            max(col("price")).cast("double").as("max_price"),
-            median(col("price")).as("median_price"),
-            Exact.avgMoney(col("price")).as("avg_price")),
-          grouped(fact.filter(col("has_availability") === "t")).agg(
-            count(lit(1)).as("n_active"),
-            Exact.sumMoney(estRevenue).as("est_revenue_active")),
-          grouped(fact.filter(col("host_is_superhost") === "t")).agg(
-            countDistinct(col("host_id")).as("n_superhosts")),
-          grouped(fact.filter(col("has_availability") === "f")).agg(
-            count(lit(1)).as("n_inactive"))))
-      }
+  def kpiNeighbourhoodMonth(fact: DataFrame, areaCol: String): DataFrame = {
+    // one-pass conditional aggregation (one scan + one shuffle) — output
+    // identical to the literal 4-aggregate full-outer join even for the
+    // raw view's NULLABLE area key (NULL-keyed groups split per-arm
+    // post-aggregation); PipelineSpec goldens pin the equivalence
+    val joined = Kpis.fullOuterOfAggsOnePassArms(
+      fact,
+      Seq(col(areaCol).as("area"), col("file_year"), col("file_month")),
+      Seq(
+        Kpis.Arm(None, m => Seq(
+          "n_listings" -> count(m(lit(1))),
+          "n_hosts" -> countDistinct(m(col("host_id"))),
+          "min_price" -> min(m(col("price"))).cast("double"),
+          "max_price" -> max(m(col("price"))).cast("double"),
+          "median_price" -> median(m(col("price"))),
+          "avg_price" -> Exact.avgMoney(m(col("price")))),
+          zeroWhenEmpty = Set("n_listings", "n_hosts")),
+        Kpis.Arm(Some(col("has_availability") === "t"), m => Seq(
+          "n_active" -> count(m(lit(1))),
+          "est_revenue_active" -> Exact.sumMoney(m(estRevenue))),
+          zeroWhenEmpty = Set("n_active")),
+        Kpis.Arm(Some(col("host_is_superhost") === "t"), m => Seq(
+          "n_superhosts" -> countDistinct(m(col("host_id")))),
+          zeroWhenEmpty = Set("n_superhosts")),
+        Kpis.Arm(Some(col("has_availability") === "f"), m => Seq(
+          "n_inactive" -> count(m(lit(1)))),
+          zeroWhenEmpty = Set("n_inactive"))))
     val withRates = joined
       .withColumn("active_rate",
         round(col("n_active").cast("double") / col("n_listings").cast("double") * 100.0, 2))
@@ -106,31 +77,32 @@ object Datamart {
     * accommodates, year, month) — the 5-key variant. */
   def kpiPropertyTypeMonth(fact: DataFrame): DataFrame = {
     // property_type/room_type/accommodates come uncoalesced from the raw
-    // scrape and CAN be null — the one-pass rewrite would merge NULL-
-    // keyed groups that the reference's FULL OUTER JOIN splits per-arm,
-    // so this view stays on the literal join form (see the NULL-key
-    // caveat on Kpis.fullOuterOfAggsOnePassArms)
+    // scrape and CAN be null — fine for one-pass: NULL-keyed groups
+    // split per-arm post-aggregation, exactly like the reference's FULL
+    // OUTER JOIN (see Kpis.fullOuterOfAggsOnePassArms)
     val keys = Seq("property_type", "room_type", "accommodates", "file_year", "file_month")
-    def grouped(df: DataFrame) = df.groupBy(keys.map(col): _*)
-    val total = grouped(fact).agg(
-      count(lit(1)).as("n_listings"),
-      countDistinct(col("host_id")).as("n_hosts"),
-      median(col("price")).as("median_price"),
-      Exact.avgMoney(col("price")).as("avg_price"))
-    val active = grouped(fact.filter(col("has_availability") === "t")).agg(
-      count(lit(1)).as("n_active"),
-      Exact.sumMoney(estRevenue).as("est_revenue_active"))
-    val inactive = grouped(fact.filter(col("has_availability") === "f")).agg(
-      count(lit(1)).as("n_inactive"))
-    val joined = Kpis.fullOuterOfAggs(keys, Seq(total, active, inactive))
+    val joined = Kpis.fullOuterOfAggsOnePassArms(
+      fact, keys.map(col),
+      Seq(
+        Kpis.Arm(None, m => Seq(
+          "n_listings" -> count(m(lit(1))),
+          "n_hosts" -> countDistinct(m(col("host_id"))),
+          "median_price" -> median(m(col("price"))),
+          "avg_price" -> Exact.avgMoney(m(col("price")))),
+          zeroWhenEmpty = Set("n_listings", "n_hosts")),
+        Kpis.Arm(Some(col("has_availability") === "t"), m => Seq(
+          "n_active" -> count(m(lit(1))),
+          "est_revenue_active" -> Exact.sumMoney(m(estRevenue))),
+          zeroWhenEmpty = Set("n_active")),
+        Kpis.Arm(Some(col("has_availability") === "f"), m => Seq(
+          "n_inactive" -> count(m(lit(1)))),
+          zeroWhenEmpty = Set("n_inactive"))))
     Kpis.lagPctChange(joined, keys.take(3), Seq("file_year", "file_month"),
       "n_active", "pct_change_active")
   }
 
   /** KPI 3 (populate.py:886–925): host-side monthly rollup per
-    * (host_lga, year, month). One-pass is safe here: host_lga is
-    * coalesced to 'MISSING' upstream and file_year/file_month derive
-    * from the (validated) filename — all keys non-null. */
+    * (host_lga, year, month). */
   def kpiHostMonth(fact: DataFrame): DataFrame =
     Kpis.fullOuterOfAggsOnePassArms(
       fact,

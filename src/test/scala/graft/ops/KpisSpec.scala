@@ -115,7 +115,7 @@ class KpisSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in one-pass plan:\n$plan")
   }
 
-  test("NULL grouping keys: join form splits per-arm, one-pass merges — the documented precondition") {
+  test("NULL grouping keys: one-pass reproduces the join's per-arm split exactly") {
     val df = Seq((Option.empty[String], 1.0), (None, 100.0), (Some("k"), 5.0))
       .toDF("k", "v")
     def arm(p: Option[org.apache.spark.sql.Column], n: String) = p match {
@@ -127,13 +127,37 @@ class KpisSpec extends SparkSpec {
     val viaOnePass = Kpis.fullOuterOfAggsOnePass(df, Seq(col("k")),
       Seq(Kpis.AggArm(None, "n_all", Nil),
         Kpis.AggArm(Some(col("v") > 50.0), "n_big", Nil)))
-    // join: SQL equality never matches NULL, so the NULL group appears
-    // once per arm (2 rows); one-pass groupBy merges it into 1 row.
+    // SQL equality never matches NULL, so the join emits the NULL group
+    // once per matched arm (2 rows, each with the other arm's column
+    // null); the one-pass form must split identically
     assert(viaJoin.filter(col("k").isNull).count() == 2)
-    assert(viaOnePass.filter(col("k").isNull).count() == 1)
-    // on the non-null key the two forms agree exactly
-    assert(viaOnePass.filter(col("k") === "k").collect().toSeq
-      == viaJoin.filter(col("k") === "k").collect().toSeq)
+    assert(viaOnePass.columns.toSeq == viaJoin.columns.toSeq)
+    assert(viaOnePass.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaOnePass).isEmpty)
+    // still no join in the physical plan — the split happens post-agg
+    val plan = viaOnePass.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in one-pass plan:\n$plan")
+  }
+
+  test("partially-NULL key tuples split per-arm; arms empty for the group emit no row") {
+    // key = (k1, k2): NULL in ANY key component defeats join equality.
+    // Group (null, 2020): arm1 has rows, arm2 does not -> exactly one
+    // row (arm1's), not two. Group (a, 2020): fully non-null -> merged.
+    val df = Seq(
+      (Option.empty[String], 2020, 10.0),
+      (None, 2020, 20.0),
+      (Some("a"), 2020, 100.0))
+      .toDF("k1", "k2", "v")
+    def arm(p: Option[org.apache.spark.sql.Column], n: String) = {
+      val base = p.fold(df)(df.filter)
+      base.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as(n))
+    }
+    val viaJoin = Kpis.fullOuterOfAggs(Seq("k1", "k2"),
+      Seq(arm(None, "n_all"), arm(Some(col("v") > 50.0), "n_big")))
+    val viaOnePass = Kpis.fullOuterOfAggsOnePass(df, Seq(col("k1"), col("k2")),
+      Seq(Kpis.AggArm(None, "n_all", Nil),
+        Kpis.AggArm(Some(col("v") > 50.0), "n_big", Nil)))
+    assert(viaJoin.filter(col("k1").isNull).count() == 1) // arm2 empty there
+    assert(viaOnePass.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaOnePass).isEmpty)
   }
 
   test("fullOuterOfAggsOnePass drops groups matched by no arm (all arms filtered)") {
