@@ -211,6 +211,46 @@ object ReferenceQueries {
     FULL OUTER JOIN d USING (rflag, lstatus, linenum, ship_year, ship_month)
     FULL OUTER JOIN b USING (rflag, lstatus, linenum, ship_year, ship_month)"""))
 
+  /** J5 with a NULLABLE grouping key — the regime of the reference's
+    * kpi_neighbourhood_month_raw / kpi_property_type views, whose keys
+    * come uncoalesced from the raw scrape (populate.py:628–743,
+    * 747–880). SQL join equality never matches NULL, so the literal
+    * FULL OUTER JOIN emits one row PER MATCHED ARM for a NULL-keyed
+    * group; the one-pass rewrite reproduces that split post-aggregation
+    * (Kpis.fullOuterOfAggsOnePassArms). The oracle is the literal join
+    * SQL in DuckDB — an independent engine pins the semantics.
+    * nullif() manufactures a fat NULL group from a non-null column. */
+  private val q_j5c_null_key_split = Q(
+    "q_j5c_null_key_split",
+    (s, d) => Kpis.fullOuterOfAggsOnePass(
+      Tables.customer(s, d),
+      Seq(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+        col("c_nationkey").as("nation_key")),
+      Seq(
+        Kpis.AggArm(None, "ct_total",
+          Seq("bal_total" -> col("c_acctbal"))),
+        Kpis.AggArm(Some(col("c_acctbal") > 0.0), "ct_pos",
+          Seq("bal_pos" -> col("c_acctbal"))),
+        // sparse arm: most (seg, nation) groups have no such customer
+        Kpis.AggArm(Some(col("c_acctbal") > 9900.0), "ct_rich",
+          Seq("bal_rich" -> col("c_acctbal"))))),
+    Some(s"""WITH base AS (
+      SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+        c_nationkey AS nation_key, c_acctbal
+      FROM customer),
+    t AS (SELECT seg, nation_key, COUNT(*) AS ct_total,
+            ${Exact.sumMoneySql("c_acctbal")} AS bal_total
+          FROM base GROUP BY 1,2),
+    p AS (SELECT seg, nation_key, COUNT(*) AS ct_pos,
+            ${Exact.sumMoneySql("c_acctbal")} AS bal_pos
+          FROM base WHERE c_acctbal > CAST(0.0 AS DOUBLE) GROUP BY 1,2),
+    r AS (SELECT seg, nation_key, COUNT(*) AS ct_rich,
+            ${Exact.sumMoneySql("c_acctbal")} AS bal_rich
+          FROM base WHERE c_acctbal > CAST(9900.0 AS DOUBLE) GROUP BY 1,2)
+    SELECT * FROM t
+    FULL OUTER JOIN p USING (seg, nation_key)
+    FULL OUTER JOIN r USING (seg, nation_key)"""))
+
   /** W2: global ROW_NUMBER best/worst pick (adhoc.sql:17–23) — the single
     * best and worst order by totalprice, unique tiebreak on key. Runs as
     * Kpis.globalBestWorst (TakeOrderedAndProject + one rank-count pass)
@@ -758,6 +798,7 @@ object ReferenceQueries {
     q_p9_qualify_dedup,
     q_j5_kpi_4way,
     q_j5b_kpi2_5key,
+    q_j5c_null_key_split,
     q_w2_best_worst,
     q_j7_top5_restrict,
     q_f_scalar_suite,
