@@ -108,6 +108,29 @@ object TextOps {
       .drop(toks, dtoks)
   }
 
+  /** PII scrubbing patterns — written in the regex subset Java
+    * (Spark) and RE2 (DuckDB) evaluate identically: plain character
+    * classes and counted quantifiers, no backreferences/lookaround —
+    * so redaction is oracle-checkable cross-engine. */
+  private[ops] val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val phonePattern = "\\+?[0-9][0-9 ()./-]{6,}[0-9]"
+
+  /** PII redaction for training text: replaces every email address,
+    * then every phone-number-shaped digit run, with typed placeholder
+    * tokens. Email first — its local part may contain digit runs that
+    * the looser phone pattern would otherwise split. Pure per-row
+    * expression: no shuffle, stays in whole-stage codegen. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  /** DuckDB SQL computing exactly [[redactPii]] of `textExpr`
+    * (DuckDB needs the explicit 'g' flag to replace all matches). */
+  def redactPiiSql(textExpr: String): String =
+    s"regexp_replace(regexp_replace($textExpr, '$emailPattern', '[EMAIL]', 'g'), " +
+      s"'$phonePattern', '[PHONE]', 'g')"
+
   /** Winnowing document fingerprints (rolling-hash): hash every k-byte
     * gram of the text, then keep the minimum hash of each sliding window
     * of `w` consecutive gram hashes (Schleimer et al., SIGMOD'03

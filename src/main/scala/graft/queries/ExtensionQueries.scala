@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Extension tier (BASELINE.json north star): the LLM-training-data
   * operators beyond the reference's own surface — dedup, similarity
@@ -285,6 +285,46 @@ object ExtensionQueries {
            ELSE 'fr' END AS lang_pred
     FROM s"""))
 
+  /** Deterministic train/val/test split + hash-Bernoulli sampling over
+    * the corpus (graft.ops.Sampling): assignment is a pure expression
+    * of the doc key — reproducible across engines/runs/layout, no RNG —
+    * and the ORACLE RECOMPUTES THE HASH ITSELF (DuckDB md5_number_lower
+    * == our md5-hex byte-reverse), pinning every row's split membership
+    * and sample bit, not just the split sizes. */
+  private val x_split_sample = Q(
+    "x_split_sample",
+    (s, d) => {
+      val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Sampling.splitLabel(col("doc_id"), splits).as("split"),
+          Sampling.hashSamplePredicate(col("doc_id"), 100).as("in_10pct_sample"))
+    },
+    Some(s"""SELECT doc_id,
+      ${Sampling.splitLabelSql("doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))} AS split,
+      ${Sampling.hashSamplePredicateSql("doc_id", 100)} AS in_10pct_sample
+    FROM documents"""))
+
+  /** PII redaction (TextOps.redactPii): emails then phone-shaped digit
+    * runs replaced with typed placeholders. The synthetic corpus has no
+    * PII, so each row gets a deterministic contact line appended before
+    * redaction — every row exercises both patterns, and the oracle runs
+    * the identical construction + regexes in DuckDB. */
+  private val x_text_redact = Q(
+    "x_text_redact",
+    (s, d) => {
+      val withPii = concat(col("text"),
+        lit(" Contact: user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+        lpad(col("doc_id") % 10000, 4, "0"), lit("."))
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.redactPii(withPii).as("clean_text"))
+    },
+    Some(s"""SELECT doc_id,
+      ${TextOps.redactPiiSql(
+        "concat(text, ' Contact: user', doc_id, '@example.com or +1 (555) 010-', " +
+          "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '.')")} AS clean_text
+    FROM documents WHERE text IS NOT NULL"""))
+
   /** Winnowing rolling-hash fingerprints (xxhash64 — no oracle; scheme
     * checked in TextOpsSpec). Output: per-doc fingerprint count. */
   private val x_text_fingerprint = Q(
@@ -406,6 +446,8 @@ object ExtensionQueries {
     x_text_stats,
     x_text_langid,
     x_text_fingerprint,
+    x_text_redact,
+    x_split_sample,
     x_multimodal_features,
     x_multimodal_resize_frames,
     x_events_hourly,

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = (1L to 2000L).toDF("k")
+
+  test("hashValue: 56-bit non-negative, stable, spread") {
+    val vals = keys.select(Sampling.hashValue($"k").as("h"))
+    val (mn, mx) = vals.agg(min("h"), max("h")).as[(Long, Long)].head()
+    assert(mn >= 0L && mx < (1L << 56))
+    // deterministic: recomputation yields identical assignment
+    val again = keys.select(Sampling.hashValue($"k").as("h"))
+    assert(vals.exceptAll(again).isEmpty)
+    // actually spreads: 2000 keys -> ~2000 distinct hashes
+    assert(vals.distinct().count() == 2000)
+  }
+
+  test("splitLabel: total partition, stable under repartition, duplicate keys co-assigned") {
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val labeled = keys.select($"k", Sampling.splitLabel($"k", splits).as("s"))
+    assert(labeled.filter($"s".isNull).count() == 0)
+    val counts = labeled.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // ~80/10/10 at n=2000 (hash-uniform; generous tolerance)
+    assert(counts("train") > 1450 && counts("train") < 1750, counts.toString)
+    assert(counts("val") > 100 && counts("test") > 100, counts.toString)
+    // layout-independence: a different partitioning assigns identically
+    val relabeled = keys.repartition(7)
+      .select($"k", Sampling.splitLabel($"k", splits).as("s"))
+    assert(labeled.exceptAll(relabeled).isEmpty)
+    // duplicate keys always land together (no train/test leakage)
+    val dup = keys.union(keys)
+      .select($"k", Sampling.splitLabel($"k", splits).as("s"))
+      .groupBy("k").agg(countDistinct("s").as("n"))
+    assert(dup.filter($"n" =!= 1).count() == 0)
+  }
+
+  test("splitLabel rejects percents not summing to 100") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitLabel(lit(1L), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("hashSamplePredicate: 0 keeps nothing, 1000 keeps all, rate ~ permille") {
+    assert(keys.filter(Sampling.hashSamplePredicate($"k", 0)).count() == 0)
+    assert(keys.filter(Sampling.hashSamplePredicate($"k", 1000)).count() == 2000)
+    val n100 = keys.filter(Sampling.hashSamplePredicate($"k", 100)).count()
+    assert(n100 > 130 && n100 < 270, s"10% of 2000 ~ 200, got $n100")
+    // nested property: a 5% sample is a subset of the 10% sample —
+    // the hash-threshold design's headline guarantee
+    val s50 = keys.filter(Sampling.hashSamplePredicate($"k", 50))
+    val s100 = keys.filter(Sampling.hashSamplePredicate($"k", 100))
+    assert(s50.exceptAll(s100).isEmpty)
+  }
+
+  test("splitLabelSql/hashValueSql mirror the Column forms (DuckDB parity is oracle-checked)") {
+    // the SQL builders are string templates; sanity-pin their shape so a
+    // refactor can't silently drop the modulus or the CASE order
+    val sql = Sampling.splitLabelSql("doc_id", Seq("train" -> 80, "test" -> 20))
+    assert(sql.contains("md5_number_lower") && sql.contains("% 72057594037927936"))
+    assert(sql.indexOf("train") < sql.indexOf("test"))
+  }
+}

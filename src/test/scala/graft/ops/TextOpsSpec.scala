@@ -66,4 +66,20 @@ class TextOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     assert(stagedStats.exceptAll(inlineStats).isEmpty && inlineStats.exceptAll(stagedStats).isEmpty)
   }
+
+  test("redactPii: emails and phone shapes out, ordinary digits and text kept") {
+    val rows = Seq(
+      "write to jane.doe+spam@mail.example.org today",
+      "call +1 (555) 010-1234 or 555 010 9876 now",
+      "emails like a@b.io inside, phone 02 9374 4000.",
+      "year 2024 price $1,299 room 42 stay intact",
+      "")
+      .toDF("t")
+      .select(TextOps.redactPii(col("t")).as("r")).as[String].collect()
+    assert(rows(0) == "write to [EMAIL] today")
+    assert(rows(1) == "call [PHONE] or [PHONE] now")
+    assert(rows(2) == "emails like [EMAIL] inside, phone [PHONE].")
+    assert(rows(3) == "year 2024 price $1,299 room 42 stay intact")
+    assert(rows(4) == "")
+  }
 }
