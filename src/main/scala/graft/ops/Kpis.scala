@@ -16,13 +16,18 @@ object Kpis {
     * "Previous row", not "previous calendar month": gaps are NOT filled,
     * matching the reference exactly (SURVEY §7.5.3).
     *
-    * Inputs must already be one row per (partCols, orderCols) — i.e. an
-    * aggregated series — so the window shuffle is on the small
-    * aggregated data, not the fact table.
-    */
+    * Inputs should be one row per (partCols, orderCols) — an aggregated
+    * series — so the window shuffle is on the small aggregated data,
+    * not the fact table. Where ties DO occur (the per-arm split rows of
+    * a NULL-keyed KPI group share their month), pass `tieBreak` columns
+    * that totally order them: LAG over tied rows is nondeterministic in
+    * any engine (the reference's included), and a fixed tiebreak
+    * refines that into a reproducible output. */
   def lagPctChange(df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
-                   metric: String, as: String): DataFrame = {
-    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
+                   metric: String, as: String,
+                   tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col) ++ tieBreak: _*)
     val prev = lag(col(metric), 1).over(w)
     // (cur - prev) / prev * 100 in double, identical expression shape to
     // the oracle SQL so the FP result is bit-identical.

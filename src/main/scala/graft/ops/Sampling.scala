@@ -29,8 +29,13 @@ object Sampling {
   private val leByteOffsets = Seq(29, 27, 25, 23, 21, 19, 17)
 
   /** 56-bit deterministic hash of `key` in [0, 2^56): equals
-    * `md5_number_lower(key) % 2^56` in DuckDB. Keys are hashed via
-    * their canonical string form. */
+    * `md5_number_lower(key) % 2^56` in DuckDB. NULL key → NULL hash.
+    *
+    * Keys are hashed via their string form, so cross-engine parity
+    * holds only for types whose rendering is canonical in both engines:
+    * strings and integral types. Float/decimal/timestamp keys render
+    * engine-specifically (Spark "1.0E10" vs DuckDB "10000000000.0") —
+    * cast such keys to string yourself, canonically, first. */
   def hashValue(key: Column): Column = {
     val hex = md5(key.cast("string").cast("binary"))
     val le = concat(leByteOffsets.map(i => substring(hex, i, 2)): _*)
@@ -52,41 +57,59 @@ object Sampling {
   def hashBucketSql(keyExpr: String, buckets: Int): String =
     s"${hashValueSql(keyExpr)} % $buckets"
 
+  private def validateSplits(splits: Seq[(String, Int)]): Unit = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must be positive")
+    require(splits.map(_._2).sum == 100, "split percents must sum to 100")
+  }
+
+  /** Bucket-to-label table: label of every bucket in [0, 100). */
+  private def bucketLabels(splits: Seq[(String, Int)]): Seq[String] =
+    splits.flatMap { case (label, pct) => Seq.fill(pct)(label) }
+
   /** Train/val/test-style split assignment: `splits` maps label →
     * integer percent (must sum to 100). A row's label is determined
     * solely by its key's hash bucket in [0,100), so membership is
     * stable under reruns, engines and data layout, and rows with equal
     * keys always land in the same split (the property that prevents
-    * test-set leakage between duplicate documents). */
+    * test-set leakage between duplicate documents).
+    *
+    * NULL keys get a NULL label (not a silent slot in the last split) —
+    * a null-keyed row has no stable identity to assign; coalesce keys
+    * first if they should participate. Implemented as ONE hash + a
+    * 100-entry array lookup, not a when-chain: Catalyst's subexpression
+    * elimination does not reach through conditional when-chains, which
+    * would re-evaluate the md5 pipeline once per split. */
   def splitLabel(key: Column, splits: Seq[(String, Int)]): Column = {
-    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must be positive")
-    require(splits.map(_._2).sum == 100, "split percents must sum to 100")
-    val bucket = hashBucket(key, 100)
-    val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
-    splits.zip(cuts).init.foldRight(lit(splits.last._1): Column) {
-      case (((label, _), upper), acc) => when(bucket < upper, lit(label)).otherwise(acc)
-    }
+    validateSplits(splits)
+    // element_at is 1-based; NULL bucket (null key) → NULL label
+    element_at(typedlit(bucketLabels(splits)), (hashBucket(key, 100) + 1).cast("int"))
   }
 
-  /** DuckDB CASE expression equal to [[splitLabel]]. */
+  /** DuckDB CASE expression equal to [[splitLabel]], NULL-key → NULL
+    * included. (The oracle's per-branch bucket recomputation is
+    * semantically identical; single-evaluation only matters Spark-side.) */
   def splitLabelSql(keyExpr: String, splits: Seq[(String, Int)]): String = {
+    validateSplits(splits)
     val bucket = hashBucketSql(keyExpr, 100)
     val cuts = splits.scanLeft(0)(_ + _._2).tail
     val whens = splits.zip(cuts).init
       .map { case ((label, _), upper) => s"WHEN $bucket < $upper THEN '$label'" }
-    s"CASE ${whens.mkString(" ")} ELSE '${splits.last._1}' END"
+    (s"CASE WHEN $keyExpr IS NULL THEN NULL ${whens.mkString(" ")} " +
+      s"ELSE '${splits.last._1}' END")
   }
 
   /** Deterministic Bernoulli sample: keeps a row iff its key hashes
     * under `permille`/1000. The scalable replacement for
     * `df.sample(f)`: no RNG, no partitioning sensitivity, and the SAME
     * rows are kept on every engine and every run — so a 10‰ debug
-    * sample drawn next month overlaps this month's exactly. */
+    * sample drawn next month overlaps this month's exactly, and a
+    * smaller rate's sample is a subset of a larger's. NULL keys are
+    * never sampled (predicate is false, not null, for them). */
   def hashSamplePredicate(key: Column, permille: Int): Column = {
     require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
-    hashBucket(key, 1000) < permille
+    coalesce(hashBucket(key, 1000) < permille, lit(false))
   }
 
   def hashSamplePredicateSql(keyExpr: String, permille: Int): String =
-    s"${hashBucketSql(keyExpr, 1000)} < $permille"
+    s"coalesce(${hashBucketSql(keyExpr, 1000)} < $permille, false)"
 }

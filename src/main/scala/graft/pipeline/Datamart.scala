@@ -67,10 +67,17 @@ object Datamart {
     val withRates = joined
       .withColumn("active_rate",
         round(col("n_active").cast("double") / col("n_listings").cast("double") * 100.0, 2))
+      // n_hosts is 0 (not null) when a non-empty group has only NULL
+      // host_ids — guard the 0/0 (verify skill: ANSI division)
       .withColumn("superhost_rate",
-        round(col("n_superhosts").cast("double") / col("n_hosts").cast("double") * 100.0, 2))
+        when(col("n_hosts") === 0, lit(null)).otherwise(
+          round(col("n_superhosts").cast("double") / col("n_hosts").cast("double") * 100.0, 2)))
+    // tiebreak: per-arm split rows of a NULL-keyed area share their
+    // month; their distinct null patterns across the metric columns
+    // totally order them → deterministic LAG (see Kpis.lagPctChange)
     Kpis.lagPctChange(withRates, Seq("area"), Seq("file_year", "file_month"),
-      "n_active", "pct_change_active")
+      "n_active", "pct_change_active",
+      tieBreak = Seq("n_listings", "n_active", "n_superhosts", "n_inactive").map(col))
   }
 
   /** KPI 2 (populate.py:747–880): per (property_type, room_type,
@@ -98,7 +105,8 @@ object Datamart {
           "n_inactive" -> count(m(lit(1)))),
           zeroWhenEmpty = Set("n_inactive"))))
     Kpis.lagPctChange(joined, keys.take(3), Seq("file_year", "file_month"),
-      "n_active", "pct_change_active")
+      "n_active", "pct_change_active",
+      tieBreak = Seq("n_listings", "n_active", "n_inactive").map(col))
   }
 
   /** KPI 3 (populate.py:886–925): host-side monthly rollup per

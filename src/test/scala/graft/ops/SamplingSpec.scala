@@ -40,10 +40,47 @@ class SamplingSpec extends SparkSpec {
     assert(dup.filter($"n" =!= 1).count() == 0)
   }
 
-  test("splitLabel rejects percents not summing to 100") {
+  test("splitLabel/splitLabelSql reject percents not summing to 100") {
     intercept[IllegalArgumentException] {
       Sampling.splitLabel(lit(1L), Seq("a" -> 50, "b" -> 40))
     }
+    intercept[IllegalArgumentException] {
+      Sampling.splitLabelSql("k", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("NULL keys: NULL split label, never sampled (false, not null)") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("k")
+    val labeled = df.select($"k",
+      Sampling.splitLabel($"k", Seq("train" -> 80, "test" -> 20)).as("s"),
+      Sampling.hashSamplePredicate($"k", 1000).as("p"))
+    assert(labeled.filter($"k".isNull && $"s".isNull).count() == 1)
+    assert(labeled.filter($"k".isNotNull && $"s".isNull).count() == 0)
+    // predicate is FALSE for null keys — so e.g. NOT predicate keeps them
+    assert(labeled.filter($"k".isNull && !$"p").count() == 1)
+  }
+
+  test("single-split degenerate case: everything labeled, SQL stays parseable") {
+    val df = Seq(1L, 2L).toDF("k")
+    val out = df.select(Sampling.splitLabel($"k", Seq("all" -> 100)).as("s"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("all", "all"))
+    val sql = Sampling.splitLabelSql("k", Seq("all" -> 100))
+    assert(sql.contains("IS NULL THEN NULL") && sql.contains("ELSE 'all' END"))
+  }
+
+  test("splitLabel is an array lookup, not a per-branch when-chain") {
+    // CSE does not reach through conditional when-chains (the TextOps
+    // staging lesson) — so the label must come from ONE unconditional
+    // bucket expression + element_at, where codegen subexpression
+    // elimination applies, never from a CASE over per-branch hashes.
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold a
+    // literal input away and leave no expressions to inspect.
+    val plan = spark.range(100).select(Sampling.splitLabel($"id",
+      Seq("a" -> 50, "b" -> 30, "c" -> 20)).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("element_at"), s"expected element_at lookup:\n$plan")
+    assert(!plan.contains("CASE WHEN"), s"unexpected when-chain:\n$plan")
   }
 
   test("hashSamplePredicate: 0 keeps nothing, 1000 keeps all, rate ~ permille") {

@@ -79,6 +79,41 @@ class PipelineSpec extends SparkSpec {
     assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
   }
 
+  test("KPI rate guard: all-NULL host_id group yields NULL superhost_rate, no ANSI 0/0") {
+    val fact = Seq(
+      // one (area, month) group: rows exist, every host_id NULL ->
+      // n_hosts = countDistinct = 0 while n_superhosts arm matches
+      ("SYDNEY", 2020, 6, Option.empty[Long], 100.0, "t", "t", 10),
+      ("SYDNEY", 2020, 6, Option.empty[Long], 120.0, "t", "f", 10))
+      .toDF("neighbourhood_lga", "file_year", "file_month", "host_id",
+        "price", "has_availability", "host_is_superhost", "availability_30")
+    val out = Datamart.kpiNeighbourhoodMonth(fact, "neighbourhood_lga").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Any]("superhost_rate") == null)
+    assert(out.head.getAs[Double]("active_rate") == 100.0)
+  }
+
+  test("NULL-keyed KPI months: per-arm split rows get a DETERMINISTIC lag order") {
+    // raw view regime: NULL area, two arms matched per month -> two rows
+    // per month sharing the lag window's (partition, order) tuple; the
+    // tiebreak makes pct_change_active reproducible under any layout
+    val fact = Seq(
+      (Option.empty[String], 2020, 6, Some(1L), 100.0, "t", "f", 10),
+      (Option.empty[String], 2020, 6, Some(2L), 90.0, "f", "f", 10),
+      (Option.empty[String], 2020, 7, Some(3L), 80.0, "t", "f", 10),
+      (Option.empty[String], 2020, 7, Some(4L), 70.0, "f", "f", 10))
+      .toDF("neighbourhood_cleansed", "file_year", "file_month", "host_id",
+        "price", "has_availability", "host_is_superhost", "availability_30")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Datamart.kpiNeighbourhoodMonth(df, "neighbourhood_cleansed")
+        .orderBy("file_year", "file_month", "n_listings", "n_active", "n_inactive")
+        .collect().toSeq
+    val a = run(fact)
+    val b = run(fact.repartition(5))
+    assert(a == b)
+    assert(a.length == 6) // 2 months x 3 matched arms (no superhosts)
+  }
+
   test("fact_listing: colliding cleaned LGA names resolve to ONE code — no row fanout") {
     // two location rows whose lga_name cleans identically but with
     // different codes: a pair-distinct name->code dim would fan out
