@@ -55,6 +55,22 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("approx_users"))
 
+  /** Streaming exact dedup: at-least-once sources (file redelivery,
+    * replayed drops) collapse to exactly-one-row-per-event downstream.
+    * `dropDuplicatesWithinWatermark` keys state by `idCols` only and
+    * EVICTS each key once the watermark passes the event time it was
+    * first seen with + delay — so the dedup state store is bounded by
+    * the watermark horizon instead of growing with all-time key
+    * cardinality; the streaming counterpart of the batch
+    * Dedup.collapseExact. Duplicates arriving within the watermark
+    * delay are suppressed; ones later than that are late data, already
+    * outside the pipeline's correctness contract. */
+  def dedupEvents(events: DataFrame, delay: String = "2 hours",
+                  idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long,

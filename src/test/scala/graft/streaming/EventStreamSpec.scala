@@ -35,6 +35,27 @@ class EventStreamSpec extends SparkSpec {
     assert(got == Set(("00", "click", 2L), ("01", "view", 1L)))
   }
 
+  test("streaming dedup suppresses redelivered events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.dedupEvents(events).writeStream
+      .format("memory")
+      .queryName("dedup_test")
+      .outputMode("append")
+      .start()
+    def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+    input.addData((1L, ts(0), 1L), (1L, ts(0), 1L), (2L, ts(1), 2L))
+    q.processAllAvailable()
+    // event 1 redelivered in a LATER micro-batch — state must remember it
+    input.addData((1L, ts(2), 1L), (3L, ts(3), 3L))
+    q.processAllAvailable()
+    val got = spark.table("dedup_test").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
