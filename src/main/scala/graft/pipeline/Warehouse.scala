@@ -21,11 +21,24 @@ object Warehouse {
     * (file_year, file_month) — the fact's natural monthly-snapshot grain
     * (PK (id, filename), design.sql:413). Month-scoped reads then prune
     * at the PLANNER (PartitionFilters), so a single-month KPI refresh
-    * touches 1/Nth of a 100 TB fact instead of scanning it. */
-  def writeFact(fact: DataFrame, path: String): Unit =
-    fact.write.mode("overwrite")
+    * touches 1/Nth of a 100 TB fact instead of scanning it.
+    *
+    * Output-file control: a naive partitionBy write emits one file per
+    * (task × month) — with 1000 upstream tasks × 12 months that is the
+    * classic small-files explosion. Clustering by (month, salt) first
+    * bounds output at `filesPerMonth` files per partition directory
+    * (each salt tuple lands in exactly one shuffle task); salt by the
+    * listing id's hash so files stay balanced within a month. Size
+    * filesPerMonth ≈ month bytes / target file size (~128–512 MB). */
+  def writeFact(fact: DataFrame, path: String, filesPerMonth: Int = 1): Unit = {
+    require(filesPerMonth > 0, "filesPerMonth must be positive")
+    fact
+      .repartition(col("file_year"), col("file_month"),
+        pmod(hash(col("id")), lit(filesPerMonth)))
+      .write.mode("overwrite")
       .partitionBy("file_year", "file_month")
       .parquet(path)
+  }
 
   def readFact(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

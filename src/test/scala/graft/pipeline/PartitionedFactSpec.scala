@@ -37,4 +37,24 @@ class PartitionedFactSpec extends SparkSpec {
     assert(scanned.nonEmpty &&
       scanned.forall(f => f.contains("file_year=2021") && f.contains("file_month=1")))
   }
+
+  test("writeFact bounds output files per month partition (no small-files explosion)") {
+    val fixtures = Files.createTempDirectory("pf_fixtures2")
+    Fixtures.writeAll(fixtures)
+    val t = AirbnbPipeline.run(spark, fixtures.toString)
+
+    // write from a deliberately over-parallel upstream (32 tasks would
+    // naively emit up to 32 files per month dir); clustering must cap it
+    val out = Files.createTempDirectory("pf_files").toString + "/fact"
+    Warehouse.writeFact(t.factListing.repartition(32), out, filesPerMonth = 2)
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    for (y <- dirs; m <- y.listFiles().filter(_.isDirectory)) {
+      val files = m.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= 2, s"${m.getPath}: ${files.length} files")
+    }
+    // and the write is lossless
+    assert(Warehouse.readFact(spark, out).count() == t.factListing.count())
+  }
 }
