@@ -88,6 +88,30 @@ object Dedup {
       .select(outNames.map(n => col(s"__r.$n").as(n)) :+ col("n_copies"): _*)
   }
 
+  /** Benchmark decontamination: drop every training row whose
+    * normalized text digest appears in `eval` — the step that keeps
+    * eval/benchmark content out of a training corpus even when the
+    * duplicated copies carry different ids or metadata.
+    *
+    * Content-level (digest) matching, not key-level: the leak to
+    * prevent is the same TEXT arriving through a different source.
+    * LEFT ANTI join on the 128-bit digest: eval digests are one narrow
+    * column, the join shuffles digests rather than documents, and AQE
+    * broadcasts the eval side when it fits. Pair with
+    * [[graft.ops.Sampling.splitLabel]] for the split itself — its
+    * same-key-same-split guarantee handles exact-duplicate KEYS, this
+    * handles duplicate CONTENT across keys. Near-dup-level
+    * decontamination = run [[minhashLshPairs]] between the sets
+    * instead. */
+  def decontaminate(train: DataFrame, trainText: Column,
+                    eval: DataFrame, evalText: Column): DataFrame = {
+    val dig = "__contam_digest"
+    val evalDigests = eval.select(md5(lower(trim(evalText))).as(dig)).distinct()
+    train.withColumn(dig, md5(lower(trim(trainText))))
+      .join(evalDigests, Seq(dig), "left_anti")
+      .drop(dig)
+  }
+
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Exact within-block Jaccard near-duplicate pairs over a

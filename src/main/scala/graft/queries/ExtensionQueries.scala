@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** Extension tier (BASELINE.json north star): the LLM-training-data
   * operators beyond the reference's own surface — dedup, similarity
@@ -325,6 +325,57 @@ object ExtensionQueries {
           "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '.')")} AS clean_text
     FROM documents WHERE text IS NOT NULL"""))
 
+  /** Sequence packing (Packing.packSequences): greedy token-budget
+    * binning into training sequences — sharded for parallelism, window
+    * cumsum within shards, bin cut when the budget line is crossed.
+    * Pure window SQL, so DuckDB recomputes the identical (shard, bin)
+    * assignment per document. */
+  private val x_pack_sequences = Q(
+    "x_pack_sequences", {
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(split(lower(col("text")), " ")).as("n_tokens"))
+        Packing.packSequences(docs, col("doc_id"), col("n_tokens"),
+          maxTokens = 512, shards = 8)
+      }
+    }, {
+      val (shardSql, binSql) =
+        Packing.packSequencesSql("doc_id", "n_tokens", maxTokens = 512, shards = 8)
+      Some(s"""WITH t AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, n_tokens,
+        $shardSql AS pack_shard,
+        $binSql AS pack_bin
+      FROM t""")
+    })
+
+  /** Benchmark decontamination (Dedup.decontaminate ∘ Sampling): carve
+    * a deterministic 5% eval split, then ANTI-join the remaining
+    * training rows against the eval set's CONTENT digests — rows whose
+    * text also appears in eval are dropped even under different ids.
+    * The oracle recomputes split membership AND digest overlap. */
+  private val x_decontaminate = Q(
+    "x_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val inEval = Sampling.hashSamplePredicate(col("doc_id"), 50)
+      Dedup.decontaminate(
+        docs.filter(!inEval).select(col("doc_id"), col("lang"), col("text")),
+        col("text"),
+        docs.filter(inEval), col("text"))
+        .select(col("doc_id"), col("lang"))
+    },
+    Some(s"""WITH docs AS (
+      SELECT doc_id, lang, text, md5(lower(trim(text))) AS dig
+      FROM documents WHERE text IS NOT NULL),
+    ev AS (SELECT DISTINCT dig FROM docs
+           WHERE ${Sampling.hashSamplePredicateSql("doc_id", 50)})
+    SELECT doc_id, lang FROM docs
+    WHERE NOT ${Sampling.hashSamplePredicateSql("doc_id", 50)}
+      AND dig NOT IN (SELECT dig FROM ev)"""))
+
   /** Winnowing rolling-hash fingerprints (xxhash64 — no oracle; scheme
     * checked in TextOpsSpec). Output: per-doc fingerprint count. */
   private val x_text_fingerprint = Q(
@@ -448,6 +499,8 @@ object ExtensionQueries {
     x_text_fingerprint,
     x_text_redact,
     x_split_sample,
+    x_pack_sequences,
+    x_decontaminate,
     x_multimodal_features,
     x_multimodal_resize_frames,
     x_events_hourly,
