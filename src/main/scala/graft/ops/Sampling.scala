@@ -112,4 +112,104 @@ object Sampling {
 
   def hashSamplePredicateSql(keyExpr: String, permille: Int): String =
     s"coalesce(${hashBucketSql(keyExpr, 1000)} < $permille, false)"
+
+  // ------------------------------------------------- corpus mixture ops
+
+  private def validateRates(rates: Seq[(String, Int)]): Unit =
+    require(rates.forall { case (_, p) => p >= 0 && p <= 1000 },
+      "rates are permille in [0, 1000]")
+
+  /** Per-domain sampling: keep a row iff its key hashes under its
+    * domain's permille rate — the downsampling half of corpus mixture
+    * control ("keep 30% of crawl, all of reference text"). Domains
+    * absent from `rates` (and NULL domains) use `defaultPermille`;
+    * NULL keys are never kept. Same hash as [[hashSamplePredicate]],
+    * so a domain at rate r keeps exactly the rows a flat r‰ sample
+    * keeps — rates can be tuned per-domain without reshuffling which
+    * rows survive. */
+  def mixtureSamplePredicate(key: Column, domain: Column,
+                             rates: Seq[(String, Int)],
+                             defaultPermille: Int = 1000): Column = {
+    validateRates(rates :+ ("", defaultPermille))
+    val rate =
+      if (rates.isEmpty) lit(defaultPermille)
+      else coalesce(element_at(typedlit(rates.toMap), domain), lit(defaultPermille))
+    coalesce(hashBucket(key, 1000) < rate, lit(false))
+  }
+
+  /** DuckDB predicate equal to [[mixtureSamplePredicate]]. */
+  def mixtureSamplePredicateSql(keyExpr: String, domainExpr: String,
+                                rates: Seq[(String, Int)],
+                                defaultPermille: Int = 1000): String = {
+    val whens = rates
+      .map { case (d, p) => s"WHEN $domainExpr = '${d.replace("'", "''")}' THEN $p" }
+      .mkString(" ")
+    val rate = if (rates.isEmpty) s"$defaultPermille"
+               else s"CASE $whens ELSE $defaultPermille END"
+    s"coalesce(${hashBucketSql(keyExpr, 1000)} < $rate, false)"
+  }
+
+  /** Distinct salt for the fractional-repeat coin flip, so it is
+    * independent of the sample/split assignment of the same key. */
+  private def repSalted(key: Column): Column =
+    concat(key.cast("string"), lit("|rep")) // concat (not concat_ws): NULL key stays NULL
+  private def repSaltedSql(keyExpr: String): String =
+    s"(CAST($keyExpr AS VARCHAR) || '|rep')"
+
+  /** Number of copies of a row under fractional per-domain repetition
+    * weights (milli-precision): weight 2.3 → 2 copies always, a 3rd
+    * for the 30% of keys whose salted hash falls under the fraction.
+    * In expectation every domain contributes weight × its rows, and
+    * the realized count is deterministic per key. NULL keys never get
+    * the fractional extra (no stable coin to flip). */
+  private def repeatCopies(key: Column, domain: Column,
+                           milliWeights: Map[String, Int],
+                           defaultMilli: Int): Column = {
+    val wm =
+      if (milliWeights.isEmpty) lit(defaultMilli)
+      else coalesce(element_at(typedlit(milliWeights), domain), lit(defaultMilli))
+    val extra = when(hashBucket(repSalted(key), 1000) < wm % 1000, 1).otherwise(0)
+    ((wm / 1000).cast("int") + extra).as("n_copies")
+  }
+
+  /** Weighted corpus repetition — the upsampling half of mixture
+    * control ("2.5 epochs of curated text, 0.4 of crawl"). Emits each
+    * row `floor(w)` or `ceil(w)` times (per-key deterministic coin on
+    * the fractional part; weight 0 drops, weight 1 is identity) with a
+    * 0-based copy index in `outRep`, so downstream shuffles/packing can
+    * treat copies as distinct rows. Weights have millesimal precision
+    * and must be in [0, 1000]. The explode is per-row with no shuffle
+    * and no driver state — the 100 TB shape.
+    *
+    * Pair with [[mixtureSamplePredicate]] when sub-1 weights should
+    * instead SELECT a subset (stable sample) rather than flip per-key
+    * coins independent of the sample hash. */
+  def repeatWeighted(df: org.apache.spark.sql.DataFrame, key: Column, domain: Column,
+                     weights: Seq[(String, Double)], defaultWeight: Double = 1.0,
+                     outRep: String = "rep"): org.apache.spark.sql.DataFrame = {
+    def milli(w: Double): Int = {
+      require(w >= 0 && w <= 1000, s"weight out of [0, 1000]: $w")
+      math.round(w * 1000).toInt
+    }
+    val n = repeatCopies(key, domain, weights.map { case (d, w) => d -> milli(w) }.toMap,
+      milli(defaultWeight))
+    df.select(col("*"), posexplode(array_repeat(lit(true), n)))
+      .withColumnRenamed("pos", outRep)
+      .drop("col")
+  }
+
+  /** DuckDB expression equal to [[repeatWeighted]]'s copy count; the
+    * oracle explodes it with `unnest(generate_series(1, n)) - 1`. */
+  def repeatCopiesSql(keyExpr: String, domainExpr: String,
+                      weights: Seq[(String, Double)],
+                      defaultWeight: Double = 1.0): String = {
+    def milli(w: Double): Int = math.round(w * 1000).toInt
+    val whens = weights
+      .map { case (d, w) => s"WHEN $domainExpr = '${d.replace("'", "''")}' THEN ${milli(w)}" }
+      .mkString(" ")
+    val wm = if (weights.isEmpty) s"${milli(defaultWeight)}"
+             else s"CASE $whens ELSE ${milli(defaultWeight)} END"
+    s"(($wm) // 1000 + CASE WHEN coalesce(${hashBucketSql(repSaltedSql(keyExpr), 1000)} " +
+      s"< ($wm) % 1000, false) THEN 1 ELSE 0 END)"
+  }
 }

@@ -305,6 +305,34 @@ object ExtensionQueries {
       ${Sampling.hashSamplePredicateSql("doc_id", 100)} AS in_10pct_sample
     FROM documents"""))
 
+  /** Corpus mixture control (Sampling): language-balanced remix of the
+    * documents table — downsample dominant `en` to 40% via the per-domain
+    * hash predicate, then fractional repetition weights (de×2.5, zh×0.4)
+    * emit floor/ceil copies per key with a 0-based `rep` index. Both
+    * halves are pure hash expressions, recomputed exactly by DuckDB. */
+  private val x_mixture_weighted = Q(
+    "x_mixture_weighted", {
+      (s, d) => {
+        val rates = Seq("en" -> 400)
+        val weights = Seq("de" -> 2.5, "zh" -> 0.4)
+        val kept = Tables.documents(s, d)
+          .filter(Sampling.mixtureSamplePredicate(col("doc_id"), col("lang"), rates))
+          .select(col("doc_id"), col("lang"))
+        Sampling.repeatWeighted(kept, col("doc_id"), col("lang"), weights)
+          .withColumn("rep", col("rep").cast("int"))
+      }
+    }, {
+      val rateSql = Sampling.mixtureSamplePredicateSql("doc_id", "lang", Seq("en" -> 400))
+      val copiesSql = Sampling.repeatCopiesSql("doc_id", "lang", Seq("de" -> 2.5, "zh" -> 0.4))
+      Some(s"""WITH kept AS (
+        SELECT doc_id, lang FROM documents WHERE $rateSql),
+      counted AS (
+        SELECT doc_id, lang, $copiesSql AS n FROM kept)
+      SELECT doc_id, lang,
+        CAST(unnest(generate_series(1, n)) - 1 AS INTEGER) AS rep
+      FROM counted""")
+    })
+
   /** PII redaction (TextOps.redactPii): emails then phone-shaped digit
     * runs replaced with typed placeholders. The synthetic corpus has no
     * PII, so each row gets a deterministic contact line appended before
@@ -499,6 +527,7 @@ object ExtensionQueries {
     x_text_fingerprint,
     x_text_redact,
     x_split_sample,
+    x_mixture_weighted,
     x_pack_sequences,
     x_decontaminate,
     x_multimodal_features,

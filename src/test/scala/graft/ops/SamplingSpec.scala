@@ -95,6 +95,63 @@ class SamplingSpec extends SparkSpec {
     assert(s50.exceptAll(s100).isEmpty)
   }
 
+  test("mixtureSamplePredicate: per-domain rates, default for unknown/NULL domains") {
+    val df = (1L to 3000L).map(k => (k, Seq("a", "b", "c")((k % 3).toInt)))
+      .toDF("k", "dom")
+    val p = Sampling.mixtureSamplePredicate($"k", $"dom",
+      Seq("a" -> 0, "b" -> 1000), defaultPermille = 300)
+    val kept = df.filter(p).groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("a"))                       // rate 0 drops all
+    assert(kept("b") == 1000L)                        // rate 1000 keeps all
+    assert(kept("c") > 200 && kept("c") < 400, kept.toString) // default 30%
+    // a domain at rate r keeps exactly the flat-r‰ sample's rows
+    val viaMixture = df.filter($"dom" === "c").filter(p)
+    val viaFlat = df.filter($"dom" === "c")
+      .filter(Sampling.hashSamplePredicate($"k", 300))
+    assert(viaMixture.exceptAll(viaFlat).isEmpty && viaFlat.exceptAll(viaMixture).isEmpty)
+    // NULL domain -> default rate; NULL key -> never kept
+    val edge = Seq((Some(7L), None: Option[String]), (None, Some("b")))
+      .toDF("k", "dom")
+    assert(edge.filter($"k".isNull &&
+      Sampling.mixtureSamplePredicate($"k", $"dom", Seq("b" -> 1000))).count() == 0)
+  }
+
+  test("repeatWeighted: floor/ceil copies, expectation ~ weight, deterministic") {
+    val df = (1L to 3000L).map(k => (k, Seq("a", "b", "c")((k % 3).toInt)))
+      .toDF("k", "dom")
+    val out = Sampling.repeatWeighted(df, $"k", $"dom",
+      Seq("a" -> 2.5, "b" -> 0.0, "c" -> 0.4), defaultWeight = 1.0)
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(!byDom.contains("b"))                      // weight 0 drops
+    assert(byDom("a") > 2300 && byDom("a") < 2700, byDom.toString)  // ~2.5×1000
+    assert(byDom("c") > 300 && byDom("c") < 500, byDom.toString)    // ~0.4×1000
+    // every 'a' key appears exactly 2 or 3 times, rep indices contiguous from 0
+    val perKey = out.filter($"dom" === "a").groupBy("k")
+      .agg(count(lit(1)).as("n"), min("rep").as("mn"), (max("rep") + 1).as("mx1"))
+    assert(perKey.filter($"n" < 2 || $"n" > 3).count() == 0)
+    assert(perKey.filter($"mn" =!= 0 || $"n" =!= $"mx1").count() == 0)
+    // deterministic under repartition
+    val again = Sampling.repeatWeighted(df.repartition(11), $"k", $"dom",
+      Seq("a" -> 2.5, "b" -> 0.0, "c" -> 0.4), defaultWeight = 1.0)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // fractional coin is independent of the sample/split hash (salted):
+    // among 'c' keys, kept-by-40‰-sample and got-extra-copy must differ
+    val extraKeys = out.filter($"dom" === "c").select("k").distinct()
+    val sampleKeys = df.filter($"dom" === "c")
+      .filter(Sampling.hashSamplePredicate($"k", 400)).select("k")
+    assert(extraKeys.exceptAll(sampleKeys).count() > 0)
+  }
+
+  test("repeatWeighted rejects negative or huge weights") {
+    val df = Seq((1L, "a")).toDF("k", "dom")
+    intercept[IllegalArgumentException] {
+      Sampling.repeatWeighted(df, $"k", $"dom", Seq("a" -> -0.1))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.repeatWeighted(df, $"k", $"dom", Seq.empty, defaultWeight = 1001.0)
+    }
+  }
+
   test("splitLabelSql/hashValueSql mirror the Column forms (DuckDB parity is oracle-checked)") {
     // the SQL builders are string templates; sanity-pin their shape so a
     // refactor can't silently drop the modulus or the CASE order
