@@ -131,6 +131,41 @@ object TextOps {
     s"regexp_replace(regexp_replace($textExpr, '$emailPattern', '[EMAIL]', 'g'), " +
       s"'$phonePattern', '[PHONE]', 'g')"
 
+  /** Sliding token-window chunking: split each document into chunks of
+    * `chunkTokens` whitespace tokens overlapping by `overlap` — the
+    * embedding/context-window prep step between a cleaned corpus and an
+    * encoder. Emits one row per chunk with a 0-based `chunk_id` and the
+    * chunk text; a document of ≤ `chunkTokens` tokens yields exactly one
+    * chunk. Pure explode of a per-row index sequence — no shuffle, no
+    * driver state, output rows ≈ input tokens / (chunkTokens - overlap).
+    * Window arithmetic is plain SQL, so DuckDB recomputes it exactly
+    * ([[chunkSqlParts]]). */
+  def chunk(df: DataFrame, text: Column, chunkTokens: Int, overlap: Int,
+            outId: String = "chunk_id", outText: String = "chunk_text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
+    val step = chunkTokens - overlap
+    val toksName = Names.fresh("chunk_toks", df.columns)
+    val toks = col(toksName)
+    // chunks past the first only exist for tokens beyond the first
+    // window: 1 + ceil((n - chunkTokens) / step), floored at 1
+    val nChunks = (greatest(
+      ceil((size(toks) - chunkTokens) / lit(step.toDouble)), lit(0)) + 1).cast("int")
+    df.withColumn(toksName, split(text, " "))
+      .withColumn(outId, explode(sequence(lit(0), nChunks - 1)))
+      .withColumn(outText,
+        array_join(slice(toks, col(outId) * step + 1, lit(chunkTokens)), " "))
+      .drop(toksName)
+  }
+
+  /** DuckDB fragments mirroring [[chunk]] given a token-list expression:
+    * (chunk-count expr, chunk-text expr in terms of a `chunk_id` column). */
+  def chunkSqlParts(toksExpr: String, chunkTokens: Int, overlap: Int): (String, String) = {
+    val step = chunkTokens - overlap
+    (s"CAST(greatest(ceil((len($toksExpr) - $chunkTokens) / CAST($step AS DOUBLE)), 0) + 1 AS INTEGER)",
+      s"array_to_string(list_slice($toksExpr, chunk_id * $step + 1, chunk_id * $step + $chunkTokens), ' ')")
+  }
+
   /** Winnowing document fingerprints (rolling-hash): hash every k-byte
     * gram of the text, then keep the minimum hash of each sliding window
     * of `w` consecutive gram hashes (Schleimer et al., SIGMOD'03

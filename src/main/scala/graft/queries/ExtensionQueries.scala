@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** Extension tier (BASELINE.json north star): the LLM-training-data
   * operators beyond the reference's own surface — dedup, similarity
@@ -404,6 +404,30 @@ object ExtensionQueries {
     WHERE NOT ${Sampling.hashSamplePredicateSql("doc_id", 50)}
       AND dig NOT IN (SELECT dig FROM ev)"""))
 
+  /** Sliding token-window chunking (TextOps.chunk): 64-token chunks
+    * overlapping by 16 — the embedding/context prep step. Pure explode
+    * of window arithmetic; DuckDB recomputes the identical chunk count,
+    * boundaries and text. */
+  private val x_text_chunks = Q(
+    "x_text_chunks", {
+      (s, d) =>
+        TextOps.chunk(
+          Tables.documents(s, d).filter(col("text").isNotNull)
+            .select(col("doc_id"), col("text")),
+          col("text"), chunkTokens = 64, overlap = 16)
+          .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    }, {
+      val (nChunksSql, chunkTextSql) = TextOps.chunkSqlParts("toks", 64, 16)
+      Some(s"""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id, toks, $nChunksSql AS n FROM t),
+      e AS (SELECT doc_id, toks,
+              CAST(unnest(generate_series(0, n - 1)) AS INTEGER) AS chunk_id
+            FROM c)
+      SELECT doc_id, chunk_id, $chunkTextSql AS chunk_text FROM e""")
+    })
+
   /** Winnowing rolling-hash fingerprints (xxhash64 — no oracle; scheme
     * checked in TextOpsSpec). Output: per-doc fingerprint count. */
   private val x_text_fingerprint = Q(
@@ -440,6 +464,35 @@ object ExtensionQueries {
     None)
 
   // ------------------------------------------------------------- events
+
+  /** As-of join (AsofJoin.asofJoin): each click is joined to the user's
+    * most recent at-or-before view — the point-in-time lookup, via the
+    * scalable union+window formulation (one shuffle, no range blowup).
+    * The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, i.e. semantics are
+    * pinned against an independent as-of implementation, not our own
+    * SQL transliteration. (user_id, ts) is unique in testdata, so the
+    * equal-ts winner is deterministic on both engines. */
+  private val x_asof_clicks_views = Q(
+    "x_asof_clicks_views",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsofJoin.asofJoin(clicks, views, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"),
+          col("view_event_id"), col("view_value"))
+    },
+    Some("""WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+      FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, v.view_event_id, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts"""))
 
   /** Tumbling 1-hour window aggregate over the event stream (batch form
     * of the Structured Streaming windowed agg — see streaming package). */
@@ -524,6 +577,7 @@ object ExtensionQueries {
     x_dedup_embedding,
     x_text_stats,
     x_text_langid,
+    x_text_chunks,
     x_text_fingerprint,
     x_text_redact,
     x_split_sample,
@@ -532,6 +586,7 @@ object ExtensionQueries {
     x_decontaminate,
     x_multimodal_features,
     x_multimodal_resize_frames,
+    x_asof_clicks_views,
     x_events_hourly,
     x_events_sessionize,
   )

@@ -67,6 +67,35 @@ class TextOpsSpec extends SparkSpec {
     assert(stagedStats.exceptAll(inlineStats).isEmpty && inlineStats.exceptAll(stagedStats).isEmpty)
   }
 
+  test("chunk: boundaries, overlap, single-chunk shorts, full coverage") {
+    // 10 tokens, chunk 4, overlap 2 -> step 2 -> chunks at 0,2,4,6 (4 chunks)
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = TextOps.chunk(Seq((1L, doc)).toDF("id", "text"), col("text"), 4, 2)
+      .select($"chunk_id", $"chunk_text").as[(Int, String)].collect().sortBy(_._1)
+    assert(out.length == 4)
+    assert(out(0)._2 == "w1 w2 w3 w4")
+    assert(out(1)._2 == "w3 w4 w5 w6") // 2-token overlap
+    assert(out(3)._2 == "w7 w8 w9 w10") // last chunk reaches the end
+    // every token appears in some chunk (coverage)
+    assert(out.flatMap(_._2.split(" ")).toSet == doc.split(" ").toSet)
+    // short doc -> exactly one chunk, intact
+    val short = TextOps.chunk(Seq((2L, "a b")).toDF("id", "text"), col("text"), 4, 2)
+      .select($"chunk_id", $"chunk_text").as[(Int, String)].collect()
+    assert(short.toSeq == Seq((0, "a b")))
+    // exact-multiple boundary: 4 tokens, chunk 4 -> one chunk only
+    val exact = TextOps.chunk(Seq((3L, "a b c d")).toDF("id", "text"), col("text"), 4, 2)
+    assert(exact.count() == 1)
+    intercept[IllegalArgumentException] { TextOps.chunk(exact, col("text"), 4, 4) }
+  }
+
+  test("chunk: no shuffle in the plan (pure per-row explode)") {
+    val df = spark.range(10).select($"id", lit("x y z").as("text"))
+    val plan = TextOps.chunk(df, col("text"), 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("redactPii: emails and phone shapes out, ordinary digits and text kept") {
     val rows = Seq(
       "write to jane.doe+spam@mail.example.org today",
