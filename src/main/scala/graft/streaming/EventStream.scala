@@ -71,6 +71,35 @@ object EventStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views from the preceding `horizon` — attribution while both sides
+    * are still flowing. The three conditions Structured Streaming needs
+    * to keep join state BOUNDED are all present: watermarks on both
+    * inputs, a key equality, and a two-sided time-range predicate —
+    * so each side's buffered state is evicted once the other side's
+    * watermark passes the interval, instead of growing forever
+    * (the stream-stream analog of the batch [[graft.ops.AsofJoin]];
+    * inner join, so only matched pairs emit).
+    *
+    * Inputs must carry (user_id, ts) plus `event_id` and are typically
+    * pre-filtered by event_type. Output: one row per (click, view)
+    * pair within the horizon. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    horizon: String = "10 minutes",
+                    delay: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts")).withWatermark("click_ts", delay)
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id").as("view_user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    c.join(v,
+      col("user_id") === col("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long,

@@ -56,6 +56,31 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-horizon views only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+    val clickIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val viewIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = EventStream.clickViewJoin(
+      clickIn.toDF().toDF("event_id", "ts", "user_id"),
+      viewIn.toDF().toDF("event_id", "ts", "user_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjoin_test").outputMode("append").start()
+    // user 1: view at t=0 and t=8 within 10 min of click at t=9;
+    // view at t=30 would pair with nothing; user 2's view never joins user 1
+    viewIn.addData((10L, ts(0), 1L), (11L, ts(8), 1L), (12L, ts(5), 2L))
+    clickIn.addData((1L, ts(9), 1L))
+    q.processAllAvailable()
+    // a later view arriving before a later click still joins (both buffered)
+    viewIn.addData((13L, ts(30), 1L))
+    clickIn.addData((2L, ts(31), 1L))
+    q.processAllAvailable()
+    val got = spark.table("ssjoin_test")
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 13L)))
+    q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
