@@ -105,7 +105,7 @@ object Dedup {
     * instead. */
   def decontaminate(train: DataFrame, trainText: Column,
                     eval: DataFrame, evalText: Column): DataFrame = {
-    val dig = "__contam_digest"
+    val dig = Names.fresh("contam_digest", train.columns)
     val evalDigests = eval.select(md5(lower(trim(evalText))).as(dig)).distinct()
     train.withColumn(dig, md5(lower(trim(trainText))))
       .join(evalDigests, Seq(dig), "left_anti")

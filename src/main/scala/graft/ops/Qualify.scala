@@ -20,8 +20,7 @@ object Qualify {
   /** Transient column name guaranteed absent from `df` (an input that
     * already has a `__rn` column must not be clobbered). */
   private def freshName(df: DataFrame, base: String): String =
-    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-      .find(n => !df.columns.contains(n)).get
+    Names.fresh(base.stripPrefix("__"), df.columns)
 
   /** QUALIFY ROW_NUMBER() OVER (PARTITION BY partCols ORDER BY orderCols) <= n */
   def rowNumber(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],

@@ -115,9 +115,18 @@ object Sampling {
 
   // ------------------------------------------------- corpus mixture ops
 
-  private def validateRates(rates: Seq[(String, Int)]): Unit =
+  private def validateRates(rates: Seq[(String, Int)]): Unit = {
     require(rates.forall { case (_, p) => p >= 0 && p <= 1000 },
       "rates are permille in [0, 1000]")
+    requireDistinctDomains(rates.map(_._1))
+  }
+
+  /** Duplicate domains would silently diverge between the Column form
+    * (Map keeps the LAST entry) and the SQL CASE (FIRST match wins). */
+  private def requireDistinctDomains(domains: Seq[String]): Unit = {
+    val dups = domains.diff(domains.distinct).distinct
+    require(dups.isEmpty, s"duplicate domain entries: ${dups.mkString(", ")}")
+  }
 
   /** Per-domain sampling: keep a row iff its key hashes under its
     * domain's permille rate — the downsampling half of corpus mixture
@@ -130,7 +139,9 @@ object Sampling {
   def mixtureSamplePredicate(key: Column, domain: Column,
                              rates: Seq[(String, Int)],
                              defaultPermille: Int = 1000): Column = {
-    validateRates(rates :+ ("", defaultPermille))
+    validateRates(rates)
+    require(defaultPermille >= 0 && defaultPermille <= 1000,
+      "defaultPermille in [0, 1000]")
     val rate =
       if (rates.isEmpty) lit(defaultPermille)
       else coalesce(element_at(typedlit(rates.toMap), domain), lit(defaultPermille))
@@ -141,6 +152,7 @@ object Sampling {
   def mixtureSamplePredicateSql(keyExpr: String, domainExpr: String,
                                 rates: Seq[(String, Int)],
                                 defaultPermille: Int = 1000): String = {
+    validateRates(rates)
     val whens = rates
       .map { case (d, p) => s"WHEN $domainExpr = '${d.replace("'", "''")}' THEN $p" }
       .mkString(" ")
@@ -191,11 +203,16 @@ object Sampling {
       require(w >= 0 && w <= 1000, s"weight out of [0, 1000]: $w")
       math.round(w * 1000).toInt
     }
+    requireDistinctDomains(weights.map(_._1))
+    require(!df.columns.contains(outRep), s"input already has a column '$outRep'")
     val n = repeatCopies(key, domain, weights.map { case (d, w) => d -> milli(w) }.toMap,
       milli(defaultWeight))
-    df.select(col("*"), posexplode(array_repeat(lit(true), n)))
-      .withColumnRenamed("pos", outRep)
-      .drop("col")
+    // alias BOTH generator outputs (a caller column named "pos"/"col"
+    // must survive untouched — the ADVICE-r01 clobber class)
+    val dummy = Names.fresh("rep_dummy", df.columns :+ outRep)
+    df.select(col("*"),
+        posexplode(array_repeat(lit(true), n)).as(Seq(outRep, dummy)))
+      .drop(dummy)
   }
 
   /** DuckDB expression equal to [[repeatWeighted]]'s copy count; the
@@ -204,6 +221,7 @@ object Sampling {
                       weights: Seq[(String, Double)],
                       defaultWeight: Double = 1.0): String = {
     def milli(w: Double): Int = math.round(w * 1000).toInt
+    requireDistinctDomains(weights.map(_._1))
     val whens = weights
       .map { case (d, w) => s"WHEN $domainExpr = '${d.replace("'", "''")}' THEN ${milli(w)}" }
       .mkString(" ")

@@ -139,7 +139,9 @@ object TextOps {
     * chunk. Pure explode of a per-row index sequence — no shuffle, no
     * driver state, output rows ≈ input tokens / (chunkTokens - overlap).
     * Window arithmetic is plain SQL, so DuckDB recomputes it exactly
-    * ([[chunkSqlParts]]). */
+    * ([[chunkSqlParts]]). Rows with NULL text are the caller's problem —
+    * filter first (their emitted row count is conf-dependent:
+    * `size(NULL)` is −1 or NULL depending on legacy sizeOfNull). */
   def chunk(df: DataFrame, text: Column, chunkTokens: Int, overlap: Int,
             outId: String = "chunk_id", outText: String = "chunk_text"): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,

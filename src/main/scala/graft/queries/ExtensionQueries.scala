@@ -362,8 +362,7 @@ object ExtensionQueries {
     "x_pack_sequences", {
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-          .select(col("doc_id"),
-            size(split(lower(col("text")), " ")).as("n_tokens"))
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
         Packing.packSequences(docs, col("doc_id"), col("n_tokens"),
           maxTokens = 512, shards = 8)
       }

@@ -9,7 +9,7 @@ class PackingSpec extends SparkSpec {
 
   private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     .filter(col("text").isNotNull)
-    .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n_tokens"))
+    .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
 
   test("packSequences: every bin fits budget + at most one straddling doc") {
     val budget = 256L
@@ -28,8 +28,18 @@ class PackingSpec extends SparkSpec {
     val again = Packing.packSequences(docs.repartition(13), $"doc_id", $"n_tokens", 256L, shards = 4)
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
     val perShard = packed.groupBy("pack_shard")
-      .agg(min("pack_bin").as("mn"), countDistinct("pack_bin").as("n"), (max("pack_bin") + 1).as("mx1"))
-    assert(perShard.filter($"mn" =!= 0 || $"n" =!= $"mx1").count() == 0)
+      .agg(min("pack_bin").as("mn"), countDistinct("pack_bin").as("n"),
+        (max("pack_bin") + 1).as("mx1"), max("n_tokens").as("biggest"))
+    // first doc of a shard has cumsum-before 0 -> bin 0, always
+    assert(perShard.filter($"mn" =!= 0).count() == 0)
+    // contiguity is only guaranteed when no doc exceeds the budget (an
+    // over-budget doc can straddle 2+ budget multiples and skip a bin id)
+    assert(perShard.filter($"biggest" <= 256 && $"n" =!= $"mx1").count() == 0)
+    // an over-budget doc can skip bins — but never beyond total/budget
+    val bad = packed.groupBy("pack_shard")
+      .agg(max("pack_bin").as("mx"), (sum("n_tokens") / 256).as("ub"))
+      .filter($"mx" > $"ub")
+    assert(bad.count() == 0)
   }
 
   test("decontaminate drops content matches across different ids, keeps the rest") {

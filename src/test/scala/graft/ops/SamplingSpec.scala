@@ -152,6 +152,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("repeatWeighted preserves caller columns named pos/col; outRep collision rejected") {
+    val df = Seq((1L, "a", 9, "payload")).toDF("k", "dom", "pos", "col")
+    val out = Sampling.repeatWeighted(df, $"k", $"dom", Seq("a" -> 2.0))
+    assert(out.columns.toSeq == Seq("k", "dom", "pos", "col", "rep"))
+    assert(out.select("pos", "col").distinct().as[(Int, String)].collect()
+      .toSeq == Seq((9, "payload")))
+    intercept[IllegalArgumentException] {
+      Sampling.repeatWeighted(df.withColumnRenamed("pos", "rep"), $"k", $"dom", Seq("a" -> 2.0))
+    }
+  }
+
+  test("duplicate domain entries rejected (Spark Map vs SQL CASE would diverge)") {
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSamplePredicate(lit(1L), lit("a"), Seq("a" -> 10, "a" -> 900))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.repeatCopiesSql("k", "dom", Seq("a" -> 1.0, "a" -> 2.0))
+    }
+  }
+
   test("splitLabelSql/hashValueSql mirror the Column forms (DuckDB parity is oracle-checked)") {
     // the SQL builders are string templates; sanity-pin their shape so a
     // refactor can't silently drop the modulus or the CASE order
