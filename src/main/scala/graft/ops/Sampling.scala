@@ -113,6 +113,28 @@ object Sampling {
   def hashSamplePredicateSql(keyExpr: String, permille: Int): String =
     s"coalesce(${hashBucketSql(keyExpr, 1000)} < $permille, false)"
 
+  /** Stratified exactly-k sample: the k rows of each group whose keys
+    * hash lowest — "20 docs per language" eval-set construction. Unlike
+    * rate-based sampling this guarantees the COUNT per group (small
+    * groups yield all their rows); like everything here it is
+    * deterministic and engine-portable, because "hash lowest" is a
+    * total order (hash, then key as tiebreak for the theoretical
+    * collision). One shuffle on the group key; Spark 4 rewrites the
+    * rank-filter to a WindowGroupLimit, so each partition keeps a
+    * k-sized heap rather than sorting whole groups. NULL keys hash
+    * NULL and sort last, so they are picked only when a group has
+    * fewer than k non-null-keyed rows. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, group: Column, key: Column,
+                       k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    Qualify.rowNumber(df, Seq(group), Seq(hashValue(key).asc_nulls_last, key.asc), n = k)
+  }
+
+  /** DuckDB QUALIFY clause equal to the [[stratifiedSample]] filter. */
+  def stratifiedSampleSql(groupExpr: String, keyExpr: String, k: Int): String =
+    s"row_number() OVER (PARTITION BY $groupExpr " +
+      s"ORDER BY ${hashValueSql(keyExpr)} ASC NULLS LAST, $keyExpr ASC) <= $k"
+
   // ------------------------------------------------- corpus mixture ops
 
   private def validateRates(rates: Seq[(String, Int)]): Unit = {

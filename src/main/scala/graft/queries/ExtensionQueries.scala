@@ -305,6 +305,18 @@ object ExtensionQueries {
       ${Sampling.hashSamplePredicateSql("doc_id", 100)} AS in_10pct_sample
     FROM documents"""))
 
+  /** Stratified exactly-k sampling (Sampling.stratifiedSample): the 20
+    * lowest-hashing docs per language — deterministic eval-set
+    * construction with guaranteed per-group counts. Oracle recomputes
+    * the same hash order in a DuckDB QUALIFY. */
+  private val x_stratified_sample = Q(
+    "x_stratified_sample",
+    (s, d) => Sampling.stratifiedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), k = 20),
+    Some(s"""SELECT doc_id, lang FROM documents
+      QUALIFY ${Sampling.stratifiedSampleSql("lang", "doc_id", 20)}"""))
+
   /** Corpus mixture control (Sampling): language-balanced remix of the
     * documents table — downsample dominant `en` to 40% via the per-domain
     * hash predicate, then fractional repetition weights (de×2.5, zh×0.4)
@@ -580,6 +592,7 @@ object ExtensionQueries {
     x_text_fingerprint,
     x_text_redact,
     x_split_sample,
+    x_stratified_sample,
     x_mixture_weighted,
     x_pack_sequences,
     x_decontaminate,

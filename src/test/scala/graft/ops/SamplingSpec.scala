@@ -95,6 +95,24 @@ class SamplingSpec extends SparkSpec {
     assert(s50.exceptAll(s100).isEmpty)
   }
 
+  test("stratifiedSample: exactly k per big group, all rows of small groups, stable") {
+    val df = (1L to 500L).map(k => (k, if (k <= 490) "big" else "small"))
+      .toDF("k", "g")
+    val out = Sampling.stratifiedSample(df, $"g", $"k", k = 25)
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 25L, "small" -> 10L))
+    // deterministic under layout AND subset-stable under growth: the
+    // sample from fewer rows per group is NOT required, but identical
+    // input must give identical output
+    val again = Sampling.stratifiedSample(df.repartition(7), $"g", $"k", k = 25)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // WindowGroupLimit kicks in (heap per partition, not full sort of groups)
+    val plan = Sampling.stratifiedSample(
+      spark.range(100).select($"id", ($"id" % 3).as("g")), $"g", $"id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("mixtureSamplePredicate: per-domain rates, default for unknown/NULL domains") {
     val df = (1L to 3000L).map(k => (k, Seq("a", "b", "c")((k % 3).toInt)))
       .toDF("k", "dom")
