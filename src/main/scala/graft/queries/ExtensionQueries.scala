@@ -305,6 +305,58 @@ object ExtensionQueries {
       ${Sampling.hashSamplePredicateSql("doc_id", 100)} AS in_10pct_sample
     FROM documents"""))
 
+  /** Flagship end-to-end curation pipeline, the composition a training
+    * corpus actually runs: quality gate → exact-duplicate collapse
+    * (min-id representative, copy count kept) → deterministic 90/10
+    * train split → token-budget sequence packing. Every stage is one of
+    * the library operators; the oracle recomputes the whole composition
+    * in SQL, so the INTERACTION of the stages is hash-checked, not just
+    * each stage alone. One digest shuffle + one window shuffle
+    * end-to-end; everything else is per-row. */
+  private val x_curation_pipeline = Q(
+    "x_curation_pipeline", {
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val scored = TextOps.withTextStats(docs, col("text"))
+          .filter(col("quality_score") >= 0.5)
+        val reps = Dedup.collapseExact(scored, col("doc_id"), col("text"),
+          keep = Seq(col("lang")))
+        val train = reps
+          .filter(Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 90, "val" -> 10)) === "train")
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        Packing.packSequences(train, col("doc_id"), col("n_tokens"),
+          maxTokens = 512, shards = 8)
+          .select(col("doc_id"), col("lang"), col("n_copies"),
+            col("n_tokens"), col("pack_shard"), col("pack_bin"))
+      }
+    }, {
+      val split = Sampling.splitLabelSql("doc_id", Seq("train" -> 90, "val" -> 10))
+      val (shardSql, binSql) =
+        Packing.packSequencesSql("doc_id", "n_tokens", maxTokens = 512, shards = 8)
+      Some(s"""WITH scored AS (
+        SELECT doc_id, lang, text,
+          ROUND(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+            + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+            + 0.3 * least(CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                   ['a','the','of','and','is'])) AS DOUBLE) / 2.0, 1.0),
+            6) AS quality_score
+        FROM documents WHERE text IS NOT NULL),
+      reps AS (
+        SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+               arg_min(text, doc_id) AS text, count(*) AS n_copies
+        FROM scored WHERE quality_score >= 0.5
+        GROUP BY md5(lower(trim(text)))),
+      train AS (
+        SELECT doc_id, lang, n_copies,
+               len(string_split(lower(text), ' ')) AS n_tokens
+        FROM reps WHERE $split = 'train')
+      SELECT doc_id, lang, n_copies, n_tokens,
+        $shardSql AS pack_shard, $binSql AS pack_bin
+      FROM train""")
+    })
+
   /** Stratified exactly-k sampling (Sampling.stratifiedSample): the 20
     * lowest-hashing docs per language — deterministic eval-set
     * construction with guaranteed per-group counts. Oracle recomputes
@@ -591,6 +643,7 @@ object ExtensionQueries {
     x_text_chunks,
     x_text_fingerprint,
     x_text_redact,
+    x_curation_pipeline,
     x_split_sample,
     x_stratified_sample,
     x_mixture_weighted,
