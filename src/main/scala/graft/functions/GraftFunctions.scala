@@ -102,6 +102,24 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric max-abs int8 quantization of an array<float> vector. */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_quantize_int8"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.quantizeInt8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.quantizeInt8($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
 /** |A ∩ B| of two sorted-distinct string arrays (merge count). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -156,6 +174,9 @@ object GraftFunctions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def quantizeInt8(vec: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -190,7 +211,9 @@ object GraftFunctions {
         builder("graft_sorted_intersect_count", "(a, b)") { case Seq(a, b) =>
           SortedIntersectCount(a, b) }),
       (FunctionIdentifier("graft_dot"), info("graft_dot"),
-        builder("graft_dot", "(a, b)") { case Seq(a, b) => DotProduct(a, b) }))
+        builder("graft_dot", "(a, b)") { case Seq(a, b) => DotProduct(a, b) }),
+      (FunctionIdentifier("graft_quantize_int8"), info("graft_quantize_int8"),
+        builder("graft_quantize_int8", "(vec)") { case Seq(e) => QuantizeInt8(e) }))
   }
 
   /** Register `graft_*` as session SQL functions so `spark.sql` users get

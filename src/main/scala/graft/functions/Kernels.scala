@@ -161,6 +161,37 @@ object Kernels {
     s
   }
 
+  /** Symmetric max-abs int8 quantization of a float vector:
+    * q[i] = floor(x[i] · 127/max|x| + 0.5), i.e. round-half-up in
+    * double — an arithmetic DuckDB reproduces exactly (the oracle
+    * recomputes it per element), unlike round-half-even. All-zero (or
+    * empty) vectors quantize to zeros; null elements count as 0. Output
+    * values are in [-127, 127] — storage drops to 1 byte/dim + one
+    * scale, the standard ANN-index compression. */
+  def quantizeInt8(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val v = math.abs(vec.getFloat(i).toDouble)
+        if (v > maxAbs) maxAbs = v
+      }
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (maxAbs > 0) {
+      val scale = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i))
+          out(i) = math.floor(vec.getFloat(i).toDouble * scale + 0.5).toInt
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** |A ∩ B| for two SORTED string arrays (strictly ascending, i.e.
     * sorted distinct sets): single merge pass, zero allocation. The
     * caller owns the sorted-distinct invariant (see Dedup.shingled). */

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** As-of join: for each left row, attach the single most recent right
   * row with the same key and `rightTs <= leftTs` — the standard
   * point-in-time lookup (last price at trade time, last snapshot before
-  * an event). Spark has no native as-of join; the naive formulations
+  * an event). `direction = "forward"` mirrors it: the NEAREST right row
+  * at-or-after the left timestamp (next heartbeat, next delivery). Spark has no native as-of join; the naive formulations
   * are a range join (quadratic blowup per key) or per-key
   * `mapPartitions` merges (RDD-tier, no codegen).
   *
@@ -37,8 +38,11 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, strict: Boolean = false): DataFrame = {
+               tsCol: String, strict: Boolean = false,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     require(payloadCols.nonEmpty, "right side has no payload columns")
     val collisions = payloadCols.intersect(left.columns.toSeq)
@@ -60,8 +64,14 @@ object AsofJoin {
       .withColumn(payload, lit(null).cast(rightU.schema(payload).dataType))
       .withColumn(side, lit(leftTag))
 
+    // forward = the mirror scan: ts DESC, so "most recent at-or-before"
+    // becomes "nearest at-or-after". NULLS FIRST in both directions so a
+    // NULL-ts left row scans before any (non-null-ts) right row and
+    // stays unmatched — same as SQL comparison-with-NULL semantics.
+    val tsOrder = if (direction == "backward") col(tsCol).asc_nulls_first
+                  else col(tsCol).desc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col(side).asc)
+      .orderBy(tsOrder, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightU.unionByName(leftU, allowMissingColumns = true)
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))

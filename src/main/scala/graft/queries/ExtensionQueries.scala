@@ -232,6 +232,34 @@ object ExtensionQueries {
       FROM c a JOIN c b ON a.vec_id < b.vec_id)
     SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3"""))
 
+  /** Int8 embedding quantization (native codegen'd kernel,
+    * graft.functions.QuantizeInt8): symmetric max-abs scaling to
+    * [-127, 127] — 4× storage compression for ANN indexes. Output is
+    * exploded per element so DuckDB value-checks every quantized
+    * component (floor(x·127/max|x| + 0.5) is exact double arithmetic in
+    * both engines). */
+  private val x_embed_quantize = Q(
+    "x_embed_quantize",
+    (s, d) => Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        posexplode(graft.functions.GraftFunctions.quantizeInt8(col("embedding"))))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "q"),
+    Some("""WITH t AS (
+      SELECT vec_id, embedding AS e,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (
+      SELECT vec_id,
+        CASE WHEN m > 0 THEN list_transform(e,
+               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+             ELSE list_transform(e, x -> 0) END AS qv
+      FROM t)
+    SELECT vec_id,
+      CAST(unnest(generate_series(1, len(qv))) - 1 AS INTEGER) AS dim,
+      unnest(qv) AS q
+    FROM q"""))
+
   // --------------------------------------------------------------- text
 
   /** Per-document text statistics: token counts (whitespace + BPE-ish
@@ -557,6 +585,33 @@ object ExtensionQueries {
     FROM clicks c ASOF LEFT JOIN views v
       ON c.user_id = v.user_id AND c.ts >= v.ts"""))
 
+  /** Forward as-of: each click's NEXT purchase at-or-after it per user
+    * (conversion lookup). Same union+window machinery scanning the
+    * mirror direction; oracle = DuckDB ASOF with the flipped
+    * inequality. */
+  private val x_asof_forward_purchase = Q(
+    "x_asof_forward_purchase",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
+      AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+        direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_event_id"), col("purchase_value"))
+    },
+    Some("""WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, event_id AS purchase_event_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, p.purchase_event_id, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts"""))
+
   /** Tumbling 1-hour window aggregate over the event stream (batch form
     * of the Structured Streaming windowed agg — see streaming package). */
   private val x_events_hourly = Q(
@@ -638,6 +693,7 @@ object ExtensionQueries {
     x_sim_lsh_topk,
     x_sim_ivf_topk,
     x_dedup_embedding,
+    x_embed_quantize,
     x_text_stats,
     x_text_langid,
     x_text_chunks,
@@ -652,6 +708,7 @@ object ExtensionQueries {
     x_multimodal_features,
     x_multimodal_resize_frames,
     x_asof_clicks_views,
+    x_asof_forward_purchase,
     x_events_hourly,
     x_events_sessionize,
   )

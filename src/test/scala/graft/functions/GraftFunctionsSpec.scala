@@ -84,6 +84,36 @@ class GraftFunctionsSpec extends SparkSpec {
       ex.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("quantize_int8: range, sign, max element hits ±127, dequant error bounded") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)),          // all-zero -> zeros, no div-by-zero
+      (3L, Seq(3.0f))                  // single element -> ±127 exactly
+    ).toDF("id", "v")
+    val out = df.select(col("id"), GraftFunctions.quantizeInt8(col("v")).as("q"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(1L) == Seq(64, -127, 32, 0)) // floor(0.5*127+0.5)=64
+    assert(out(2L) == Seq(0, 0))
+    assert(out(3L) == Seq(127))
+    // dequantization error <= half a quantization step, on real vectors
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("embedding").isNotNull).limit(100)
+    val err = emb.select(col("embedding").as("e"),
+        GraftFunctions.quantizeInt8(col("embedding")).as("q"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m"))
+      .select(greatest(lit(0.0), array_max(zip_with(col("e"), col("q"),
+        (x, q) => abs(x.cast("double") - q * col("m") / 127.0)))).as("maxerr"),
+        (col("m") / 254.0 + lit(1e-12)).as("halfstep"))
+    assert(err.filter(col("maxerr") > col("halfstep")).count() == 0)
+  }
+
+  test("graft_quantize_int8 is callable from SQL") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS q")
+      .as[Seq[Int]].head()
+    assert(got == Seq(127, -63)) // floor(-0.5*127+0.5) = floor(-63) = -63
+  }
+
   test("sorted_intersect_count matches array_intersect size on sorted-distinct arrays") {
     val df = Seq(
       (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),

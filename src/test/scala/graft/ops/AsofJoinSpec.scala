@@ -44,6 +44,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(100L).contains(1L))
   }
 
+  test("forward direction: nearest quote at-or-after each trade") {
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "ts", direction = "forward")
+      .select($"trade_id", $"quote_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).contains(2L)) // t=10:03 -> next quote 10:05
+    assert(out(101L).contains(2L)) // equal ts matches forward too
+    assert(out(102L).contains(1L)) // 09:00 -> first quote of the day
+    assert(out(103L).isEmpty)      // 12:00: nothing after
+    assert(out(104L).isEmpty)      // no quotes for key
+    // strict forward skips the equal-ts quote
+    val s = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "ts",
+      strict = true, direction = "forward")
+      .select($"trade_id", $"quote_id").as[(Long, Option[Long])].collect().toMap
+    assert(s(101L).contains(3L))
+  }
+
   test("NULL key / NULL ts rows: left passes through unmatched, right never matches") {
     val l = Seq((Option("A"), Option(t("2024-01-01 10:06:00")), 1L),
       (None: Option[String], Option(t("2024-01-01 10:06:00")), 2L),
