@@ -612,6 +612,77 @@ object ExtensionQueries {
     FROM clicks c ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND c.ts <= p.ts"""))
 
+  /** Funnel analysis = CHAINED forward as-of joins: each view's nearest
+    * following click within 1h, then that click's nearest following
+    * purchase within 1h; per-user step counts. Two keyed window
+    * shuffles total — the funnel never materializes event pairs, so
+    * cost stays linear in events at 100 TB. Oracle chains DuckDB ASOF
+    * joins the same way. */
+  private val x_events_funnel = Q(
+    "x_events_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def typed(t: String, idAs: String, tsAs: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("ts"),
+            col("event_id").as(idAs), col("ts").as(tsAs))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      val v2c = AsofJoin.asofJoin(views,
+          typed("click", "click_id", "click_ts"), Seq("user_id"), "ts",
+          direction = "forward")
+        .filter(col("click_ts").isNotNull &&
+          col("click_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      val step2 = v2c.select(col("view_id"), col("user_id"), col("click_id"),
+        col("click_ts").as("ts"))
+      val v2c2p = AsofJoin.asofJoin(step2,
+          typed("purchase", "purchase_id", "purchase_ts"), Seq("user_id"), "ts",
+          direction = "forward")
+        .filter(col("purchase_ts").isNotNull &&
+          col("purchase_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      views.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+        .join(v2c.groupBy(col("user_id")).agg(count(lit(1)).as("n_clicked")),
+          Seq("user_id"), "left")
+        .join(v2c2p.groupBy(col("user_id")).agg(count(lit(1)).as("n_completed")),
+          Seq("user_id"), "left")
+        .select(col("user_id"), col("n_views"),
+          coalesce(col("n_clicked"), lit(0L)).as("n_clicked"),
+          coalesce(col("n_completed"), lit(0L)).as("n_completed"))
+    },
+    Some("""WITH views AS (
+      SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'),
+    clicks AS (
+      SELECT user_id, ts, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v2c_raw AS MATERIALIZED (
+      -- MATERIALIZED: stops DuckDB pushing the later range filter into
+      -- the ASOF ON-clause (it only allows ONE inequality there)
+      SELECT v.view_id, v.user_id, v.ts, c.click_id, c.click_ts
+      FROM views v ASOF LEFT JOIN clicks c
+        ON v.user_id = c.user_id AND v.ts <= c.ts),
+    v2c AS (
+      SELECT view_id, user_id, click_id, click_ts FROM v2c_raw
+      WHERE click_ts IS NOT NULL AND click_ts <= ts + INTERVAL 1 HOUR),
+    v2c2p_raw AS MATERIALIZED (
+      SELECT s.view_id, s.user_id, s.click_ts, p.purchase_id, p.purchase_ts
+      FROM v2c s ASOF LEFT JOIN purchases p
+        ON s.user_id = p.user_id AND s.click_ts <= p.ts),
+    v2c2p AS (
+      SELECT view_id, user_id, purchase_id FROM v2c2p_raw
+      WHERE purchase_ts IS NOT NULL
+        AND purchase_ts <= click_ts + INTERVAL 1 HOUR)
+    SELECT a.user_id, a.n_views,
+      coalesce(b.n_clicked, 0) AS n_clicked,
+      coalesce(c.n_completed, 0) AS n_completed
+    FROM (SELECT user_id, count(*) AS n_views FROM views GROUP BY 1) a
+    LEFT JOIN (SELECT user_id, count(*) AS n_clicked FROM v2c GROUP BY 1) b
+      ON a.user_id = b.user_id
+    LEFT JOIN (SELECT user_id, count(*) AS n_completed FROM v2c2p GROUP BY 1) c
+      ON a.user_id = c.user_id"""))
+
   /** Tumbling 1-hour window aggregate over the event stream (batch form
     * of the Structured Streaming windowed agg — see streaming package). */
   private val x_events_hourly = Q(
@@ -709,6 +780,7 @@ object ExtensionQueries {
     x_multimodal_resize_frames,
     x_asof_clicks_views,
     x_asof_forward_purchase,
+    x_events_funnel,
     x_events_hourly,
     x_events_sessionize,
   )
