@@ -167,7 +167,9 @@ object Kernels {
     * recomputes it per element), unlike round-half-even. All-zero (or
     * empty) vectors quantize to zeros; null elements count as 0. Output
     * values are in [-127, 127] — storage drops to 1 byte/dim + one
-    * scale, the standard ANN-index compression. */
+    * scale, the standard ANN-index compression. NaN elements quantize
+    * to 0 JVM-side (double→int conversion) but are outside the oracle
+    * contract — filter them upstream if your corpus can contain them. */
   def quantizeInt8(vec: ArrayData): ArrayData = {
     val n = vec.numElements()
     var maxAbs = 0.0

@@ -123,7 +123,13 @@ object Sampling {
     * rank-filter to a WindowGroupLimit, so each partition keeps a
     * k-sized heap rather than sorting whole groups. NULL keys hash
     * NULL and sort last, so they are picked only when a group has
-    * fewer than k non-null-keyed rows. */
+    * fewer than k non-null-keyed rows.
+    *
+    * The key must be row-unique WITHIN each group: (hash, key) totally
+    * orders key VALUES, not rows, so among duplicate-key rows straddling
+    * rank k the winner is engine/layout-arbitrary — dedupe or add a
+    * uniquifying column first (same caveat as [[graft.ops.AsofJoin]]'s
+    * equal-ts right rows). */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, group: Column, key: Column,
                        k: Int): org.apache.spark.sql.DataFrame = {
     require(k > 0, "k must be positive")

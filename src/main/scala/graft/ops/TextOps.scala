@@ -88,6 +88,19 @@ object TextOps {
   def qualityScore(text: Column): Column =
     qualityFrom(text, tokens(text), array_distinct(tokens(text)))
 
+  /** DuckDB SQL computing exactly [[qualityScore]] of `textExpr` —
+    * single source for every oracle that gates on quality (weights,
+    * stoplist and rounding defined once on each engine's side). */
+  def qualityScoreSql(textExpr: String): String = {
+    val toks = s"string_split(lower($textExpr), ' ')"
+    s"""ROUND(0.4 * least(CAST(length($textExpr) AS DOUBLE) / 500.0, 1.0)
+      + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE)
+               / CAST(len($toks) AS DOUBLE))
+      + 0.3 * least(CAST(len(list_intersect(list_distinct($toks),
+                             ['a','the','of','and','is'])) AS DOUBLE) / 2.0, 1.0),
+      6)"""
+  }
+
   /** One-pass text-statistics block with the token arrays STAGED: adds
     * `n_chars_calc, n_tokens, n_subwords, n_distinct_tokens,
     * quality_score` — value-identical to composing [[tokenCount]]/

@@ -246,13 +246,17 @@ object ExtensionQueries {
       .withColumnRenamed("pos", "dim")
       .withColumnRenamed("col", "q"),
     Some("""WITH t AS (
+      -- coalesce(x, 0): NULL elements quantize to 0, matching the
+      -- kernel's documented null handling (NaN is outside the oracle
+      -- contract; testdata has none)
       SELECT vec_id, embedding AS e,
-        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        list_max(list_transform(embedding,
+          x -> abs(CAST(coalesce(x, 0) AS DOUBLE)))) AS m
       FROM embeddings WHERE embedding IS NOT NULL),
     q AS (
       SELECT vec_id,
         CASE WHEN m > 0 THEN list_transform(e,
-               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+               x -> CAST(floor(CAST(coalesce(x, 0) AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
              ELSE list_transform(e, x -> 0) END AS qv
       FROM t)
     SELECT vec_id,
@@ -272,17 +276,12 @@ object ExtensionQueries {
         Tables.documents(s, d).filter(col("text").isNotNull), col("text"))
       .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
         col("n_subwords"), col("n_distinct_tokens"), col("quality_score")),
-    Some("""SELECT doc_id,
+    Some(s"""SELECT doc_id,
       length(text) AS n_chars_calc,
       len(string_split(lower(text), ' ')) AS n_tokens,
       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
       len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
-      ROUND(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-          + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
-                   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
-          + 0.3 * least(CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-                                 ['a','the','of','and','is'])) AS DOUBLE) / 2.0, 1.0),
-          6) AS quality_score
+      ${TextOps.qualityScoreSql("text")} AS quality_score
     FROM documents WHERE text IS NOT NULL"""))
 
   /** Marker-word language-ID heuristic vs the labeled lang column. */
@@ -364,12 +363,7 @@ object ExtensionQueries {
         Packing.packSequencesSql("doc_id", "n_tokens", maxTokens = 512, shards = 8)
       Some(s"""WITH scored AS (
         SELECT doc_id, lang, text,
-          ROUND(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-            + 0.3 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
-                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
-            + 0.3 * least(CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-                                   ['a','the','of','and','is'])) AS DOUBLE) / 2.0, 1.0),
-            6) AS quality_score
+          ${TextOps.qualityScoreSql("text")} AS quality_score
         FROM documents WHERE text IS NOT NULL),
       reps AS (
         SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,

@@ -70,6 +70,12 @@ class AsofJoinSpec extends SparkSpec {
     val out = AsofJoin.asofJoin(l, r, Seq("sym"), "ts")
       .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
     assert(out == Map(1L -> Some(7.0), 2L -> None, 3L -> None))
+    // forward depends on desc_NULLS_FIRST (plain .desc would put a
+    // NULL-ts left row last, where it would see every right payload) —
+    // pin the same unmatched guarantees on the mirror scan
+    val fwd = AsofJoin.asofJoin(l, r, Seq("sym"), "ts", direction = "forward")
+      .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(fwd == Map(1L -> None, 2L -> None, 3L -> None)) // 7.0 is before t=10:06
   }
 
   test("row counts: exactly one output row per left row; payload collision rejected") {
