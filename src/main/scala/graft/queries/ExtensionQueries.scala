@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
-import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.core.{Exact, Tables}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextOps}
 
 /** Extension tier (BASELINE.json north star): the LLM-training-data
   * operators beyond the reference's own surface — dedup, similarity
@@ -263,6 +263,46 @@ object ExtensionQueries {
       CAST(unnest(generate_series(1, len(qv))) - 1 AS INTEGER) AS dim,
       unnest(qv) AS q
     FROM q"""))
+
+  /** Brute-force cosine top-5 over int8-QUANTIZED embeddings — the
+    * compressed-index search path (quantize once, search the 4×-smaller
+    * vectors). Integer dot products are exact in double, so unlike raw
+    * float cosine the whole scoring chain is oracle-exact: DuckDB
+    * re-derives the quantization AND the ranking. Recall vs the float
+    * ranking is a property of the data, not the engine — SimilaritySpec
+    * covers it; this query pins the quantized semantics themselves. */
+  private val x_sim_quantized_topk = Q(
+    "x_sim_quantized_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions.quantizeInt8(col("embedding")).as("embedding"))
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    Some("""WITH t AS (
+      SELECT vec_id, embedding AS e,
+        list_max(list_transform(embedding,
+          x -> abs(CAST(coalesce(x, 0) AS DOUBLE)))) AS m
+      FROM embeddings WHERE embedding IS NOT NULL),
+    qz AS (
+      SELECT vec_id,
+        CASE WHEN m > 0 THEN list_transform(e,
+               x -> CAST(floor(CAST(coalesce(x, 0) AS DOUBLE) * (127.0 / m) + 0.5) AS DOUBLE))
+             ELSE list_transform(e, x -> CAST(0 AS DOUBLE)) END AS v
+      FROM t),
+    nz AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS n
+      FROM qz WHERE list_inner_product(v, v) > 0),
+    qs AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM nz WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        ROUND(list_inner_product(qv, c.v) / (qn * c.n), 6) AS cosine
+      FROM nz c, qs WHERE query_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""))
 
   // --------------------------------------------------------------- text
 
@@ -548,6 +588,38 @@ object ExtensionQueries {
     },
     None)
 
+  /** Binned range join (RangeJoin.binnedPointIntervalJoin): lineitem
+    * quantities joined to overlapping half-open quantity bands derived
+    * from `part` — the point-in-interval shape that a naive theta join
+    * turns into a nested-loop. Bins make it a shuffled equi-join with a
+    * residual filter (RangeJoinSpec pins equivalence to the naive join);
+    * the oracle IS the naive BETWEEN join in DuckDB. */
+  private val x_range_band_revenue = Q(
+    "x_range_band_revenue",
+    (s, d) => {
+      val bands = Tables.part(s, d).filter(col("p_partkey") <= 20)
+        .select(col("p_partkey").as("band_id"),
+          (col("p_partkey").cast("double") * 2.0).as("qty_lo"),
+          (col("p_partkey").cast("double") * 2.0 + 5.0).as("qty_hi"))
+      RangeJoin.binnedPointIntervalJoin(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        col("l_quantity"), bands, col("qty_lo"), col("qty_hi"), binWidth = 5.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          Exact.sumMoney(col("l_extendedprice")).as("band_revenue"))
+    },
+    Some(s"""WITH bands AS (
+      SELECT p_partkey AS band_id,
+        CAST(p_partkey AS DOUBLE) * 2.0 AS qty_lo,
+        CAST(p_partkey AS DOUBLE) * 2.0 + 5.0 AS qty_hi
+      FROM part WHERE p_partkey <= 20)
+    SELECT band_id, COUNT(*) AS n_lineitems,
+      ${Exact.sumMoneySql("l_extendedprice")} AS band_revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_quantity >= b.qty_lo AND l.l_quantity < b.qty_hi
+    GROUP BY 1"""))
+
   // ------------------------------------------------------------- events
 
   /** As-of join (AsofJoin.asofJoin): each click is joined to the user's
@@ -757,6 +829,8 @@ object ExtensionQueries {
     x_sim_cosine_topk,
     x_sim_lsh_topk,
     x_sim_ivf_topk,
+    x_sim_quantized_topk,
+    x_range_band_revenue,
     x_dedup_embedding,
     x_embed_quantize,
     x_text_stats,

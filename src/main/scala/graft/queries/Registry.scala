@@ -14,7 +14,7 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    ReferenceQueries.all ++ ExtensionQueries.all
+    ReferenceQueries.all ++ ExtensionQueries.all ++ RelationalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> withSessionDefaults(q.fn)).toMap
