@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, Tables}
 import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextOps}
+import graft.streaming.EventStream
 
 /** Extension tier (BASELINE.json north star): the LLM-training-data
   * operators beyond the reference's own surface — dedup, similarity
@@ -749,6 +750,47 @@ object ExtensionQueries {
     LEFT JOIN (SELECT user_id, count(*) AS n_completed FROM v2c2p GROUP BY 1) c
       ON a.user_id = c.user_id"""))
 
+  /** Batch–stream PARITY, oracle-checked: the hourly aggregation runs as
+    * an actual Structured Streaming query — file source → windowed
+    * aggregation → Trigger.AvailableNow to completion — and the driver
+    * hash-compares the STREAMING result against DuckDB's batch SQL.
+    * Complete mode + memory sink materialize the full aggregate for the
+    * compare (harness-only: a production run is append mode with the
+    * watermark, parquet/Kafka sink — see EventStream.hourlyCounts).
+    * countDistinct is excluded: distinct aggregation is unsupported in
+    * streaming (approx_count_distinct is its streaming stand-in).
+    * The temp-dir copy only adapts the ns-timestamp fixture to a
+    * streamable µs file source; real deployments stream the landing
+    * directory itself. */
+  private val x_stream_hourly_parity = Q(
+    "x_stream_hourly_parity",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events").toString
+      Tables.events(s, d).filter(col("ts").isNotNull)
+        .write.mode("overwrite").parquet(tmp)
+      val agg = EventStream.readEvents(s, tmp, format = "parquet")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("min_value"), col("max_value"))
+      val sink = "x_stream_hourly_parity_sink"
+      val sq = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink)
+    },
+    Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      count(*) AS n_events,
+      min(value) AS min_value,
+      max(value) AS max_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2"""))
+
   /** Tumbling 1-hour window aggregate over the event stream (batch form
     * of the Structured Streaming windowed agg — see streaming package). */
   private val x_events_hourly = Q(
@@ -851,5 +893,6 @@ object ExtensionQueries {
     x_events_funnel,
     x_events_hourly,
     x_events_sessionize,
+    x_stream_hourly_parity,
   )
 }
