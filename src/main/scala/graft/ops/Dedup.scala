@@ -224,6 +224,62 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  // ------------------------------------------------- connected components
+
+  /** Connected components over a near-duplicate PAIR list — the step
+    * that turns pairwise matches into dedup decisions: every document
+    * in a component keeps/loses together, with `cluster_id` = the
+    * component's smallest doc id as the canonical representative.
+    *
+    * Iterative min-label propagation in plain DataFrames: each round,
+    * every node takes the min of its own label and its neighbors'
+    * labels; fixpoint when no label changes. Rounds needed = the graph
+    * diameter — near-dup clusters are shallow (duplicates of a common
+    * source link densely), so this converges in a handful of rounds;
+    * per round the work is one equi-join + one map-side-combinable
+    * min-aggregate, both shuffling on node id. The driver holds only
+    * the per-round changed-row check, never the labels.
+    *
+    * Output: (node, cluster_id), one row per node APPEARING IN PAIRS —
+    * singleton documents never enter the pair list; left-join the
+    * corpus to this and coalesce to its own id for full coverage.
+    *
+    * @throws IllegalStateException if not converged within maxIter
+    *         (pathological chain-shaped graphs; raise maxIter or use a
+    *         star-contraction variant before trusting partial labels)
+    */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster_id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("cluster_id"))
+      val next = viaNeighbor.union(labels)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over a (doc_id, toks) table: bit i of the signature

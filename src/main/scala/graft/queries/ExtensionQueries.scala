@@ -95,16 +95,13 @@ object ExtensionQueries {
     },
     None)
 
-  /** Exact blocked shingle-Jaccard near-dup pairs (block = lang x length
-    * bucket) — the oracle-checkable ground truth the LSH variants
-    * approximate. 3-word shingle sets, not unigrams: with a bounded
-    * vocabulary unigram sets make every pair look alike. */
-  private val x_dedup_jaccard = Q(
-    "x_dedup_jaccard",
-    // lang/n_chars IS NOT NULL on BOTH sides: Spark's struct-key join
-    // treats NULL fields as equal while the oracle's a.lang = b.lang
-    // drops them — pin one semantics so the engines cannot diverge
-    (s, d) => Dedup.jaccardPairs(
+  /** Shared Spark side of the blocked exact-Jaccard pair generator —
+    * also the edge list of [[x_dedup_clusters]]. lang/n_chars IS NOT
+    * NULL on BOTH sides: Spark's struct-key join treats NULL fields as
+    * equal while the oracle's a.lang = b.lang drops them — pin one
+    * semantics so the engines cannot diverge. */
+  private def jaccardPairsDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Dedup.jaccardPairs(
       Dedup.shingled(
         Tables.documents(s, d)
           .filter(col("text").isNotNull && col("lang").isNotNull
@@ -113,8 +110,11 @@ object ExtensionQueries {
         col("doc_id"), col("text"),
         keep = Seq(col("lang"), (col("n_chars") / lit(50)).cast("long").as("lb"))),
       block = struct(col("lang"), col("lb")),
-      minJaccard = 0.5),
-    Some("""WITH docs AS (
+      minJaccard = 0.5)
+
+  /** Shared oracle CTEs producing the same (doc_a, doc_b, jaccard)
+    * pair list in DuckDB (thresholded at 0.5). */
+  private val jaccardPairsSqlCtes = """docs AS (
       SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS lb,
              list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                             for i in range(1, len(toks) - 1)]) AS shingles
@@ -123,13 +123,46 @@ object ExtensionQueries {
             WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL)
       WHERE len(toks) >= 3),
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
-          6) AS jaccard
-      FROM docs a JOIN docs b
-        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5"""))
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE),
+            6) AS jaccard
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5)"""
+
+  /** Exact blocked shingle-Jaccard near-dup pairs (block = lang x length
+    * bucket) — the oracle-checkable ground truth the LSH variants
+    * approximate. 3-word shingle sets, not unigrams: with a bounded
+    * vocabulary unigram sets make every pair look alike. */
+  private val x_dedup_jaccard = Q(
+    "x_dedup_jaccard",
+    (s, d) => jaccardPairsDf(s, d),
+    Some(s"""WITH $jaccardPairsSqlCtes
+    SELECT doc_a, doc_b, jaccard FROM pairs"""))
+
+  /** Near-dup CLUSTERS: connected components over the exact-Jaccard
+    * pair list (Dedup.connectedComponents — iterative min-label
+    * propagation, one equi-join + one min-aggregate per round).
+    * Pairwise matches alone don't define a dedup decision; components
+    * do — every member maps to the component's min doc_id as its
+    * canonical representative. The oracle computes the same components
+    * independently via a DuckDB RECURSIVE transitive closure. */
+  private val x_dedup_clusters = Q(
+    "x_dedup_clusters",
+    (s, d) => Dedup.connectedComponents(jaccardPairsDf(s, d), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("cluster_id")),
+    Some(s"""WITH RECURSIVE $jaccardPairsSqlCtes,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src"""))
 
   /** MinHash + LSH band-join near-dup candidates, Jaccard-verified.
     * xxhash64-based — no oracle; exactness covered by DedupSpec. */
@@ -868,6 +901,7 @@ object ExtensionQueries {
     x_dedup_jaccard_collapsed,
     x_dedup_minhash_lsh,
     x_dedup_simhash,
+    x_dedup_clusters,
     x_sim_cosine_topk,
     x_sim_lsh_topk,
     x_sim_ivf_topk,
