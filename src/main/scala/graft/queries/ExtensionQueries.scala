@@ -587,6 +587,41 @@ object ExtensionQueries {
       SELECT doc_id, chunk_id, $chunkTextSql AS chunk_text FROM e""")
     })
 
+  /** Top-5 terms per language by document frequency — the explode-heavy
+    * text-aggregation shape (one row per token) that dominates corpus
+    * statistics at scale. Partial (map-side) aggregation absorbs the
+    * token blowup before the shuffle; top-k per group runs as a
+    * WindowGroupLimit (per-partition k-heap), not a full group sort.
+    * Counts are integers and the tiebreak is total, so ranking is
+    * engine-exact. */
+  private val x_text_topterms = Q(
+    "x_text_topterms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) >= 3)
+      val counts = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n_docs_term"))
+      counts.withColumn("rank",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_docs_term").desc, col("tok"))))
+        .filter(col("rank") <= 5)
+    },
+    Some("""WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    counts AS (
+      SELECT lang, tok, count(*) AS n_docs_term
+      FROM toks WHERE length(tok) >= 3
+      GROUP BY 1, 2)
+    SELECT lang, tok, n_docs_term,
+      CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs_term DESC, tok)
+        AS INTEGER) AS rank
+    FROM counts
+    QUALIFY rank <= 5"""))
+
   /** Winnowing rolling-hash fingerprints (xxhash64 — no oracle; scheme
     * checked in TextOpsSpec). Output: per-doc fingerprint count. */
   private val x_text_fingerprint = Q(
@@ -824,6 +859,52 @@ object ExtensionQueries {
     WHERE ts IS NOT NULL
     GROUP BY 1, 2"""))
 
+  /** Cohort retention matrix: users grouped by first-active week, count
+    * of distinct active users per (cohort, activity week), plus the
+    * retention rate against the cohort's own first week (weekly grain:
+    * the events fixture spans ~1 month; both engines truncate weeks to
+    * Monday). Two shuffles
+    * on user_id (distinct month-activity + first-seen), then the rate
+    * window runs over the tiny aggregated matrix — fact-table volume
+    * never reaches a window. */
+  private val x_events_retention = Q(
+    "x_events_retention",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val active = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+        .distinct()
+      val cohort = active.groupBy(col("user_id"))
+        .agg(min(col("active_week")).as("cohort_week"))
+      val matrix = active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), col("active_week"))
+        .agg(count(lit(1)).as("n_active")) // distinct by construction
+      val wC = Window.partitionBy(col("cohort_week"))
+      matrix.withColumn("cohort_size",
+          max(when(col("active_week") === col("cohort_week"), col("n_active")))
+            .over(wC))
+        .withColumn("retention_pct",
+          round(col("n_active").cast("double") / col("cohort_size").cast("double")
+            * 100.0, 2))
+    },
+    Some("""WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events WHERE ts IS NOT NULL),
+    cohort AS (
+      SELECT user_id, min(active_week) AS cohort_week
+      FROM active GROUP BY 1),
+    matrix AS (
+      SELECT c.cohort_week, a.active_week, count(*) AS n_active
+      FROM active a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY 1, 2)
+    SELECT cohort_week, active_week, n_active,
+      MAX(CASE WHEN active_week = cohort_week THEN n_active END)
+        OVER (PARTITION BY cohort_week) AS cohort_size,
+      ROUND(CAST(n_active AS DOUBLE)
+        / CAST(MAX(CASE WHEN active_week = cohort_week THEN n_active END)
+            OVER (PARTITION BY cohort_week) AS DOUBLE) * 100.0, 2) AS retention_pct
+    FROM matrix"""))
+
   /** Tumbling 1-hour window aggregate over the event stream (batch form
     * of the Structured Streaming windowed agg — see streaming package). */
   private val x_events_hourly = Q(
@@ -927,6 +1008,8 @@ object ExtensionQueries {
     x_events_funnel,
     x_events_hourly,
     x_events_sessionize,
+    x_events_retention,
     x_stream_hourly_parity,
+    x_text_topterms,
   )
 }
