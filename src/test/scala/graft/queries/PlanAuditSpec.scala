@@ -42,6 +42,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
+  test("x_text_topterms: top-k per group runs as WindowGroupLimit with partial aggregation") {
+    val p = planStr("x_text_topterms")
+    assert(p.contains("WindowGroupLimit"), s"no per-partition k-heap in:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no partial aggregation before the shuffle:\n$p")
+  }
+
+  test("x_range_band_revenue: the range join plans as an equi-join, not a nested loop") {
+    val p = planStr("x_range_band_revenue")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
+  test("x_rel_semi_anti: semi and anti joins appear as such (no probe-side blowup)") {
+    val p = planStr("x_rel_semi_anti")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+  }
+
+  test("x_rel_rollup: grouping sets run as one aggregation pass (Expand), no self-union") {
+    val p = planStr("x_rel_rollup")
+    assert(p.contains("Expand"), s"rollup did not expand grouping sets:\n$p")
+    assert(!p.contains("Union"), s"rollup fell back to a self-union:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
