@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit.
+  *
+  * Spark stores no PK/FK/NOT NULL constraints (SURVEY §1.1: the
+  * reference's fact PK (id, filename) and lga_code FK — design.sql:413–
+  * 414 — are informational even in Snowflake), so a warehouse layer on
+  * this engine enforces them as audit queries. The audit result is a
+  * skinny (check, n_violations) frame: cheap to store per load, trivial
+  * to alert on, and unioned across tables.
+  *
+  * Scale shape: all row-predicate checks run in ONE scan of the table
+  * as a conditional aggregation (sum(when(violation,1))) — adding a
+  * 20th check adds zero passes. Key-uniqueness adds one hash shuffle on
+  * the key; referential integrity adds one left-anti join per FK (the
+  * dim side broadcast when small). Nothing collects to the driver.
+  */
+object Quality {
+
+  /** A named row-level expectation; `violation` is true when a row
+    * BREAKS the rule. */
+  final case class Check(name: String, violation: Column)
+
+  /** Not-null expectation for a column. */
+  def notNull(c: String): Check = Check(s"not_null_$c", col(c).isNull)
+
+  /** Value-domain expectation (violated when outside `allowed`). */
+  def inSet(c: String, allowed: Seq[String]): Check =
+    Check(s"in_set_$c", col(c).isNotNull && !col(c).isin(allowed: _*))
+
+  /** Range expectation (violated when outside [lo, hi]). */
+  def inRange(c: String, lo: Column, hi: Column): Check =
+    Check(s"in_range_$c", col(c).isNotNull && !col(c).between(lo, hi))
+
+  /** All row-predicate checks in one scan → (check, n_violations). */
+  def auditRows(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "auditRows: at least one check")
+    val aggs = checks.map(c =>
+      sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.unpivot(Array.empty[Column], checks.map(c => col(c.name)).toArray,
+      "check", "n_violations")
+  }
+
+  /** Key-uniqueness check: rows beyond the first per key are
+    * violations (the reference's PK (id, filename), design.sql:413). */
+  def auditUniqueKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+      .select(lit("unique_key_" + keys.mkString("_")).as("check"),
+        col("n_violations"))
+
+  /** Referential integrity: fact keys with no matching dimension row
+    * (NULL FKs are not violations, matching SQL FK semantics). */
+  def auditForeignKey(fact: DataFrame, factKey: String,
+                      dim: DataFrame, dimKey: String,
+                      broadcastDim: Boolean = true): DataFrame = {
+    val d = dim.select(col(dimKey)).distinct()
+    val dimSide = if (broadcastDim) broadcast(d) else d
+    fact.filter(col(factKey).isNotNull)
+      .join(dimSide, col(factKey) === col(dimKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(s"fk_${factKey}_to_$dimKey").as("check"),
+        col("n_violations"))
+  }
+}

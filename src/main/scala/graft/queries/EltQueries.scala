@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Quality, Qualify, Snapshot}
+
+/** ELT-hardening tier: the warehouse-maintenance operators a team
+  * migrating the reference pipeline asks for next — a true SCD Type-2
+  * snapshot merge (the reference stores full monthly snapshots instead,
+  * design.sql:3/413; see [[graft.ops.Snapshot]]) and declarative data-
+  * quality audits standing in for the PK/FK constraints Spark cannot
+  * enforce (design.sql:413–414; see [[graft.ops.Quality]]). Both are
+  * oracle-checked against DuckDB.
+  */
+object EltQueries {
+
+  /** One SCD2 merge step, simulated on testdata: the "entity" is a
+    * customer active in a year, its tracked attribute the priority of
+    * their latest order that year (deterministic arg-max by orderdate
+    * then orderkey). Ledger bootstrapped from the 1996 snapshot, then
+    * merged with 1997 — exercising all four merge outcomes (unchanged /
+    * changed / new / soft-deleted). */
+  private val x_scd2_merge = Q(
+    "x_scd2_merge",
+    (s, d) => {
+      def snap(y: Int): DataFrame = Qualify.rowNumber(
+        Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate"), col("o_orderkey")),
+        partCols = Seq(col("custkey")),
+        orderCols = Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select("custkey", "priority")
+      val ledger = Snapshot.scd2Init(snap(1996), lit("1996-01-01").cast("date"))
+      Snapshot.scd2Merge(ledger, snap(1997),
+        keyCols = Seq("custkey"), attrCols = Seq("priority"),
+        asOf = lit("1997-01-01").cast("date"))
+    },
+    Some("""WITH snap_a AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority
+      FROM orders WHERE year(o_orderdate) = 1996
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+    snap_b AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority
+      FROM orders WHERE year(o_orderdate) = 1997
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+    j AS (
+      SELECT a.custkey AS ck_a, a.priority AS pr_a,
+             b.custkey AS ck_b, b.priority AS pr_b
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.custkey = b.custkey)
+    SELECT ck_a AS custkey, pr_a AS priority,
+      DATE '1996-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      TRUE AS is_current
+    FROM j WHERE ck_a IS NOT NULL AND ck_b IS NOT NULL
+      AND pr_a IS NOT DISTINCT FROM pr_b
+    UNION ALL
+    SELECT ck_a, pr_a, DATE '1996-01-01', DATE '1997-01-01', FALSE
+    FROM j WHERE ck_a IS NOT NULL
+      AND (ck_b IS NULL OR pr_a IS DISTINCT FROM pr_b)
+    UNION ALL
+    SELECT ck_b, pr_b, DATE '1997-01-01', CAST(NULL AS DATE), TRUE
+    FROM j WHERE ck_b IS NOT NULL
+      AND (ck_a IS NULL OR pr_a IS DISTINCT FROM pr_b)"""))
+
+  /** Constraint audit across three tables in one result: row-predicate
+    * checks (single scan each), PK-uniqueness (one shuffle), and FK
+    * orphan counts (left-anti joins). Violation counts are genuinely
+    * non-zero in the testdata ((l_orderkey, l_linenumber) is not unique;
+    * events.user_id has customers-table orphans), so the audit is
+    * exercised, not vacuous. */
+  private val x_dq_audit = Q(
+    "x_dq_audit",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val ev = Tables.events(s, d)
+      val rowChecks = Quality.auditRows(li, Seq(
+        Quality.notNull("l_shipdate"),
+        Quality.inSet("l_returnflag", Seq("R", "A", "N")),
+        Quality.inRange("l_discount", lit(0.0), lit(0.1)),
+        Quality.inRange("l_quantity", lit(1.0), lit(40.0))))
+      rowChecks
+        .unionByName(Quality.auditUniqueKey(li, Seq("l_orderkey", "l_linenumber")))
+        .unionByName(Quality.auditUniqueKey(ord, Seq("o_orderkey")))
+        .unionByName(Quality.auditForeignKey(li, "l_orderkey", ord, "o_orderkey",
+          broadcastDim = false)) // |orders| ~ |lineitem|/4: never broadcast
+        .unionByName(Quality.auditForeignKey(ev, "user_id", cust, "c_custkey"))
+        .withColumnRenamed("check", "check_name")
+    },
+    Some("""SELECT 'not_null_l_shipdate' AS check_name,
+      CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_set_l_returnflag',
+      CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+        AND l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range_l_discount',
+      CAST(SUM(CASE WHEN l_discount IS NOT NULL
+        AND l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range_l_quantity',
+      CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+        AND l_quantity NOT BETWEEN 1.0 AND 40.0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique_key_l_orderkey_l_linenumber',
+      CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'unique_key_o_orderkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'fk_l_orderkey_to_o_orderkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'fk_user_id_to_c_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON e.user_id = c.c_custkey
+    WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL"""))
+
+  def all: Seq[Q] = Seq(
+    x_scd2_merge,
+    x_dq_audit,
+  )
+}

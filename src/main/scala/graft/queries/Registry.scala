@@ -14,7 +14,8 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    ReferenceQueries.all ++ ExtensionQueries.all ++ RelationalQueries.all
+    ReferenceQueries.all ++ ExtensionQueries.all ++ RelationalQueries.all ++
+      EltQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> withSessionDefaults(q.fn)).toMap

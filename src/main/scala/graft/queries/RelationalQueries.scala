@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{Exact, Tables}
 
@@ -127,10 +128,138 @@ object RelationalQueries {
     FROM monthly
     WINDOW w AS (PARTITION BY priority ORDER BY order_year, order_month)"""))
 
+  /** Explicit window frames — the one window dimension the reference
+    * never sets (SURVEY §2.5 "frames are always the defaults"): a
+    * 3-row trailing average (ROWS BETWEEN), a running total, and a
+    * RANGE frame over a numeric month index counting adjacent months.
+    * Frame sums run in exact decimal and cast to double at the edge so
+    * Spark's incremental sliding-frame evaluation cannot drift from the
+    * oracle's direct per-frame sums (same discipline as
+    * [[graft.core.Exact]]). The window input is the aggregated monthly
+    * series, so the window shuffle never sees fact-table volume. */
+  private val x_rel_frames = Q(
+    "x_rel_frames",
+    (s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(Exact.sumMoney(col("o_totalprice")).as("rev"))
+        .withColumn("month_idx", col("order_year") * 12 + col("order_month"))
+      val wOrd = Window.partitionBy(col("priority"))
+        .orderBy(col("order_year"), col("order_month"))
+      val w3 = wOrd.rowsBetween(-2, Window.currentRow)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRange = Window.partitionBy(col("priority"))
+        .orderBy(col("month_idx")).rangeBetween(-1, 1)
+      val revExact = col("rev").cast(DecimalType(18, 2))
+      monthly.select(
+        col("priority"), col("order_year"), col("order_month"), col("rev"),
+        (sum(revExact).over(w3).cast("double") / count(lit(1)).over(w3))
+          .as("avg_3m"),
+        sum(revExact).over(wCum).cast("double").as("cum_rev"),
+        count(lit(1)).over(wRange).as("n_adjacent"))
+    },
+    Some(s"""WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+        CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        ${Exact.sumMoneySql("o_totalprice")} AS rev
+      FROM orders GROUP BY 1, 2, 3)
+    SELECT priority, order_year, order_month, rev,
+      CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+        / COUNT(*) OVER w3 AS avg_3m,
+      CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER wc AS DOUBLE) AS cum_rev,
+      COUNT(*) OVER wr AS n_adjacent
+    FROM monthly
+    WINDOW
+      w3 AS (PARTITION BY priority ORDER BY order_year, order_month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      wc AS (PARTITION BY priority ORDER BY order_year, order_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wr AS (PARTITION BY priority ORDER BY (order_year * 12 + order_month)
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)"""))
+
+  /** UNPIVOT (melt) — the inverse of [[x_rel_pivot]]: the wide
+    * per-priority revenue-by-status matrix back to long form. Missing
+    * cells surface as 0-revenue rows (coalesced before the melt), so
+    * the long output is dense: |priority| × |status| rows. */
+  private val x_rel_unpivot = Q(
+    "x_rel_unpivot",
+    (s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(Exact.sumMoney(col("o_totalprice")))
+        .select(col("priority"),
+          coalesce(col("O"), lit(0.0)).as("O"),
+          coalesce(col("F"), lit(0.0)).as("F"),
+          coalesce(col("P"), lit(0.0)).as("P"))
+      wide.unpivot(Array(col("priority")),
+        Array(col("O"), col("F"), col("P")), "status", "revenue")
+    },
+    Some("""WITH agg AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT p.priority, s.status, COALESCE(a.revenue, 0.0) AS revenue
+    FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p
+    CROSS JOIN (SELECT unnest(['O', 'F', 'P']) AS status) s
+    LEFT JOIN agg a ON a.priority = p.priority AND a.status = s.status"""))
+
+  /** Ordered string aggregation (LISTAGG / STRING_AGG): per-nation
+    * distinct market segments as a sorted CSV. Expressed as
+    * collect_set → array_sort → concat_ws, which keeps the result
+    * deterministic under Spark's unordered partial aggregation; the
+    * set is bounded by the segment domain, so per-group state cannot
+    * grow with fact volume. */
+  private val x_rel_stringagg = Q(
+    "x_rel_stringagg",
+    (s, d) => Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nation_key"))
+      .agg(count(lit(1)).as("n_customers"),
+        concat_ws(",", array_sort(collect_set(col("c_mktsegment"))))
+          .as("segments_csv")),
+    Some("""SELECT c_nationkey AS nation_key, COUNT(*) AS n_customers,
+      string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments_csv
+    FROM customer GROUP BY 1"""))
+
+  /** INTERSECT / EXCEPT (SURVEY §2.7: absent from the reference):
+    * customer-retention cohorts — custkeys ordering in both 1996 and
+    * 1997, only 1996 (churned), only 1997 (new). Set-op semantics
+    * (distinct, null-safe key equality) are identical in Spark and
+    * DuckDB; both engines plan these as aggregates/joins, no custom
+    * operator needed. */
+  private val x_rel_setops = Q(
+    "x_rel_setops",
+    (s, d) => {
+      def yr(y: Int) = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      yr(1996).intersect(yr(1997)).withColumn("cohort", lit("BOTH"))
+        .unionByName(yr(1996).except(yr(1997))
+          .withColumn("cohort", lit("ONLY_1996")))
+        .unionByName(yr(1997).except(yr(1996))
+          .withColumn("cohort", lit("ONLY_1997")))
+    },
+    Some("""WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+         y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    SELECT o_custkey, 'BOTH' AS cohort
+    FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+    UNION ALL
+    SELECT o_custkey, 'ONLY_1996' AS cohort
+    FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    UNION ALL
+    SELECT o_custkey, 'ONLY_1997' AS cohort
+    FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)"""))
+
   def all: Seq[Q] = Seq(
     x_rel_semi_anti,
     x_rel_rollup,
     x_rel_pivot,
     x_rel_analytic_suite,
+    x_rel_frames,
+    x_rel_unpivot,
+    x_rel_stringagg,
+    x_rel_setops,
   )
 }

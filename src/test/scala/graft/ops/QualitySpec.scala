@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (Some(1L), Some("t"), Some(5.0)),
+    (Some(2L), Some("f"), Some(15.0)), // out of range
+    (Some(2L), Some("x"), None),       // dup key + bad domain
+    (None, None, Some(3.0))            // null key, null flag
+  ).toDF("id", "flag", "v")
+
+  test("auditRows counts each violation class in one scan") {
+    val out = Quality.auditRows(df, Seq(
+      Quality.notNull("flag"),
+      Quality.inSet("flag", Seq("t", "f")),
+      Quality.inRange("v", lit(0.0), lit(10.0))))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "not_null_flag" -> 1L,
+      "in_set_flag" -> 1L,     // NULL flag is not an in_set violation
+      "in_range_v" -> 1L))     // NULL v is not a range violation
+  }
+
+  test("auditRows is a single aggregate (no per-check scan)") {
+    val plan = Quality.auditRows(df,
+      Seq(Quality.notNull("flag"), Quality.notNull("v"), Quality.notNull("id")))
+      .queryExecution.executedPlan.toString
+    // one scan feeding one aggregate, melted afterwards: exactly one
+    // LocalTableScan/Scan appears in the physical plan
+    assert(plan.split("Scan").length - 1 <= 2, plan)
+  }
+
+  test("auditUniqueKey counts surplus rows per duplicated key") {
+    val out = Quality.auditUniqueKey(df.filter($"id".isNotNull), Seq("id"))
+      .as[(String, Long)].collect().head
+    assert(out == ("unique_key_id", 1L))
+  }
+
+  test("auditUniqueKey on unique input reports 0, not null") {
+    val out = Quality.auditUniqueKey(
+      Seq(1L, 2L).toDF("id"), Seq("id")).as[(String, Long)].collect().head
+    assert(out._2 == 0L)
+  }
+
+  test("auditForeignKey counts non-null orphans only") {
+    val dim = Seq(1L, 2L).toDF("k")
+    val fact = Seq(Some(1L), Some(3L), Some(3L), None).toDF("fk")
+    val out = Quality.auditForeignKey(fact, "fk", dim, "k")
+      .as[(String, Long)].collect().head
+    assert(out == ("fk_fk_to_k", 2L)) // the two fk=3 rows; NULL exempt
+  }
+}
