@@ -25,7 +25,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only subset filter (driver leaves it unset): comma-list of
+    // query names, for timing one query without the full suite
+    val onlyNames = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlyNames.forall(_.contains(n)))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // noop sink, NOT count(): count(1) lets Catalyst prune the entire
     // projection body, so a projection-only query would "benchmark" a

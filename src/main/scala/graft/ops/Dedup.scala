@@ -262,15 +262,20 @@ object Dedup {
     while (!converged && i < maxIter) {
       val viaNeighbor = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("cluster_id"))
-      val next = viaNeighbor.union(labels)
-        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+      // change detection rides the SAME aggregate that computes the new
+      // labels: the node's old label is tagged into the union and
+      // re-extracted per group, so each round is exactly one shuffle +
+      // one count action on the cached result (a join-based old-vs-new
+      // compare would double the per-round job count)
+      val next = viaNeighbor.withColumn("is_old", lit(false))
+        .union(labels.withColumn("is_old", lit(true)))
+        .groupBy(col("node"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          min(when(col("is_old"), col("cluster_id"))).as("old_id"))
         .cache()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
+      converged = next.filter(col("cluster_id") =!= col("old_id")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("cluster_id"))
       i += 1
     }
     edges.unpersist()
