@@ -44,10 +44,6 @@ object Snapshot {
     val closed = ledger.filter(!col("is_current"))
     val current = ledger.filter(col("is_current"))
 
-    // null-safe per-column equality; <=> treats NULL==NULL as true
-    def unchanged(l: DataFrame, r: DataFrame): Column =
-      attrCols.map(c => l(c) <=> r(c)).reduce(_ && _)
-
     val cur = current.alias("cur")
     val snp = snapshot.alias("snp")
     val joined = cur.join(
@@ -55,28 +51,31 @@ object Snapshot {
 
     val inCur = keyCols.map(cur(_).isNotNull).reduce(_ && _)
     val inSnp = keyCols.map(snp(_).isNotNull).reduce(_ && _)
-    val same = unchanged(cur, snp)
+    // null-safe per-column equality; <=> treats NULL==NULL as true
+    val same = attrCols.map(c => cur(c) <=> snp(c)).reduce(_ && _)
 
-    def curRow(validTo: Column) =
-      keyCols.map(cur(_)) ++ attrCols.map(cur(_)) ++
-        Seq(cur("valid_from"), validTo.as("valid_to"))
-    def snpRow =
-      keyCols.map(snp(_)) ++ attrCols.map(snp(_)) ++
-        Seq(asOf.as("valid_from"), lit(null).cast("date").as("valid_to"))
+    // Each joined row emits its output role(s) as an exploded struct
+    // array — a filter-per-role union would instead make Catalyst
+    // specialize the join THREE times (observed: inner + left-outer +
+    // right-outer branches, each rescanning both inputs), tripling the
+    // snapshot computation at scale. This form keeps exactly one
+    // full-outer join and one generate pass.
+    def row(side: String => Column, from: Column, to: Column, isCur: Column) =
+      struct(keyCols.map(k => side(k).as(k)) ++
+        attrCols.map(a => side(a).as(a)) ++ Seq(
+          from.as("valid_from"), to.as("valid_to"), isCur.as("is_current")): _*)
+    val nullDate = lit(null).cast("date")
+    val keepRow = row(cur(_), cur("valid_from"), nullDate, lit(true))
+    val closeRow = row(cur(_), cur("valid_from"), asOf, lit(false))
+    val openRow = row(snp(_), asOf, nullDate, lit(true))
+    val emitted =
+      when(inCur && inSnp && same, array(keepRow))
+        .when(inCur && inSnp && !same, array(closeRow, openRow))
+        .when(inCur && !inSnp, array(closeRow)) // soft delete
+        .otherwise(array(openRow))              // brand new
+    val merged = joined.select(explode(emitted).as("r")).select(col("r.*"))
 
-    // one pass over the joined frame per output role; Catalyst reuses
-    // the exchange across the three branches of the union
-    val untouched = joined.filter(inCur && inSnp && same)
-      .select(curRow(validTo = lit(null).cast("date")): _*)
-      .withColumn("is_current", lit(true))
-    val closedNow = joined.filter(inCur && (!inSnp || !same))
-      .select(curRow(validTo = asOf): _*)
-      .withColumn("is_current", lit(false))
-    val opened = joined.filter(inSnp && (!inCur || !same))
-      .select(snpRow: _*)
-      .withColumn("is_current", lit(true))
-
-    closed.unionByName(untouched).unionByName(closedNow).unionByName(opened)
+    closed.unionByName(merged)
   }
 
   /** Bootstrap a ledger from the first snapshot. */

@@ -507,6 +507,54 @@ object ReferenceQueries {
       n_name IN ('KENYA', 'MOROCCO', 'MOZAMBIQUE') AS is_focus
     FROM nation"""))
 
+  /** J3/J6 at full star arity: the reference's fact-plus-dimensions
+    * join shape (E2's 4 dimension joins, design.sql:461–464,545–548)
+    * at warehouse scale — lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
+    * region ⋈ orders, profit per (nation, year, part type).
+    *
+    * Join order is the 100 TB plan, not the textual order: the
+    * selective dimension filters cut the fact FIRST (part type ~1/3,
+    * ASIA region ~1/5 via suppliers), so the expensive orders join
+    * sees a twice-reduced fact. region⋈nation collapses to one
+    * broadcast before touching the fact; part and supplier shuffle
+    * (both grow with SF — only bounded dims get the broadcast hint,
+    * AQE may still promote them at small SF). */
+  private val q_j8_star_profit = Q(
+    "q_j8_star_profit",
+    (s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      li(s, d)
+        .join(Tables.part(s, d).filter(col("p_type").isin("PROMO", "ECONOMY"))
+            .select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("order_year"),
+          col("p_type").as("part_type"))
+        .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("profit"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""SELECT n.n_name AS nation,
+      CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+      p.p_type AS part_type,
+      ${Exact.sumRevenueSql("l_extendedprice", "l_discount")} AS profit,
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+      AND p.p_type IN ('PROMO', 'ECONOMY')
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3"""))
+
   /** J1/J2: FULL OUTER join of two independently aggregated dimension
     * views with key coalescing (census G01⋈G02, design.sql:157–159;
     * SSC⋈LGA, design.sql:175–177). */
@@ -801,6 +849,7 @@ object ReferenceQueries {
     q_j5c_null_key_split,
     q_w2_best_worst,
     q_j7_top5_restrict,
+    q_j8_star_profit,
     q_f_scalar_suite,
     q_f_date_suite,
     q_a6_median,

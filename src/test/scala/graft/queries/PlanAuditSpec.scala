@@ -67,6 +67,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Union"), s"rollup fell back to a self-union:\n$p")
   }
 
+  test("q_j8: star join broadcasts the region-nation dim and prunes fact columns") {
+    val p = planStr("q_j8_star_profit")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast of nation dim in:\n$p")
+    // the part-type filter must reach the part scan, not run post-join
+    assert(p.contains("In(p_type, [ECONOMY,PROMO])"),
+      s"part-type filter not pushed to scan:\n$p")
+    // only the 5 needed lineitem columns are read (of 11)
+    assert(p.contains("struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan not pruned to the 5 needed columns:\n$p")
+  }
+
+  test("x_scd2_merge: ONE full-outer join; snapshots are not recomputed per role") {
+    val p = planStr("x_scd2_merge")
+    assert(p.contains("FullOuter"), s"no full-outer merge join in:\n$p")
+    // one scan of orders per snapshot side — a filter-per-role union
+    // would specialize the join per branch and scan orders 6x
+    val ordersScans = p.split("orders.parquet").length - 1
+    assert(ordersScans <= 2, s"orders scanned $ordersScans times:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
