@@ -42,40 +42,81 @@ object Snapshot {
       attrCols: Seq[String],
       asOf: Column): DataFrame = {
     val closed = ledger.filter(!col("is_current"))
-    val current = ledger.filter(col("is_current"))
+    val merged = mergeCurrent(ledger, snapshot, keyCols, attrCols, asOf,
+      softDelete = true)
+    closed.unionByName(merged)
+  }
 
-    val cur = current.alias("cur")
-    val snp = snapshot.alias("snp")
-    val joined = cur.join(
-      snp, keyCols.map(k => cur(k) === snp(k)).reduce(_ && _), "full_outer")
+  /** CDC-style variant of [[scd2Merge]] for PARTIAL snapshots (a
+    * changed-entities delta, e.g. one streaming micro-batch): an entity
+    * absent from `updates` stays current — no soft delete. Same
+    * single-join single-generate plan shape. */
+  def scd2Upsert(
+      ledger: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      asOf: Column): DataFrame = {
+    val closed = ledger.filter(!col("is_current"))
+    val merged = mergeCurrent(ledger, updates, keyCols, attrCols, asOf,
+      softDelete = false)
+    closed.unionByName(merged)
+  }
 
-    val inCur = keyCols.map(cur(_).isNotNull).reduce(_ && _)
-    val inSnp = keyCols.map(snp(_).isNotNull).reduce(_ && _)
+  /** Shared core of [[scd2Merge]]/[[scd2Upsert]]: join the CURRENT
+    * ledger slice against the incoming rows and emit each joined row's
+    * output role(s).
+    *
+    * Two plan-shape decisions, both load-bearing at scale:
+    *   - Sides are prefix-RENAMED before the join (never resolved via
+    *     DataFrame-object attributes): ledger and snapshot frequently
+    *     share lineage (a ledger re-merged with the snapshot that built
+    *     it, a micro-batch vs. a frame derived from it), and self-join
+    *     attribute ambiguity then binds both "sides" to one relation,
+    *     silently corrupting output.
+    *   - Roles are emitted via ONE exploded struct array — a
+    *     filter-per-role union makes Catalyst specialize the join per
+    *     branch (observed: inner + left-outer + right-outer), tripling
+    *     the snapshot computation.
+    */
+  private def mergeCurrent(
+      ledger: DataFrame,
+      incoming: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      asOf: Column,
+      softDelete: Boolean): DataFrame = {
+    def l(c: String) = col("__l_" + c)
+    def r(c: String) = col("__r_" + c)
+    val cur = ledger.filter(col("is_current"))
+      .select((keyCols ++ attrCols :+ "valid_from")
+        .map(c => col(c).as("__l_" + c)): _*)
+    val inc = incoming
+      .select((keyCols ++ attrCols).map(c => col(c).as("__r_" + c)): _*)
+    val joined = cur.join(inc,
+      keyCols.map(k => l(k) === r(k)).reduce(_ && _), "full_outer")
+
+    val inCur = keyCols.map(l(_).isNotNull).reduce(_ && _)
+    val inInc = keyCols.map(r(_).isNotNull).reduce(_ && _)
     // null-safe per-column equality; <=> treats NULL==NULL as true
-    val same = attrCols.map(c => cur(c) <=> snp(c)).reduce(_ && _)
+    val same = attrCols.map(c => l(c) <=> r(c)).reduce(_ && _)
 
-    // Each joined row emits its output role(s) as an exploded struct
-    // array — a filter-per-role union would instead make Catalyst
-    // specialize the join THREE times (observed: inner + left-outer +
-    // right-outer branches, each rescanning both inputs), tripling the
-    // snapshot computation at scale. This form keeps exactly one
-    // full-outer join and one generate pass.
     def row(side: String => Column, from: Column, to: Column, isCur: Column) =
       struct(keyCols.map(k => side(k).as(k)) ++
         attrCols.map(a => side(a).as(a)) ++ Seq(
           from.as("valid_from"), to.as("valid_to"), isCur.as("is_current")): _*)
     val nullDate = lit(null).cast("date")
-    val keepRow = row(cur(_), cur("valid_from"), nullDate, lit(true))
-    val closeRow = row(cur(_), cur("valid_from"), asOf, lit(false))
-    val openRow = row(snp(_), asOf, nullDate, lit(true))
+    val keepRow = row(l, l("valid_from"), nullDate, lit(true))
+    val closeRow = row(l, l("valid_from"), asOf, lit(false))
+    val openRow = row(r, asOf, nullDate, lit(true))
+    val absent = // entity in ledger but not in the incoming rows
+      if (softDelete) array(closeRow) else array(keepRow)
     val emitted =
-      when(inCur && inSnp && same, array(keepRow))
-        .when(inCur && inSnp && !same, array(closeRow, openRow))
-        .when(inCur && !inSnp, array(closeRow)) // soft delete
-        .otherwise(array(openRow))              // brand new
-    val merged = joined.select(explode(emitted).as("r")).select(col("r.*"))
-
-    closed.unionByName(merged)
+      when(inCur && inInc && same, array(keepRow))
+        .when(inCur && inInc && !same, array(closeRow, openRow))
+        .when(inCur && !inInc, absent)
+        .otherwise(array(openRow)) // brand new
+    joined.select(explode(emitted).as("r")).select(col("r.*"))
   }
 
   /** Bootstrap a ledger from the first snapshot. */

@@ -100,6 +100,66 @@ object EventStream {
         col("view_id"), col("view_ts"))
   }
 
+  /** Incremental SCD2 warehouse maintenance: a stream of entity-
+    * attribute updates folds into a versioned Type-2 ledger, one
+    * [[graft.ops.Snapshot.scd2Upsert]] per micro-batch inside
+    * foreachBatch. This is the true-incremental form of the reference's
+    * REFRESH-then-recompute-everything loop (populate.py:65–68 + CTAS):
+    * each batch touches |changed entities|, not |history|.
+    *
+    * The ledger is versioned (`<dir>/v=<n>` + a `_LATEST` pointer
+    * written AFTER the version commits) because overwriting a parquet
+    * dir that the same job is reading is undefined; versioning also
+    * gives time travel over ledger states for free. Within a batch,
+    * multiple updates to one key collapse to the latest by `tsCol`
+    * (deterministic tiebreak on all attr columns).
+    *
+    * Scale: per batch, one full-outer join of current-slice × delta —
+    * both sides bounded (entities, changed keys) — plus the history
+    * append; no state store is involved, so ledger size is bounded by
+    * storage, not executor memory. */
+  def scd2MaintainStream(updates: DataFrame, ledgerDir: String,
+                         keyCols: Seq[String], attrCols: Seq[String],
+                         tsCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    updates.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        new java.io.File(ledgerDir).mkdirs()
+        // resolve via the pointer, not a directory listing: a version
+        // dir from a crashed half-written batch must never be read
+        val pointer = java.nio.file.Paths.get(s"$ledgerDir/_LATEST")
+        val latest =
+          if (java.nio.file.Files.exists(pointer))
+            Some(java.nio.file.Files.readString(pointer).trim.toInt)
+          else None
+        val ledger = latest match {
+          case Some(v) => spark.read.parquet(s"$ledgerDir/v=$v")
+          case None =>
+            graft.ops.Snapshot.scd2Init(
+              batch.select((keyCols ++ attrCols).map(col): _*).limit(0),
+              lit(null).cast("date"))
+        }
+        // collapse intra-batch updates to the latest per key
+        val delta = graft.ops.Qualify.dedup(
+          batch.select((keyCols ++ attrCols :+ tsCol).map(col): _*),
+          keys = keyCols.map(col),
+          orderCols = col(tsCol).desc +: attrCols.map(col))
+          .drop(tsCol)
+        val asOf = batch.agg(max(col(tsCol)).cast("date")).head().getDate(0)
+        val next = graft.ops.Snapshot.scd2Upsert(
+          ledger, delta, keyCols, attrCols, lit(asOf))
+        val v = latest.map(_ + 1).getOrElse(0)
+        next.write.mode("overwrite").parquet(s"$ledgerDir/v=$v")
+        // pointer write is the commit: readers pick a version only
+        // after its parquet is fully on disk
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$ledgerDir/_LATEST"), v.toString)
+      }
+      ()
+    }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long,

@@ -106,4 +106,36 @@ class EventStreamSpec extends SparkSpec {
     assert(closed.head.start_ms == ts(0).getTime && closed.head.end_ms == ts(5).getTime)
     q.stop()
   }
+
+  test("scd2MaintainStream folds micro-batches into a versioned Type-2 ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    val ledgerDir = Files.createTempDirectory("scd2_ledger").toString
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val updates = input.toDF().toDF("user_id", "plan", "ts")
+    val q = EventStream.scd2MaintainStream(updates, ledgerDir,
+      keyCols = Seq("user_id"), attrCols = Seq("plan"), tsCol = "ts")
+      .outputMode("update").start()
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+    // batch 0: two users sign up; user 1 flips plans WITHIN the batch —
+    // only the latest-by-ts update may land
+    input.addData((1L, "free", ts(1)), (1L, "pro", ts(2)), (2L, "free", ts(2)))
+    q.processAllAvailable()
+    val v0 = spark.read.parquet(s"$ledgerDir/v=0")
+    assert(v0.count() == 2)
+    assert(v0.filter($"user_id" === 1 && $"plan" === "pro" && $"is_current").count() == 1)
+
+    // batch 1: user 2 upgrades, user 1 untouched (partial delta: NO soft delete)
+    input.addData((2L, "team", ts(10)))
+    q.processAllAvailable()
+    q.stop()
+    assert(Files.readString(java.nio.file.Paths.get(s"$ledgerDir/_LATEST")) == "1")
+    val v1 = spark.read.parquet(s"$ledgerDir/v=1")
+    val rows = v1.select($"user_id", $"plan", $"valid_to".cast("string"), $"is_current")
+      .as[(Long, String, Option[String], Boolean)].collect().toSet
+    assert(rows == Set(
+      (1L, "pro", None, true),                   // untouched by the delta
+      (2L, "free", Some("2024-01-10"), false),   // closed old version
+      (2L, "team", None, true)))                 // opened new version
+  }
 }
