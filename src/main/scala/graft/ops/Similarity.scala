@@ -231,4 +231,97 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** One Lloyd ASSIGNMENT step: each corpus vector to its nearest
+    * centroid by squared L2 (|v|² + |c|² − 2·v·c — three reuses of the
+    * dot kernel; norms computed once per row, not once per pair).
+    * Distances are rounded to 6dp before the argmin and tie-broken on
+    * centroid id, so the assignment is a total order robust to
+    * engine-level float summation differences (same discipline as the
+    * cosine rankers above). The centroid side is broadcast; the product
+    * collapses to one row per vector via a map-side-combinable
+    * `min(struct)` hash aggregate — the raw corpus×k product never
+    * reaches a shuffle. Output: (id, cid, d2). */
+  def kmeansAssign(corpus: DataFrame, centroids: DataFrame,
+                   id: String, vec: String,
+                   cid: String = "cid", cvec: String = "cvec"): DataFrame = {
+    val c = corpus.filter(col(vec).isNotNull)
+      .select(col(id), transform(col(vec), x => x.cast("double")).as("__v"))
+      .withColumn("__vn", dot(col("__v"), col("__v")))
+    val t = broadcast(centroids.filter(col(cvec).isNotNull)
+      .select(col(cid).as("__cid"),
+        transform(col(cvec), x => x.cast("double")).as("__cv"))
+      .withColumn("__cn", dot(col("__cv"), col("__cv"))))
+    c.crossJoin(t)
+      .withColumn("__d2",
+        round(col("__vn") + col("__cn") - lit(2.0) * dot(col("__v"), col("__cv")), 6))
+      .groupBy(col(id))
+      .agg(min(struct(col("__d2"), col("__cid"))).as("__best"))
+      .select(col(id), col("__best.__cid").as(cid), col("__best.__d2").as("d2"))
+  }
+
+  /** Deterministic farthest-point seeding (the greedy half of
+    * k-means++): start from the lowest id, then repeatedly take the
+    * point with the largest distance to its nearest chosen seed.
+    * Immune to the all-seeds-in-one-cluster failure of random/hash
+    * sampling (which demonstrably collapses Lloyd into a tie-broken
+    * local optimum on well-separated clusters). Costs k-1 assignment
+    * passes — intended for small k; capped so nobody schedules 10k
+    * passes by accident. */
+  private def farthestSeeds(base: DataFrame, id: String, k: Int): DataFrame = {
+    require(k <= 64, s"farthest-point init runs k-1 corpus passes; k=$k " +
+      "is past sensible — use spread init for large nlist")
+    var seeds = base.orderBy(col(id)).limit(1)
+      .select(col(id).as("cid"), col("__bv").as("cvec"))
+    for (_ <- 1 until k) {
+      val far = kmeansAssign(base, seeds, id, "__bv")
+        .orderBy(col("d2").desc, col(id)).limit(1) // TakeOrdered, no sort
+        .select(col(id))
+      seeds = seeds.unionByName(
+        far.join(base, id).select(col(id).as("cid"), col("__bv").as("cvec")))
+    }
+    seeds
+  }
+
+  /** Distributed Lloyd k-means over an embedding column — the IVF
+    * index trainer ([[ivfTopK]] takes the fitted centroids unchanged).
+    *
+    * Init: `"spread"` (default) takes k vectors by xxhash64 order —
+    * one cheap pass, arbitrary-but-stable, the right choice for large
+    * nlist; `"farthest"` is greedy farthest-point ([[farthestSeeds]])
+    * — k-1 passes, use when cluster recovery matters more than init
+    * cost. Each iteration: one assignment pass + one mean recompute
+    * (posexplode → per-(cell, dim) avg → re-assembled array; per-group
+    * state is bounded by dim, never by corpus size). Cells that lose
+    * all members drop out (standard Lloyd shrinkage). Nothing collects
+    * to the driver; the returned frame is (cid, cvec: array<double>,
+    * n_members). */
+  def kmeansFit(corpus: DataFrame, id: String, vec: String,
+                k: Int, iters: Int, init: String = "spread"): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val base = corpus.filter(col(vec).isNotNull)
+      .select(col(id), transform(col(vec), x => x.cast("double")).as("__bv"))
+      .cache()
+    var cents = (init match {
+      case "spread" => base.orderBy(xxhash64(col(id)), col(id)).limit(k)
+        .select(col(id).as("cid"), col("__bv").as("cvec"))
+      case "farthest" => farthestSeeds(base, id, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown init '$other' (spread | farthest)")
+    }).withColumn("n_members", lit(1L))
+    for (_ <- 0 until iters) {
+      val assigned = kmeansAssign(base, cents, id, "__bv")
+        .select(col(id), col("cid"))
+      cents = assigned.join(base, id)
+        .select(col("cid"), posexplode(col("__bv")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("__m"), count(lit(1)).as("__n"))
+        .groupBy(col("cid"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("__m")))),
+            s => s.getField("__m")).as("cvec"),
+          first(col("__n")).as("n_members"))
+    }
+    cents
+  }
 }

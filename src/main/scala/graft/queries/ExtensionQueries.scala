@@ -245,6 +245,38 @@ object ExtensionQueries {
     },
     None)
 
+  /** One Lloyd k-means assignment step over the embeddings — the IVF
+    * index trainer's inner loop (Similarity.kmeansAssign), oracle-
+    * checked: DuckDB recomputes every corpus×centroid squared-L2 and
+    * takes the same rounded-distance argmin. Centroids here are the
+    * deterministic modulus sample; the full iterative trainer
+    * (Similarity.kmeansFit) is proven in SimilaritySpec (monotone
+    * within-cluster-variance descent + exact recovery of planted
+    * clusters), since iteration count isn't SQL-expressible. */
+  private val x_kmeans_step = Q(
+    "x_kmeans_step",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.kmeansAssign(
+        emb,
+        emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        id = "vec_id", vec = "embedding")
+    },
+    Some("""WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 97 = 0),
+    dists AS (
+      SELECT a.vec_id, ct.cid,
+        ROUND(list_inner_product(a.v, a.v) + list_inner_product(ct.cv, ct.cv)
+          - 2 * list_inner_product(a.v, ct.cv), 6) AS d2
+      FROM c a CROSS JOIN cent ct)
+    SELECT vec_id, cid, d2 FROM dists
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1"""))
+
   /** Embedding-cosine near-duplicate pairs — exact variant (tables=0)
     * over a bounded corpus slice so DuckDB can brute-force the oracle;
     * the LSH-bucketed variant of the same operator is the scale path
@@ -987,6 +1019,7 @@ object ExtensionQueries {
     x_sim_lsh_topk,
     x_sim_ivf_topk,
     x_sim_quantized_topk,
+    x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
     x_embed_quantize,

@@ -107,4 +107,37 @@ class SimilaritySpec extends SparkSpec {
     // and LSH candidates must all be genuine corpus ids (no fabrication)
     assert(approx.forall { case (a, b) => a != b })
   }
+
+  test("kmeansFit recovers planted clusters exactly") {
+    // three tight clusters far apart; any sane Lloyd run must separate
+    // them perfectly within 3 iterations from any 3 distinct seeds
+    val pts = (0 until 30).map { i =>
+      val center = i % 3 * 100.0
+      (i.toLong, Seq(center + (i / 3) * 0.1, center - (i / 3) * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 3,
+      init = "farthest")
+    val assigned = Similarity.kmeansAssign(df, cents, "vec_id", "embedding")
+    // each planted cluster maps to exactly one fitted cell
+    val purity = assigned
+      .withColumn("planted", $"vec_id" % 3)
+      .groupBy($"planted").agg(countDistinct($"cid").as("cells"))
+      .select("cells").as[Long].collect()
+    assert(purity.forall(_ == 1L), s"clusters split across cells: ${purity.toSeq}")
+    assert(cents.count() == 3)
+    assert(cents.select(sum($"n_members")).as[Long].head() == 30L)
+  }
+
+  test("kmeansFit: within-cluster variance descends monotonically (real embeddings)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def wcss(iters: Int): Double = {
+      val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = iters)
+      Similarity.kmeansAssign(emb, cents, "vec_id", "embedding")
+        .agg(sum($"d2")).as[Double].head()
+    }
+    val costs = Seq(wcss(0), wcss(1), wcss(3))
+    assert(costs.sliding(2).forall { case Seq(a, b) => b <= a + 1e-6 },
+      s"WCSS not monotone: $costs")
+  }
 }
