@@ -129,6 +129,24 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.select(sum($"n_members")).as[Long].head() == 30L)
   }
 
+  test("ivfTopK composes with kmeansFit: trained cells match or beat sampled cells") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopK(q, emb, k = 5,
+        centroids = cents, nprobe = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val sampled = emb.filter($"vec_id" % 37 === 0).orderBy($"vec_id").limit(12)
+    val trained = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 12, iters = 3)
+      .select($"cid".as("vec_id"), $"cvec".as("embedding"))
+    val (rs, rt) = (recall(sampled), recall(trained))
+    assert(rt >= rs - 0.05, f"trained centroids regressed recall: $rt%.2f vs $rs%.2f")
+  }
+
   test("kmeansFit: within-cluster variance descends monotonically (real embeddings)") {
     val emb = Tables.embeddings(spark, sf001)
     def wcss(iters: Int): Double = {
