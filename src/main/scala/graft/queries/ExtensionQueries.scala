@@ -164,6 +164,64 @@ object ExtensionQueries {
     SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
     FROM reach GROUP BY src"""))
 
+  /** Survivorship: the dedup DECISION the cluster map exists for —
+    * every document joins its near-dup cluster (singletons form their
+    * own), and each cluster keeps its highest-quality member (quality
+    * tie → smallest doc_id; quality bit-parity across engines is
+    * already proven by x_text_stats). Top-1-per-cluster runs as
+    * WindowGroupLimit, so the full corpus is never sorted. The oracle
+    * recomputes clusters via the recursive closure AND re-derives the
+    * same survivor choice. */
+  private val x_dedup_survivors = Q(
+    "x_dedup_survivors",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val member = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull
+          && col("n_chars").isNotNull
+          && size(split(lower(col("text")), " ")) >= 3)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+        .join(
+          Dedup.connectedComponents(jaccardPairsDf(s, d), "doc_a", "doc_b")
+            .select(col("node").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val wc = Window.partitionBy(col("cluster_id"))
+      member
+        .withColumn("n_members", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(
+          wc.orderBy(col("q").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+          col("q").as("keep_quality"), col("n_members"))
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairsSqlCtes,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    clusters AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    member AS (
+      SELECT b.doc_id, COALESCE(c.cluster_id, b.doc_id) AS cluster_id,
+        ${TextOps.qualityScoreSql("text")} AS q
+      FROM (SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+              AND n_chars IS NOT NULL
+              AND len(string_split(lower(text), ' ')) >= 3) b
+      LEFT JOIN clusters c USING (doc_id))
+    SELECT cluster_id, doc_id AS keep_doc_id, q AS keep_quality, n_members
+    FROM (SELECT *,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+        ROW_NUMBER() OVER (PARTITION BY cluster_id
+          ORDER BY q DESC, doc_id) AS rn
+      FROM member)
+    WHERE rn = 1"""))
+
   /** MinHash + LSH band-join near-dup candidates, Jaccard-verified.
     * xxhash64-based — no oracle; exactness covered by DedupSpec. */
   private val x_dedup_minhash_lsh = Q(
@@ -1015,6 +1073,7 @@ object ExtensionQueries {
     x_dedup_minhash_lsh,
     x_dedup_simhash,
     x_dedup_clusters,
+    x_dedup_survivors,
     x_sim_cosine_topk,
     x_sim_lsh_topk,
     x_sim_ivf_topk,
