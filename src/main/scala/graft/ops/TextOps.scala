@@ -191,4 +191,34 @@ object TextOps {
   def withFingerprints(df: org.apache.spark.sql.DataFrame, text: Column,
                        out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
     df.withColumn(out, graft.functions.GraftFunctions.winnowFingerprints(text, k, w))
+
+  /** Per-document top-k terms by smoothed TF-IDF
+    * (tf × ln((N+1)/(df+1))): the corpus-statistics feature extractor —
+    * keyword tagging, near-dup explanations, quality signals.
+    *
+    * Three aggregations, all map-side-combinable: tf by (doc, term), df
+    * by term (a count over the ALREADY-distinct (doc, term) frame — no
+    * count-distinct expand), and the 1-row corpus size cross-joined in
+    * (the scalar-subquery pattern, SURVEY A9). Scores are rounded to
+    * 6dp before ranking — ln() may differ between engine libms in the
+    * last ulp — and tie-broken on term, so top-k is a total order.
+    * Top-k per doc plans as WindowGroupLimit (per-partition k-heap).
+    * Terms shorter than `minLen` are dropped. */
+  def tfIdfTopK(df: DataFrame, id: Column, text: Column, k: Int,
+                minLen: Int = 3): DataFrame = {
+    val toks = df.select(id.as("__id"), explode(tokens(text)).as("term"))
+      .filter(length(col("term")) >= minLen)
+    val tf = toks.groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
 }

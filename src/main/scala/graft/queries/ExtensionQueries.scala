@@ -712,6 +712,36 @@ object ExtensionQueries {
     FROM counts
     QUALIFY rank <= 5"""))
 
+  /** Per-document top-3 terms by smoothed TF-IDF — corpus-statistics
+    * feature extraction (TextOps.tfIdfTopK): three map-side-combinable
+    * aggregations + the 1-row corpus size cross-joined in; ln() rounded
+    * to 6dp before ranking so the order is engine-exact. */
+  private val x_text_tfidf = Q(
+    "x_text_tfidf",
+    (s, d) => TextOps.tfIdfTopK(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        col("doc_id"), col("text"), k = 3)
+      .withColumnRenamed("__id", "doc_id"),
+    Some("""WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM docs),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) >= 3 GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs),
+    scored AS (
+      SELECT doc_id, term, tf,
+        ROUND(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf,
+      CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 3"""))
+
   /** Winnowing rolling-hash fingerprints (xxhash64 — no oracle; scheme
     * checked in TextOpsSpec). Output: per-doc fingerprint count. */
   private val x_text_fingerprint = Q(
@@ -1103,5 +1133,6 @@ object ExtensionQueries {
     x_events_retention,
     x_stream_hourly_parity,
     x_text_topterms,
+    x_text_tfidf,
   )
 }
