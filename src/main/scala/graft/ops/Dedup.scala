@@ -231,29 +231,45 @@ object Dedup {
     * in a component keeps/loses together, with `cluster_id` = the
     * component's smallest doc id as the canonical representative.
     *
-    * Iterative min-label propagation in plain DataFrames: each round,
-    * every node takes the min of its own label and its neighbors'
-    * labels; fixpoint when no label changes. Rounds needed = the graph
-    * diameter — near-dup clusters are shallow (duplicates of a common
-    * source link densely), so this converges in a handful of rounds;
-    * per round the work is one equi-join + one map-side-combinable
-    * min-aggregate, both shuffling on node id. The driver holds only
-    * the per-round changed-row check, never the labels.
+    * HYBRID execution, picked by measured edge count. The pair list is
+    * already the heavily-filtered output of blocking/LSH — usually
+    * orders of magnitude smaller than the corpus — and Spark's
+    * per-round fixed cost (job scheduling + shuffle + cache commit)
+    * dwarfs the actual work on small graphs (measured ~1s/round on a
+    * 25-edge list):
+    *
+    *   - edge count ≤ `localEdgeThreshold` and long node ids → exact
+    *     union-find (path compression, union-by-min-root so the root IS
+    *     the component min) inside ONE task via `mapPartitions` — one
+    *     job total. 2^20 edges ≈ tens of MB of hash map, comfortably
+    *     one-task-sized.
+    *   - otherwise → iterative min-label propagation in DataFrames:
+    *     each round every node takes the min of its own and its
+    *     neighbors' labels; one shuffle + one action per round (change
+    *     detection rides the label aggregate); rounds = graph diameter
+    *     (shallow for near-dup clusters). The driver holds only the
+    *     changed-row flag, never the labels.
     *
     * Output: (node, cluster_id), one row per node APPEARING IN PAIRS —
     * singleton documents never enter the pair list; left-join the
     * corpus to this and coalesce to its own id for full coverage.
     *
-    * @throws IllegalStateException if not converged within maxIter
-    *         (pathological chain-shaped graphs; raise maxIter or use a
-    *         star-contraction variant before trusting partial labels)
+    * @throws IllegalStateException if the iterative path does not
+    *         converge within maxIter (pathological chain-shaped graphs;
+    *         raise maxIter or use a star-contraction variant before
+    *         trusting partial labels)
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
       .cache()
+    val isLongKeyed =
+      edges.schema("src").dataType == org.apache.spark.sql.types.LongType
+    if (isLongKeyed && edges.count() <= localEdgeThreshold)
+      return localUnionFind(edges)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
       .cache()
@@ -283,6 +299,37 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations")
     labels
+  }
+
+  /** Single-task exact union-find over a bounded (src, dst) long edge
+    * list. Union by min root, so every root is its component's minimum
+    * id — the same canonical representative the iterative path yields
+    * (equality on random graphs proven in ConnectedComponentsSpec). */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.as[(Long, Long)].rdd.coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      it.foreach { case (s, d) =>
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) {
+          if (rs < rd) parent(rd) = rs else parent(rs) = rd
+        }
+      }
+      // snapshot keys first: find() path-compresses (mutates) the map,
+      // which must not interleave with a live HashMap iterator
+      val ks = parent.keys.toArray
+      ks.iterator.map(k => (k, find(k)))
+    }.toDF("node", "cluster_id")
   }
 
   // ------------------------------------------------------------ SimHash

@@ -7,8 +7,12 @@ import graft.SparkSpec
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+  /** threshold=0 forces the iterative label-propagation path;
+    * the default takes single-task union-find on graphs this small. */
+  private def cc(pairs: Seq[(Long, Long)],
+                 threshold: Long = 1L << 20): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+      localEdgeThreshold = threshold)
       .as[(Long, Long)].collect().toMap
 
   /** Driver-side union-find ground truth. */
@@ -25,9 +29,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  test("chain propagates the min label across the full diameter") {
-    val got = cc(Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
-    assert(got == (1L to 6L).map(_ -> 1L).toMap)
+  test("chain propagates the min label across the full diameter (both paths)") {
+    val chain = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val want = (1L to 6L).map(_ -> 1L).toMap
+    assert(cc(chain) == want)
+    assert(cc(chain, threshold = 0) == want)
   }
 
   test("separate components keep separate representatives") {
@@ -36,18 +42,20 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("matches union-find on a random graph") {
+  test("local union-find and iterative propagation agree with brute force") {
     val rnd = new Random(42)
     val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter { case (x, y) => x != y }
-    assert(cc(pairs) == ccBrute(pairs))
+    val want = ccBrute(pairs)
+    assert(cc(pairs) == want)                 // local union-find path
+    assert(cc(pairs, threshold = 0) == want)  // iterative path
   }
 
-  test("throws instead of returning partial labels when not converged") {
+  test("iterative path throws instead of returning partial labels when not converged") {
     val chain = (1L until 8L).map(i => (i, i + 1))
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
-        maxIter = 2)
+        maxIter = 2, localEdgeThreshold = 0)
     }
   }
 }
