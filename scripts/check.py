@@ -99,6 +99,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             except Exception as e:
                 print(f"FAIL {name}: unreadable: {e}")
                 failures += 1
+    # an empty compare (e.g. stale classes + a name filter that matched
+    # nothing) must never read as success
+    if not oracles:
+        print("\nNO QUERIES CHECKED — empty oracle_sql.json")
+        return 1
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

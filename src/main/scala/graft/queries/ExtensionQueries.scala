@@ -979,6 +979,30 @@ object ExtensionQueries {
     WHERE ts IS NOT NULL
     GROUP BY 1, 2"""))
 
+  /** Semi-structured path extraction — the true analogue of the
+    * reference's VARIANT `value:cN` access (design.sql:142–262; our CSV
+    * ingest maps it positionally, this maps it by PATH): the events
+    * `props` JSON column parsed with an explicit schema-on-read
+    * (from_json stays inside codegen; no UDF), extracted field
+    * aggregated per event type. Integer aggregates — engine-exact. */
+  private val x_events_json_props = Q(
+    "x_events_json_props",
+    (s, d) => Tables.events(s, d)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k")),
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      COUNT(k) AS n_with_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT event_type,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events)
+    GROUP BY 1"""))
+
   /** Cohort retention matrix: users grouped by first-active week, count
     * of distinct active users per (cohort, activity week), plus the
     * retention rate against the cohort's own first week (weekly grain:
@@ -1131,6 +1155,7 @@ object ExtensionQueries {
     x_events_hourly,
     x_events_sessionize,
     x_events_retention,
+    x_events_json_props,
     x_stream_hourly_parity,
     x_text_topterms,
     x_text_tfidf,
