@@ -948,14 +948,21 @@ object ExtensionQueries {
     * countDistinct is excluded: distinct aggregation is unsupported in
     * streaming (approx_count_distinct is its streaming stand-in).
     * The temp-dir copy only adapts the ns-timestamp fixture to a
-    * streamable µs file source; real deployments stream the landing
-    * directory itself. */
+    * streamable µs file source (memoized per testdata dir — it is input
+    * PREP, and re-writing it per invocation would bill fixture IO to
+    * the streaming query under measurement); real deployments stream
+    * the landing directory itself. */
+  private val streamFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private val x_stream_hourly_parity = Q(
     "x_stream_hourly_parity",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events").toString
-      Tables.events(s, d).filter(col("ts").isNotNull)
-        .write.mode("overwrite").parquet(tmp)
+      val tmp = streamFixtureDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files.createTempDirectory("graft_stream_events").toString
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .write.mode("overwrite").parquet(t)
+        t
+      })
       val agg = EventStream.readEvents(s, tmp, format = "parquet")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
