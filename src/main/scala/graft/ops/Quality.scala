@@ -53,6 +53,38 @@ object Quality {
       .select(lit("unique_key_" + keys.mkString("_")).as("check"),
         col("n_violations"))
 
+  /** One-pass numeric profiling: (column, n, n_null, min, max, mean,
+    * variance) for every listed column in a SINGLE scan — the metric
+    * structs ride one grand aggregate and are exploded afterwards.
+    *
+    * Variance comes from exact decimal (Σx, Σx²) — `stddev_samp` over
+    * doubles is order-dependent under Spark's partial aggregation and
+    * can never bit-match a single-threaded engine; the sums are exact
+    * (values ≤2 decimal places square exactly in scale 4, precision 37
+    * ≤ Spark's 38 cap), and the closing double arithmetic is the same
+    * IEEE sequence on every engine. Sample variance; NULL when n < 2,
+    * mean NULL when n = 0 (matching SQL aggregate semantics). */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric: at least one column")
+    import org.apache.spark.sql.types.DecimalType
+    val entries = cols.map { c =>
+      val xd = col(c).cast(DecimalType(18, 2))
+      val n = count(col(c))
+      val sx = sum(xd).cast("double")
+      val sxx = sum(xd * xd).cast("double")
+      struct(
+        lit(c).as("col_name"),
+        n.as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col(c)).cast("double").as("min"),
+        max(col(c)).cast("double").as("max"),
+        when(n > 0, round(sx / n, 6)).as("mean"),
+        when(n > 1, round((sxx - sx * sx / n) / (n - 1), 6)).as("variance"))
+    }
+    df.agg(array(entries: _*).as("__p"))
+      .select(explode(col("__p")).as("r")).select(col("r.*"))
+  }
+
   /** Referential integrity: fact keys with no matching dimension row
     * (NULL FKs are not violations, matching SQL FK semantics). */
   def auditForeignKey(fact: DataFrame, factKey: String,

@@ -129,8 +129,37 @@ object EltQueries {
       ON e.user_id = c.c_custkey
     WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL"""))
 
+  /** One-scan numeric profile of the fact table (Quality.profileNumeric)
+    * — the stats layer a warehouse load publishes next to its audit.
+    * Variance via exact decimal (Σx, Σx²): order-independent under
+    * parallel aggregation, so DuckDB reproduces it bit-for-bit where
+    * stddev_samp(double) never could. */
+  private val x_dq_profile = Q(
+    "x_dq_profile",
+    (s, d) => Quality.profileNumeric(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    Some {
+      def arm(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+        CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max,
+        CASE WHEN COUNT($c) > 0 THEN
+          ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c), 6)
+        END AS mean,
+        CASE WHEN COUNT($c) > 1 THEN
+          ROUND((CAST(SUM(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c))
+            / (COUNT($c) - 1), 6)
+        END AS variance
+      FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(arm).mkString("\nUNION ALL\n")
+    })
+
   def all: Seq[Q] = Seq(
     x_scd2_merge,
     x_dq_audit,
+    x_dq_profile,
   )
 }

@@ -47,6 +47,22 @@ class QualitySpec extends SparkSpec {
     assert(out._2 == 0L)
   }
 
+  test("profileNumeric: one scan, exact mean/variance, null guards") {
+    val data = Seq(Some(2.0), Some(4.0), Some(6.0), None).toDF("x")
+    val p = Quality.profileNumeric(data, Seq("x"))
+      .as[(String, Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(p == (("x", 3L, 1L, 2.0, 6.0, Some(4.0), Some(4.0))))
+    // n=1 → variance NULL, not a division error (ANSI 0/0 guard)
+    val single = Quality.profileNumeric(Seq(5.0).toDF("x"), Seq("x"))
+      .select($"variance").as[Option[Double]].collect().head
+    assert(single.isEmpty)
+    // multi-column profile stays ONE aggregate over one scan
+    val plan = Quality.profileNumeric(df, Seq("v", "id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan").length - 1 <= 2, plan)
+  }
+
   test("auditForeignKey counts non-null orphans only") {
     val dim = Seq(1L, 2L).toDF("k")
     val fact = Seq(Some(1L), Some(3L), Some(3L), None).toDF("fk")
