@@ -67,4 +67,42 @@ object Scale {
 
   def approxMedian(c: Column, accuracy: Int = 10000): Column =
     percentile_approx(c, lit(0.5), lit(accuracy))
+
+  /** Small-files compaction for a parquet directory — the maintenance
+    * job every file-landing layer eventually needs (the reference's
+    * monthly drops are one CSV per month; at 100 TB a streaming or
+    * per-batch writer leaves thousands of KB-sized files, and scan cost
+    * becomes file-open-bound instead of byte-bound).
+    *
+    * Sizes the rewrite from the ACTUAL on-disk bytes (Hadoop
+    * FileSystem listing, not row counts): ceil(totalBytes/targetBytes)
+    * output files via coalesce — no shuffle, each output task
+    * concatenates whole input splits. The rewrite lands in `<dir>.tmp`
+    * and swaps in atomically-enough for a single-writer maintenance
+    * window (rename), never reading and overwriting the same path in
+    * one job. Returns the output file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles.size <= nOut) return dataFiles.size // already compact
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(bak, true)
+    if (!fs.rename(path, bak))
+      throw new java.io.IOException(s"compactParquet: could not move $dir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // roll back
+      throw new java.io.IOException(s"compactParquet: could not commit $tmp")
+    }
+    fs.delete(bak, true)
+    nOut
+  }
 }

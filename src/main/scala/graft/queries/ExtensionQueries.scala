@@ -1010,6 +1010,64 @@ object ExtensionQueries {
           FROM events)
     GROUP BY 1"""))
 
+  /** Volume-anomaly detection: hours whose event count sits ≥2σ from
+    * their event type's mean hourly volume. Statistics are exact —
+    * counts and their squares are integer sums (no decimal machinery
+    * needed), the closing z-score is the same IEEE double sequence on
+    * both engines, rounded to 6dp. Two shuffles total: the hourly
+    * aggregate, then one window over the per-type series (≤ |types| ×
+    * |hours| rows — never fact volume). */
+  private val x_events_anomaly = Q(
+    "x_events_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("event_type"))
+      val nH = count(lit(1)).over(w)
+      val sc = sum(col("n_events")).over(w)
+      val sc2 = sum(col("n_events") * col("n_events")).over(w)
+      hourly
+        .withColumn("mean_events",
+          round(sc.cast("double") / nH, 6))
+        .withColumn("__var",
+          (sc2.cast("double") - sc.cast("double") * sc.cast("double") / nH)
+            / (nH - 1))
+        .withColumn("z_score",
+          when(col("__var") > 0.0, round(
+            (col("n_events").cast("double")
+              - sc.cast("double") / nH) / sqrt(col("__var")), 6)))
+        .filter(abs(col("z_score")) >= 2.0)
+        .select(col("event_type"), col("hour_start"), col("n_events"),
+          col("mean_events"), col("z_score"))
+    },
+    Some("""WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        COUNT(*) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT *,
+        COUNT(*) OVER w AS n_h,
+        SUM(n_events) OVER w AS sc,
+        SUM(n_events * n_events) OVER w AS sc2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type)),
+    scored AS (
+      SELECT event_type, hour_start, n_events,
+        ROUND(CAST(sc AS DOUBLE) / n_h, 6) AS mean_events,
+        CASE WHEN (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_h)
+                  / (n_h - 1) > 0.0 THEN
+          ROUND((CAST(n_events AS DOUBLE) - CAST(sc AS DOUBLE) / n_h)
+            / sqrt((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_h)
+                   / (n_h - 1)), 6)
+        END AS z_score
+      FROM stats)
+    SELECT event_type, hour_start, n_events, mean_events, z_score
+    FROM scored WHERE abs(z_score) >= 2.0"""))
+
   /** Cohort retention matrix: users grouped by first-active week, count
     * of distinct active users per (cohort, activity week), plus the
     * retention rate against the cohort's own first week (weekly grain:
@@ -1163,6 +1221,7 @@ object ExtensionQueries {
     x_events_sessionize,
     x_events_retention,
     x_events_json_props,
+    x_events_anomaly,
     x_stream_hourly_parity,
     x_text_topterms,
     x_text_tfidf,

@@ -58,6 +58,22 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("compactParquet merges small files, preserves rows, and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // 16 tiny files
+    spark.range(0, 1600).withColumn("v", col("id") * 2)
+      .repartition(16).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles == 16)
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    val n = Scale.compactParquet(spark, dir, targetBytes = 10L * 1024 * 1024)
+    assert(n == 1 && nFiles == 1)
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == before)
+    // second run: already compact, no rewrite
+    assert(Scale.compactParquet(spark, dir, targetBytes = 10L * 1024 * 1024) == 1)
+  }
+
   test("sketch aggregates land within tolerance of exact on real data") {
     val o = Tables.orders(spark, sf001)
     val r = o.agg(
