@@ -48,13 +48,20 @@ object Bench {
     // LATER query's timing (observed 10x on token-count queries late in
     // the suite)
     spark.catalog.clearCache()
-    val results = names.map { n =>
-      val t0 = System.nanoTime()
-      run(n)
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // outside the timed region
-      n -> dt
+    // two timed passes, min per query: single-pass numbers on this
+    // shared-host VM show multi-second noise spikes (an 0.8s query
+    // measuring 11s once) — the per-query minimum is the steady-state
+    // throughput estimator robust to one bad draw
+    val passes = Seq.fill(2) {
+      names.map { n =>
+        val t0 = System.nanoTime()
+        run(n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // outside the timed region
+        n -> dt
+      }.toMap
     }
+    val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
