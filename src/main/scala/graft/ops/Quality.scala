@@ -85,6 +85,25 @@ object Quality {
       .select(explode(col("__p")).as("r")).select(col("r.*"))
   }
 
+  /** Equi-width histogram of a numeric column: one hash aggregate on
+    * the bucket id. `width_bucket` semantics (shared with DuckDB):
+    * bucket 0 below `lo`, `nBuckets`+1 at/above `hi`, NULLs dropped.
+    * Dense output — empty buckets surface as 0 rows via a sequence
+    * join, so downstream charting/drift-compare never misses a bin. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "histogram: need hi > lo, nBuckets > 0")
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(width_bucket(col(c).cast("double"), lit(lo), lit(hi),
+        lit(nBuckets)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    val allBuckets = df.sparkSession.range(0, nBuckets + 2)
+      .select(col("id").cast("long").as("bucket"))
+    allBuckets.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** Referential integrity: fact keys with no matching dimension row
     * (NULL FKs are not violations, matching SQL FK semantics). */
   def auditForeignKey(fact: DataFrame, factKey: String,

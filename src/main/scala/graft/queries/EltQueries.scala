@@ -157,9 +157,33 @@ object EltQueries {
         .map(arm).mkString("\nUNION ALL\n")
     })
 
+  /** Price-distribution histogram (Quality.histogram), dense 0-filled
+    * bins. DuckDB has no width_bucket, so the oracle mirrors Spark's
+    * formula op-for-op — floor((x − lo) / ((hi − lo) / n)) + 1 with
+    * under/overflow bins — keeping boundary values (prices land exactly
+    * on bin edges) in identical IEEE arithmetic on both engines. */
+  private val x_dq_histogram = Q(
+    "x_dq_histogram",
+    (s, d) => Quality.histogram(Tables.orders(s, d), "o_totalprice",
+      lo = 0.0, hi = 500000.0, nBuckets = 20),
+    Some("""WITH counts AS (
+      SELECT CASE
+          WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0
+          WHEN CAST(o_totalprice AS DOUBLE) >= 500000.0 THEN 21
+          ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+                          / ((500000.0 - 0.0) / 20)) AS BIGINT) + 1
+        END AS bucket,
+        COUNT(*) AS n_rows
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1)
+    SELECT b.bucket, COALESCE(c.n_rows, 0) AS n_rows
+    FROM (SELECT unnest(range(0, 22)) AS bucket) b
+    LEFT JOIN counts c USING (bucket)"""))
+
   def all: Seq[Q] = Seq(
     x_scd2_merge,
     x_dq_audit,
     x_dq_profile,
+    x_dq_histogram,
   )
 }
