@@ -63,6 +63,19 @@ class QualitySpec extends SparkSpec {
     assert(plan.split("Scan").length - 1 <= 2, plan)
   }
 
+  test("histogram: boundary values, under/overflow bins, dense output") {
+    val data = Seq(Some(-1.0), Some(0.0), Some(5.0), Some(10.0), Some(25.0),
+      Some(20.0), None).toDF("x")
+    val h = Quality.histogram(data, "x", lo = 0.0, hi = 20.0, nBuckets = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(h == Map(
+      0L -> 1L, // -1 underflows
+      1L -> 2L, // 0 (lower boundary inclusive) and 5
+      2L -> 1L, // 10 (bin boundary belongs to the upper bin)
+      3L -> 2L  // 20 (hi is exclusive -> overflow) and 25; NULL dropped
+    ))
+  }
+
   test("auditForeignKey counts non-null orphans only") {
     val dim = Seq(1L, 2L).toDF("k")
     val fact = Seq(Some(1L), Some(3L), Some(3L), None).toDF("fk")
