@@ -268,11 +268,22 @@ object Dedup {
       .cache()
     val isLongKeyed =
       edges.schema("src").dataType == org.apache.spark.sql.types.LongType
-    if (isLongKeyed && edges.count() <= localEdgeThreshold)
-      return localUnionFind(edges)
+    if (isLongKeyed && edges.count() <= localEdgeThreshold) {
+      val out = localUnionFind(edges)
+      // release the cache now rather than leak it for the session; the
+      // one recompute of a <= threshold edge list when `out` is
+      // evaluated costs less than permanently-pinned executor memory
+      edges.unpersist()
+      return out
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
       .cache()
+    // unpersist must target the exact cached plan: `labels` becomes a
+    // PROJECTION of the cached per-round aggregate below, and
+    // unpersisting the projection is a no-op (plan mismatch) — track
+    // the cached frame itself
+    var cached = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -290,7 +301,8 @@ object Dedup {
           min(when(col("is_old"), col("cluster_id"))).as("old_id"))
         .cache()
       converged = next.filter(col("cluster_id") =!= col("old_id")).isEmpty
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select(col("node"), col("cluster_id"))
       i += 1
     }

@@ -38,8 +38,11 @@ object Quality {
   /** All row-predicate checks in one scan → (check, n_violations). */
   def auditRows(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "auditRows: at least one check")
+    // coalesce: sum over an EMPTY table is NULL, and an empty staging
+    // table is exactly the failed-load case an audit must report as
+    // zero-violations-but-present, not as indeterminate NULLs
     val aggs = checks.map(c =>
-      sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L)).as(c.name))
     val row = df.agg(aggs.head, aggs.tail: _*)
     row.unpivot(Array.empty[Column], checks.map(c => col(c.name)).toArray,
       "check", "n_violations")

@@ -86,8 +86,15 @@ object Scale {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(path).toSeq
+    val entries = fs.listStatus(path).toSeq
+    val dataFiles = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // a hive-partitioned layout has its files in key=val SUBDIRS — the
+    // flat listing would see zero files and happily report "compact";
+    // refuse instead of silently skipping the work
+    require(dataFiles.nonEmpty || entries.forall(!_.isDirectory),
+      s"compactParquet: $dir holds partition subdirectories, not flat " +
+        "files — compact each partition directory individually")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (dataFiles.size <= nOut) return dataFiles.size // already compact

@@ -322,6 +322,15 @@ object Similarity {
             s => s.getField("__m")).as("cvec"),
           first(col("__n")).as("n_members"))
     }
-    cents
+    // centroids are k rows by definition (MLlib's KMeans likewise holds
+    // centers driver-side each iteration): materialize them so the
+    // corpus cache can be RELEASED instead of leaking per training run,
+    // and so the returned frame doesn't re-run every Lloyd iteration
+    // per downstream action
+    val spark = corpus.sparkSession
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    base.unpersist()
+    out
   }
 }

@@ -90,14 +90,20 @@ object Snapshot {
     def r(c: String) = col("__r_" + c)
     val cur = ledger.filter(col("is_current"))
       .select((keyCols ++ attrCols :+ "valid_from")
-        .map(c => col(c).as("__l_" + c)): _*)
+        .map(c => col(c).as("__l_" + c)) :+ lit(true).as("__l_present"): _*)
     val inc = incoming
-      .select((keyCols ++ attrCols).map(c => col(c).as("__r_" + c)): _*)
+      .select((keyCols ++ attrCols)
+        .map(c => col(c).as("__r_" + c)) :+ lit(true).as("__r_present"): _*)
     val joined = cur.join(inc,
       keyCols.map(k => l(k) === r(k)).reduce(_ && _), "full_outer")
 
-    val inCur = keyCols.map(l(_).isNotNull).reduce(_ && _)
-    val inInc = keyCols.map(r(_).isNotNull).reduce(_ && _)
+    // side presence via literal markers, NOT key-null tests: a current
+    // row whose key column is NULL never equi-matches, and a null-key
+    // test would misread it as "absent from the ledger" and replace it
+    // with a fabricated all-NULL opened row — the marker keeps it on
+    // the close/keep path like any other unmatched current row
+    val inCur = col("__l_present").isNotNull
+    val inInc = col("__r_present").isNotNull
     // null-safe per-column equality; <=> treats NULL==NULL as true
     val same = attrCols.map(c => l(c) <=> r(c)).reduce(_ && _)
 

@@ -40,32 +40,32 @@ object EltQueries {
         asOf = lit("1997-01-01").cast("date"))
     },
     Some("""WITH snap_a AS (
-      SELECT o_custkey AS custkey, o_orderpriority AS priority
+      SELECT o_custkey AS custkey, o_orderpriority AS priority, 1 AS pa
       FROM orders WHERE year(o_orderdate) = 1996
       QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
         ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
     snap_b AS (
-      SELECT o_custkey AS custkey, o_orderpriority AS priority
+      SELECT o_custkey AS custkey, o_orderpriority AS priority, 1 AS pb
       FROM orders WHERE year(o_orderdate) = 1997
       QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
         ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
     j AS (
-      SELECT a.custkey AS ck_a, a.priority AS pr_a,
-             b.custkey AS ck_b, b.priority AS pr_b
+      SELECT a.custkey AS ck_a, a.priority AS pr_a, a.pa,
+             b.custkey AS ck_b, b.priority AS pr_b, b.pb
       FROM snap_a a FULL OUTER JOIN snap_b b ON a.custkey = b.custkey)
     SELECT ck_a AS custkey, pr_a AS priority,
       DATE '1996-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
       TRUE AS is_current
-    FROM j WHERE ck_a IS NOT NULL AND ck_b IS NOT NULL
+    FROM j WHERE pa IS NOT NULL AND pb IS NOT NULL
       AND pr_a IS NOT DISTINCT FROM pr_b
     UNION ALL
     SELECT ck_a, pr_a, DATE '1996-01-01', DATE '1997-01-01', FALSE
-    FROM j WHERE ck_a IS NOT NULL
-      AND (ck_b IS NULL OR pr_a IS DISTINCT FROM pr_b)
+    FROM j WHERE pa IS NOT NULL
+      AND (pb IS NULL OR pr_a IS DISTINCT FROM pr_b)
     UNION ALL
     SELECT ck_b, pr_b, DATE '1997-01-01', CAST(NULL AS DATE), TRUE
-    FROM j WHERE ck_b IS NOT NULL
-      AND (ck_a IS NULL OR pr_a IS DISTINCT FROM pr_b)"""))
+    FROM j WHERE pb IS NOT NULL
+      AND (pa IS NULL OR pr_a IS DISTINCT FROM pr_b)"""))
 
   /** Constraint audit across three tables in one result: row-predicate
     * checks (single scan each), PK-uniqueness (one shuffle), and FK

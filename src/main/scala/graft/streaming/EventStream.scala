@@ -125,14 +125,32 @@ object EventStream {
     updates.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
-        new java.io.File(ledgerDir).mkdirs()
+        // all ledger IO goes through the Hadoop FS of ledgerDir — a
+        // java.io/java.nio path would silently diverge from the
+        // filesystem Spark writes the parquet to (hdfs://, s3a://)
+        val dirPath = new org.apache.hadoop.fs.Path(ledgerDir)
+        val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(dirPath)
         // resolve via the pointer, not a directory listing: a version
         // dir from a crashed half-written batch must never be read
-        val pointer = java.nio.file.Paths.get(s"$ledgerDir/_LATEST")
+        val pointer = new org.apache.hadoop.fs.Path(dirPath, "_LATEST")
         val latest =
-          if (java.nio.file.Files.exists(pointer))
-            Some(java.nio.file.Files.readString(pointer).trim.toInt)
-          else None
+          if (fs.exists(pointer)) {
+            val in = fs.open(pointer)
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            Some(s.trim.toInt)
+          } else {
+            // no pointer but version dirs present = interrupted commit:
+            // refuse to silently re-initialize over existing history
+            val orphaned = fs.exists(dirPath) && fs.listStatus(dirPath)
+              .exists(_.getPath.getName.startsWith("v="))
+            if (orphaned) throw new IllegalStateException(
+              s"scd2MaintainStream: $ledgerDir has version dirs but no " +
+                "_LATEST pointer (interrupted commit?) — restore the " +
+                "pointer to the last good version before resuming")
+            None
+          }
         val ledger = latest match {
           case Some(v) => spark.read.parquet(s"$ledgerDir/v=$v")
           case None =>
@@ -152,9 +170,16 @@ object EventStream {
         val v = latest.map(_ + 1).getOrElse(0)
         next.write.mode("overwrite").parquet(s"$ledgerDir/v=$v")
         // pointer write is the commit: readers pick a version only
-        // after its parquet is fully on disk
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$ledgerDir/_LATEST"), v.toString)
+        // after its parquet is fully on disk. Written to a temp name
+        // and renamed so a crash mid-write can never leave a
+        // truncated pointer (rename is atomic on local/HDFS)
+        val tmpPtr = new org.apache.hadoop.fs.Path(dirPath, s"._LATEST.$v.tmp")
+        val out = fs.create(tmpPtr, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        fs.delete(pointer, false)
+        if (!fs.rename(tmpPtr, pointer))
+          throw new java.io.IOException(
+            s"scd2MaintainStream: could not commit ledger pointer for v=$v")
       }
       ()
     }
