@@ -994,19 +994,25 @@ object ExtensionQueries {
     * aggregated per event type. Integer aggregates — engine-exact. */
   private val x_events_json_props = Q(
     "x_events_json_props",
+    // get_json_object + cast, not strict from_json: both engines then
+    // share lenient extract-text-then-cast semantics (string-encoded
+    // numbers coerce, malformed values null) instead of Spark's strict
+    // schema-on-read nulling what DuckDB coerces.
     (s, d) => Tables.events(s, d)
-      .withColumn("k", from_json(col("props"),
-        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         count(col("k")).as("n_with_k"),
-        sum(col("k")).as("sum_k"),
+        sum(col("k")).cast("long").as("sum_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k")),
+    // CAST(SUM(...) AS BIGINT): DuckDB SUM(INTEGER) is HUGEINT, Spark is
+    // LongType — the driver hash compare is dtype-sensitive.
     Some("""SELECT event_type, COUNT(*) AS n_events,
-      COUNT(k) AS n_with_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+      MIN(k) AS min_k, MAX(k) AS max_k
     FROM (SELECT event_type,
-            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
           FROM events)
     GROUP BY 1"""))
 
@@ -1032,11 +1038,15 @@ object ExtensionQueries {
       hourly
         .withColumn("mean_events",
           round(sc.cast("double") / nH, 6))
+        .withColumn("__nh", nH)
         .withColumn("__var",
           (sc2.cast("double") - sc.cast("double") * sc.cast("double") / nH)
             / (nH - 1))
+        // nH > 1 guard: a type with one hour gives 0.0/0 = NaN, and NaN
+        // compares greater-than-everything in Spark — without the guard a
+        // spurious NaN-z row escapes the __var > 0 filter.
         .withColumn("z_score",
-          when(col("__var") > 0.0, round(
+          when(col("__nh") > lit(1L) && col("__var") > 0.0, round(
             (col("n_events").cast("double")
               - sc.cast("double") / nH) / sqrt(col("__var")), 6)))
         .filter(abs(col("z_score")) >= 2.0)
@@ -1058,7 +1068,8 @@ object ExtensionQueries {
     scored AS (
       SELECT event_type, hour_start, n_events,
         ROUND(CAST(sc AS DOUBLE) / n_h, 6) AS mean_events,
-        CASE WHEN (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_h)
+        CASE WHEN n_h > 1
+                  AND (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_h)
                   / (n_h - 1) > 0.0 THEN
           ROUND((CAST(n_events AS DOUBLE) - CAST(sc AS DOUBLE) / n_h)
             / sqrt((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_h)
@@ -1153,7 +1164,11 @@ object ExtensionQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
       val gap = col("ts_s").cast("double") - lag(col("ts_s"), 1).over(w).cast("double")
       val isNew = when(gap.isNull || gap > 1800.0, 1L).otherwise(0L)
+      // ts IS NOT NULL pinned on both sides: Spark windows order NULLS
+      // FIRST, DuckDB NULLS LAST — NULL timestamps would renumber every
+      // session in the partition differently across engines.
       Tables.events(s, d)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), date_trunc("second", col("ts")).as("ts_s"))
         .withColumn("session_id",
           sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1164,7 +1179,7 @@ object ExtensionQueries {
     },
     Some("""WITH e AS (
       SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     flagged AS (
       SELECT user_id, event_id, ts_s,
         CASE WHEN LAG(ts_s) OVER w IS NULL
@@ -1174,8 +1189,8 @@ object ExtensionQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
     sessions AS (
       SELECT user_id, ts_s,
-        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id,
       count(*) AS n_events,
