@@ -205,7 +205,11 @@ object Similarity {
       withVecNorm(df.select(col("vec_id").as(idAs), col("embedding")),
         col("embedding"), vecAs, normAs).drop("embedding")
         .crossJoin(cent)
-        .withColumn("__sim", dot(col(vecAs), col("ev")) / (col(normAs) * col("en")))
+        // rounded to 6dp BEFORE the argmax/probe ranking — the same
+        // total-order discipline as kmeansAssign: cell assignment must
+        // not flip on engine-level float summation differences
+        .withColumn("__sim",
+          round(dot(col(vecAs), col("ev")) / (col(normAs) * col("en")), 6))
         .drop("ev", "en")
     // corpus side: one row per vector with its argmax cell (ties → larger
     // cell id, a total order so the index is deterministic)

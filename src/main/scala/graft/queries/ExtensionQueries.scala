@@ -290,8 +290,11 @@ object ExtensionQueries {
     * TakeOrderedAndProject, no global sort): cell-assignment cost is
     * O(corpus × nlist), so nlist must stay bounded as the corpus grows —
     * an uncapped modulus sample made assignment quadratic-ish on a 10×
-    * stress corpus. No oracle (exactness at nprobe>=nlist and recall at
-    * nprobe<nlist proven in SimilaritySpec). */
+    * stress corpus. Every step is deterministic (modulus-sampled
+    * centroids, 6dp-rounded argmax assignment, 6dp-rounded cosine rank),
+    * so the ORACLE REPLAYS THE WHOLE INDEX: DuckDB rebuilds the cells,
+    * probe lists and ranking independently; recall at nprobe<nlist and
+    * brute-force equality at nprobe>=nlist stay SimilaritySpec's job. */
   private val x_sim_ivf_topk = Q(
     "x_sim_ivf_topk",
     (s, d) => {
@@ -301,7 +304,48 @@ object ExtensionQueries {
           .orderBy(col("vec_id")).limit(128),
         nprobe = 4)
     },
-    None)
+    Some("""WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm
+      FROM v WHERE sqrt(list_inner_product(v, v)) > 0),
+    cent AS (
+      -- centroid cap runs BEFORE the zero-norm drop, matching the Spark
+      -- side (limit on the raw modulus sample, withVecNorm inside ivfTopK)
+      SELECT cell_id, ev, en FROM (
+        SELECT vec_id AS cell_id, v AS ev, sqrt(list_inner_product(v, v)) AS en
+        FROM v WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 128)
+      WHERE en > 0),
+    cells AS (
+      -- argmax-cosine cell per corpus vector; ties -> LARGER cell id
+      -- (max_by on struct(sim, cell_id))
+      SELECT vec_id AS neighbor_id, cell_id, cv, cn FROM (
+        SELECT a.vec_id, ct.cell_id, a.v AS cv, a.nrm AS cn,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY ROUND(list_inner_product(a.v, ct.ev) / (a.nrm * ct.en), 6) DESC,
+                     ct.cell_id DESC) AS rn
+        FROM n a CROSS JOIN cent ct)
+      WHERE rn = 1),
+    probes AS (
+      -- top-nprobe closest cells per query; ties -> SMALLER cell id
+      SELECT query_id, qv, qn, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, ct.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(list_inner_product(q.v, ct.ev) / (q.nrm * ct.en), 6) DESC,
+                     ct.cell_id) AS rn
+        FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN cent ct)
+      WHERE rn <= 4),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        ROUND(list_inner_product(qv, cv) / (qn * cn), 6) AS cosine
+      FROM cells JOIN probes USING (cell_id)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""))
 
   /** One Lloyd k-means assignment step over the embeddings — the IVF
     * index trainer's inner loop (Similarity.kmeansAssign), oracle-
@@ -753,18 +797,45 @@ object ExtensionQueries {
 
   // --------------------------------------------------------- multimodal
 
-  /** Binary media-column plumbing with stubbed decode (mapPartitions) —
-    * no oracle (typed-Dataset path); checked in MultimodalSpec. */
+  /** Shared DuckDB fragment: per-byte values of the UTF-8 payload
+    * (hex() + nibble parse — DuckDB has no byte-indexing on BLOB). */
+  private def payloadBytesSql(textCol: String): String =
+    s"""[ (CAST(strpos('0123456789ABCDEF', h[2*i-1]) AS BIGINT) - 1) * 16
+          + CAST(strpos('0123456789ABCDEF', h[2*i]) AS BIGINT) - 1
+        for i in range(1, strlen($textCol) + 1) ]"""
+
+  /** Binary media-column plumbing with stubbed decode (mapPartitions).
+    * The stub features are pure byte arithmetic over the UTF-8 payload,
+    * so the ORACLE RECOMPUTES THEM: DuckDB re-derives byte count,
+    * additive checksum (via hex() nibble parsing), metadata and frame
+    * count per row. The mapPartitions/Dataset plumbing the real decoder
+    * will slot into is exactly what's under test here; MultimodalSpec
+    * keeps the typed-path coverage. */
   private val x_multimodal_features = Q(
     "x_multimodal_features",
     (s, d) => Multimodal.features(s, Tables.documents(s, d)
       .filter(col("text").isNotNull)),
-    None)
+    Some(s"""WITH m AS (
+      SELECT doc_id, text, hex(encode(text)) AS h, strlen(text) AS n
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+      CAST(n AS INTEGER) AS n_bytes,
+      CAST(coalesce(list_sum(${payloadBytesSql("text")}), 0) AS BIGINT) AS checksum,
+      CAST(doc_id % 640 + 64 AS INTEGER) AS width,
+      CAST(doc_id % 480 + 48 AS INTEGER) AS height,
+      (['jpeg', 'png', 'webp'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
+      CAST(least(8, n // 64) AS INTEGER) AS frames_sampled
+    FROM m"""))
 
   /** Resize + frame-sample pipeline over the fake media table: resize to
-    * 320×240 (payload scales with pixel ratio), sample every 2nd 64-byte
-    * frame, aggregate per document — the video-shaped 1:N explode path.
-    * No oracle (typed-Dataset path); semantics in MultimodalSpec. */
+    * 320×240 (payload scales with pixel ratio, bytes cycled), sample
+    * every 2nd 64-byte frame, aggregate per document — the video-shaped
+    * 1:N explode path. The stub arithmetic is deterministic, so the
+    * ORACLE REPLAYS THE WHOLE CHAIN: DuckDB re-derives the resized
+    * length, frame grid and per-frame checksums (resized byte j =
+    * payload[j mod len]) and re-aggregates. Docs whose resized payload
+    * is shorter than one frame emit no rows — matching the sampler's
+    * drop-undecodable-tail contract. */
   private val x_multimodal_resize_frames = Q(
     "x_multimodal_resize_frames",
     (s, d) => {
@@ -775,7 +846,26 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_frames_sampled"),
           sum(col("frame_checksum")).as("checksum_total"))
     },
-    None)
+    Some(s"""WITH m AS (
+      SELECT doc_id, text, hex(encode(text)) AS h, strlen(text) AS len,
+        CAST(doc_id % 640 + 64 AS INTEGER) AS w,
+        CAST(doc_id % 480 + 48 AS INTEGER) AS ht
+      FROM documents WHERE text IS NOT NULL),
+    sized AS (
+      SELECT doc_id,
+        CASE WHEN len = 0 THEN 0
+             ELSE greatest(1, CAST(ceil(len * (CAST(320 * 240 AS DOUBLE) / (w * ht)))
+                              AS INTEGER)) END // 64 AS nframes
+      FROM m),
+    framed AS (
+      SELECT doc_id, nframes, len, ${payloadBytesSql("text")} AS b
+      FROM sized JOIN m USING (doc_id)
+      WHERE nframes > 0)
+    SELECT doc_id,
+      CAST((nframes + 1) // 2 AS BIGINT) AS n_frames_sampled,
+      CAST(list_sum([ CASE WHEN ((j // 64) % 2) = 0 THEN b[(j % len) + 1] ELSE 0 END
+                      for j in range(0, nframes * 64) ]) AS BIGINT) AS checksum_total
+    FROM framed"""))
 
   /** Binned range join (RangeJoin.binnedPointIntervalJoin): lineitem
     * quantities joined to overlapping half-open quantity bands derived
