@@ -69,6 +69,56 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** md5-family minhash signature (cross-engine-checkable; see Kernels). */
+case class Md5MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireStringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.md5MinhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5MinhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashSig =
+    copy(child = newChild)
+}
+
+/** md5-family 60-bit simhash (cross-engine-checkable; see Kernels). */
+case class Md5SimHash60(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireStringArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_simhash60"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.md5Simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5Simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash60 =
+    copy(child = newChild)
+}
+
+/** md5-family winnowing fingerprints over char k-grams (checkable). */
+case class Md5Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_winnow"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.md5Winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5Winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Winnow =
+    copy(child = newChild)
+}
+
 /** Sorted-distinct word n-gram shingles of a token array. */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression {
@@ -163,6 +213,15 @@ object GraftFunctions {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 
+  def md5MinhashSig(toks: Column, numHashes: Int): Column =
+    ColumnBridge.column(Md5MinHashSig(ColumnBridge.expression(toks), numHashes))
+
+  def md5Simhash60(toks: Column): Column =
+    ColumnBridge.column(Md5SimHash60(ColumnBridge.expression(toks)))
+
+  def md5Winnow(text: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(Md5Winnow(ColumnBridge.expression(text), k, w))
+
   def wordShingles(toks: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
 
@@ -213,7 +272,15 @@ object GraftFunctions {
       (FunctionIdentifier("graft_dot"), info("graft_dot"),
         builder("graft_dot", "(a, b)") { case Seq(a, b) => DotProduct(a, b) }),
       (FunctionIdentifier("graft_quantize_int8"), info("graft_quantize_int8"),
-        builder("graft_quantize_int8", "(vec)") { case Seq(e) => QuantizeInt8(e) }))
+        builder("graft_quantize_int8", "(vec)") { case Seq(e) => QuantizeInt8(e) }),
+      (FunctionIdentifier("graft_md5_minhash_sig"), info("graft_md5_minhash_sig"),
+        builder("graft_md5_minhash_sig", "(arr, numHashes)") { case Seq(e, n) =>
+          Md5MinHashSig(e, intLit(n, "numHashes")) }),
+      (FunctionIdentifier("graft_md5_simhash60"), info("graft_md5_simhash60"),
+        builder("graft_md5_simhash60", "(arr)") { case Seq(e) => Md5SimHash60(e) }),
+      (FunctionIdentifier("graft_md5_winnow"), info("graft_md5_winnow"),
+        builder("graft_md5_winnow", "(text, k, w)") { case Seq(e, k, w) =>
+          Md5Winnow(e, intLit(k, "k"), intLit(w, "w")) }))
   }
 
   /** Register `graft_*` as session SQL functions so `spark.sql` users get
@@ -230,10 +297,13 @@ object GraftFunctions {
 
 /** Deployment entry point for clusters: set
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions` and every
-  * session (incl. thrift/connect users) gets the graft_* functions
-  * without code changes — the idiomatic way to ship custom Catalyst
-  * expressions (SparkSessionExtensions.injectFunction). */
+  * session (incl. thrift/connect users) gets the graft_* functions plus
+  * the QUALIFY clause in `spark.sql` (graft.plans.QualifyParser) without
+  * code changes — the idiomatic way to ship custom Catalyst expressions
+  * and parser rules (SparkSessionExtensions.injectFunction/injectParser). */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
+    ext.injectParser((_, parser) => new graft.plans.QualifyParser(parser))
+  }
 }

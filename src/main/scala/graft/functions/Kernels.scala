@@ -194,6 +194,139 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  // ------------------------------------------------- md5-derived family
+  //
+  // Cross-engine-checkable variants of the hash family: every value is
+  // derived from the first 60 bits of an md5 digest (= the first 15 hex
+  // chars of the standard lowercase digest string), which any SQL engine
+  // can recompute — DuckDB's oracle does, nibble by nibble. The xxhash64
+  // kernels above remain the throughput path; these trade ~2× hash cost
+  // for end-to-end engine-vs-engine verifiability of the FULL pipeline
+  // (signatures, banding, candidate sets), not just spec-level claims.
+
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes) as a non-negative long — numerically
+    * equal to parsing the first 15 chars of the hex digest base-16. */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val md = md5Tl.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Seed-i member of the rotate-xor family over a 60-bit base hash:
+    * rotate right by `rot(i)` within 60 bits, then xor a 60-bit constant
+    * derived from md5("graft-minhash-seed-i"). A bijection per seed —
+    * the cheap permutation family for minhash — using only shift/or/xor
+    * arithmetic both engines evaluate identically (no mul overflow). */
+  def rotOf(i: Int): Int = (i * 7 + 3) % 60
+  def constOf(i: Int): Long =
+    md5Hash60(s"graft-minhash-seed-$i".getBytes("UTF-8"))
+  private val MaxSeeds = 256
+  private val rots: Array[Int] = Array.tabulate(MaxSeeds)(rotOf)
+  private val consts: Array[Long] = Array.tabulate(MaxSeeds)(constOf)
+
+  private def rotXor60(x: Long, rot: Int, c: Long): Long = {
+    val r = if (rot == 0) x
+            else (x >>> rot) | ((x & ((1L << rot) - 1)) << (60 - rot))
+    r ^ c
+  }
+
+  /** md5-family MinHash signature: out[i] = min over tokens of
+    * rotXor60(md5Hash60(token), i). Null tokens skipped. */
+  def md5MinhashSig(tokens: ArrayData, numHashes: Int): ArrayData = {
+    require(numHashes <= MaxSeeds, s"numHashes must be <= $MaxSeeds")
+    val n = tokens.numElements()
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val base = md5Hash60(tokens.getUTF8String(t).getBytes)
+        var i = 0
+        while (i < numHashes) {
+          val h = rotXor60(base, rots(i), consts(i))
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5-family 60-bit SimHash: bit i set iff
+    * Σ_tokens (2·bit_i(md5Hash60(token)) − 1) > 0. Null tokens skipped. */
+  def md5Simhash60(tokens: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = md5Hash60(tokens.getUTF8String(t).getBytes)
+        var i = 0
+        while (i < 60) {
+          counts(i) += (((h >>> i) & 1L).toInt << 1) - 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 60) {
+      if (counts(i) > 0) sim |= 1L << i
+      i += 1
+    }
+    sim
+  }
+
+  /** md5-family winnowing over CHARACTER k-grams (not bytes: character
+    * indexing is what SQL engines' substr exposes, so the oracle can
+    * replay the gram grid): hash every k-char gram with md5Hash60, keep
+    * the min of each w-window, de-duplicated in first-seen order.
+    * Degenerate short inputs fingerprint the whole text. */
+  def md5Winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = text.numChars()
+    if (n < k) {
+      return new GenericArrayData(Array(md5Hash60(text.getBytes)))
+    }
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      grams(i) = md5Hash60(text.substringSQL(i + 1, k).getBytes)
+      i += 1
+    }
+    val windows = if (m >= w) m - w + 1 else 1
+    val effW = math.min(w, m)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < windows) {
+      var mn = Long.MaxValue
+      var x = 0
+      while (x < effW) {
+        val g = grams(j + x)
+        if (g < mn) mn = g
+        x += 1
+      }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** |A ∩ B| for two SORTED string arrays (strictly ascending, i.e.
     * sorted distinct sets): single merge pass, zero allocation. The
     * caller owns the sorted-distinct invariant (see Dedup.shingled). */

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Kernels}
 
 /** Deduplication operators for large-scale text corpora — the extension
   * tier beyond the reference's own surface (the reference's only dedup is
@@ -223,6 +223,162 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  // ------------------------------------- md5-family (oracle-checkable)
+
+  /** md5-family MinHash+LSH near-dup pairs: the same pipeline as
+    * [[minhashLshPairs]] — row-local signatures, one band equi-join,
+    * id-keyed verify joins — but every hash derives from md5
+    * (graft.functions.Kernels.md5MinhashSig) and band keys are the RAW
+    * r-tuples of signature components rather than a hash of them. Both
+    * choices exist so a second engine can REPLAY the whole pipeline:
+    * signatures, banding, the exact candidate set and the verified pair
+    * list are all recomputable in portable SQL ([[minhashLshPairsMd5Sql]]
+    * emits the DuckDB form the driver oracle runs). The xxhash64 variant
+    * stays the throughput path; scale shape is identical. */
+  def minhashLshPairsMd5(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                         minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        GraftFunctions.md5MinhashSig(col("toks"), numHashes).as("sig"))
+    val keyCols = (0 until rowsPerBand).map(r => s"k$r")
+    val banded = sigs.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band") +:
+            (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1).as(s"k$r")): _*)
+        }: _*)).as("bk"))
+      .select(col("doc_id") +: col("bk.band").as("band") +:
+        keyCols.map(k => col(s"bk.$k").as(k)): _*)
+    val cands = banded.as("x").join(banded.as("y"), "band" +: keyCols)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val withSig = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("toks").as("toks_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("toks").as("toks_b")), "doc_b")
+    val matching = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b))
+    withSig.select(
+        col("doc_a"), col("doc_b"),
+        round(matching.cast("double") / numHashes, 6).as("est_jaccard"),
+        GraftFunctions.sortedIntersectCount(col("toks_a"), col("toks_b")).as("__i"),
+        (size(col("toks_a")) + size(col("toks_b"))).as("__t"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(col("__i").cast("double") / (col("__t") - col("__i")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** md5-family SimHash near-dup pairs over 60-bit signatures
+    * (graft.functions.Kernels.md5Simhash60): blocking on 15-bit chunks —
+    * pigeonhole-lossless for maxHamming ≤ 3 over 4 chunks, same as the
+    * 64-bit variant's 16-bit chunks. Because the blocking is lossless,
+    * the oracle does not need to replay it: the output set equals the
+    * brute-force Hamming filter [[simhashPairsMd5Sql]] computes. */
+  def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "15-bit chunk blocking is lossless only for maxHamming <= 3")
+    val sims = docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), GraftFunctions.md5Simhash60(col("toks")).as("sim"))
+    val chunked = sims.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sim"), c * 15).bitwiseAND(lit(0x7fffL)).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    chunked.as("x").join(chunked.as("y"), Seq("chunk", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB fragment: first 60 bits of md5(`expr`) as BIGINT — a nibble
+    * parse of the first 15 hex chars, numerically equal to
+    * graft.functions.Kernels.md5Hash60. */
+  def md5Hash60Sql(expr: String): String =
+    s"""CAST(list_sum([ (CAST(strpos('0123456789abcdef', (md5($expr))[i]) AS BIGINT) - 1)
+          << (4 * (15 - i)) for i in range(1, 16) ]) AS BIGINT)"""
+
+  /** DuckDB CTE chain producing the 3-word-shingle table
+    * `$out(doc_id, shingles)` from a `(doc_id, text)` source —
+    * the SQL mirror of [[shingled]] (distinctness matters; order does
+    * not: every consumer is min/intersect/len). */
+  def shinglesSqlCte(srcCte: String, out: String): String =
+    s"""$out AS (
+      SELECT doc_id,
+        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM $srcCte))"""
+
+  /** Full DuckDB query replaying [[minhashLshPairsMd5]] over a
+    * `(doc_id, shingles)` CTE: rebuilds every signature with the same
+    * rotate-xor seed family (constants emitted as literals from the same
+    * Scala source the kernel uses), re-bands, re-joins, re-verifies. */
+  def minhashLshPairsMd5Sql(docsCte: String, numHashes: Int = 64, bands: Int = 16,
+                            minJaccard: Double = 0.5): String = {
+    val rowsPerBand = numHashes / bands
+    val params = (0 until numHashes).map(i =>
+      s"{'r': ${Kernels.rotOf(i)}, 'c': CAST(${Kernels.constOf(i)} AS BIGINT)}")
+      .mkString("[", ", ", "]")
+    val rotXor = """xor(CASE WHEN p.r = 0 THEN x
+             ELSE (x >> p.r) | ((x & ((CAST(1 AS BIGINT) << p.r) - 1)) << (60 - p.r)) END,
+           p.c)"""
+    s"""mh_hb AS (
+      SELECT doc_id, shingles,
+        list_transform(shingles, s -> ${md5Hash60Sql("s")}) AS hb
+      FROM $docsCte WHERE len(shingles) > 0),
+    mh_sigs AS (
+      SELECT doc_id, shingles,
+        list_transform($params,
+          p -> list_min(list_transform(hb, x -> $rotXor))) AS sig
+      FROM mh_hb),
+    mh_banded AS (
+      SELECT doc_id, b.band,
+        array_to_string(sig[$rowsPerBand*b.band+1 : $rowsPerBand*b.band+$rowsPerBand], ',') AS key
+      FROM mh_sigs, (SELECT unnest(range(0, $bands)) AS band) b),
+    mh_cands AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM mh_banded x JOIN mh_banded y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+        ROUND(CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+                             for i in range(1, $numHashes + 1)]) AS DOUBLE)
+          / CAST($numHashes AS DOUBLE), 6) AS est_jaccard,
+        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6) AS jaccard
+      FROM mh_cands c
+      JOIN mh_sigs a ON c.doc_a = a.doc_id
+      JOIN mh_sigs b ON c.doc_b = b.doc_id)
+    WHERE jaccard >= $minJaccard"""
+  }
+
+  /** Full DuckDB query replaying [[simhashPairsMd5]] over a
+    * `(doc_id, shingles)` CTE — brute-force Hamming filter (the 15-bit
+    * chunk blocking is lossless, so replaying it would be redundant). */
+  def simhashPairsMd5Sql(docsCte: String, maxHamming: Int = 3): String =
+    s"""sh_hb AS (
+      SELECT doc_id,
+        list_transform(shingles, s -> ${md5Hash60Sql("s")}) AS hb
+      FROM $docsCte WHERE len(shingles) > 0),
+    sh_sims AS (
+      SELECT doc_id,
+        CAST(list_sum([CASE WHEN list_sum([CAST(2 * ((x >> i) & 1) - 1 AS BIGINT)
+                                           for x in hb]) > 0
+                       THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END
+                       for i in range(0, 60)]) AS BIGINT) AS sim
+      FROM sh_hb)
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      FROM sh_sims a JOIN sh_sims b ON a.doc_id < b.doc_id)
+    WHERE hamming <= $maxHamming"""
 
   // ------------------------------------------------- connected components
 

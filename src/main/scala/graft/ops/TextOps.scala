@@ -192,6 +192,39 @@ object TextOps {
                        out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
     df.withColumn(out, graft.functions.GraftFunctions.winnowFingerprints(text, k, w))
 
+  /** md5-family winnowing over CHARACTER k-grams — same window/dedup
+    * semantics as [[withFingerprints]], but the gram hash is the first
+    * 60 bits of md5, so a SQL engine can replay the whole fingerprint
+    * selection ([[md5WinnowSqlCtes]] emits the DuckDB form; fixed-length
+    * lowercase hex compares in the same order as the numeric values, so
+    * the engines pick identical window minima). The xxhash64 byte-gram
+    * kernel stays the throughput path. */
+  def withFingerprintsMd5(df: org.apache.spark.sql.DataFrame, text: Column,
+                          out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, graft.functions.GraftFunctions.md5Winnow(text, k, w))
+
+  /** DuckDB CTE chain replaying [[withFingerprintsMd5]]'s selection over
+    * a `(doc_id, text)` source: `$out(doc_id, mins)` where `mins` is the
+    * per-window minimum gram-hash list (15-char md5 hex prefixes;
+    * de-duplication is the consumer's `list_distinct`). */
+  def md5WinnowSqlCtes(srcCte: String, out: String, k: Int = 8, w: Int = 4): String =
+    s"""__wg AS (
+      SELECT doc_id, length(text) AS n,
+        CASE WHEN length(text) < $k THEN [substr(md5(text), 1, 15)]
+             ELSE [substr(md5(substr(text, i, $k)), 1, 15)
+                   for i in range(1, length(text) - $k + 2)]
+        END AS grams
+      FROM $srcCte),
+    $out AS (
+      SELECT doc_id,
+        CASE WHEN n < $k THEN grams
+             ELSE [list_min(grams[j : j + least($w, n - $k + 1) - 1])
+                   for j in range(1, (CASE WHEN n - $k + 1 >= $w
+                                           THEN n - $k + 1 - $w + 1
+                                           ELSE 1 END) + 1)]
+        END AS mins
+      FROM __wg)"""
+
   /** Per-document top-k terms by smoothed TF-IDF
     * (tf × ln((N+1)/(df+1))): the corpus-statistics feature extractor —
     * keyword tagging, near-dup explanations, quality signals.

@@ -83,17 +83,23 @@ object ExtensionQueries {
     * duplicated corpora the uncollapsed pair generators are quadratic in
     * duplicate-group size; this form's candidate work scales with
     * DISTINCT documents (measured ~20× faster on a 10×-duplicated
-    * stress corpus). Pair semantics in DedupSpec; no oracle (xxhash64
-    * minhash is not DuckDB-expressible). */
+    * stress corpus). md5-family variant, so the ORACLE REPLAYS BOTH
+    * STAGES: DuckDB re-runs the arg_min collapse AND the full
+    * signature/banding/verify chain over the representatives. */
   private val x_dedup_pipeline = Q(
     "x_dedup_pipeline",
     (s, d) => {
       val reps = Dedup.collapseExact(
         Tables.documents(s, d).filter(col("text").isNotNull),
         col("doc_id"), col("text"))
-      Dedup.minhashLshPairs(Dedup.shingled(reps, col("doc_id"), col("text")))
+      Dedup.minhashLshPairsMd5(Dedup.shingled(reps, col("doc_id"), col("text")))
     },
-    None)
+    Some(s"""WITH mh_reps AS (
+      SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY md5(lower(trim(text)))),
+    ${Dedup.shinglesSqlCte("mh_reps", "mh_docs")},
+    ${Dedup.minhashLshPairsMd5Sql("mh_docs")}"""))
 
   /** Shared Spark side of the blocked exact-Jaccard pair generator —
     * also the edge list of [[x_dedup_clusters]]. lang/n_chars IS NOT
@@ -222,23 +228,36 @@ object ExtensionQueries {
       FROM member)
     WHERE rn = 1"""))
 
-  /** MinHash + LSH band-join near-dup candidates, Jaccard-verified.
-    * xxhash64-based — no oracle; exactness covered by DedupSpec. */
+  /** MinHash + LSH band-join near-dup candidates, Jaccard-verified —
+    * md5-family variant, so the ORACLE REPLAYS THE WHOLE PIPELINE:
+    * DuckDB rebuilds every 64-component signature from the same
+    * rotate-xor seed family, re-bands, re-derives the exact candidate
+    * set and re-verifies each emitted pair's Jaccard. The xxhash64
+    * variant (Dedup.minhashLshPairs) is the throughput path, spec-pinned
+    * for recall in DedupSpec — same plan shape, cheaper hash. */
   private val x_dedup_minhash_lsh = Q(
     "x_dedup_minhash_lsh",
-    (s, d) => Dedup.minhashLshPairs(
+    (s, d) => Dedup.minhashLshPairsMd5(
       Dedup.shingled(Tables.documents(s, d).filter(col("text").isNotNull),
         col("doc_id"), col("text"))),
-    None)
+    Some(s"""WITH ${Dedup.shinglesSqlCte(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)", "mh_docs")},
+    ${Dedup.minhashLshPairsMd5Sql("mh_docs")}"""))
 
-  /** SimHash near-dup pairs within Hamming distance 3 (16-bit chunk
-    * blocking). xxhash64-based — no oracle. */
+  /** SimHash near-dup pairs within Hamming distance 3 — md5-family
+    * 60-bit variant (15-bit chunk blocking, pigeonhole-lossless), so the
+    * oracle brute-forces the same pair set: DuckDB rebuilds every
+    * signature bit-by-bit and filters on recomputed Hamming distance.
+    * The xxhash64 64-bit variant (Dedup.simhashPairs) stays the
+    * throughput path. */
   private val x_dedup_simhash = Q(
     "x_dedup_simhash",
-    (s, d) => Dedup.simhashPairs(
+    (s, d) => Dedup.simhashPairsMd5(
       Dedup.shingled(Tables.documents(s, d).filter(col("text").isNotNull),
         col("doc_id"), col("text"))),
-    None)
+    Some(s"""WITH ${Dedup.shinglesSqlCte(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)", "sh_docs")},
+    ${Dedup.simhashPairsMd5Sql("sh_docs")}"""))
 
   // -------------------------------------------------------- similarity
 
@@ -788,12 +807,20 @@ object ExtensionQueries {
 
   /** Winnowing rolling-hash fingerprints (xxhash64 — no oracle; scheme
     * checked in TextOpsSpec). Output: per-doc fingerprint count. */
+  /** Winnowing document fingerprints — md5-family char-gram variant, so
+    * the ORACLE REPLAYS THE SELECTION: DuckDB rebuilds the gram grid,
+    * every window minimum and the distinct-fingerprint count per doc.
+    * The xxhash64 byte-gram kernel (TextOps.withFingerprints) stays the
+    * throughput path, covered by TextOpsSpec. */
   private val x_text_fingerprint = Q(
     "x_text_fingerprint",
-    (s, d) => TextOps.withFingerprints(
+    (s, d) => TextOps.withFingerprintsMd5(
         Tables.documents(s, d).filter(col("text").isNotNull), col("text"), "fp")
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints")),
-    None)
+    Some(s"""WITH ${TextOps.md5WinnowSqlCtes(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)", "wm")}
+    SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints
+    FROM wm"""))
 
   // --------------------------------------------------------- multimodal
 
