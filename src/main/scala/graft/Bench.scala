@@ -62,13 +62,24 @@ object Bench {
       }.toMap
     }
     val results = names.map(n => n -> passes.map(_(n)).min)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3dp: ms resolution is below this host's noise floor, and the
+    // compact line survives the driver's line-capture limit (the r02
+    // line's head was truncated at full double precision)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // a crashing query must not read as a speedup: surface failures in
     // the JSON line (additive key) and exit nonzero
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces copy on disk, recoverable even if the captured
+    // line is truncated
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line + "\n")
+    catch { case _: Throwable => () }
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -89,10 +89,12 @@ object Scale {
     val entries = fs.listStatus(path).toSeq
     val dataFiles = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    // a hive-partitioned layout has its files in key=val SUBDIRS — the
-    // flat listing would see zero files and happily report "compact";
-    // refuse instead of silently skipping the work
-    require(dataFiles.nonEmpty || entries.forall(!_.isDirectory),
+    // a hive-partitioned layout has its files in key=val SUBDIRS; the
+    // rewrite below would read THROUGH the subdirs (folding partition
+    // columns into data) and write the result back flat, silently
+    // destroying the layout — refuse whenever any subdirectory is
+    // present, even alongside stray flat files
+    require(entries.forall(!_.isDirectory),
       s"compactParquet: $dir holds partition subdirectories, not flat " +
         "files — compact each partition directory individually")
     val totalBytes = dataFiles.map(_.getLen).sum

@@ -175,6 +175,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** DuckDB query replaying [[lshTopK]] end-to-end over the
+    * `embeddings` table: the SAME hyperplane constants the Spark plan
+    * carries as literals are re-emitted here via Double.toString (which
+    * round-trips exactly, and DuckDB parses to the identical double), so
+    * signatures, buckets, the candidate set and the ranking are all
+    * independently recomputed. Both engines evaluate the plane dot
+    * product as the same left-to-right IEEE fold. `querySql` selects the
+    * query ids (e.g. "vec_id < 10"). */
+  def lshTopKSql(querySql: String, k: Int, planes: Int = 4, tables: Int = 8,
+                 seed: Long = 42L, dim: Int = 64): String = {
+    val allPlanes = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
+    def planeLit(p: Seq[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String =
+      allPlanes(t).zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_inner_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val arms = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM n")
+      .mkString("\n      UNION ALL ")
+    s"""WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm
+      FROM v WHERE sqrt(list_inner_product(v, v)) > 0),
+    buckets AS (
+      $arms),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.vec_id IN (SELECT vec_id FROM n WHERE $querySql)
+        AND q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM cands
+      JOIN n q ON cands.query_id = q.vec_id
+      JOIN n c ON cands.neighbor_id = c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= $k"""
+  }
+
   /** IVF-Flat ANN (the inverted-file index of Sivic & Zisserman '03 /
     * FAISS IVF): coarse-quantize the corpus into cells by argmax-cosine
     * against a bounded centroid set, then answer each query by scanning

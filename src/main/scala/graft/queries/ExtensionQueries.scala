@@ -292,16 +292,19 @@ object ExtensionQueries {
     QUALIFY rank <= 5"""))
 
   /** Hyperplane-LSH bucketed ANN top-5 — the scale path (equi-join on
-    * the sign-signature bucket instead of a full scan per query). Seeded
-    * hyperplanes — no oracle; recall vs brute force checked in
-    * SimilaritySpec. */
+    * the sign-signature bucket instead of a full scan per query). The
+    * seeded hyperplanes are plan literals, so the ORACLE REPLAYS THE
+    * WHOLE INDEX: Similarity.lshTopKSql re-emits the identical plane
+    * constants and DuckDB recomputes signatures, buckets, candidates and
+    * ranking independently; recall vs brute force stays SimilaritySpec's
+    * job. */
   private val x_sim_lsh_topk = Q(
     "x_sim_lsh_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     },
-    None)
+    Some(Similarity.lshTopKSql("vec_id < 10", k = 5)))
 
   /** IVF-Flat bucketed ANN top-5 — the inverted-file scale path (argmax-
     * cosine cell assignment, nprobe-cell probing). Centroids are a

@@ -141,15 +141,27 @@ object EventStream {
             finally in.close()
             Some(s.trim.toInt)
           } else {
-            // no pointer but version dirs present = interrupted commit:
-            // refuse to silently re-initialize over existing history
-            val orphaned = fs.exists(dirPath) && fs.listStatus(dirPath)
-              .exists(_.getPath.getName.startsWith("v="))
-            if (orphaned) throw new IllegalStateException(
+            // no pointer but version dirs present = a crash in the
+            // delete-then-rename pointer commit window. A v=N dir with a
+            // _SUCCESS marker is a fully-committed parquet write, so the
+            // highest such version IS the last committed ledger state —
+            // auto-recover to it instead of demanding pointer surgery;
+            // refuse only when no version is provably complete.
+            val versions =
+              if (fs.exists(dirPath))
+                fs.listStatus(dirPath).toSeq
+                  .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+              else Seq.empty
+            val complete = versions
+              .filter(s => fs.exists(
+                new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+              .map(_.getPath.getName.stripPrefix("v=").toInt)
+            if (complete.nonEmpty) Some(complete.max)
+            else if (versions.nonEmpty) throw new IllegalStateException(
               s"scd2MaintainStream: $ledgerDir has version dirs but no " +
-                "_LATEST pointer (interrupted commit?) — restore the " +
-                "pointer to the last good version before resuming")
-            None
+                "_LATEST pointer and none is _SUCCESS-complete — restore " +
+                "the pointer to the last good version before resuming")
+            else None
           }
         val ledger = latest match {
           case Some(v) => spark.read.parquet(s"$ledgerDir/v=$v")

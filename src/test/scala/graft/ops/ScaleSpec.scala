@@ -74,6 +74,25 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.compactParquet(spark, dir, targetBytes = 10L * 1024 * 1024) == 1)
   }
 
+  test("compactParquet refuses partition subdirs, even alongside flat files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"
+    spark.range(0, 100).withColumn("k", col("id") % 2)
+      .write.partitionBy("k").parquet(dir)
+    // a stray flat file next to the partition dirs must not unlock the
+    // rewrite: it would fold partition columns into data and flatten
+    // the layout
+    spark.range(0, 10).toDF("id").coalesce(1)
+      .write.parquet(dir + "_flat")
+    val flat = new java.io.File(dir + "_flat").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(flat.toPath,
+      java.nio.file.Paths.get(dir, "stray.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      Scale.compactParquet(spark, dir, targetBytes = 10L * 1024 * 1024)
+    }
+    assert(e.getMessage.contains("partition subdirectories"))
+  }
+
   test("sketch aggregates land within tolerance of exact on real data") {
     val o = Tables.orders(spark, sf001)
     val r = o.agg(

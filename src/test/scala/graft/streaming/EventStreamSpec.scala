@@ -137,5 +137,24 @@ class EventStreamSpec extends SparkSpec {
       (1L, "pro", None, true),                   // untouched by the delta
       (2L, "free", Some("2024-01-10"), false),   // closed old version
       (2L, "team", None, true)))                 // opened new version
+
+    // simulate a crash inside the pointer commit window (after the
+    // delete, before the rename): the next start must auto-recover to
+    // the highest _SUCCESS-complete version and keep appending history
+    Files.delete(java.nio.file.Paths.get(s"$ledgerDir/_LATEST"))
+    val input2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q2 = EventStream.scd2MaintainStream(
+      input2.toDF().toDF("user_id", "plan", "ts"), ledgerDir,
+      keyCols = Seq("user_id"), attrCols = Seq("plan"), tsCol = "ts")
+      .outputMode("update").start()
+    input2.addData((1L, "enterprise", ts(20)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Files.readString(java.nio.file.Paths.get(s"$ledgerDir/_LATEST")) == "2")
+    val v2 = spark.read.parquet(s"$ledgerDir/v=2")
+    // history from the recovered v=1 preserved, new version appended
+    assert(v2.filter($"user_id" === 1).count() == 2)
+    assert(v2.filter($"user_id" === 1 && $"plan" === "enterprise" && $"is_current")
+      .count() == 1)
   }
 }
