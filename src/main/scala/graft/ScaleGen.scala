@@ -64,7 +64,18 @@ object ScaleGen {
     write("orders", replicate(src("orders"), Seq("o_orderkey", "o_custkey")))
     write("lineitem", replicate(src("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    write("events", replicate(src("events"), Seq("event_id", "user_id")))
+    // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
+    // plain reader rejects — read it as a raw long (scoped legacy conf,
+    // same discipline as Tables.events) and write it back as a plain
+    // INT64, which Tables.events handles identically (`ts div 1000`)
+    val eventsRaw = {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try { val d = src("events"); d.schema; d }
+      finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    write("events", replicate(eventsRaw, Seq("event_id", "user_id")))
     write("documents", replicate(src("documents"), Seq("doc_id"),
       (d, r) => d.withColumn("text",
         when(col("text").isNotNull && r > 0,

@@ -100,8 +100,9 @@ case class Md5SimHash60(child: Expression)
     copy(child = newChild)
 }
 
-/** md5-family winnowing fingerprints over char k-grams (checkable). */
-case class Md5Winnow(child: Expression, k: Int, w: Int)
+/** Karp–Rabin rolling-hash winnowing fingerprints over char k-grams
+  * (oracle-checkable; see Kernels.winnowRoll). */
+case class WinnowRoll(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
   require(k > 0 && w > 0, "k and w must be positive")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -110,12 +111,12 @@ case class Md5Winnow(child: Expression, k: Int, w: Int)
       s"$prettyName expects string, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_md5_winnow"
+  override def prettyName: String = "graft_winnow_roll"
   override protected def nullSafeEval(input: Any): Any =
-    Kernels.md5Winnow(input.asInstanceOf[UTF8String], k, w)
+    Kernels.winnowRoll(input.asInstanceOf[UTF8String], k, w)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5Winnow($c, $k, $w)")
-  override protected def withNewChildInternal(newChild: Expression): Md5Winnow =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowRoll($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowRoll =
     copy(child = newChild)
 }
 
@@ -219,8 +220,8 @@ object GraftFunctions {
   def md5Simhash60(toks: Column): Column =
     ColumnBridge.column(Md5SimHash60(ColumnBridge.expression(toks)))
 
-  def md5Winnow(text: Column, k: Int = 8, w: Int = 4): Column =
-    ColumnBridge.column(Md5Winnow(ColumnBridge.expression(text), k, w))
+  def winnowRoll(text: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowRoll(ColumnBridge.expression(text), k, w))
 
   def wordShingles(toks: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
@@ -278,9 +279,9 @@ object GraftFunctions {
           Md5MinHashSig(e, intLit(n, "numHashes")) }),
       (FunctionIdentifier("graft_md5_simhash60"), info("graft_md5_simhash60"),
         builder("graft_md5_simhash60", "(arr)") { case Seq(e) => Md5SimHash60(e) }),
-      (FunctionIdentifier("graft_md5_winnow"), info("graft_md5_winnow"),
-        builder("graft_md5_winnow", "(text, k, w)") { case Seq(e, k, w) =>
-          Md5Winnow(e, intLit(k, "k"), intLit(w, "w")) }))
+      (FunctionIdentifier("graft_winnow_roll"), info("graft_winnow_roll"),
+        builder("graft_winnow_roll", "(text, k, w)") { case Seq(e, k, w) =>
+          WinnowRoll(e, intLit(k, "k"), intLit(w, "w")) }))
   }
 
   /** Register `graft_*` as session SQL functions so `spark.sql` users get

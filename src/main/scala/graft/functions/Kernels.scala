@@ -288,21 +288,56 @@ object Kernels {
     sim
   }
 
-  /** md5-family winnowing over CHARACTER k-grams (not bytes: character
-    * indexing is what SQL engines' substr exposes, so the oracle can
-    * replay the gram grid): hash every k-char gram with md5Hash60, keep
-    * the min of each w-window, de-duplicated in first-seen order.
-    * Degenerate short inputs fingerprint the whole text. */
-  def md5Winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val n = text.numChars()
-    if (n < k) {
-      return new GenericArrayData(Array(md5Hash60(text.getBytes)))
+  /** Karp–Rabin polynomial parameters for the rolling-hash winnow —
+    * Schleimer et al.'s original hash family, and one any SQL engine
+    * recomputes exactly: gram hash = Horner fold of the gram's Unicode
+    * CODE POINTS, h = fold((a, c) => (a·B + c) mod P) seeded with the
+    * first code point. All intermediates fit a 64-bit long
+    * (cp < 2^21, B·acc < 2^50). */
+  val RollB = 1000003L
+  val RollP = 1000000007L
+
+  /** Rolling-hash winnowing over CHARACTER k-grams (code points, the
+    * unit SQL substr/unicode expose, so the oracle can replay the gram
+    * grid): O(1) per gram via the Karp–Rabin roll — cheaper than a
+    * strong hash per gram by ~50×, which is exactly why the original
+    * winnowing paper rolls. Keep the min of each w-window, first-seen
+    * de-duplicated. Short inputs (< k code points) fingerprint the
+    * whole text; empty text fingerprints as [0]. */
+  def winnowRoll(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    // code points once per row (UTF-16 surrogate pairs collapse)
+    val nChars = s.length
+    var cpCount = 0
+    var ci = 0
+    while (ci < nChars) { ci += Character.charCount(s.codePointAt(ci)); cpCount += 1 }
+    val cps = new Array[Long](cpCount)
+    ci = 0; var o = 0
+    while (ci < nChars) {
+      val cp = s.codePointAt(ci)
+      cps(o) = cp.toLong; o += 1; ci += Character.charCount(cp)
     }
+    def horner(from: Int, until: Int): Long = {
+      if (until <= from) return 0L
+      var h = cps(from)
+      var j = from + 1
+      while (j < until) { h = (h * RollB + cps(j)) % RollP; j += 1 }
+      h
+    }
+    val n = cpCount
+    if (n < k) return new GenericArrayData(Array(horner(0, n)))
     val m = n - k + 1
     val grams = new Array[Long](m)
-    var i = 0
+    grams(0) = horner(0, k)
+    // Bk1 = B^(k-1) mod P for the leading-term removal
+    var bk1 = 1L
+    var e = 0
+    while (e < k - 1) { bk1 = (bk1 * RollB) % RollP; e += 1 }
+    var i = 1
     while (i < m) {
-      grams(i) = md5Hash60(text.substringSQL(i + 1, k).getBytes)
+      var d = (grams(i - 1) - (cps(i - 1) * bk1) % RollP) % RollP
+      if (d < 0) d += RollP
+      grams(i) = (d * RollB + cps(i + k - 1)) % RollP
       i += 1
     }
     val windows = if (m >= w) m - w + 1 else 1
@@ -322,7 +357,7 @@ object Kernels {
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
-    var o = 0
+    o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }

@@ -192,26 +192,32 @@ object TextOps {
                        out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
     df.withColumn(out, graft.functions.GraftFunctions.winnowFingerprints(text, k, w))
 
-  /** md5-family winnowing over CHARACTER k-grams — same window/dedup
-    * semantics as [[withFingerprints]], but the gram hash is the first
-    * 60 bits of md5, so a SQL engine can replay the whole fingerprint
-    * selection ([[md5WinnowSqlCtes]] emits the DuckDB form; fixed-length
-    * lowercase hex compares in the same order as the numeric values, so
-    * the engines pick identical window minima). The xxhash64 byte-gram
-    * kernel stays the throughput path. */
-  def withFingerprintsMd5(df: org.apache.spark.sql.DataFrame, text: Column,
-                          out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
-    df.withColumn(out, graft.functions.GraftFunctions.md5Winnow(text, k, w))
+  /** Karp–Rabin rolling-hash winnowing over CHARACTER k-grams — same
+    * window/dedup semantics as [[withFingerprints]], but the gram hash
+    * is the classic polynomial roll (Schleimer et al.'s own family):
+    * O(1) per gram — cheaper than any per-gram strong hash — AND exactly
+    * recomputable by a SQL engine ([[rollingWinnowSqlCtes]] replays the
+    * Horner fold per gram in DuckDB), so the whole fingerprint selection
+    * is oracle-checkable. Prefer this form; the xxhash64 byte-gram
+    * kernel remains for byte-stream inputs. */
+  def withFingerprintsRolling(df: org.apache.spark.sql.DataFrame, text: Column,
+                              out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, graft.functions.GraftFunctions.winnowRoll(text, k, w))
 
-  /** DuckDB CTE chain replaying [[withFingerprintsMd5]]'s selection over
-    * a `(doc_id, text)` source: `$out(doc_id, mins)` where `mins` is the
-    * per-window minimum gram-hash list (15-char md5 hex prefixes;
-    * de-duplication is the consumer's `list_distinct`). */
-  def md5WinnowSqlCtes(srcCte: String, out: String, k: Int = 8, w: Int = 4): String =
+  /** DuckDB CTE chain replaying [[withFingerprintsRolling]]'s selection
+    * over a `(doc_id, text)` source: `$out(doc_id, mins)` where `mins`
+    * is the per-window minimum gram-hash list (de-duplication is the
+    * consumer's `list_distinct`). */
+  def rollingWinnowSqlCtes(srcCte: String, out: String, k: Int = 8, w: Int = 4): String = {
+    val (b, p) = (graft.functions.Kernels.RollB, graft.functions.Kernels.RollP)
+    def horner(chars: String) =
+      s"""list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split($chars, '')],
+               (a, x) -> (a * $b + x) % $p)"""
     s"""__wg AS (
       SELECT doc_id, length(text) AS n,
-        CASE WHEN length(text) < $k THEN [substr(md5(text), 1, 15)]
-             ELSE [substr(md5(substr(text, i, $k)), 1, 15)
+        CASE WHEN length(text) = 0 THEN [CAST(0 AS BIGINT)]
+             WHEN length(text) < $k THEN [${horner("text")}]
+             ELSE [${horner(s"substr(text, i, $k)")}
                    for i in range(1, length(text) - $k + 2)]
         END AS grams
       FROM $srcCte),
@@ -224,6 +230,7 @@ object TextOps {
                                            ELSE 1 END) + 1)]
         END AS mins
       FROM __wg)"""
+  }
 
   /** Per-document top-k terms by smoothed TF-IDF
     * (tf × ln((N+1)/(df+1))): the corpus-statistics feature extractor —

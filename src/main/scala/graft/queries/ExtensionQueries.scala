@@ -810,17 +810,18 @@ object ExtensionQueries {
 
   /** Winnowing rolling-hash fingerprints (xxhash64 — no oracle; scheme
     * checked in TextOpsSpec). Output: per-doc fingerprint count. */
-  /** Winnowing document fingerprints — md5-family char-gram variant, so
-    * the ORACLE REPLAYS THE SELECTION: DuckDB rebuilds the gram grid,
-    * every window minimum and the distinct-fingerprint count per doc.
-    * The xxhash64 byte-gram kernel (TextOps.withFingerprints) stays the
-    * throughput path, covered by TextOpsSpec. */
+  /** Winnowing document fingerprints — Karp–Rabin rolling-hash char-gram
+    * variant (Schleimer et al.'s own hash family): O(1) per gram in the
+    * kernel, and the ORACLE REPLAYS THE SELECTION: DuckDB rebuilds the
+    * gram grid via the same Horner fold, every window minimum and the
+    * distinct-fingerprint count per doc. The xxhash64 byte-gram kernel
+    * (TextOps.withFingerprints) remains for byte-stream inputs. */
   private val x_text_fingerprint = Q(
     "x_text_fingerprint",
-    (s, d) => TextOps.withFingerprintsMd5(
+    (s, d) => TextOps.withFingerprintsRolling(
         Tables.documents(s, d).filter(col("text").isNotNull), col("text"), "fp")
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints")),
-    Some(s"""WITH ${TextOps.md5WinnowSqlCtes(
+    Some(s"""WITH ${TextOps.rollingWinnowSqlCtes(
         "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)", "wm")}
     SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints
     FROM wm"""))

@@ -74,14 +74,38 @@ class Md5FamilySpec extends SparkSpec {
     assert(out == brute)
   }
 
-  test("md5Winnow: short text fingerprints whole text; near-dups share fingerprints") {
-    val fps = TextOps.withFingerprintsMd5(docs, col("text"), "fp")
+  test("winnowRoll: rolling gram hashes equal the direct Horner fold") {
+    // the O(1)-per-gram roll must produce the same values as computing
+    // each gram's polynomial from scratch (what the DuckDB oracle does)
+    def horner(s: String): Long = {
+      val cps = s.codePoints().toArray
+      var h = cps(0).toLong
+      cps.drop(1).foreach(c => h = (h * Kernels.RollB + c) % Kernels.RollP)
+      h
+    }
+    val text = "the quick brown fox jumps over the lazy dog 中文字符"
+    val fromKernel = Kernels.winnowRoll(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), 8, 4).toLongArray().toSet
+    val grams = (0 to text.codePointCount(0, text.length) - 8).map { i =>
+      val st = text.offsetByCodePoints(0, i)
+      val en = text.offsetByCodePoints(0, i + 8)
+      horner(text.substring(st, en))
+    }
+    val m = grams.size
+    val direct = (0 until m - 4 + 1).map(j => grams.slice(j, j + 4).min).distinct.toSet
+    assert(fromKernel == direct)
+  }
+
+  test("winnowRoll: short text fingerprints whole text; near-dups share fingerprints") {
+    val fps = TextOps.withFingerprintsRolling(docs, col("text"), "fp")
       .select(col("doc_id"), col("fp")).as[(Long, Seq[Long])].collect().toMap
-    // n < k: single fingerprint = hash of the whole text
-    val short = TextOps.withFingerprintsMd5(
+    // n < k: single fingerprint = Horner hash of the whole text
+    val short = TextOps.withFingerprintsRolling(
         Seq((9L, "tiny")).toDF("doc_id", "text"), col("text"), "fp")
       .select(col("fp")).as[Seq[Long]].head()
-    assert(short == Seq(Kernels.md5Hash60("tiny".getBytes("UTF-8"))))
+    val expect = "tiny".codePoints().toArray
+      .map(_.toLong).reduce((a, c) => (a * Kernels.RollB + c) % Kernels.RollP)
+    assert(short == Seq(expect))
     fps.values.foreach(f => assert(f.nonEmpty && f.distinct.size == f.size))
     // near-identical docs share most fingerprints; unrelated docs share none
     val inter02 = fps(0L).toSet.intersect(fps(2L).toSet).size.toDouble
