@@ -258,4 +258,52 @@ object Sampling {
     s"(($wm) // 1000 + CASE WHEN coalesce(${hashBucketSql(repSaltedSql(keyExpr), 1000)} " +
       s"< ($wm) % 1000, false) THEN 1 ELSE 0 END)"
   }
+
+  /** Deterministic global shuffle + shard assignment — the terminal step
+    * of a training-data pipeline ("write the corpus as N shuffled
+    * shards"). Adds `shard` (hash bucket of the key in [0, shards)) and
+    * `pos` (the row's 1-based position within its shard under hash
+    * order): a SPECIFIED total order, so the written dataset is
+    * bit-reproducible across runs, engines and input layouts — unlike
+    * `orderBy(rand())`, which reshuffles on every retry and breaks
+    * training-resume determinism. Keys must be row-unique (a dedup
+    * pipeline's invariant); ties on the theoretical hash collision are
+    * broken by the key itself.
+    *
+    * Scale shape: ONE shuffle on `shard` (the write's repartition) and a
+    * within-partition sort — `pos` plans as a per-shard window, and with
+    * shards ≈ executor parallelism each window partition is one task.
+    * 100 TB / 10k shards = 10 GB sorted per task: size `shards` so a
+    * shard's rows fit a task's spill budget. */
+  def withShardPlan(df: org.apache.spark.sql.DataFrame, key: Column,
+                    shards: Int): org.apache.spark.sql.DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = Names.fresh("shard_h", df.columns)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(h), key)
+    df.withColumn(h, hashValue(key))
+      .withColumn("shard", hashBucket(key, shards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .drop(h)
+  }
+
+  /** DuckDB (shard, pos) expressions equal to [[withShardPlan]]'s. */
+  def shardPlanSql(keyExpr: String, shards: Int): (String, String) = {
+    val shard = s"CAST(${hashBucketSql(keyExpr, shards)} AS INTEGER)"
+    val pos = s"CAST(ROW_NUMBER() OVER (PARTITION BY $shard " +
+      s"ORDER BY ${hashValueSql(keyExpr)}, $keyExpr) AS INTEGER)"
+    (shard, pos)
+  }
+
+  /** Materialize [[withShardPlan]] as `shard=N/` parquet directories,
+    * rows within each shard stored in `pos` order: one shuffle, one
+    * write. `df.repartition(shards, $"shard")` routes whole shards to
+    * tasks (several shards may share a task; no shard is split), and the
+    * within-partition sort makes file contents deterministic. */
+  def writeShards(df: org.apache.spark.sql.DataFrame, key: Column,
+                  shards: Int, path: String): Unit =
+    withShardPlan(df, key, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -261,4 +261,60 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("__id"), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
+
+  /** Corpus-LM quality scoring (the CCNet-style perplexity proxy): each
+    * document scored by the mean log-probability of its tokens under the
+    * corpus's OWN unigram distribution. Low scorers are boilerplate/noise
+    * outliers relative to the corpus — the standard cheap stand-in for a
+    * real LM perplexity filter in web-scale curation.
+    *
+    * Scale shape: two map-side-combinable aggregations (doc-term tf, then
+    * term → corpus count) and ONE shuffle equi-join on term — the join is
+    * on the distinct (doc, term) frame, not raw token occurrences, so its
+    * cardinality is bounded by vocabulary reuse. The 1-row corpus total is
+    * the broadcast scalar-subquery pattern (SURVEY A9).
+    *
+    * Float discipline (oracle-exact across engines): per-term log-probs
+    * are fixed-pointed to integer micro-nats (round(ln(p)·1e6)) so the
+    * per-doc SUM is integer arithmetic — exact and summation-ORDER-free,
+    * where a double sum would drift between Spark's and DuckDB's
+    * aggregation orders — and only the final mean is a (rounded) double.
+    */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("cnt").cast("double") / col("total")) * 1e6d)
+          .cast("long").as("lp_micro"))
+    tf.join(lp, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("int").as("n_tokens"),
+        round(sum(col("tf") * col("lp_micro")).cast("double") /
+          (sum(col("tf")) * 1e6d), 6).as("avg_logprob"))
+  }
+
+  /** DuckDB CTE chain recomputing [[unigramLogProb]] exactly; `srcCte` is
+    * a parenthesized relation with (doc_id, text). Integer-sum dtypes are
+    * pinned to BIGINT (DuckDB SUM(INTEGER) is HUGEINT otherwise). */
+  def unigramLogProbSql(srcCte: String): String =
+    s"""toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM $srcCte),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lp AS (
+      SELECT term,
+        CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp_micro
+      FROM vocab CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id,
+        CAST(SUM(tf) AS INTEGER) AS n_tokens,
+        ROUND(CAST(SUM(tf * lp_micro) AS DOUBLE) / (SUM(tf) * 1000000.0), 6)
+          AS avg_logprob
+      FROM tf JOIN lp USING (term)
+      GROUP BY doc_id)"""
 }

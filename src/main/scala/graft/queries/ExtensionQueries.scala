@@ -826,6 +826,66 @@ object ExtensionQueries {
     SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints
     FROM wm"""))
 
+  /** Corpus-LM quality scoring (TextOps.unigramLogProb): mean unigram
+    * log-probability per document under the corpus's own token
+    * distribution — the CCNet-style perplexity-proxy filter. Per-term
+    * log-probs are fixed-pointed to integer micro-nats so every SUM is
+    * exact integer arithmetic; the ORACLE RE-DERIVES the vocabulary,
+    * corpus total, per-term micro-nat table and per-doc mean. */
+  private val x_text_unigram_logprob = Q(
+    "x_text_unigram_logprob",
+    (s, d) => TextOps.unigramLogProb(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text")),
+    Some(s"""WITH src AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ${TextOps.unigramLogProbSql("src")}
+    SELECT doc_id, n_tokens, avg_logprob FROM scored"""))
+
+  /** Deterministic global shuffle + sharding (Sampling.withShardPlan):
+    * the "write the corpus as N shuffled shards" terminal step. Every
+    * row's (shard, pos) is a pure function of its key — bit-reproducible
+    * output layout, unlike orderBy(rand()) — and the ORACLE RECOMPUTES
+    * both: DuckDB re-derives the md5 bucket and the within-shard hash
+    * order for all rows. One shuffle + per-shard window at any scale. */
+  private val x_shard_plan = Q(
+    "x_shard_plan",
+    (s, d) => Sampling.withShardPlan(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      col("doc_id"), shards = 16), {
+      val (shard, pos) = Sampling.shardPlanSql("doc_id", 16)
+      Some(s"""SELECT doc_id, lang, $shard AS shard, $pos AS pos
+        FROM documents""")
+    })
+
+  /** JSON-lines source/sink roundtrip: the corpus written as JSONL (the
+    * interchange format LLM-data tooling actually speaks) and read back
+    * with a PINNED schema — schema-on-read inference would cost a full
+    * extra pass at 100 TB — then aggregated per language. The oracle
+    * aggregates the parquet originals directly, so any escaping/encoding
+    * loss in the JSON hop (unicode text, embedded quotes) breaks the
+    * hash match. */
+  private val x_source_jsonl = Q(
+    "x_source_jsonl_roundtrip",
+    (s, d) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_jsonl_roundtrip").getPath
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").json(path)
+      s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1"""))
+
   // --------------------------------------------------------- multimodal
 
   /** Shared DuckDB fragment: per-byte values of the UTF-8 payload
@@ -1361,5 +1421,8 @@ object ExtensionQueries {
     x_stream_hourly_parity,
     x_text_topterms,
     x_text_tfidf,
+    x_text_unigram_logprob,
+    x_shard_plan,
+    x_source_jsonl,
   )
 }

@@ -197,4 +197,32 @@ class SamplingSpec extends SparkSpec {
     assert(sql.contains("md5_number_lower") && sql.contains("% 72057594037927936"))
     assert(sql.indexOf("train") < sql.indexOf("test"))
   }
+
+  test("withShardPlan: shards in range, pos contiguous per shard, layout-independent") {
+    val docs = (1L to 500L).toDF("k")
+    val plan = Sampling.withShardPlan(docs, $"k", 8)
+    assert(plan.count() == 500)
+    assert(plan.filter($"shard" < 0 || $"shard" >= 8).count() == 0)
+    // pos is exactly 1..n within each shard — no gap, no duplicate
+    val bad = plan.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+        countDistinct("pos").as("nd"))
+      .filter($"mn" =!= 1 || $"mx" =!= $"n" || $"nd" =!= $"n")
+    assert(bad.count() == 0)
+    // bit-reproducible under a different input layout
+    val again = Sampling.withShardPlan(docs.repartition(7), $"k", 8)
+    assert(plan.exceptAll(again).isEmpty && again.exceptAll(plan).isEmpty)
+  }
+
+  test("writeShards: shard directories hold exactly the plan's rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = (1L to 300L).toDF("k")
+    Sampling.writeShards(docs, $"k", 4, dir)
+    val back = spark.read.parquet(dir)
+      .select($"k", $"shard".cast("int").as("shard"), $"pos")
+    val plan = Sampling.withShardPlan(docs, $"k", 4)
+      .select($"k", $"shard".cast("int").as("shard"), $"pos")
+    assert(back.count() == 300)
+    assert(back.exceptAll(plan).isEmpty && plan.exceptAll(back).isEmpty)
+  }
 }

@@ -111,4 +111,18 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(3) == "year 2024 price $1,299 room 42 stay intact")
     assert(rows(4) == "")
   }
+
+  test("unigramLogProb: hand-computed micro-nat means on a tiny corpus") {
+    // corpus counts: a=3, b=1, c=1, total=5
+    // lp_micro: a = round(ln(3/5)*1e6) = -510826; b = c = round(ln(1/5)*1e6) = -1609438
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    val out = TextOps.unigramLogProb(docs, col("id"), col("text"))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: (2*(-510826) + (-1609438)) / 3e6 = -0.87703
+    assert(out(1L) == ((3, -0.87703)))
+    // doc 2: ((-510826) + (-1609438)) / 2e6 = -1.060132
+    assert(out(2L) == ((2, -1.060132)))
+    // the doc built of rarer tokens scores lower
+    assert(out(2L)._2 < out(1L)._2)
+  }
 }
