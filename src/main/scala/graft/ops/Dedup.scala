@@ -112,6 +112,50 @@ object Dedup {
       .drop(dig)
   }
 
+  /** N-gram-overlap contamination report (the GPT-3/PaLM-style eval-
+    * contamination method): for each training doc, the number of
+    * DISTINCT word n-grams it shares with the eval corpus — docs with
+    * zero hits are omitted. [[decontaminate]]'s whole-text digest only
+    * catches verbatim copies; sharing any single n-gram (n=13 is the
+    * published choice) catches eval questions quoted inside larger
+    * pages.
+    *
+    * Scale shape: both sides explode to (doc, gram-digest) rows —
+    * per-row, map-side — and meet in ONE equi-join on the 128-bit gram
+    * digest (joining digests, not gram text, keeps shuffle rows small
+    * and fixed-width). Eval sets are benchmark-sized, so AQE broadcasts
+    * that side in practice; the plan stays correct as a shuffle join if
+    * an eval corpus outgrows the broadcast threshold. The gram explode
+    * is ~|tokens| rows per doc — the same working set every shingle op
+    * here already carries. */
+  def contaminationNgramReport(train: DataFrame, trainId: Column, trainText: Column,
+                               eval: DataFrame, evalText: Column,
+                               n: Int = 13): DataFrame = {
+    def grams(text: Column) =
+      GraftFunctions.wordShingles(split(lower(text), " "), n)
+    val evalGrams = eval
+      .select(explode(grams(evalText)).as("__g"))
+      .select(md5(col("__g")).as("__gd")).distinct()
+    val trainGrams = train
+      .select(trainId.as("doc_id"), explode(grams(trainText)).as("__g"))
+      .select(col("doc_id"), md5(col("__g")).as("__gd"))
+    trainGrams.join(evalGrams, "__gd")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Drop from `train` every doc sharing at least one word n-gram with
+    * the eval corpus (see [[contaminationNgramReport]]); docs too short
+    * to have an n-gram are never contaminated. Anti-join on the doc id
+    * against the (small) contaminated-id set. */
+  def decontaminateNgram(train: DataFrame, trainId: Column, trainText: Column,
+                         eval: DataFrame, evalText: Column,
+                         n: Int = 13): DataFrame = {
+    val k = Names.fresh("contam_id", train.columns)
+    val contaminated = contaminationNgramReport(train, trainId, trainText, eval, evalText, n)
+      .select(col("doc_id").as(k))
+    train.join(contaminated, trainId === col(k), "left_anti")
+  }
+
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Exact within-block Jaccard near-duplicate pairs over a

@@ -826,6 +826,42 @@ object ExtensionQueries {
     SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints
     FROM wm"""))
 
+  /** N-gram-overlap decontamination (Dedup.contaminationNgramReport):
+    * training docs sharing any word 4-gram with the held-out eval slice
+    * (doc_id % 20 == 0), with the count of distinct shared grams — the
+    * GPT-3-style contamination check that catches eval text QUOTED
+    * inside larger training pages, which whole-text digest matching
+    * (x_decontaminate) misses. (Published pipelines use n=13; the
+    * synthetic corpus's docs are short, so n=4 is the length at which
+    * its near-dup structure actually surfaces — 49 flagged docs vs 2.)
+    * The ORACLE REBUILDS both gram sets via list slicing and recomputes
+    * every hit count. */
+  private val x_decontaminate_ngram = Q(
+    "x_decontaminate_ngram",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      Dedup.contaminationNgramReport(
+        docs.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 20 === 0), col("text"), n = 4)
+    },
+    Some("""WITH tr AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL AND doc_id % 20 != 0),
+    ev AS (
+      SELECT string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL AND doc_id % 20 = 0),
+    evg AS (
+      SELECT DISTINCT unnest([array_to_string(t[i:i+3], ' ')
+                              for i in range(1, len(t) - 2)]) AS g
+      FROM ev),
+    trg AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+                                           for i in range(1, len(t) - 2)])) AS g
+      FROM tr)
+    SELECT doc_id, COUNT(*) AS n_hit_grams
+    FROM trg JOIN evg USING (g)
+    GROUP BY 1"""))
+
   /** Corpus-LM quality scoring (TextOps.unigramLogProb): mean unigram
     * log-probability per document under the corpus's own token
     * distribution — the CCNet-style perplexity-proxy filter. Per-term
@@ -1424,5 +1460,6 @@ object ExtensionQueries {
     x_text_unigram_logprob,
     x_shard_plan,
     x_source_jsonl,
+    x_decontaminate_ngram,
   )
 }

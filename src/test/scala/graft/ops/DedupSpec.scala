@@ -125,4 +125,23 @@ class DedupSpec extends SparkSpec {
     // high-similarity pairs must be recalled by LSH (s-curve ~0.5 threshold)
     assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
   }
+
+  test("decontaminateNgram catches eval text QUOTED inside a page; digest method does not") {
+    val eval = Seq("what is the capital of france paris").toDF("text")
+    val train = Seq(
+      (1L, "some page asking what is the capital of france paris and more prose here"),
+      (2L, "a completely unrelated document about cooking pasta at home tonight"),
+      (3L, "too short to gram")).toDF("id", "text")
+    // whole-text digest decontamination keeps all 3 (no verbatim copy)
+    assert(Dedup.decontaminate(train, col("text"), eval, col("text")).count() == 3)
+    // 7-gram overlap drops the quoting page, keeps the other two
+    val clean = Dedup.decontaminateNgram(
+      train, col("id"), col("text"), eval, col("text"), n = 7)
+    assert(clean.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    val report = Dedup.contaminationNgramReport(
+      train, col("id"), col("text"), eval, col("text"), n = 7)
+      .as[(Long, Long)].collect().toMap
+    // the quote contains exactly 1 distinct shared 7-gram
+    assert(report == Map(1L -> 1L))
+  }
 }
