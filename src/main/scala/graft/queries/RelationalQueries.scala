@@ -69,6 +69,48 @@ object RelationalQueries {
     FROM orders
     GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""))
 
+  /** CUBE: all four grains — (priority, status), per-priority,
+    * per-status, grand total — in one pass (Expand before the hash
+    * aggregate, still a single shuffle; 4× expand ratio is the price of
+    * one-pass subtotals and beats 4 scans at any scale). gid bit order
+    * matches DuckDB's GROUPING(). */
+  private val x_rel_cube = Q(
+    "x_rel_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumMoney(col("o_totalprice")).as("revenue"),
+        grouping_id().cast("int").as("gid")),
+    Some(s"""SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      COUNT(*) AS n_orders,
+      ${Exact.sumMoneySql("o_totalprice")} AS revenue,
+      CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)"""))
+
+  /** CORRELATED scalar subquery ("orders worth more than 2× their own
+    * customer's average"), run through spark.sql so Catalyst's
+    * decorrelation (RewriteCorrelatedScalarSubquery → aggregate + join)
+    * is the operator under test — the one subquery shape the reference's
+    * A9 scalar subqueries never exercise. The SQL text is dialect-shared:
+    * the DuckDB oracle runs the IDENTICAL statement, and the exact-
+    * decimal average (Exact.avgMoney discipline) makes the 2× boundary
+    * bit-stable in both engines. */
+  private val x_rel_correlated_scalar = Q(
+    "x_rel_correlated_scalar",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(correlatedScalarSql)
+    },
+    Some(correlatedScalarSql))
+
+  private lazy val correlatedScalarSql: String =
+    s"""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT ${Exact.avgMoneySql("o2.o_totalprice")}
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
+
   /** Pivot with an EXPLICIT value list (no values-discovery job — at
     * scale the implicit form is a whole extra distinct+collect over the
     * fact): order-status counts pivoted to columns per priority.
@@ -255,6 +297,8 @@ object RelationalQueries {
   def all: Seq[Q] = Seq(
     x_rel_semi_anti,
     x_rel_rollup,
+    x_rel_cube,
+    x_rel_correlated_scalar,
     x_rel_pivot,
     x_rel_analytic_suite,
     x_rel_frames,

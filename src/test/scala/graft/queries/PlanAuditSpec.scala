@@ -88,6 +88,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(ordersScans <= 2, s"orders scanned $ordersScans times:\n$p")
   }
 
+  test("x_rel_correlated_scalar: the correlated subquery decorrelates to an aggregate + join") {
+    val p = planStr("x_rel_correlated_scalar")
+    // Catalyst must rewrite the per-row subquery into a grouped aggregate
+    // joined back on the correlation key — NOT a subquery re-executed per
+    // outer row (which would be O(n) scans) and NOT a nested loop
+    assert(p.contains("HashAggregate") && (p.contains("Join") || p.contains("SortMergeJoin")),
+      s"no decorrelated aggregate+join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"correlated subquery fell back to a nested loop:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
