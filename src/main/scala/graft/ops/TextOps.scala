@@ -296,6 +296,94 @@ object TextOps {
           (sum(col("tf")) * 1e6d), 6).as("avg_logprob"))
   }
 
+  /** Gopher-rule thresholds (Rae et al. 2021's repetition filters,
+    * adapted to word granularity — this corpus has no line structure):
+    * a document passes when it is long enough, lexically diverse
+    * enough, and no single word or bigram dominates it. Defined once;
+    * the SQL oracle re-emits these same constants. */
+  val GopherMinWords = 10
+  val GopherMinDistinctRatio = 0.3
+  val GopherMaxTopWordFrac = 0.2
+  val GopherMaxTopBigramFrac = 0.18
+
+  /** Gopher-style repetition/quality metrics per document: word count,
+    * distinct-word ratio, the corpus-curation "most common word/bigram
+    * fraction" repetition signals, and the combined pass flag.
+    *
+    * Shape (same discipline as [[tfIdfTopK]]): explode to words and to
+    * adjacent-word bigrams, count by (doc, gram), then collapse to
+    * per-doc max/sum/count — every aggregation is map-side-combinable
+    * and the join back is on doc_id, so nothing exceeds (doc × distinct
+    * gram) cardinality. Only COUNTS cross frames (never the gram
+    * strings), so no tie-breaking is needed anywhere. Fractions are
+    * single double divisions of exact integers rounded to 6dp —
+    * bit-stable across engines. Documents with a single word have no
+    * bigrams: top_bigram_frac is NULL and does not veto the pass flag
+    * (the min-words rule already rejects them). */
+  def gopherQuality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+    val wtf = base.select(col("doc_id"), explode(col("__toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val wstats = wtf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_word_cnt"))
+    // sequence(0, size-2) would run DESCENDING for 1-word docs — guard first
+    val btf = base.filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__toks) - 2)," +
+          " i -> concat(__toks[i], ' ', __toks[i + 1]))")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val bstats = btf.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_cnt"))
+    wstats.join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("distinct_ratio"),
+        round(col("top_word_cnt").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(col("top_bigram_cnt").cast("double") / (col("n_words") - 1), 6)
+          .as("top_bigram_frac"))
+      .withColumn("gopher_pass",
+        col("n_words") >= GopherMinWords &&
+          col("distinct_ratio") >= GopherMinDistinctRatio &&
+          col("top_word_frac") <= GopherMaxTopWordFrac &&
+          coalesce(col("top_bigram_frac") <= GopherMaxTopBigramFrac, lit(true)))
+  }
+
+  /** DuckDB CTE chain recomputing [[gopherQuality]] exactly over a
+    * `(doc_id, text)` source CTE; final relation is `$out`. */
+  def gopherQualitySql(srcCte: String, out: String): String =
+    s"""__gq_base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM $srcCte),
+    __gq_wtf AS (
+      SELECT doc_id, unnest(toks) AS w FROM __gq_base),
+    __gq_wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM __gq_wtf GROUP BY 1, 2),
+    __gq_wstats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        COUNT(*) AS n_distinct, MAX(c) AS top_word_cnt
+      FROM __gq_wc GROUP BY 1),
+    __gq_btf AS (
+      SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1]
+                             for i in range(1, len(toks))]) AS b
+      FROM __gq_base WHERE len(toks) >= 2),
+    __gq_bc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM __gq_btf GROUP BY 1, 2),
+    __gq_bstats AS (
+      SELECT doc_id, MAX(c) AS top_bigram_cnt FROM __gq_bc GROUP BY 1),
+    $out AS (
+      SELECT doc_id, n_words,
+        ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+        ROUND(CAST(top_word_cnt AS DOUBLE) / n_words, 6) AS top_word_frac,
+        ROUND(CAST(top_bigram_cnt AS DOUBLE) / (n_words - 1), 6) AS top_bigram_frac,
+        (n_words >= $GopherMinWords
+          AND ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) >= $GopherMinDistinctRatio
+          AND ROUND(CAST(top_word_cnt AS DOUBLE) / n_words, 6) <= $GopherMaxTopWordFrac
+          AND COALESCE(ROUND(CAST(top_bigram_cnt AS DOUBLE) / (n_words - 1), 6)
+                         <= $GopherMaxTopBigramFrac, TRUE)) AS gopher_pass
+      FROM __gq_wstats LEFT JOIN __gq_bstats USING (doc_id))"""
+
   /** DuckDB CTE chain recomputing [[unigramLogProb]] exactly; `srcCte` is
     * a parenthesized relation with (doc_id, text). Integer-sum dtypes are
     * pinned to BIGINT (DuckDB SUM(INTEGER) is HUGEINT otherwise). */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, Tables}
-import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextOps}
 import graft.streaming.EventStream
 
 /** Extension tier (BASELINE.json north star): the LLM-training-data
@@ -878,6 +878,69 @@ object ExtensionQueries {
     ${TextOps.unigramLogProbSql("src")}
     SELECT doc_id, n_tokens, avg_logprob FROM scored"""))
 
+  /** Gopher-style repetition filters (TextOps.gopherQuality): the Rae
+    * et al. curation rules — distinct-word ratio, most-common-word and
+    * most-common-bigram fractions, combined pass flag — adapted to word
+    * granularity (this corpus has no line structure). Counts-only
+    * aggregation (the gram strings never leave their groupBy), so no
+    * tie-breaking anywhere; the oracle replays the full explode →
+    * count → collapse chain. */
+  private val x_text_gopher_quality = Q(
+    "x_text_gopher_quality",
+    (s, d) => TextOps.gopherQuality(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text")),
+    Some(s"""WITH src AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ${TextOps.gopherQualitySql("src", "gq")}
+    SELECT * FROM gq"""))
+
+  /** Fixed-point PageRank (Graph.pageRankFixedPoint) over the
+    * customer–supplier bipartite graph (distinct trade edges from
+    * orders ⋈ lineitem, symmetrized; customers get even node ids,
+    * suppliers odd). Integer-only arithmetic makes the iterative
+    * result BIT-EXACT — the oracle replays all three iterations as
+    * unrolled DuckDB CTEs, something float PageRank could never
+    * hash-match across engines. */
+  private val x_graph_pagerank = Q(
+    "x_graph_pagerank",
+    (s, d) => {
+      val eraw = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      // even/odd id spaces are disjoint, so the two directions cannot
+      // collide: the union is already distinct
+      val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pageRankFixedPoint(edges, iters = 3)
+    },
+    Some {
+      val fp = Graph.RankFp
+      def step(i: Int) =
+        s"""c$i AS (
+          SELECT e.dst AS node, CAST(SUM(r.r // r.deg) AS BIGINT) AS s
+          FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
+        r$i AS (
+          SELECT d.node, d.deg,
+            (($fp // n_nodes) * 15) // 100 + (COALESCE(c.s, 0) * 85) // 100 AS r
+          FROM deg d CROSS JOIN n LEFT JOIN c$i c ON c.node = d.node)"""
+      s"""WITH eraw AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT a AS src, b AS dst FROM eraw
+        UNION ALL SELECT b AS src, a AS dst FROM eraw),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+      r0 AS (SELECT node, deg, $fp // n_nodes AS r FROM deg CROSS JOIN n),
+      ${step(1)},
+      ${step(2)},
+      ${step(3)}
+      SELECT node, deg, r AS rank_fp FROM r3"""
+    })
+
   /** Deterministic global shuffle + sharding (Sampling.withShardPlan):
     * the "write the corpus as N shuffled shards" terminal step. Every
     * row's (shard, pos) is a pure function of its key — bit-reproducible
@@ -1458,6 +1521,8 @@ object ExtensionQueries {
     x_text_topterms,
     x_text_tfidf,
     x_text_unigram_logprob,
+    x_text_gopher_quality,
+    x_graph_pagerank,
     x_shard_plan,
     x_source_jsonl,
     x_decontaminate_ngram,

@@ -111,6 +111,41 @@ object RelationalQueries {
       SELECT ${Exact.avgMoneySql("o2.o_totalprice")}
       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
 
+  /** IN / NOT IN subqueries including the NULL-aware trap: `NOT IN`
+    * over a subquery that CONTAINS a NULL matches nothing (three-valued
+    * logic — every comparison is at best UNKNOWN), which Spark must
+    * plan as a null-aware anti join, not a plain hash anti join. The
+    * SQL text is dialect-shared and the DuckDB oracle runs the
+    * IDENTICAL statement, so the cohort counts — including the
+    * deterministically-zero NULL-poisoned cohort — pin both engines to
+    * the same semantics. The subquery is an aggregated key set small
+    * enough to broadcast; Spark's single-key NAAJ stays a broadcast
+    * hash join, never a cartesian. */
+  private val x_rel_in_notin = Q(
+    "x_rel_in_notin",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(inNotInSql)
+    },
+    Some(inNotInSql))
+
+  private lazy val inNotInSql: String =
+    """SELECT 'IN_BIG_SPENDER' AS cohort, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+    UNION ALL
+    SELECT 'NOT_IN_BIG_SPENDER' AS cohort, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 250000)
+    UNION ALL
+    SELECT 'NOT_IN_WITH_NULL' AS cohort, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 250000
+                            UNION ALL SELECT CAST(NULL AS BIGINT))"""
+
   /** Pivot with an EXPLICIT value list (no values-discovery job — at
     * scale the implicit form is a whole extra distinct+collect over the
     * fact): order-status counts pivoted to columns per priority.
@@ -299,6 +334,7 @@ object RelationalQueries {
     x_rel_rollup,
     x_rel_cube,
     x_rel_correlated_scalar,
+    x_rel_in_notin,
     x_rel_pivot,
     x_rel_analytic_suite,
     x_rel_frames,

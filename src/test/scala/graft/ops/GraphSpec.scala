@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val FP = Graph.RankFp
+
+  /** Undirected path 1–2–3 as a directed edge list. */
+  private def pathEdges =
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+
+  test("pageRankFixedPoint: one iteration of the 3-path, hand-computed") {
+    // r0 = FP div 3 = 333333333333 each; deg = (1, 2, 1)
+    // teleport = ((FP div 3) * 15) div 100 = 49999999999
+    // node 2 receives full rank from both leaves: s = 666666666666
+    //   r1(2) = 49999999999 + (s * 85) div 100 = 616666666665
+    // leaves receive half of node 2's rank: s = 166666666666
+    //   r1(leaf) = 49999999999 + (s * 85) div 100 = 191666666665
+    val out = Graph.pageRankFixedPoint(pathEdges, iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 191666666665L)))
+    assert(out(2L) == ((2L, 616666666665L)))
+    assert(out(3L) == ((1L, 191666666665L)))
+  }
+
+  test("pageRankFixedPoint: mass conservation and positivity at 3 iterations") {
+    // ring of 8 plus chords — every node has out-degree >= 2
+    val ring = (0L until 8L).flatMap { i =>
+      Seq((i, (i + 1) % 8), ((i + 1) % 8, i), (i, (i + 4) % 8))
+    }.toDF("src", "dst")
+    val ranks = Graph.pageRankFixedPoint(ring, iters = 3)
+      .select(col("rank_fp")).as[Long].collect()
+    assert(ranks.length == 8)
+    assert(ranks.forall(_ > 0L))
+    val total = ranks.sum
+    // integer divisions only ever DROP sub-unit dust: the total never
+    // exceeds FP and loses at most a few hundred units per node
+    assert(total <= FP)
+    assert(total >= FP - 8 * 300L)
+  }
+
+  test("pageRankFixedPoint: result is partitioning-independent") {
+    val a = Graph.pageRankFixedPoint(pathEdges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = Graph.pageRankFixedPoint(pathEdges.repartition(7), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("pageRankFixedPoint: validates its parameters") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(pathEdges, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(pathEdges, iters = 1, damping = 100)
+    }
+  }
+}

@@ -112,6 +112,35 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(4) == "")
   }
 
+  test("gopherQuality: hand-computed repetition metrics and pass flags") {
+    val docs = Seq(
+      (1L, "a a a a b"), // dominated by one word
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), // diverse, long enough
+      (3L, "solo")) // one word: no bigrams at all
+      .toDF("id", "text")
+    val out = TextOps.gopherQuality(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 5L) // n_words
+    assert(d1.getDouble(2) == 0.4) // 2 distinct / 5
+    assert(d1.getDouble(3) == 0.8) // "a" 4/5
+    assert(d1.getDouble(4) == 0.75) // "a a" 3/4
+    assert(!d1.getBoolean(5)) // fails: short AND repetitive
+
+    val d2 = out(2L)
+    assert(d2.getLong(1) == 12L)
+    assert(d2.getDouble(2) == 1.0)
+    assert(d2.getDouble(3) == 0.083333) // round(1/12, 6)
+    assert(d2.getDouble(4) == 0.090909) // round(1/11, 6)
+    assert(d2.getBoolean(5))
+
+    val d3 = out(3L)
+    assert(d3.getLong(1) == 1L)
+    assert(d3.isNullAt(4)) // no bigrams -> NULL, does not veto
+    assert(!d3.getBoolean(5)) // min-words rule rejects it anyway
+  }
+
   test("unigramLogProb: hand-computed micro-nat means on a tiny corpus") {
     // corpus counts: a=3, b=1, c=1, total=5
     // lp_micro: a = round(ln(3/5)*1e6) = -510826; b = c = round(ln(1/5)*1e6) = -1609438
