@@ -1479,6 +1479,164 @@ object ExtensionQueries {
     FROM sessions
     GROUP BY 1, 2"""))
 
+  /** Streaming-vs-batch SESSIONIZE parity on the custom-state path: the
+    * flatMapGroupsWithState sessionizer (EventStream.sessionize — one
+    * open session per user in the state store, event-time timeouts) run
+    * with Trigger.AvailableNow over the events fixture, oracle-compared
+    * against DuckDB's gaps-and-islands sessionization. The fixture is
+    * coalesced to ONE file so the run is exactly one data micro-batch
+    * (watermark still unset, so nothing times out mid-stream) followed
+    * by the no-data batch that fires event-time timeouts at the final
+    * watermark. Emission rule replayed by the oracle: a session closed
+    * by a later same-user event always emits; the user's LAST session
+    * emits iff its timeout timestamp passed the final watermark
+    * strictly — end + gap < max(ts) over the whole input (Spark times
+    * out state when timeoutTimestamp < watermark). */
+  private val sessionParityFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x_stream_sessionize_parity = Q(
+    "x_stream_sessionize_parity",
+    (s, d) => {
+      import s.implicits._
+      val tmp = sessionParityFixtureDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          // second-truncated on both sides, same as x_events_sessionize
+          .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+            col("user_id"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+      val ev = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+        .parquet(tmp)
+        .as[EventStream.Event]
+      val sink = "x_stream_sessionize_parity_sink"
+      val sq = EventStream.sessionize(s, ev)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink).select(col("user_id"), col("n_events"),
+        timestamp_millis(col("start_ms")).as("session_start"),
+        timestamp_millis(col("end_ms")).as("session_end"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+      FROM events WHERE ts IS NOT NULL),
+    flagged AS (
+      SELECT user_id, event_id, ts_s,
+        CASE WHEN LAG(ts_s) OVER w IS NULL
+               OR epoch(ts_s) - epoch(LAG(ts_s) OVER w) > 1800.0
+             THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+    sessions AS (
+      SELECT user_id, ts_s,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    agg AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(ts_s) AS session_start, max(ts_s) AS session_end
+      FROM sessions GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
+      FROM agg),
+    mx AS (SELECT max(ts_s) AS max_ts FROM e)
+    SELECT user_id, n_events, session_start, session_end
+    FROM ranked, mx
+    WHERE session_id < last_sid
+       OR epoch(session_end) + 1800.0 < epoch(max_ts)"""))
+
+  /** ORC source/sink roundtrip — the second columnar interchange format
+    * (reader/writer ship inside spark-sql). lineitem's money columns,
+    * timestamps and flags written as ORC, read back, and aggregated with
+    * the q_a1 exact-decimal discipline; the oracle aggregates the
+    * parquet ORIGINALS, so any type/precision loss in the ORC hop
+    * breaks the hash match. */
+  private val x_source_orc = Q(
+    "x_source_orc_roundtrip",
+    (s, d) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_orc_roundtrip").getPath
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      SUM(l_quantity) AS sum_qty,
+      ${Exact.sumMoneySql("l_extendedprice")} AS sum_base_price,
+      ${Exact.sumRevenueSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+      min(l_shipdate) AS min_ship,
+      max(l_shipdate) AS max_ship,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY 1, 2"""))
+
+  /** Sketch aggregates — the mergeable-summary tier a 100 TB engine
+    * leans on when exact distinct-counting would shuffle every key:
+    * HyperLogLog++ (approx_count_distinct), an Apache DataSketches HLL
+    * built per-group and estimated (hll_sketch_agg — the sketch BYTES
+    * are mergeable across partitions/days, which is the real point),
+    * and approx_percentile. Approximate values can't hash-match another
+    * engine, so the query emits exact anchors plus BOUND CHECKS the
+    * oracle asserts as literal TRUE: HLL estimates within 3x the
+    * default rsd, and the percentile's RANK (tie-robust: count(<x) /
+    * count(<=x) brackets) within n/accuracy + 1 of the true median
+    * rank — the GK-sketch guarantee. A drifting sketch implementation
+    * flips a boolean and the driver compare goes red. */
+  private val x_sketch_suite = Q(
+    "x_sketch_suite",
+    (s, d) => {
+      def base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_custkey"), col("o_totalprice"))
+      val agg = base.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust_exact"),
+          approx_count_distinct(col("o_custkey")).as("acd"),
+          hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("hll"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"))
+      // rank-check pass: rebuild the base (no shared-lineage self-join)
+      // and count rows strictly-below / at-or-below each nation's p50
+      val p50s = agg.select(col("nation").as("p50_nation"), col("p50"))
+      val ranks = base.join(broadcast(p50s), col("nation") === col("p50_nation"))
+        .groupBy(col("nation"))
+        .agg(count(when(col("o_totalprice") < col("p50"), 1)).as("n_lt"),
+          count(when(col("o_totalprice") <= col("p50"), 1)).as("n_le"))
+      val eps = col("n_orders").cast("double") / 1000.0 + 1.0
+      val mid = col("n_orders").cast("double") / 2.0
+      agg.join(ranks, "nation")
+        .select(col("nation"), col("n_orders"), col("n_cust_exact"),
+          (abs(col("acd").cast("double") - col("n_cust_exact").cast("double"))
+            <= col("n_cust_exact").cast("double") * 0.15).as("acd_ok"),
+          (abs(col("hll").cast("double") - col("n_cust_exact").cast("double"))
+            <= col("n_cust_exact").cast("double") * 0.15).as("hll_ok"),
+          (col("n_le").cast("double") >= mid - eps
+            && col("n_lt").cast("double") <= mid + eps).as("p50_ok"))
+    },
+    Some("""SELECT n_name AS nation,
+      COUNT(*) AS n_orders,
+      COUNT(DISTINCT o_custkey) AS n_cust_exact,
+      true AS acd_ok, true AS hll_ok, true AS p50_ok
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     x_dedup_exact,
     x_dedup_pipeline,
@@ -1526,5 +1684,8 @@ object ExtensionQueries {
     x_shard_plan,
     x_source_jsonl,
     x_decontaminate_ngram,
+    x_stream_sessionize_parity,
+    x_source_orc,
+    x_sketch_suite,
   )
 }
