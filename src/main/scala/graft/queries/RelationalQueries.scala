@@ -329,7 +329,101 @@ object RelationalQueries {
     SELECT o_custkey, 'ONLY_1997' AS cohort
     FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)"""))
 
+  /** Statistical aggregates (var/stddev/corr/regression). Raw
+    * double-summing `corr`/`regr_*` are partition-order-dependent in
+    * their low bits, so cross-engine bit equality is impossible on the
+    * built-ins directly. Instead: EXACT decimal power sums (n, Σx, Σy,
+    * Σx², Σy², Σxy — quantity integral, price 2dp, so every sum is
+    * exact; widths sized with 100× headroom under ANSI overflow
+    * checking), closed by a PINNED IEEE sequence both engines execute
+    * identically — one decimal→double cast per term, then the same
+    * division/sqrt tree. The Spark built-ins (var_samp, corr,
+    * regr_slope) ride along as tolerance booleans the oracle asserts
+    * TRUE, tolerances loose enough to absorb their partition-order
+    * jitter while still catching a broken implementation. */
+  private val x_rel_stats_suite = Q(
+    "x_rel_stats_suite",
+    (s, d) => {
+      val x = col("l_quantity").cast("decimal(18,0)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val sums = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("decimal(14,0)").as("sx"),
+          sum(y).cast("decimal(18,2)").as("sy"),
+          sum(x * x).cast("decimal(20,0)").as("sxx"),
+          sum(y * y).cast("decimal(24,4)").as("syy"),
+          sum(x * y).cast("decimal(22,2)").as("sxy"),
+          var_samp(col("l_quantity")).as("var_b"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("corr_b"),
+          regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope_b"))
+      val nD = col("n").cast("decimal(9,0)")
+      val A = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+      val B = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+      val C = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+      val nDbl = col("n").cast("double")
+      val varQty = when(A === 0.0, lit(0.0))
+        .otherwise(A / (nDbl * (nDbl - 1.0)))
+      val corrQp = when(A === 0.0 || B === 0.0, lit(null))
+        .otherwise(C / (sqrt(A) * sqrt(B)))
+      val slopeQp = when(A === 0.0, lit(null)).otherwise(C / A)
+      sums
+        .withColumn("var_qty", varQty)
+        .withColumn("stddev_qty", sqrt(col("var_qty")))
+        .withColumn("corr_qp", corrQp)
+        .withColumn("slope_qp", slopeQp)
+        .withColumn("intercept_qp",
+          (col("sy").cast("double") - col("slope_qp") * col("sx").cast("double")) / nDbl)
+        .withColumn("r2_qp", col("corr_qp") * col("corr_qp"))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          col("var_qty"), col("stddev_qty"), col("corr_qp"),
+          col("slope_qp"), col("intercept_qp"), col("r2_qp"),
+          (abs(col("var_b") - col("var_qty")) <= abs(col("var_qty")) * 1e-6).as("var_ok"),
+          (abs(col("corr_b") - col("corr_qp")) <= 1e-9).as("corr_ok"),
+          (abs(col("slope_b") - col("slope_qp")) <= abs(col("slope_qp")) * 1e-6).as("slope_ok"))
+    },
+    Some("""WITH a AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DECIMAL(14,0)) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+               * CAST(l_quantity AS DECIMAL(18,0))) AS DECIMAL(20,0)) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS syy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(22,2)) AS sxy
+      FROM lineitem GROUP BY 1),
+    b AS (
+      -- operand casts to width>=19 force DuckDB's INT128 physical type:
+      -- an 18x18 decimal multiply runs in INT64 and overflows at runtime
+      SELECT l_returnflag, n,
+        CAST(CAST(n AS DECIMAL(9,0)) * sxx
+           - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS va,
+        CAST(CAST(n AS DECIMAL(9,0)) * syy
+           - CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2)) AS DOUBLE) AS vb,
+        CAST(CAST(n AS DECIMAL(9,0)) * sxy
+           - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,2)) AS DOUBLE) AS vc,
+        CAST(n AS DOUBLE) AS nd,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM a),
+    c AS (
+      SELECT l_returnflag, n,
+        CASE WHEN va = 0.0 THEN 0.0 ELSE va / (nd * (nd - 1.0)) END AS var_qty,
+        CASE WHEN va = 0.0 OR vb = 0.0 THEN NULL
+             ELSE vc / (sqrt(va) * sqrt(vb)) END AS corr_qp,
+        CASE WHEN va = 0.0 THEN NULL ELSE vc / va END AS slope_qp,
+        nd, sxd, syd
+      FROM b)
+    SELECT l_returnflag, n AS n_rows,
+      var_qty, sqrt(var_qty) AS stddev_qty, corr_qp, slope_qp,
+      (syd - slope_qp * sxd) / nd AS intercept_qp,
+      corr_qp * corr_qp AS r2_qp,
+      true AS var_ok, true AS corr_ok, true AS slope_ok
+    FROM c"""))
+
   def all: Seq[Q] = Seq(
+    x_rel_stats_suite,
     x_rel_semi_anti,
     x_rel_rollup,
     x_rel_cube,
