@@ -111,6 +111,35 @@ object RelationalQueries {
       SELECT ${Exact.avgMoneySql("o2.o_totalprice")}
       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
 
+  /** Correlated LATERAL subquery — top-2 orders PER customer pulled by a
+    * `, LATERAL (... ORDER BY ... LIMIT 2)` derived table, the join-form
+    * correlation (each right row computed against the current left row)
+    * that scalar/IN subqueries can't express. Catalyst decorrelates it
+    * (DecorrelateInnerQuery) into a ranked join rather than per-row
+    * re-execution — per-row would be O(customers × orders) at scale.
+    * Dialect-shared SQL: DuckDB runs the IDENTICAL statement. LIMIT
+    * under correlation needs a TOTAL order — (o_totalprice, o_orderkey
+    * DESC) — or the picked rows are engine-dependent; the BUILDING
+    * segment restriction keeps output bounded. */
+  private val x_rel_lateral = Q(
+    "x_rel_lateral_topk",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(lateralTopkSql)
+    },
+    Some(lateralTopkSql))
+
+  private lazy val lateralTopkSql: String =
+    """SELECT c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey DESC
+      LIMIT 2) t
+    WHERE c_mktsegment = 'BUILDING'"""
+
   /** IN / NOT IN subqueries including the NULL-aware trap: `NOT IN`
     * over a subquery that CONTAINS a NULL matches nothing (three-valued
     * logic — every comparison is at best UNKNOWN), which Spark must
@@ -424,6 +453,7 @@ object RelationalQueries {
 
   def all: Seq[Q] = Seq(
     x_rel_stats_suite,
+    x_rel_lateral,
     x_rel_semi_anti,
     x_rel_rollup,
     x_rel_cube,

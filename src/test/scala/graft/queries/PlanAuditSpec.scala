@@ -99,6 +99,27 @@ class PlanAuditSpec extends SparkSpec {
       s"correlated subquery fell back to a nested loop:\n$p")
   }
 
+  test("x_graph_pagerank: loop-invariant subtrees re-enter iterations as ReusedExchange") {
+    // The 3 unrolled iterations each reference the edge list and the
+    // static degree frame. Without exchange reuse the orders x lineitem
+    // edge build would execute once PER ITERATION — the difference
+    // between O(E) and O(iters * E) input work at scale.
+    // AQE applies stage reuse at RUNTIME — execute first, then read the
+    // final adaptive plan (pre-execution it prints isFinalPlan=false
+    // with no reuse nodes yet).
+    val df = Registry.queries("x_graph_pagerank")(spark, sf001)
+    // execute through THIS QueryExecution (a .write would plan a fresh
+    // one and leave df's adaptive plan unfinalized)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"plan not executed adaptively:\n${p.take(500)}")
+    // NOTE the plan STRING still re-prints reused subtrees (so naive
+    // scan-counting over the text overcounts); the ReusedExchange nodes
+    // are what the runtime actually wires in.
+    val reuses = "ReusedExchange".r.findAllIn(p).size
+    assert(reuses >= 3, s"expected >=3 reused exchanges, got $reuses in:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
