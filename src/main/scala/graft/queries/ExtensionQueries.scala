@@ -1551,6 +1551,53 @@ object ExtensionQueries {
     WHERE session_id < last_sid
        OR epoch(session_end) + 1800.0 < epoch(max_ts)"""))
 
+  /** transformWithState (Spark 4's arbitrary-state API, RocksDB-backed)
+    * parity: the per-user lifetime counter run via AvailableNow over the
+    * same one-file fixture — a single batch, so each user's ONE emitted
+    * update-mode row is their total count — oracle-compared to a plain
+    * GROUP BY. The RocksDB provider requirement is scoped to this query
+    * and restored after, so the fMGWS/aggregation streaming queries keep
+    * their default provider. */
+  private val x_stream_tws_counts = Q(
+    "x_stream_tws_counts",
+    (s, d) => {
+      import s.implicits._
+      val tmp = sessionParityFixtureDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+            col("user_id"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+          .parquet(tmp)
+          .as[EventStream.Event]
+        val sink = "x_stream_tws_counts_sink"
+        val sq = EventStream.runningUserCounts(s, ev)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink).groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"))
+      } finally prev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None    => s.conf.unset(provKey)
+      }
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1"""))
+
   /** ORC source/sink roundtrip — the second columnar interchange format
     * (reader/writer ship inside spark-sql). lineitem's money columns,
     * timestamps and flags written as ORC, read back, and aggregated with
@@ -1685,6 +1732,7 @@ object ExtensionQueries {
     x_source_jsonl,
     x_decontaminate_ngram,
     x_stream_sessionize_parity,
+    x_stream_tws_counts,
     x_source_orc,
     x_sketch_suite,
   )

@@ -198,6 +198,41 @@ object EventStream {
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Per-user LIFETIME event counter on `transformWithState` — Spark 4's
+    * arbitrary-state API (SPARK-48796, the successor to
+    * flatMapGroupsWithState used by [[sessionize]]): typed `ValueState`
+    * obtained from the processor handle, optional TTL, RocksDB-backed
+    * state store (the API requires the RocksDB provider — callers set
+    * `spark.sql.streaming.stateStore.providerClass`). Each batch emits
+    * the updated lifetime count per user seen in that batch
+    * (update-mode semantics); state is keyed by user, so it partitions
+    * across executors and the store scales with |users|, not |events|. */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserCount] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserCount(key, n))
+    }
+  }
+
+  def runningUserCounts(spark: SparkSession,
+                        events: Dataset[Event]): Dataset[UserCount] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long,
                            start_ms: Long, end_ms: Long)

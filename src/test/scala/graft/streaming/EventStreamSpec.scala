@@ -107,6 +107,40 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState running counts accumulate ValueState across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.Event]
+      val q = EventStream.runningUserCounts(spark, input.toDS())
+        .writeStream.format("memory").queryName("tws_counts_test")
+        .outputMode("update")
+        .start()
+      def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+      // batch 0: user 1 twice, user 2 once
+      input.addData(
+        EventStream.Event(1, ts(0), 1),
+        EventStream.Event(2, ts(1), 1),
+        EventStream.Event(3, ts(2), 2))
+      q.processAllAvailable()
+      // batch 1: user 1 again — the ValueState must carry the prior 2
+      input.addData(EventStream.Event(4, ts(3), 1))
+      q.processAllAvailable()
+      val got = spark.table("tws_counts_test")
+        .as[EventStream.UserCount].collect().toSet
+      assert(got == Set(
+        EventStream.UserCount(1, 2), EventStream.UserCount(2, 1),
+        EventStream.UserCount(1, 3)))
+      q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("scd2MaintainStream folds micro-batches into a versioned Type-2 ledger") {
     implicit val sqlCtx = spark.sqlContext
     val ledgerDir = Files.createTempDirectory("scd2_ledger").toString
