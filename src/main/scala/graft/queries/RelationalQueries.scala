@@ -111,6 +111,63 @@ object RelationalQueries {
       SELECT ${Exact.avgMoneySql("o2.o_totalprice")}
       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
 
+  /** Explicit GROUPING SETS — the third grouping-sets surface beyond
+    * ROLLUP/CUBE: an arbitrary, non-hierarchical grain list ((nation,
+    * segment), (nation), (segment)) — note NO grand total, which neither
+    * ROLLUP nor CUBE can express — in ONE Expand pass. Dialect-shared
+    * SQL; per-column GROUPING() flags (cast to INT on both engines)
+    * disambiguate the subtotal NULLs. */
+  private val x_rel_grouping_sets = Q(
+    "x_rel_grouping_sets",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(groupingSetsSql)
+    },
+    Some(groupingSetsSql))
+
+  private lazy val groupingSetsSql: String =
+    s"""SELECT n_name AS nation, c_mktsegment AS segment,
+      CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+      CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_segment,
+      COUNT(*) AS n_customers,
+      ${Exact.sumMoneySql("c_acctbal")} AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))"""
+
+  /** Array higher-order functions over the embeddings table — the
+    * lambda surface (transform / filter / zip_with / aggregate) LLM
+    * feature pipelines reach for before dropping to custom kernels.
+    * Float summation parity is by CONSTRUCTION: every element is cast
+    * to double BEFORE arithmetic and every reduction is a LEFT FOLD
+    * with a double init, so both engines execute the identical IEEE
+    * sequence (same discipline as the rolling-hash winnow oracle). */
+  private val x_rel_arrays = Q(
+    "x_rel_arrays",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + abs(x.cast("double"))).as("l1"),
+        aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("l2sq"),
+        size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+        aggregate(transform(slice(col("embedding"), 1, 3),
+            x => x.cast("double") * 2.0),
+          lit(0.0), (acc, x) => acc + x).as("head3_doubled_sum")),
+    Some("""SELECT vec_id,
+      CAST(len(embedding) AS INTEGER) AS dim,
+      list_reduce(list_prepend(0.0, list_transform(embedding,
+        x -> abs(CAST(x AS DOUBLE)))), (a, x) -> a + x) AS l1,
+      list_reduce(list_prepend(0.0, list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x) AS l2sq,
+      CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+      list_reduce(list_prepend(0.0, list_transform(embedding[1:3],
+        x -> CAST(x AS DOUBLE) * 2.0)), (a, x) -> a + x) AS head3_doubled_sum
+    FROM embeddings"""))
+
   /** Correlated LATERAL subquery — top-2 orders PER customer pulled by a
     * `, LATERAL (... ORDER BY ... LIMIT 2)` derived table, the join-form
     * correlation (each right row computed against the current left row)
@@ -454,6 +511,8 @@ object RelationalQueries {
   def all: Seq[Q] = Seq(
     x_rel_stats_suite,
     x_rel_lateral,
+    x_rel_grouping_sets,
+    x_rel_arrays,
     x_rel_semi_anti,
     x_rel_rollup,
     x_rel_cube,
