@@ -111,6 +111,32 @@ object RelationalQueries {
       SELECT ${Exact.avgMoneySql("o2.o_totalprice")}
       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) — calendar densification:
+    * a month spine generated recursively, left-joined to per-month order
+    * counts so EMPTY months appear as explicit zero rows (the gap-free
+    * series every reporting layer wants; a recursive spine needs no
+    * sequence table). Dialect-shared SQL: DuckDB runs the IDENTICAL
+    * statement; every date hop is CAST back to DATE so neither engine
+    * drifts into timestamp typing. */
+  private val x_rel_recursive = Q(
+    "x_rel_recursive_spine",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(recursiveSpineSql)
+    },
+    Some(recursiveSpineSql))
+
+  private lazy val recursiveSpineSql: String =
+    """WITH RECURSIVE months AS (
+      SELECT DATE '1992-01-01' AS m
+      UNION ALL
+      SELECT CAST(m + INTERVAL '1' MONTH AS DATE) AS m
+      FROM months WHERE m < DATE '1998-12-01')
+    SELECT m, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months
+    LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m"""
+
   /** Explicit GROUPING SETS — the third grouping-sets surface beyond
     * ROLLUP/CUBE: an arbitrary, non-hierarchical grain list ((nation,
     * segment), (nation), (segment)) — note NO grand total, which neither
@@ -511,6 +537,7 @@ object RelationalQueries {
   def all: Seq[Q] = Seq(
     x_rel_stats_suite,
     x_rel_lateral,
+    x_rel_recursive,
     x_rel_grouping_sets,
     x_rel_arrays,
     x_rel_semi_anti,
