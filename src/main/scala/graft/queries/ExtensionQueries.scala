@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, Tables}
-import graft.ops.{AsofJoin, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Scale, Similarity, TextOps}
 import graft.streaming.EventStream
 
 /** Extension tier (BASELINE.json north star): the LLM-training-data
@@ -1684,8 +1684,75 @@ object ExtensionQueries {
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY 1"""))
 
+  /** Edit-distance (Levenshtein) near-dup pairs over 48-char document
+    * prefixes — the character-level dedup signal that shingle/Jaccard
+    * methods miss (small in-place edits barely move an edit distance
+    * but can flip many shingles). NOT all-pairs: candidates are blocked
+    * on (lang, n_chars/32) with each probe row exploded to its bucket
+    * ±1, a band equi-join — a pair lands in exactly ONE slot (its
+    * bucket offsets differ), so no dedup pass is needed, and candidate
+    * volume scales with per-bucket density, not corpus². Spark computes
+    * the distance with the THRESHOLD form of levenshtein (banded DP,
+    * O(threshold·len) per pair, -1 past the bound); the oracle recomputes
+    * the full distance for every emitted pair and replays the identical
+    * blocking, so both the scores and the candidate set are checked. */
+  private val x_dedup_editdist = Q(
+    "x_dedup_editdist",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 48).as("pfx"),
+          floor(col("n_chars") / 32).cast("int").as("b"))
+      val probe = docs
+        .withColumn("slot", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+        .select(col("doc_id").as("doc_b"), col("lang").as("lang_p"),
+          col("pfx").as("pfx_b"), col("slot"))
+      docs
+        .join(probe,
+          col("lang") === col("lang_p") && col("b") === col("slot") &&
+            col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"),
+          levenshtein(col("pfx"), col("pfx_b"), 8).as("dist"))
+        .filter(col("dist") >= 0 && col("dist") <= 8)
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, lang, substring(text, 1, 48) AS pfx,
+        CAST(n_chars // 32 AS INTEGER) AS b
+      FROM documents WHERE text IS NOT NULL)
+    SELECT a.doc_id AS doc_a, p.doc_id AS doc_b,
+      CAST(levenshtein(a.pfx, p.pfx) AS INTEGER) AS dist
+    FROM d a JOIN d p
+      ON a.lang = p.lang AND a.doc_id < p.doc_id AND abs(a.b - p.b) <= 1
+    WHERE levenshtein(a.pfx, p.pfx) <= 8"""))
+
+  /** Salted-join correctness via the driver oracle: the skew-mitigation
+    * join (graft.ops.Scale.saltedJoin — hot keys split across `factor`
+    * salt replicas, bounded side replicated) must be RESULT-IDENTICAL
+    * to the plain equi-join, so the oracle is simply the unsalted SQL.
+    * The aggregate on top makes the compare order-free and exercises
+    * the aggregate-then-join shape AQE's skew splitting can't handle —
+    * the one place explicit salting remains necessary at 100 TB. */
+  private val x_scale_salted = Q(
+    "x_scale_salted_join",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Scale.saltedJoin(Tables.orders(s, d), dim, Seq("o_custkey"),
+          factor = 8, saltCols = Seq(col("o_orderkey")))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("revenue"))
+    },
+    Some(s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+      ${Exact.sumMoneySql("o_totalprice")} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     x_dedup_exact,
+    x_dedup_editdist,
+    x_scale_salted,
     x_dedup_pipeline,
     x_dedup_jaccard,
     x_dedup_jaccard_collapsed,

@@ -534,7 +534,57 @@ object RelationalQueries {
       true AS var_ok, true AS corr_ok, true AS slope_ok
     FROM c"""))
 
+  /** Ordered-set aggregates beyond the reference's single median (A6):
+    * the full quantile surface — PERCENTILE_CONT and PERCENTILE_DISC at
+    * 25/50/75 — plus a DETERMINISTIC mode (highest count, ties broken
+    * by smallest value; the built-in `mode()` is tie-arbitrary in both
+    * engines, so it can never be oracle-compared). Quartile fractions
+    * are exact binary (0.25/0.5/0.75), and l_quantity is integral, so
+    * CONT interpolation is exact in both engines; DISC index rules
+    * (Spark: smallest value with cume_dist ≥ q; DuckDB: round(q·(n−1)))
+    * were verified equal for quarter quantiles at every n. Mode runs as
+    * two map-side-combinable aggregates + a WindowGroupLimit top-1 —
+    * no per-group sort of raw rows at any scale. */
+  private val x_rel_quantiles = Q(
+    "x_rel_quantiles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val quant = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n_rows"),
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_cont"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_cont"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75_cont"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_disc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_disc"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75_disc"))
+      val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("c").desc, col("l_quantity").asc)))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+      quant.join(mode, Seq("l_returnflag"))
+    },
+    Some("""WITH q AS (
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+        quantile_cont(l_quantity, 0.25) AS p25_cont,
+        quantile_cont(l_quantity, 0.5) AS p50_cont,
+        quantile_cont(l_quantity, 0.75) AS p75_cont,
+        quantile_disc(l_quantity, 0.25) AS p25_disc,
+        quantile_disc(l_quantity, 0.5) AS p50_disc,
+        quantile_disc(l_quantity, 0.75) AS p75_disc
+      FROM lineitem GROUP BY 1),
+    m AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS c
+            FROM lineitem GROUP BY 1, 2)
+      QUALIFY row_number() OVER
+        (PARTITION BY l_returnflag ORDER BY c DESC, l_quantity ASC) = 1)
+    SELECT q.*, m.mode_qty FROM q JOIN m USING (l_returnflag)"""))
+
   def all: Seq[Q] = Seq(
+    x_rel_quantiles,
     x_rel_stats_suite,
     x_rel_lateral,
     x_rel_recursive,

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{Exact, Tables}
+
+/** Time-series and incremental-maintenance operators — the temporal
+  * surface a monthly-snapshot warehouse (SURVEY §1.1 SCD handling,
+  * design.sql:447,543) grows into once feeds become daily or hourly:
+  * gap repair (LOCF/backfill), value-range rolling windows, and
+  * partial-aggregate state merge (incremental view maintenance — at
+  * 100 TB you merge yesterday's aggregate state with today's
+  * partition instead of rescanning history). All oracle-checked.
+  */
+object TimeSeriesQueries {
+
+  /** LOCF gap-fill + backfill via IGNORE NULLS window functions — the
+    * sensor/metrics repair idiom (carry the last observation forward;
+    * seed leading gaps from the next observation). Missing readings are
+    * synthesized deterministically (every 5th event_id) because the
+    * fixture has no NULL values; both engines apply the identical rule.
+    * ts IS NOT NULL + second-truncation pinned on both sides (Spark
+    * orders NULLS FIRST, DuckDB NULLS LAST; parquet ts is nanos).
+    * Scale shape: one window shuffle on user_id; frames are
+    * running/unbounded-tail, which Spark evaluates incrementally —
+    * no per-row frame rescans. */
+  private val x_ts_locf = Q(
+    "x_ts_locf_fill",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"),
+          when(col("event_id") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value_raw"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.select(col("user_id"), col("event_id"), col("ts_s"), col("value_raw"),
+        last(col("value_raw"), ignoreNulls = true).over(wPrev).as("value_locf"),
+        first(col("value_raw"), ignoreNulls = true).over(wNext).as("value_bfill"))
+        .withColumn("value_filled",
+          coalesce(col("value_locf"), col("value_bfill")))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value_raw
+      FROM events WHERE ts IS NOT NULL)
+    SELECT user_id, event_id, ts_s, value_raw,
+      LAST_VALUE(value_raw IGNORE NULLS) OVER
+        (PARTITION BY user_id ORDER BY ts_s, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+      FIRST_VALUE(value_raw IGNORE NULLS) OVER
+        (PARTITION BY user_id ORDER BY ts_s, event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill,
+      COALESCE(
+        LAST_VALUE(value_raw IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts_s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        FIRST_VALUE(value_raw IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts_s, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS value_filled
+    FROM e"""))
+
+  /** Rolling 7-day revenue per customer via a VALUE-RANGE frame
+    * (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over an epoch-day
+    * order key) — the frame kind ROWS cannot express: peers on the
+    * same day share one frame, and absent days shrink it. The order
+    * key is an integer day index so both engines frame identically
+    * (interval-literal RANGE frames differ dialect-to-dialect; the
+    * epoch-day form is the portable core). Frame sums run in exact
+    * decimal (Exact discipline) so Spark's incremental sliding-frame
+    * evaluation cannot drift from the oracle's per-frame sums. */
+  private val x_ts_rolling = Q(
+    "x_ts_rolling_range",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("day_idx",
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_idx")).rangeBetween(-6, 0)
+      o.select(col("o_custkey"), col("o_orderkey"), col("day_idx"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("rev_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+    },
+    Some("""WITH o AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS INTEGER) AS day_idx
+      FROM orders)
+    SELECT o_custkey, o_orderkey, day_idx,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_7d,
+      COUNT(*) OVER w AS n_7d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""))
+
+  /** Incremental aggregate maintenance: per-priority order KPIs kept as
+    * MERGEABLE partial state (count / exact-decimal sum / min / max),
+    * updated by full-outer-merging the base state (years < 1998) with
+    * the newest partition's delta (1998) and finalizing avg at the
+    * edge — the incremental-view-maintenance contract. The ORACLE is
+    * the full recompute over all years: the driver compare proves
+    * merge(state(base), state(delta)) == recompute(base ∪ delta),
+    * which is exactly the property that lets a 100 TB deployment
+    * refresh a KPI by scanning one day instead of seven years.
+    * Spark's `least`/`greatest` skip NULLs, which is the wanted
+    * no-rows-on-one-side merge semantics. */
+  private val x_ts_incremental = Q(
+    "x_ts_incremental_merge",
+    (s, d) => {
+      val money = DecimalType(18, 2)
+      val o = Tables.orders(s, d)
+        .withColumn("order_year", year(col("o_orderdate")))
+      def partialState(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(money)).as("s"),
+            min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+      val base = partialState(o.filter(col("order_year") < 1998))
+        .withColumnRenamed("n", "n_b").withColumnRenamed("s", "s_b")
+        .withColumnRenamed("mn", "mn_b").withColumnRenamed("mx", "mx_b")
+      val delta = partialState(o.filter(col("order_year") >= 1998))
+      val zero = lit(0).cast(money)
+      base.join(delta, Seq("priority"), "full_outer")
+        .select(col("priority"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n_orders"),
+          (coalesce(col("s_b"), zero) + coalesce(col("s"), zero)).as("s_all"),
+          least(col("mn_b"), col("mn")).as("min_price"),
+          greatest(col("mx_b"), col("mx")).as("max_price"))
+        .select(col("priority"), col("n_orders"),
+          col("s_all").cast("double").as("revenue"),
+          (col("s_all").cast("double") / col("n_orders")).as("avg_price"),
+          col("min_price"), col("max_price"))
+    },
+    Some(s"""SELECT o_orderpriority AS priority,
+      COUNT(*) AS n_orders,
+      ${Exact.sumMoneySql("o_totalprice")} AS revenue,
+      ${Exact.sumMoneySql("o_totalprice")} / COUNT(*) AS avg_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY 1"""))
+
+  def all: Seq[Q] = Seq(
+    x_ts_locf,
+    x_ts_rolling,
+    x_ts_incremental,
+  )
+}
