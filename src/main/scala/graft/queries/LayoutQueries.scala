@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+
+/** Physical-layout and join-semantics completions: Z-order clustering
+  * keys (the data-skipping layout a 100 TB lakehouse sorts by), the
+  * null-safe equi-join with an unknown-member dimension row (the
+  * Kimball pattern for facts whose FK is missing), and bag-semantics
+  * set operations. All oracle-checked.
+  */
+object LayoutQueries {
+
+  /** Z-order (Morton) clustering key over (customer, order-day) — the
+    * multi-dimensional sort key that makes min/max file statistics
+    * selective on BOTH dimensions at once (sort by one dim and the
+    * other's per-file ranges span everything; interleave their bits
+    * and every fixed-length key prefix is a quadtree cell, bounded in
+    * both). Emitted per 16-bit-suffix cell (256×256 quadtree cells, ≤256-wide per dim): row
+    * count + both dims' min/max — the oracle checks the interleave AND
+    * the bounded-range property this layout exists to provide. The
+    * interleave is a single GENERATED 32-term integer expression (all
+    * shifts are literals, so it stays inside whole-stage codegen —
+    * zero joins, zero row expansion, one aggregate shuffle for the
+    * cell stats; the dialect-shared term list is built once and
+    * emitted to both engines, Spark `div` / DuckDB `//`). */
+  private val x_scale_zorder = Q(
+    "x_scale_zorder",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536)).as("x"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("y"))
+      o.withColumn("zkey", expr(zorderExprSql("div")))
+        .groupBy(expr("zkey div 65536").as("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+          min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+    },
+    Some(s"""WITH o AS (
+      SELECT o_orderkey,
+        o_custkey % 65536 AS x,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS y
+      FROM orders),
+    keyed AS (SELECT x, y, ${zorderExprSql("//")} AS zkey FROM o)
+    SELECT zkey // 65536 AS cell,
+      COUNT(*) AS n_rows,
+      MIN(x) AS min_cust, MAX(x) AS max_cust,
+      MIN(y) AS min_day, MAX(y) AS max_day
+    FROM keyed GROUP BY 1"""))
+
+  /** 16-bit × 2 Morton interleave as a flat integer-arithmetic term
+    * list; `intDiv` is the dialect's integral-division operator
+    * (Spark `div`, DuckDB `//`). Every constant is a literal power of
+    * two, so both engines evaluate in exact 64-bit integers. */
+  private def zorderExprSql(intDiv: String): String =
+    (0 until 16).map { i =>
+      s"((x $intDiv ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((y $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) with an
+    * UNKNOWN-member dimension row — the Kimball answer to facts whose
+    * FK is missing: the dimension carries one NULL-keyed row, and the
+    * null-safe join routes NULL-FK facts to it instead of dropping
+    * them. Both cohorts are emitted side by side: the standard `=`
+    * join loses the NULL-key customers (SQL equality is never true on
+    * NULL), the null-safe join books them under UNKNOWN — same row
+    * counts in total only for the null-safe arm. NULL FKs are
+    * synthesized deterministically (custkey % 23 = 0) since the
+    * fixture has none; both engines apply the identical rule. */
+  private val x_rel_nullsafe = Q(
+    "x_rel_nullsafe_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 23 === 0, lit(null).cast("long"))
+          .otherwise(col("c_nationkey")).as("nkey"))
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
+        .unionByName(s.range(1).select(
+          lit(null).cast("long").as("nkey"), lit("UNKNOWN").as("n_name")))
+      val std = cust.join(dim, cust("nkey") === dim("nkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+        .withColumn("join_mode", lit("EQ"))
+      val safe = cust.join(dim, cust("nkey") <=> dim("nkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+        .withColumn("join_mode", lit("NULL_SAFE"))
+      std.unionByName(safe)
+    },
+    Some("""WITH cust AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 23 = 0 THEN NULL ELSE c_nationkey END AS nkey
+      FROM customer),
+    dim AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name FROM nation
+      UNION ALL SELECT NULL, 'UNKNOWN')
+    SELECT n_name, COUNT(*) AS n_customers, 'EQ' AS join_mode
+    FROM cust JOIN dim ON cust.nkey = dim.nkey
+    GROUP BY 1
+    UNION ALL
+    SELECT n_name, COUNT(*) AS n_customers, 'NULL_SAFE' AS join_mode
+    FROM cust JOIN dim ON cust.nkey IS NOT DISTINCT FROM dim.nkey
+    GROUP BY 1"""))
+
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) — the
+    * multiplicity-aware cohort algebra DISTINCT set ops lose: a
+    * customer with 3 orders in 1996 and 1 in 1997 contributes 2 rows
+    * to the EXCEPT ALL cohort (net order loss), 1 to INTERSECT ALL
+    * (retained multiplicity). Spark plans both as aggregate+generate
+    * (count per key, replicate the difference/minimum) — one shuffle
+    * each, no row-by-row matching. */
+  private val x_rel_bagops = Q(
+    "x_rel_bagops",
+    (s, d) => {
+      def yr(y: Int) = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      yr(1996).exceptAll(yr(1997)).withColumn("cohort", lit("LOST_VOLUME"))
+        .unionByName(
+          yr(1996).intersectAll(yr(1997)).withColumn("cohort", lit("KEPT_VOLUME")))
+    },
+    Some("""WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+         y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    SELECT o_custkey, 'LOST_VOLUME' AS cohort
+    FROM (SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97)
+    UNION ALL
+    SELECT o_custkey, 'KEPT_VOLUME' AS cohort
+    FROM (SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97)"""))
+
+  def all: Seq[Q] = Seq(
+    x_scale_zorder,
+    x_rel_nullsafe,
+    x_rel_bagops,
+  )
+}

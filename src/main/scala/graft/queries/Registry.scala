@@ -15,7 +15,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ReferenceQueries.all ++ ExtensionQueries.all ++ RelationalQueries.all ++
-      EltQueries.all ++ TimeSeriesQueries.all
+      EltQueries.all ++ TimeSeriesQueries.all ++ LayoutQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> withSessionDefaults(q.fn)).toMap
