@@ -146,9 +146,92 @@ object TimeSeriesQueries {
       MAX(o_totalprice) AS max_price
     FROM orders GROUP BY 1"""))
 
+  /** Spark's NATIVE session_window aggregation (batch form of the
+    * streaming session operator — `UpdatingSessionsExec` merge, not a
+    * gaps-and-islands window rewrite): 30-minute-gap sessions per user
+    * with start/end/count. Boundary semantics replayed exactly by the
+    * oracle: a gap of EXACTLY the gap duration starts a NEW session
+    * (windows are [start, end) with end = last event + gap), so the
+    * oracle's island rule is `>= 1800`, one tick off the manual
+    * `x_events_sessionize` (`> 1800`) — the two queries pin BOTH
+    * boundary conventions. session_end = last event + 30 min, also
+    * replayed. ts second-truncated + NOT NULL on both sides. */
+  private val x_ts_session_window = Q(
+    "x_ts_session_window",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
+      e.groupBy(col("user_id"),
+          session_window(col("ts_s"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("w.start").as("session_start"),
+          col("w.end").as("session_end"),
+          col("n_events"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_s
+      FROM events WHERE ts IS NOT NULL),
+    flagged AS (
+      SELECT user_id, ts_s,
+        CASE WHEN LAG(ts_s) OVER w IS NULL
+               OR epoch(ts_s) - epoch(LAG(ts_s) OVER w) >= 1800.0
+             THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+    sessions AS (
+      SELECT user_id, ts_s,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id,
+      MIN(ts_s) AS session_start,
+      MAX(ts_s) + INTERVAL 30 MINUTE AS session_end,
+      COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid"""))
+
+  /** SLIDING time windows (1-hour window, 15-minute slide) — each
+    * event belongs to exactly 4 overlapping windows; Spark's `window`
+    * plans this as one Expand (4 rows per event) + hash aggregate,
+    * which is the correct one-pass shape (re-scanning per offset would
+    * read the fact 4×). The oracle replays the window-assignment rule
+    * arithmetically: starts are slide-aligned to the epoch,
+    * start = (epoch div 900 − k)·900 for k = 0…3. ts second-truncated
+    * + NOT NULL on both sides (Spark's `window` silently DROPS
+    * NULL-ts rows; the filter makes that explicit). */
+  private val x_ts_sliding_window = Q(
+    "x_ts_sliding_window",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      e.groupBy(window(col("ts_s"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("window_start"),
+          col("w.end").as("window_end"),
+          col("event_type"), col("n_events"), col("n_users"))
+    },
+    Some("""WITH e AS (
+      SELECT event_type, user_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      FROM events WHERE ts IS NOT NULL),
+    assigned AS (
+      SELECT event_type, user_id,
+        (sec // 900 - k) * 900 AS win_start
+      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+    SELECT make_timestamp(win_start * 1000000) AS window_start,
+      make_timestamp((win_start + 3600) * 1000000) AS window_end,
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM assigned GROUP BY 1, 2, 3"""))
+
   def all: Seq[Q] = Seq(
     x_ts_locf,
     x_ts_rolling,
     x_ts_incremental,
+    x_ts_session_window,
+    x_ts_sliding_window,
   )
 }
