@@ -120,6 +120,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(reuses >= 3, s"expected >=3 reused exchanges, got $reuses in:\n$p")
   }
 
+  test("x_scale_zorder: the interleave is pure per-row codegen — no join, no row expansion") {
+    val p = planStr("x_scale_zorder")
+    assert(!p.contains("Join") && !p.contains("Expand") && !p.contains("Generate"),
+      s"z-order key computation left the row pipeline:\n$p")
+    assert(p.contains("HashAggregate"), s"no cell aggregate in:\n$p")
+  }
+
+  test("x_dedup_editdist: segment blocking joins as an equi-join, distances run once per pair") {
+    val p = planStr("x_dedup_editdist")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"segment blocking fell back to a non-equi join:\n$p")
+    // the pair-dedup aggregate must sit between the join and the DP
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"no candidate-pair dedup before the distance computation:\n$p")
+  }
+
+  test("x_ts_sliding_window: overlapping windows run as ONE Expand pass, not per-offset rescans") {
+    val p = planStr("x_ts_sliding_window")
+    assert(p.contains("Expand"), s"no Expand for sliding windows in:\n$p")
+    val scans = p.split("events.parquet").length - 1
+    assert(scans <= 1, s"events scanned $scans times:\n$p")
+  }
+
+  test("x_scale_bucketed_join: bucketed SMJ reads bucket-to-bucket — no exchange on either join side") {
+    val p = planStr("x_scale_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"no sort-merge join in:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans did not use bucketing:\n$p")
+    // the ONLY shuffle is the final per-status aggregate; the join itself
+    // must ride the bucket layout (this is the entire point of bucketing)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected <=1 shuffle (final agg), got $shuffles:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
