@@ -153,6 +153,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected <=1 shuffle (final agg), got $shuffles:\n$p")
   }
 
+  test("partition pruning: a filtered read of a partitioned layout scans ONLY matching partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_audit/part_orders"
+    graft.core.Tables.orders(spark, sf001)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("order_year") === 1995)
+    val p = read.queryExecution.executedPlan.toString
+    // the year predicate must land in PartitionFilters (directory-level
+    // skip before any file is opened), NOT in PushedFilters/post-scan
+    // (df.inputFiles can't check this — it lists from the pre-pruning
+    // logical relation)
+    assert("PartitionFilters: \\[[^\\]]*1995".r.findFirstIn(p).isDefined,
+      s"year predicate not in PartitionFilters:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(order_year)"),
+      s"partition column leaked into data filters:\n$p")
+  }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_audit/part_orders_dpp"
+    graft.core.Tables.orders(spark, sf001)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP requires a SELECTIVE predicate on the dim side (a bare dim
+    // join never prunes); the filter is on a NON-key column, so static
+    // pushdown can't reach the fact — only runtime pruning can
+    val dim = spark.range(1992, 2001).select(col("id").cast("int").as("order_year"),
+        concat(lit("Y"), col("id")).as("label"))
+      .filter(col("label") === "Y1995")
+    val joined = fact.join(dim, Seq("order_year"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    // the fact scan must carry a dynamicpruning subquery on order_year:
+    // at 100 TB this is the difference between scanning 2 partitions
+    // and scanning 7 years because the filter only exists on the dim
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning expression on the fact scan:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
