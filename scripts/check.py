@@ -36,7 +36,20 @@ def main(sf_dir: str, out_dir: str) -> int:
         # DIRECTORIES named <t>.parquet; driver testdata is single files
         path = f"{sf_dir}/{t}.parquet"
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        cols = "*"
+        if t == "events":
+            # driver testdata types ts as TIMESTAMP_NS; Spark-written
+            # scale corpora carry it as raw INT64 nanos (ScaleGen writes
+            # the legacy-read long back out). Normalize the view to the
+            # same microsecond timestamp Tables.events derives (ts div
+            # 1000, truncation toward the epoch) so every oracle sees
+            # one type on both corpora.
+            ts_type = con.execute(
+                f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
+            if ts_type == "BIGINT":
+                cols = ("event_id, make_timestamp(ts // 1000) AS ts, "
+                        "user_id, event_type, value, props")
+        con.execute(f"CREATE VIEW {t} AS SELECT {cols} FROM '{src}'")
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:

@@ -150,12 +150,14 @@ object TimeSeriesQueries {
     * streaming session operator — `UpdatingSessionsExec` merge, not a
     * gaps-and-islands window rewrite): 30-minute-gap sessions per user
     * with start/end/count. Boundary semantics replayed exactly by the
-    * oracle: a gap of EXACTLY the gap duration starts a NEW session
-    * (windows are [start, end) with end = last event + gap), so the
-    * oracle's island rule is `>= 1800`, one tick off the manual
-    * `x_events_sessionize` (`> 1800`) — the two queries pin BOTH
-    * boundary conventions. session_end = last event + 30 min, also
-    * replayed. ts second-truncated + NOT NULL on both sides. */
+    * oracle: Spark merges TOUCHING windows — an event landing exactly
+    * at the previous session's end (gap == the gap duration) joins that
+    * session, so the oracle's island rule is `> 1800` (strict), the
+    * same convention as the manual `x_events_sessionize`. Caught
+    * empirically at the 10× scale step: a second-truncated pair exactly
+    * 1800 s apart (user 511) merges in Spark. session_end = last event
+    * + 30 min, also replayed. ts second-truncated + NOT NULL on both
+    * sides. */
   private val x_ts_session_window = Q(
     "x_ts_session_window",
     (s, d) => {
@@ -175,7 +177,7 @@ object TimeSeriesQueries {
     flagged AS (
       SELECT user_id, ts_s,
         CASE WHEN LAG(ts_s) OVER w IS NULL
-               OR epoch(ts_s) - epoch(LAG(ts_s) OVER w) >= 1800.0
+               OR epoch(ts_s) - epoch(LAG(ts_s) OVER w) > 1800.0
              THEN 1 ELSE 0 END AS is_new
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
     sessions AS (
