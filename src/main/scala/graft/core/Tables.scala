@@ -26,26 +26,43 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos
-    * as a plain long (legacy conf) and convert to a microsecond
-    * TimestampType column ourselves (truncation toward the epoch, same as
-    * any ns->us narrowing). */
+  /** events.parquet has shipped `ts` under three physical types across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet
+    * reader rejects outright, [PARQUET_TYPE_ILLEGAL]), plain
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ since
+    * `inferTimestampNTZ` defaults on), and raw INT64 nanos (Spark-written
+    * scale corpora). Normalize all three to a microsecond TimestampType
+    * column so every downstream query/oracle sees one type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // scope the legacy conf to schema inference (eager in spark.read):
-    // leaving it set session-wide would silently turn every LATER
-    // nanos-timestamped parquet read in the session into LongType
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df =
       try { val d = load(spark, dir, "events"); d.schema; d } // force inference
-      finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-    // `div` = integral long division: `/` would promote to double, whose
-    // 53-bit mantissa cannot hold epoch nanos (~2^60) — the ±128ns
-    // representation error can push a boundary-exact timestamp 1µs low,
-    // flipping its window/second bucket vs the exact-integer oracle
-    df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          // nanos file: re-read with the legacy long conf, SCOPED to the
+          // eager schema inference — leaving it set session-wide would
+          // silently turn every LATER nanos-timestamped parquet read in
+          // the session into LongType
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prior = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try { val d = load(spark, dir, "events"); d.schema; d }
+          finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
+    df.schema("ts").dataType match {
+      case LongType =>
+        // `div` = integral long division: `/` would promote to double,
+        // whose 53-bit mantissa cannot hold epoch nanos (~2^60) — the
+        // ±128ns representation error can push a boundary-exact timestamp
+        // 1µs low, flipping its window/second bucket vs the exact oracle
+        df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case TimestampNTZType =>
+        // naive micros; the UTC-pinned session makes the LTZ cast carry
+        // the identical microsecond instant (same value DuckDB reads)
+        df.withColumn("ts", F.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
