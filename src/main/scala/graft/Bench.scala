@@ -73,7 +73,34 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The driver's line capture has truncated this output twice (r02, r03:
+    // `parsed: null`, head of the line lost) — its window is smaller than
+    // the full 105-query line. Defend in both directions: the full line
+    // FIRST (survives a head-keeping capture), then the per-query map
+    // re-printed in self-contained <=2KB chunk lines, then a small
+    // summary line LAST (survives a tail-keeping capture and always
+    // parses standalone).
     println(line)
+    val chunkEntries = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val chunks = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    var cur = scala.collection.mutable.ListBuffer.empty[String]
+    var curLen = 0
+    chunkEntries.foreach { e =>
+      if (curLen + e.length > 2000 && cur.nonEmpty) { chunks += cur.toSeq; cur = scala.collection.mutable.ListBuffer.empty; curLen = 0 }
+      cur += e; curLen += e.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    val nChunks = chunks.size
+    chunks.zipWithIndex.foreach { case (es, i) =>
+      println(s"""{"metric":"queries_chunk","part":${i + 1},"of":$nChunks,"queries":${es.mkString("{", ",", "}")}}""")
+    }
+    // last line keeps the driver's expected "queries" key but bounded to
+    // the 10 slowest (the hot tail), so it always fits a small capture
+    // window; the full map is in the first line, the chunks, and the file
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"queries":$top,"failed":$failedJson,"sf":"$sfDir","full_map":"BENCH_LOCAL.json"}""")
     // belt-and-braces copy on disk, recoverable even if the captured
     // line is truncated
     try java.nio.file.Files.writeString(

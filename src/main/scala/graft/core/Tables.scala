@@ -33,13 +33,32 @@ object Tables {
     * `inferTimestampNTZ` defaults on), and raw INT64 nanos (Spark-written
     * scale corpora). Normalize all three to a microsecond TimestampType
     * column so every downstream query/oracle sees one type. */
+  /** True iff `e` or any cause is Spark's PARQUET_TYPE_ILLEGAL error.
+    * Primary check is the structured error class (survives wrapping and
+    * message rewording across Spark versions); the message substring is
+    * kept only as a fallback for non-SparkThrowable wrappers. */
+  private def isParquetTypeIllegal(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case st: org.apache.spark.SparkThrowable =>
+        st.getCondition == "PARQUET_TYPE_ILLEGAL" ||
+          (st.getMessage != null && st.getMessage.contains("PARQUET_TYPE_ILLEGAL"))
+      case t =>
+        t.getMessage != null && t.getMessage.contains("PARQUET_TYPE_ILLEGAL")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // the NTZ->LTZ cast below is instant-preserving ONLY in a UTC session;
+    // fail loudly at load time rather than silently shifting every event
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC (the TimestampNTZ->" +
+        "Timestamp normalization is instant-preserving only under UTC); got " +
+        spark.conf.get("spark.sql.session.timeZone"))
     val df =
       try { val d = load(spark, dir, "events"); d.schema; d } // force inference
       catch {
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+        case e: Exception if isParquetTypeIllegal(e) =>
           // nanos file: re-read with the legacy long conf, SCOPED to the
           // eager schema inference — leaving it set session-wide would
           // silently turn every LATER nanos-timestamped parquet read in
@@ -61,7 +80,13 @@ object Tables {
         // naive micros; the UTC-pinned session makes the LTZ cast carry
         // the identical microsecond instant (same value DuckDB reads)
         df.withColumn("ts", F.col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df
+      case other =>
+        // a malformed corpus (string/int ts) must fail here with a clear
+        // message, not as a confusing analysis error three operators later
+        throw new IllegalStateException(
+          s"events.parquet in $dir has unexpected ts type $other; expected " +
+            "INT64 nanos, TIMESTAMP_NTZ micros, or TIMESTAMP micros")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
