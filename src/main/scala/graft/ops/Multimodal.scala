@@ -90,6 +90,168 @@ object Multimodal {
     }.toDF()
   }
 
+  // ------------------------------------------------------------------
+  // REAL image path: javax.imageio (ships in the JDK, zero external
+  // codecs). Images are generated deterministically — pixel (x,y) of
+  // doc d is a pure integer function of (d, x, y) — then PNG-encoded
+  // with ImageIO. Because PNG is lossless, `ImageIO.read` must return
+  // exactly the generated pixels, so a SQL oracle can replay every
+  // decoded statistic arithmetically without any image library: the
+  // only way Spark matches the oracle hash is if the real encode →
+  // decode roundtrip is bit-exact. Video remains a declared stub above
+  // (the JDK ships no video codec); still, the strip sampler below
+  // gives the same 1:N explode shape over REALLY-decoded pixel data.
+  // ------------------------------------------------------------------
+
+  /** PNG-encoded payload row. */
+  case class ImageRow(doc_id: Long, payload: Array[Byte])
+
+  /** Per-image decoded statistics (all oracle-replayable). */
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Generator dims: small (8–31 × 8–23 px) so encode cost stays
+    * per-row-trivial while still exercising non-square, per-doc-varying
+    * shapes. */
+  def genWidth(id: Long): Int = (id % 24 + 8).toInt
+  def genHeight(id: Long): Int = (id % 16 + 8).toInt
+  /** Deterministic channel values; mirrored verbatim in the oracle SQL. */
+  @inline def pixR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  @inline def pixG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 5) % 256).toInt
+  @inline def pixB(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 3 + y * 19) % 256).toInt
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    if (!javax.imageio.ImageIO.write(img, "png", bos))
+      throw new IllegalStateException("no PNG writer available in this JRE")
+    bos.toByteArray
+  }
+
+  /** Distributed PNG corpus: one real ImageIO-encoded image per doc_id.
+    * Payloads are generated inside the partition (never collected). */
+  def pngMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per image
+      it.map { id =>
+        val w = genWidth(id); val h = genHeight(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (pixR(id, x, y) << 16) | (pixG(id, x, y) << 8) | pixB(id, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        ImageRow(id, encodePng(img))
+      }
+    }.toDF()
+  }
+
+  /** REAL decoder: `ImageIO.read` over the PNG payload, per-channel
+    * pixel sums. One `setUseCache(false)` init per partition, then the
+    * iterator streams — the exact batch shape the stub documented. */
+  def decodePng(spark: SparkSession, media: DataFrame): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.as[ImageRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable payload for doc ${r.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(r.doc_id, w, h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** REAL resize: decode PNG, nearest-neighbor resample to
+    * (max(1,w/2), max(1,h/2)), re-encode PNG. The resample is an
+    * explicit source-index loop (`src = dst * srcDim / dstDim`, integer
+    * floor) rather than Graphics2D so the pixel mapping is exactly
+    * reproducible by integer SQL — Java2D's filtering pipeline is not
+    * contractually deterministic across JVMs. */
+  def resizePngHalf(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[ImageRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (src == null)
+          throw new IllegalStateException(s"undecodable payload for doc ${r.doc_id}")
+        val w = src.getWidth; val h = src.getHeight
+        val w2 = math.max(1, w / 2); val h2 = math.max(1, h / 2)
+        val dst = new java.awt.image.BufferedImage(
+          w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y2 = 0
+        while (y2 < h2) {
+          val sy = y2 * h / h2
+          var x2 = 0
+          while (x2 < w2) {
+            dst.setRGB(x2, y2, src.getRGB(x2 * w / w2, sy))
+            x2 += 1
+          }
+          y2 += 1
+        }
+        ImageRow(r.doc_id, encodePng(dst))
+      }
+    }.toDF()
+  }
+
+  case class Strip(doc_id: Long, strip_idx: Int, strip_sum: Long)
+
+  /** Strip sampler over REALLY-decoded pixels: split each decoded image
+    * into horizontal strips of `stripH` rows, emit every `everyK`-th
+    * strip as its own row with the strip's (r+g+b) pixel sum — the 1:N
+    * explode a frame-sampling video pipeline produces, but backed by an
+    * actual ImageIO decode. Trailing partial strips are dropped (the
+    * undecodable-tail contract). */
+  def stripSample(spark: SparkSession, media: DataFrame,
+                  stripH: Int = 4, everyK: Int = 2): Dataset[Strip] = {
+    require(stripH > 0 && everyK > 0, "stripH and everyK must be positive")
+    import spark.implicits._
+    media.as[ImageRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val nStrips = img.getHeight / stripH
+        (0 until nStrips by everyK).iterator.map { s =>
+          var sum = 0L
+          var y = s * stripH
+          val end = y + stripH
+          while (y < end) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Strip(r.doc_id, s, sum)
+        }
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 
   /** STUB frame sampler (video path): emit every `everyK`-th fixed-size

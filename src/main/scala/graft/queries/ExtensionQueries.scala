@@ -989,75 +989,77 @@ object ExtensionQueries {
 
   // --------------------------------------------------------- multimodal
 
-  /** Shared DuckDB fragment: per-byte values of the UTF-8 payload
-    * (hex() + nibble parse — DuckDB has no byte-indexing on BLOB). */
-  private def payloadBytesSql(textCol: String): String =
-    s"""[ (CAST(strpos('0123456789ABCDEF', h[2*i-1]) AS BIGINT) - 1) * 16
-          + CAST(strpos('0123456789ABCDEF', h[2*i]) AS BIGINT) - 1
-        for i in range(1, strlen($textCol) + 1) ]"""
-
-  /** Binary media-column plumbing with stubbed decode (mapPartitions).
-    * The stub features are pure byte arithmetic over the UTF-8 payload,
-    * so the ORACLE RECOMPUTES THEM: DuckDB re-derives byte count,
-    * additive checksum (via hex() nibble parsing), metadata and frame
-    * count per row. The mapPartitions/Dataset plumbing the real decoder
-    * will slot into is exactly what's under test here; MultimodalSpec
-    * keeps the typed-path coverage. */
+  /** REAL image decode (javax.imageio): a distributed PNG corpus is
+    * generated per doc (pixel (x,y) a pure integer function of
+    * (doc_id,x,y)), ImageIO-encoded, then ImageIO-DECODED back and
+    * reduced to per-channel pixel sums. PNG is lossless, so the ORACLE
+    * REPLAYS THE DECODED PIXELS ARITHMETICALLY — DuckDB recomputes the
+    * channel sums from the generator formula with no image library;
+    * the hash can only match if Spark's encode→decode roundtrip
+    * returned the exact pixels. (Multimodal.scala keeps the declared
+    * byte stub only for the video-container path — the JDK ships no
+    * video codec.) */
   private val x_multimodal_features = Q(
     "x_multimodal_features",
-    (s, d) => Multimodal.features(s, Tables.documents(s, d)
-      .filter(col("text").isNotNull)),
-    Some(s"""WITH m AS (
-      SELECT doc_id, text, hex(encode(text)) AS h, strlen(text) AS n
-      FROM documents WHERE text IS NOT NULL)
-    SELECT doc_id,
-      CAST(n AS INTEGER) AS n_bytes,
-      CAST(coalesce(list_sum(${payloadBytesSql("text")}), 0) AS BIGINT) AS checksum,
-      CAST(doc_id % 640 + 64 AS INTEGER) AS width,
-      CAST(doc_id % 480 + 48 AS INTEGER) AS height,
-      (['jpeg', 'png', 'webp'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
-      CAST(least(8, n // 64) AS INTEGER) AS frames_sampled
-    FROM m"""))
+    (s, d) => Multimodal.decodePng(s,
+        Multimodal.pngMediaTable(s, Tables.documents(s, d))).toDF()
+      .withColumn("pixel_sum", col("sum_r") + col("sum_g") + col("sum_b")),
+    Some("""WITH m AS (
+      SELECT doc_id,
+        CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+        CAST(doc_id % 16 + 8 AS INTEGER) AS ht
+      FROM documents),
+    s AS (
+      SELECT doc_id, w, ht,
+        CAST(list_sum([ (doc_id*31 + (i % w)*7 + (i // w)*13) % 256
+                        for i in range(0, w*ht) ]) AS BIGINT) AS sum_r,
+        CAST(list_sum([ (doc_id*17 + (i % w)*11 + (i // w)*5) % 256
+                        for i in range(0, w*ht) ]) AS BIGINT) AS sum_g,
+        CAST(list_sum([ (doc_id*23 + (i % w)*3 + (i // w)*19) % 256
+                        for i in range(0, w*ht) ]) AS BIGINT) AS sum_b
+      FROM m)
+    SELECT doc_id, w AS width, ht AS height, sum_r, sum_g, sum_b,
+      sum_r + sum_g + sum_b AS pixel_sum
+    FROM s"""))
 
-  /** Resize + frame-sample pipeline over the fake media table: resize to
-    * 320×240 (payload scales with pixel ratio, bytes cycled), sample
-    * every 2nd 64-byte frame, aggregate per document — the video-shaped
-    * 1:N explode path. The stub arithmetic is deterministic, so the
-    * ORACLE REPLAYS THE WHOLE CHAIN: DuckDB re-derives the resized
-    * length, frame grid and per-frame checksums (resized byte j =
-    * payload[j mod len]) and re-aggregates. Docs whose resized payload
-    * is shorter than one frame emit no rows — matching the sampler's
-    * drop-undecodable-tail contract. */
+  /** REAL resize + strip-sample chain: PNG corpus → ImageIO decode →
+    * explicit nearest-neighbor half-resize (`src = dst*srcDim/dstDim`,
+    * integer floor) → ImageIO re-ENCODE → second ImageIO decode →
+    * every-2nd 2-row strip emitted as its own row (the video frame-
+    * sample 1:N explode shape, backed by really-decoded pixels) →
+    * per-doc aggregate. Two real encodes and two real decodes are on
+    * the line; the ORACLE REPLAYS THE WHOLE CHAIN in integer SQL from
+    * the generator formula + the NN index mapping. */
   private val x_multimodal_resize_frames = Q(
     "x_multimodal_resize_frames",
     (s, d) => {
-      val media = Multimodal.asMediaTable(
-        Tables.documents(s, d).filter(col("text").isNotNull))
-      Multimodal.frameSample(s, Multimodal.resize(s, media, 320, 240))
+      val media = Multimodal.pngMediaTable(s, Tables.documents(s, d))
+      Multimodal.stripSample(s, Multimodal.resizePngHalf(s, media),
+          stripH = 2, everyK = 2)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_frames_sampled"),
-          sum(col("frame_checksum")).as("checksum_total"))
+        .agg(count(lit(1)).as("n_strips_sampled"),
+          sum(col("strip_sum")).as("checksum_total"))
     },
-    Some(s"""WITH m AS (
-      SELECT doc_id, text, hex(encode(text)) AS h, strlen(text) AS len,
-        CAST(doc_id % 640 + 64 AS INTEGER) AS w,
-        CAST(doc_id % 480 + 48 AS INTEGER) AS ht
-      FROM documents WHERE text IS NOT NULL),
-    sized AS (
+    Some("""WITH m AS (
       SELECT doc_id,
-        CASE WHEN len = 0 THEN 0
-             ELSE greatest(1, CAST(ceil(len * (CAST(320 * 240 AS DOUBLE) / (w * ht)))
-                              AS INTEGER)) END // 64 AS nframes
-      FROM m),
-    framed AS (
-      SELECT doc_id, nframes, len, ${payloadBytesSql("text")} AS b
-      FROM sized JOIN m USING (doc_id)
-      WHERE nframes > 0)
+        CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+        CAST(doc_id % 16 + 8 AS INTEGER) AS ht
+      FROM documents),
+    r AS (
+      SELECT doc_id, w, ht,
+        greatest(1, w // 2) AS w2, greatest(1, ht // 2) AS h2
+      FROM m)
     SELECT doc_id,
-      CAST((nframes + 1) // 2 AS BIGINT) AS n_frames_sampled,
-      CAST(list_sum([ CASE WHEN ((j // 64) % 2) = 0 THEN b[(j % len) + 1] ELSE 0 END
-                      for j in range(0, nframes * 64) ]) AS BIGINT) AS checksum_total
-    FROM framed"""))
+      CAST(((h2 // 2) + 1) // 2 AS BIGINT) AS n_strips_sampled,
+      CAST(list_sum([
+        CASE WHEN (((j // w2) // 2) % 2) = 0 THEN
+            (doc_id*31 + (((j % w2) * w) // w2)*7  + (((j // w2) * ht) // h2)*13) % 256
+          + (doc_id*17 + (((j % w2) * w) // w2)*11 + (((j // w2) * ht) // h2)*5)  % 256
+          + (doc_id*23 + (((j % w2) * w) // w2)*3  + (((j // w2) * ht) // h2)*19) % 256
+        ELSE 0 END
+        for j in range(0, w2 * ((h2 // 2) * 2)) ]) AS BIGINT) AS checksum_total
+    FROM r
+    WHERE h2 // 2 > 0"""))
 
   /** Binned range join (RangeJoin.binnedPointIntervalJoin): lineitem
     * quantities joined to overlapping half-open quantity bands derived

@@ -50,6 +50,60 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(_.frame_idx).toSeq == Seq(0))
   }
 
+  test("real PNG roundtrip: ImageIO decode returns exactly the generated pixels") {
+    val docs = Seq(0L, 7L, 123L).toDF("doc_id")
+    val media = Multimodal.pngMediaTable(spark, docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    // payload really is a PNG: magic bytes
+    val raw = media.filter($"doc_id" === 7).as[Multimodal.ImageRow].head()
+    assert(raw.payload.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val stats = Multimodal.decodePng(spark, media).collect()
+      .map(s => s.doc_id -> s).toMap
+    for (id <- Seq(0L, 7L, 123L)) {
+      val w = Multimodal.genWidth(id); val h = Multimodal.genHeight(id)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        er += Multimodal.pixR(id, x, y)
+        eg += Multimodal.pixG(id, x, y)
+        eb += Multimodal.pixB(id, x, y)
+      }
+      val s = stats(id)
+      assert(s.width == w && s.height == h)
+      assert(s.sum_r == er && s.sum_g == eg && s.sum_b == eb)
+    }
+  }
+
+  test("real NN half-resize: re-encoded PNG decodes to the index-mapped pixels") {
+    val id = 42L
+    val media = Multimodal.pngMediaTable(spark, Seq(id).toDF("doc_id"))
+    val resized = Multimodal.resizePngHalf(spark, media)
+    val w = Multimodal.genWidth(id); val h = Multimodal.genHeight(id)
+    val w2 = math.max(1, w / 2); val h2 = math.max(1, h / 2)
+    val s = Multimodal.decodePng(spark, resized).head()
+    assert(s.width == w2 && s.height == h2)
+    var er = 0L
+    for (y2 <- 0 until h2; x2 <- 0 until w2)
+      er += Multimodal.pixR(id, x2 * w / w2, y2 * h / h2)
+    assert(s.sum_r == er)
+  }
+
+  test("stripSample explodes every k-th strip of decoded pixels, drops partial tail") {
+    val id = 9L // h = 9 % 16 + 8 = 17 -> strips of 4 rows: 4 whole, 1-row tail dropped
+    val media = Multimodal.pngMediaTable(spark, Seq(id).toDF("doc_id"))
+    val h = Multimodal.genHeight(id); val w = Multimodal.genWidth(id)
+    assert(h == 17)
+    val all = Multimodal.stripSample(spark, media, stripH = 4, everyK = 1)
+      .collect().sortBy(_.strip_idx)
+    assert(all.map(_.strip_idx).toSeq == Seq(0, 1, 2, 3))
+    val expected0 = (for (y <- 0 until 4; x <- 0 until w) yield
+      Multimodal.pixR(id, x, y).toLong + Multimodal.pixG(id, x, y) +
+        Multimodal.pixB(id, x, y)).sum
+    assert(all.head.strip_sum == expected0)
+    val sampled = Multimodal.stripSample(spark, media, stripH = 4, everyK = 2).collect()
+    assert(sampled.map(_.strip_idx).sorted.toSeq == Seq(0, 2))
+  }
+
   test("metadata derivation is stable per doc_id") {
     val docs = Seq((7L, "x")).toDF("doc_id", "text")
     val row = Multimodal.asMediaTable(docs).head()
