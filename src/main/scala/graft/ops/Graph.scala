@@ -64,4 +64,75 @@ object Graph {
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
+
+  /** General PageRank for DIRECTED graphs: node domain is src ∪ dst,
+    * sink nodes (out-degree 0) keep their mass in the system via
+    * dangling-mass redistribution — each iteration their summed rank is
+    * split evenly across all nodes (integer `D div n`, one more
+    * order-independent sum, so the unrolled-SQL oracle property of
+    * [[pageRankFixedPoint]] is preserved):
+    *
+    *   r'(v) = ((FP div n) * (100-d)) div 100
+    *         + ((Σ_{u→v} r(u) div deg(u)  +  D div n) * d) div 100
+    *
+    * and stops EARLY when the ranks reach their exact integer fixed
+    * point (max |Δr| = 0) — once r_k = r_{k-1}, every further iteration
+    * is the identity, so stopping at k returns bit-identical results to
+    * running all `maxIters` (which is what an unrolled oracle replays;
+    * data-dependent early exit cannot desynchronize them).
+    *
+    * Scale shape: each iteration `localCheckpoint`s its |nodes|-sized
+    * rank frame — materializing it AND truncating lineage, without
+    * which the logical plan doubles per round (next references cur
+    * twice: contributions + dangling sum) and explodes exponentially —
+    * then runs one cheap max-delta aggregate over the checkpointed
+    * blocks as the convergence test. The edge list re-enters each
+    * iteration's join unchanged; nothing is collected to the driver.
+    * (localCheckpoint trades executor-loss resilience for speed, the
+    * standard Spark iterative-algorithm posture; superseded rank RDDs
+    * are reclaimed by the ContextCleaner once dereferenced.)
+    *
+    * Returns (ranks, iterationsRun). */
+  def pageRankConverged(edges: DataFrame, maxIters: Int,
+                        damping: Int = 85): (DataFrame, Int) = {
+    require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
+    require(damping > 0 && damping < 100, s"need 0 < damping < 100, got $damping")
+    val outDeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("odeg"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val deg = nodes.join(outDeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("odeg"), lit(0L)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    val teleport = expr(s"(($RankFp div n_nodes) * ${100 - damping}) div 100")
+    var ranks = deg.crossJoin(broadcast(n))
+      .withColumn("r", expr(s"$RankFp div n_nodes"))
+      .localCheckpoint()
+    var used = 0
+    var converged = false
+    while (used < maxIters && !converged) {
+      val cur = ranks
+      val contribs = edges
+        .join(cur.filter(col("deg") > 0).select(col("node"), col("deg"), col("r")),
+          edges("src") === col("node"))
+        .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+      val sums = contribs.groupBy(col("node")).agg(sum(col("contrib")).as("s"))
+      // dangling mass: a 1-row aggregate, broadcast back in (never collected)
+      val dang = cur.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      val next = cur.withColumnRenamed("r", "r_prev")
+        .join(sums, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .withColumn("r", teleport +
+          expr(s"((coalesce(s, 0L) + (dang div n_nodes)) * $damping) div 100"))
+        .drop("s", "dang")
+        .localCheckpoint() // materialize + truncate lineage (see Scaladoc)
+      val deltaRow = next.agg(max(abs(col("r") - col("r_prev")))).head()
+      val maxDelta = if (deltaRow.isNullAt(0)) 0L else deltaRow.getLong(0)
+      used += 1
+      converged = maxDelta == 0L
+      ranks = next.drop("r_prev")
+    }
+    (ranks.select(col("node"), col("deg"), col("r").as("rank_fp")), used)
+  }
 }

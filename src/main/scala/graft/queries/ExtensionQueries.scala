@@ -943,6 +943,57 @@ object ExtensionQueries {
       SELECT node, deg, r AS rank_fp FROM r3"""
     })
 
+  /** DIRECTED PageRank (Graph.pageRankConverged) over the asymmetric
+    * customer→supplier trade graph: suppliers never link out, so every
+    * supplier node is a SINK and the dangling-mass redistribution path
+    * is load-bearing — without it ~half the rank mass would leak each
+    * iteration and every value would drift from the oracle. The
+    * convergence stop is exact-integer (max |Δr| = 0), so the unrolled
+    * 3-iteration DuckDB replay matches whether or not Spark exits
+    * early (a reached fixed point makes further iterations the
+    * identity). */
+  private val x_graph_pagerank_directed = Q(
+    "x_graph_pagerank_directed",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.pageRankConverged(edges, maxIters = 3)._1
+    },
+    Some {
+      val fp = Graph.RankFp
+      def step(i: Int) =
+        s"""c$i AS (
+          SELECT e.dst AS node, CAST(SUM(r.r // r.deg) AS BIGINT) AS s
+          FROM edges e JOIN r${i - 1} r ON e.src = r.node AND r.deg > 0
+          GROUP BY 1),
+        dg$i AS (
+          SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+          FROM r${i - 1} WHERE deg = 0),
+        r$i AS (
+          SELECT d.node, d.deg,
+            (($fp // n_nodes) * 15) // 100
+              + ((COALESCE(c.s, 0) + dang // n_nodes) * 85) // 100 AS r
+          FROM deg d CROSS JOIN n CROSS JOIN dg$i
+          LEFT JOIN c$i c ON c.node = d.node)"""
+      s"""WITH edges AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      odeg AS (SELECT src AS node, COUNT(*) AS odeg FROM edges GROUP BY 1),
+      deg AS (
+        SELECT nodes.node, COALESCE(o.odeg, 0) AS deg
+        FROM nodes LEFT JOIN odeg o ON o.node = nodes.node),
+      n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+      r0 AS (SELECT node, deg, $fp // n_nodes AS r FROM deg CROSS JOIN n),
+      ${step(1)},
+      ${step(2)},
+      ${step(3)}
+      SELECT node, deg, r AS rank_fp FROM r3"""
+    })
+
   /** Deterministic global shuffle + sharding (Sampling.withShardPlan):
     * the "write the corpus as N shuffled shards" terminal step. Every
     * row's (shard, pos) is a pure function of its key — bit-reproducible
@@ -1836,6 +1887,7 @@ object ExtensionQueries {
     x_text_unigram_logprob,
     x_text_gopher_quality,
     x_graph_pagerank,
+    x_graph_pagerank_directed,
     x_shard_plan,
     x_source_jsonl,
     x_decontaminate_ngram,

@@ -51,6 +51,50 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRankConverged: dangling sinks receive domain membership and redistribute mass") {
+    // 1 -> 2, 1 -> 3: nodes 2 and 3 are SINKS (out-degree 0).
+    // r0 = FP div 3 = 333333333333; teleport = 49999999999
+    // iter 1: D = r0(2) + r0(3) = 666666666666, D div 3 = 222222222222
+    //   r1(1) = teleport + ((0 + 222222222222) * 85) div 100
+    //         = 49999999999 + 188888888888 = 238888888887
+    //   r1(2) = r1(3) = teleport + ((166666666666 + 222222222222) * 85) div 100
+    //         = 49999999999 + 330555555554 = 380555555553
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val (df, used) = Graph.pageRankConverged(edges, maxIters = 1)
+    val out = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(used == 1)
+    assert(out(1L) == ((2L, 238888888887L)))
+    assert(out(2L) == ((0L, 380555555553L)))
+    assert(out(3L) == ((0L, 380555555553L)))
+    // dangling redistribution keeps the mass in the system (minus
+    // integer-division dust) — without it ~2/3 of it would vanish here
+    val total = out.values.map(_._2).sum
+    assert(total <= FP && total >= FP - 3 * 300L)
+  }
+
+  test("pageRankConverged: matches pageRankFixedPoint on a dangling-free graph") {
+    val a = Graph.pageRankFixedPoint(pathEdges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val (df, _) = Graph.pageRankConverged(pathEdges, maxIters = 3)
+    val b = df.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("pageRankConverged: stops at the exact integer fixed point before maxIters") {
+    // damping = 1: differences contract 100x per iteration, so the
+    // integer fixed point is reached in a handful of rounds — the loop
+    // must detect max|dr| = 0 and exit long before the 50-iteration cap
+    val (df, used) = Graph.pageRankConverged(pathEdges, maxIters = 50, damping = 1)
+    assert(used < 15, s"expected early convergence, ran $used iterations")
+    // and the early exit is a true fixed point: one more iteration from
+    // the converged state changes nothing
+    val again = Graph.pageRankConverged(pathEdges, maxIters = used + 1, damping = 1)
+    assert(again._2 == used)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ==
+      again._1.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+  }
+
   test("pageRankFixedPoint: validates its parameters") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixedPoint(pathEdges, iters = 0)
