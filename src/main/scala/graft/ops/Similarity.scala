@@ -323,12 +323,18 @@ object Similarity {
       "is past sensible — use spread init for large nlist")
     var seeds = base.orderBy(col(id)).limit(1)
       .select(col(id).as("cid"), col("__bv").as("cvec"))
-    for (_ <- 1 until k) {
+    for (i <- 1 until k) {
       val far = kmeansAssign(base, seeds, id, "__bv")
         .orderBy(col("d2").desc, col(id)).limit(1) // TakeOrdered, no sort
         .select(col(id))
       seeds = seeds.unionByName(
         far.join(base, id).select(col(id).as("cid"), col("__bv").as("cvec")))
+      // each round nests the previous seed plan inside the next
+      // assignment pass, so the lineage grows a full corpus-scan level
+      // per seed; past a handful of rounds, truncate it — the seed
+      // frame is k rows, the checkpoint is effectively free and keeps
+      // analysis/codegen time linear in k instead of quadratic
+      if (i % 8 == 0) seeds = seeds.localCheckpoint()
     }
     seeds
   }

@@ -145,32 +145,76 @@ object LayoutQueries {
     * write is the ONE-TIME layout cost the pattern amortizes, so only
     * the first call pays it and repeat executions (bench passes,
     * repeated analyses — exactly the production shape) measure the
-    * exchange-free join itself. */
+    * exchange-free join itself. Landing location AND table names are
+    * keyed by (sessionUUID, dataset token), so concurrent sessions in
+    * one JVM — which SHARE the catalog namespace via SharedState —
+    * cannot race each other's overwrites, and one session analyzing
+    * two datasets gets two independent landings. Files are deleted at
+    * application end (catalog entries die with the session). */
   private val bucketedLanded = scala.collection.mutable.Set.empty[String]
+  private val cleanupRegistered = scala.collection.mutable.Set.empty[String]
+  // per-session UUID memo (Spark's own sessionUUID is private[sql]);
+  // weak keys so a closed session is not pinned in memory
+  private val sessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
 
-  private def landBucketed(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+  private def sessionToken(s: org.apache.spark.sql.SparkSession): String =
+    sessionIds.synchronized {
+      sessionIds.computeIfAbsent(s, _ =>
+        java.util.UUID.randomUUID().toString.replaceAll("-", "").take(12))
+    }
+
+  private def datasetToken(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Lands both bucketed tables (first call per session+dataset only)
+    * and returns their catalog names. */
+  private def landBucketed(s: org.apache.spark.sql.SparkSession,
+                           d: String): (String, String) = {
+    val tok = s"${sessionToken(s)}_${datasetToken(d)}"
+    val ordersTbl = s"graft_b_orders_$tok"
+    val lineitemTbl = s"graft_b_lineitem_$tok"
     bucketedLanded.synchronized {
-      if (!bucketedLanded.contains(s"${s.hashCode}:$d")) {
-        val wh = "/tmp/graft_warehouse"
+      if (!bucketedLanded.contains(tok)) {
+        val wh = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_warehouse_$tok").getPath
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .mode("overwrite").option("path", s"$wh/b_orders")
-          .saveAsTable("graft_b_orders")
+          .saveAsTable(ordersTbl)
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").option("path", s"$wh/b_lineitem")
-          .saveAsTable("graft_b_lineitem")
-        bucketedLanded += s"${s.hashCode}:$d"
+          .saveAsTable(lineitemTbl)
+        bucketedLanded += tok
+        if (!cleanupRegistered.contains(tok)) {
+          cleanupRegistered += tok
+          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              deleteRecursively(new java.io.File(wh))
+          })
+        }
       }
     }
+    (ordersTbl, lineitemTbl)
+  }
 
   private val x_scale_bucketed = Q(
     "x_scale_bucketed_join",
     (s, d) => {
-      landBucketed(s, d)
-      s.table("graft_b_lineitem").hint("merge")
-        .join(s.table("graft_b_orders").hint("merge"),
+      val (ordersTbl, lineitemTbl) = landBucketed(s, d)
+      s.table(lineitemTbl).hint("merge")
+        .join(s.table(ordersTbl).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n_lineitems"),

@@ -129,6 +129,17 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.select(sum($"n_members")).as[Long].head() == 30L)
   }
 
+  test("farthest init past the checkpoint threshold: k=12 seeds are 12 distinct points") {
+    // 12 well-separated points on a line; greedy farthest-point with
+    // k = n must select every point exactly once, and the k > 8 path
+    // crosses the periodic localCheckpoint lineage truncation
+    val pts = (0 until 12).map(i => (i.toLong, Seq(i * 1000.0, 0.0)))
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding", k = 12, iters = 0,
+      init = "farthest")
+    assert(cents.select("cid").as[Long].collect().toSet == (0L until 12L).toSet)
+  }
+
   test("ivfTopK composes with kmeansFit: trained cells match or beat sampled cells") {
     val emb = Tables.embeddings(spark, sf001)
     val q = emb.filter($"vec_id" < 20)
