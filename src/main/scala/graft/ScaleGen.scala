@@ -42,7 +42,12 @@ object ScaleGen {
 
     def src(t: String): DataFrame = spark.read.parquet(s"$sfDir/$t.parquet")
     def write(t: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      // the explode multiplies rows IN PLACE within the source's (few)
+      // input partitions; at factor>=100 that leaves a 100x-sized table
+      // in single-digit partitions — rebalance so generation and every
+      // later scan parallelize
+      val out = if (factor >= 20) df.repartition(cpus.toInt * 2) else df
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scalegen] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }
     /** factor× replication with selected long keys shifted per replica. */

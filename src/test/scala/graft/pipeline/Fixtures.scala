@@ -25,7 +25,22 @@ object Fixtures {
   private def listing(vals: (String, String)*): Map[String, String] =
     vals.toMap
 
-  def writeAll(dir: Path): Unit = {
+  /** Replica i shifts id/host_id by i·1000 (base ids are < 1000), all
+    * other values verbatim — so every per-(area, month) KPI must scale
+    * EXACTLY ×factor (counts, revenue) or stay invariant (rates,
+    * percent changes), which the 10× e2e refresh test asserts. */
+  private def shiftRow(r: Map[String, String], i: Int): Map[String, String] =
+    if (i == 0) r
+    else r.map {
+      case (k, v) if (k == "id" || k == "host_id") && v.nonEmpty =>
+        k -> (v.toLong + i * 1000L).toString
+      case kv => kv
+    }
+
+  private def replicate(rows: Seq[Map[String, String]], factor: Int): Seq[Map[String, String]] =
+    (0 until factor).flatMap(i => rows.map(shiftRow(_, i)))
+
+  def writeAll(dir: Path, factor: Int = 1): Unit = {
     Files.createDirectories(dir)
 
     // ---- 01_2021.csv: canonical 74 columns -----------------------------
@@ -74,7 +89,7 @@ object Fixtures {
         "host_location" -> "Saint Peters, NSW", "host_is_superhost" -> "t",
         "price" -> "$150.00", "has_availability" -> "t", "availability_30" -> "20",
         "license" -> "NUL", "host_about" -> "\\N", "calendar_updated" -> "NULL"))
-    writeCsv(dir, "listings_01_2021.csv", C, rows2021)
+    writeCsv(dir, "listings_01_2021.csv", C, replicate(rows2021, factor))
 
     // ---- 05_2020.csv: 106-column variant (mixed-case headers, missing
     // two canonical columns, 34 extras) --------------------------------
@@ -97,7 +112,7 @@ object Fixtures {
       listing("id" -> "10", "name" -> "PyrmontB", "last_scraped" -> "2020-05-12",
         "host_id" -> "104", "neighbourhood" -> "Pyrmont", "host_is_superhost" -> "f",
         "price" -> "$60.00", "has_availability" -> "f", "availability_30" -> "0"))
-    writeCsv(dir, "listings_05_2020.csv", header05, rows05)
+    writeCsv(dir, "listings_05_2020.csv", header05, replicate(rows05, factor))
 
     // ---- 07_2020.csv: 102-column variant ------------------------------
     val cols07 = (C.filterNot(Set("number_of_reviews_l30d", "bathrooms")) ++ extras05.take(30))
@@ -109,7 +124,7 @@ object Fixtures {
       listing("id" -> "12", "name" -> "Harbour", "last_scraped" -> "2020-07-30",
         "host_id" -> "106", "neighbourhood" -> "Darling Harbour", "host_is_superhost" -> "f",
         "price" -> "$45.00", "has_availability" -> "t", "availability_30" -> "30"))
-    writeCsv(dir, "listings_07_2020.csv", cols07, rows07)
+    writeCsv(dir, "listings_07_2020.csv", cols07, replicate(rows07, factor))
 
     // ---- census G01 (c1..c70; used: c4, c55, c70) ---------------------
     val g01Cols = (1 to 70).map(i => s"x$i")

@@ -234,4 +234,34 @@ class PipelineSpec extends SparkSpec {
     // host-side view
     assert(spark.sql("SELECT count(*) FROM kpi_host_month").as[Long].head() > 0)
   }
+
+  test("e2e scale refresh: KPI goldens scale exactly linearly on 10x fixtures") {
+    // Replicas shift only id/host_id (Fixtures.shiftRow), so every
+    // count/revenue KPI must be EXACTLY 10x its hand-computed golden
+    // and every rate/percent-change must be invariant — any
+    // super-linear or sub-linear drift (dedup bleeding across
+    // replicas, a window mixing series, double-counted dims) breaks
+    // an equality here, not a tolerance. (Last in the file: re-running
+    // the pipeline re-registers the serving views.)
+    val dir = Files.createTempDirectory("airbnb_fixtures_x10")
+    Fixtures.writeAll(dir, factor = 10)
+    val t10 = AirbnbPipeline.run(spark, dir.toString)
+    assert(t10.stagingListing.count() == 120) // 13 raw - 1 dup, x10
+    val kpi = t10.kpiNeighbourhoodMonth.filter($"area" === "SYDNEY")
+      .orderBy("file_year", "file_month").collect()
+    assert(kpi.length == 3) // months don't multiply
+    val Array(m05, m07, m21) = kpi
+    assert(m05.getAs[Long]("n_listings") == 20 && m05.getAs[Long]("n_active") == 10)
+    assert(m05.getAs[Long]("n_inactive") == 10)
+    assert(m05.getAs[Double]("est_revenue_active") == 13500.0)
+    assert(m07.getAs[Long]("n_active") == 20)
+    assert(m07.getAs[Double]("est_revenue_active") == 30000.0)
+    assert(m07.getAs[Double]("pct_change_active") == 100.0) // ratio invariant
+    assert(m21.getAs[Long]("n_listings") == 30)
+    assert(m21.getAs[Long]("n_hosts") == 20)      // hosts replicate with listings
+    assert(m21.getAs[Long]("n_superhosts") == 10)
+    assert(m21.getAs[Double]("est_revenue_active") == 261800.0)
+    assert(m21.getAs[Double]("pct_change_active") == 50.0)
+    assert(m21.getAs[Double]("active_rate") == 100.0)
+  }
 }
