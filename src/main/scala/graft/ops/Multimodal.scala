@@ -252,6 +252,84 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // REAL audio path: javax.sound.sampled (JDK-built-in WAV codec, no
+  // external libraries, works headless — file-format conversion never
+  // touches a sound device). Same proof shape as the PNG path: samples
+  // are a pure integer function of (doc_id, i), the WAV container is
+  // lossless 16-bit PCM, so `AudioSystem.getAudioInputStream` must
+  // return exactly the generated samples and a SQL oracle replays every
+  // decoded statistic arithmetically.
+  // ------------------------------------------------------------------
+
+  /** Per-doc sample count (100–499) and deterministic 16-bit sample
+    * values; mirrored verbatim in the oracle SQL. */
+  def genSamples(id: Long): Int = (id % 400 + 100).toInt
+  @inline def sampleAt(id: Long, i: Int): Int =
+    (((id * 7919L + i * 2654435761L) % 65536L) - 32768L).toInt
+
+  private val WavRate = 8000f
+  private def pcmFormat = new javax.sound.sampled.AudioFormat(
+    WavRate, 16, 1, true, false) // 16-bit signed mono little-endian
+
+  /** Distributed WAV corpus: one real AudioSystem-encoded clip per
+    * doc_id (payloads generated inside the partition, never
+    * collected). */
+  def wavMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = genSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = sampleAt(id, i)
+          pcm(2 * i) = (s & 0xff).toByte        // little-endian lo
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), pcmFormat, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        ImageRow(id, bos.toByteArray) // same (doc_id, payload) shape
+      }
+    }.toDF()
+  }
+
+  /** Per-clip decoded statistics (all oracle-replayable). */
+  case class AudioStats(doc_id: Long, n_samples: Long, sum_amp: Long,
+                        sum_abs_amp: Long, peak: Long)
+
+  /** REAL decoder: `AudioSystem.getAudioInputStream` over the WAV
+    * payload, 16-bit little-endian PCM reassembled to integer samples,
+    * reduced to amplitude statistics. */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.as[ImageRow].mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian || f.getChannels != 1)
+          throw new IllegalStateException(
+            s"unexpected decoded format $f for doc ${r.doc_id}")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L; var sumAbs = 0L; var peak = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          sum += s; val a = math.abs(s.toLong)
+          sumAbs += a; if (a > peak) peak = a
+          i += 1
+        }
+        AudioStats(r.doc_id, n.toLong, sum, sumAbs, peak)
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 
   /** STUB frame sampler (video path): emit every `everyK`-th fixed-size

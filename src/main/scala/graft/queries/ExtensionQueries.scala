@@ -1112,6 +1112,29 @@ object ExtensionQueries {
     FROM r
     WHERE h2 // 2 > 0"""))
 
+  /** REAL audio decode (javax.sound.sampled): a distributed WAV corpus
+    * is generated per doc (sample i a pure integer function of
+    * (doc_id, i)), encoded through the JDK's WAV writer, then DECODED
+    * back via AudioSystem and reduced to amplitude statistics. 16-bit
+    * PCM in a WAV container is lossless, so the ORACLE REPLAYS THE
+    * DECODED SAMPLES ARITHMETICALLY — the hash can only match if the
+    * real encode→decode roundtrip returned the exact samples. */
+  private val x_multimodal_audio = Q(
+    "x_multimodal_audio",
+    (s, d) => Multimodal.decodeWav(s,
+      Multimodal.wavMediaTable(s, Tables.documents(s, d))).toDF(),
+    Some("""WITH m AS (
+      SELECT doc_id, CAST(doc_id % 400 + 100 AS INTEGER) AS n FROM documents)
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_samples,
+      CAST(list_sum([ (doc_id*7919 + i*2654435761) % 65536 - 32768
+                      for i in range(0, n) ]) AS BIGINT) AS sum_amp,
+      CAST(list_sum([ abs((doc_id*7919 + i*2654435761) % 65536 - 32768)
+                      for i in range(0, n) ]) AS BIGINT) AS sum_abs_amp,
+      CAST(list_max([ abs((doc_id*7919 + i*2654435761) % 65536 - 32768)
+                      for i in range(0, n) ]) AS BIGINT) AS peak
+    FROM m"""))
+
   /** Binned range join (RangeJoin.binnedPointIntervalJoin): lineitem
     * quantities joined to overlapping half-open quantity bands derived
     * from `part` — the point-in-interval shape that a naive theta join
@@ -1873,6 +1896,7 @@ object ExtensionQueries {
     x_decontaminate,
     x_multimodal_features,
     x_multimodal_resize_frames,
+    x_multimodal_audio,
     x_asof_clicks_views,
     x_asof_forward_purchase,
     x_events_funnel,

@@ -104,6 +104,26 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(_.strip_idx).sorted.toSeq == Seq(0, 2))
   }
 
+  test("real WAV roundtrip: AudioSystem decode returns exactly the generated samples") {
+    val docs = Seq(0L, 3L, 250L).toDF("doc_id")
+    val media = Multimodal.wavMediaTable(spark, docs)
+    // payload really is a WAV: RIFF....WAVE magic
+    val raw = media.filter($"doc_id" === 3).as[Multimodal.ImageRow].head()
+    assert(new String(raw.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(raw.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val stats = Multimodal.decodeWav(spark, media).collect()
+      .map(s => s.doc_id -> s).toMap
+    for (id <- Seq(0L, 3L, 250L)) {
+      val n = Multimodal.genSamples(id)
+      val samples = (0 until n).map(Multimodal.sampleAt(id, _))
+      val s = stats(id)
+      assert(s.n_samples == n.toLong)
+      assert(s.sum_amp == samples.map(_.toLong).sum)
+      assert(s.sum_abs_amp == samples.map(v => math.abs(v.toLong)).sum)
+      assert(s.peak == samples.map(v => math.abs(v.toLong)).max)
+    }
+  }
+
   test("metadata derivation is stable per doc_id") {
     val docs = Seq((7L, "x")).toDF("doc_id", "text")
     val row = Multimodal.asMediaTable(docs).head()
