@@ -194,6 +194,39 @@ class PlanAuditSpec extends SparkSpec {
       s"no dynamic partition pruning expression on the fact scan:\n$p")
   }
 
+  test("x_multimodal_features / x_multimodal_audio: shuffle-free per-row codec pipelines") {
+    // real encode->decode media kernels are embarrassingly parallel:
+    // the whole pipeline must be scan -> mapPartitions chain with ZERO
+    // exchanges (payloads never cross the network), and the documents
+    // scan must read ONLY doc_id — the generator derives everything
+    for (name <- Seq("x_multimodal_features", "x_multimodal_audio")) {
+      val p = planStr(name)
+      assert(!p.contains("Exchange"), s"$name shuffles media payloads:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+        s"$name reads more than doc_id from documents:\n$p")
+    }
+  }
+
+  test("x_multimodal_resize_frames: the ONLY exchange is the final per-doc aggregate") {
+    val p = planStr("x_multimodal_resize_frames")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"media resize chain shuffles payloads:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no map-side partial aggregate before the shuffle:\n$p")
+  }
+
+  test("x_graph_pagerank_directed: rank frames are checkpointed, not recomputed") {
+    // the converged variant localCheckpoints each round: the final plan
+    // must read ranks from checkpointed blocks (Scan ExistingRDD), not
+    // re-derive the whole iteration chain (and must not cartesian the
+    // 1-row dangling aggregate)
+    val df = Registry.queries("x_graph_pagerank_directed")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"ranks not served from checkpointed blocks:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dangling blend planned unkeyed:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
