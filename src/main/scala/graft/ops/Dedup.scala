@@ -112,6 +112,54 @@ object Dedup {
       .drop(dig)
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[decontaminate]]. The plain anti-join must move EVERY training
+    * digest through a shuffle (or at minimum probe a broadcast hash
+    * map built from all eval digests); here a Bloom filter over the
+    * eval digests is evaluated map-side first, rows it rules out
+    * (the overwhelming majority of a clean corpus) bypass the join
+    * entirely, and only might-contain rows — true hits plus the
+    * filter's false positives — reach the exact anti-join that
+    * removes the false positives. Output is therefore IDENTICAL to
+    * [[decontaminate]] at any filter size (a saturated bloom only
+    * means more candidates, never a wrong row), which keeps the SQL
+    * oracle the plain anti-join.
+    *
+    * Built on Spark's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` (the runtime-filter machinery; not in
+    * the public function registry, hence the ColumnBridge). The
+    * built filter is one bounded binary scalar — ~1.2 bytes/item at
+    * the default 3% fpp — collected to the driver and inlined as a
+    * literal, the same discipline runtime filters use via scalar
+    * subquery and [[Similarity.kmeansFit]] uses for centroids;
+    * benchmark suites are eval-sized, not corpus-sized, so this
+    * never collects unbounded data. */
+  def decontaminateBloom(train: DataFrame, trainText: Column,
+                         eval: DataFrame, evalText: Column,
+                         expectedItems: Long = 1L << 16): DataFrame = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dig = Names.fresh("contam_digest", train.columns)
+    val evalDigests = eval.select(md5(lower(trim(evalText))).as(dig)).distinct()
+    val bloomBytes = evalDigests
+      .agg(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col(dig))), expectedItems)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val marked = train.withColumn(dig, md5(lower(trim(trainText))))
+    if (bloomBytes == null) return marked.drop(dig) // empty eval set: nothing to remove
+    val might = ColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col(dig)))))
+    // definitely-clean rows skip the join; candidates get the exact check
+    marked.filter(!might)
+      .unionByName(marked.filter(might).join(evalDigests, Seq(dig), "left_anti"))
+      .drop(dig)
+  }
+
   /** N-gram-overlap contamination report (the GPT-3/PaLM-style eval-
     * contamination method): for each training doc, the number of
     * DISTINCT word n-grams it shares with the eval corpus — docs with

@@ -721,6 +721,34 @@ object ExtensionQueries {
     WHERE NOT ${Sampling.hashSamplePredicateSql("doc_id", 50)}
       AND dig NOT IN (SELECT dig FROM ev)"""))
 
+  /** Bloom-prefiltered decontamination (Dedup.decontaminateBloom): the
+    * 100 TB-shape variant of x_decontaminate — a Bloom filter over the
+    * eval digests runs map-side, definitely-clean rows bypass the
+    * anti-join entirely, and only might-contain candidates reach the
+    * exact check that removes false positives. The result is provably
+    * identical to the plain anti-join at ANY filter size, so the
+    * ORACLE IS THE PLAIN ANTI-JOIN — the hash match proves the bloom
+    * shortcut loses and invents nothing. */
+  private val x_decontaminate_bloom = Q(
+    "x_decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val inEval = Sampling.hashSamplePredicate(col("doc_id"), 50)
+      Dedup.decontaminateBloom(
+        docs.filter(!inEval).select(col("doc_id"), col("lang"), col("text")),
+        col("text"),
+        docs.filter(inEval), col("text"))
+        .select(col("doc_id"), col("lang"))
+    },
+    Some(s"""WITH docs AS (
+      SELECT doc_id, lang, text, md5(lower(trim(text))) AS dig
+      FROM documents WHERE text IS NOT NULL),
+    ev AS (SELECT DISTINCT dig FROM docs
+           WHERE ${Sampling.hashSamplePredicateSql("doc_id", 50)})
+    SELECT doc_id, lang FROM docs
+    WHERE NOT ${Sampling.hashSamplePredicateSql("doc_id", 50)}
+      AND dig NOT IN (SELECT dig FROM ev)"""))
+
   /** Sliding token-window chunking (TextOps.chunk): 64-token chunks
     * overlapping by 16 — the embedding/context prep step. Pure explode
     * of window arithmetic; DuckDB recomputes the identical chunk count,
@@ -1894,6 +1922,7 @@ object ExtensionQueries {
     x_mixture_weighted,
     x_pack_sequences,
     x_decontaminate,
+    x_decontaminate_bloom,
     x_multimodal_features,
     x_multimodal_resize_frames,
     x_multimodal_audio,

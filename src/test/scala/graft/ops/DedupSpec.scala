@@ -126,6 +126,27 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
   }
 
+  test("decontaminateBloom equals exact decontaminate — including under a saturated filter") {
+    val d = graft.core.Tables.documents(spark, sf001).filter(col("text").isNotNull)
+    val evalSet = d.filter(col("doc_id") % 10 === 0)
+    val train = d.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+    val exact = Dedup.decontaminate(train, col("text"), evalSet, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val viaBloom = Dedup.decontaminateBloom(train, col("text"), evalSet, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == exact)
+    // expectedItems=1 saturates the filter (everything "might contain"):
+    // the exact backstop must still remove only true hits
+    val saturated = Dedup.decontaminateBloom(train, col("text"), evalSet, col("text"),
+      expectedItems = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(saturated == exact)
+    // empty eval set: bloom aggregate yields no filter, nothing removed
+    val noop = Dedup.decontaminateBloom(train, col("text"),
+      evalSet.filter(lit(false)), col("text"))
+    assert(noop.count() == train.count())
+  }
+
   test("decontaminateNgram catches eval text QUOTED inside a page; digest method does not") {
     val eval = Seq("what is the capital of france paris").toDF("text")
     val train = Seq(
