@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout, NOT through
+// sbt's logger: the logger prefixes every line with "[info] ", which has
+// made the bench JSON line unparseable to line-oriented consumers for
+// three rounds (BENCH_r0{2,3,4}.json all show `parsed: null` with the
+// JSON intact but prefixed in the captured tail).
+outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time" line for the same
+// reason: it trails the JSON, so a last-line parse always sees it first.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another
+// setting, so the unused-key lint misfires on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

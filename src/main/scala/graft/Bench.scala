@@ -94,13 +94,19 @@ object Bench {
     chunks.zipWithIndex.foreach { case (es, i) =>
       println(s"""{"metric":"queries_chunk","part":${i + 1},"of":$nChunks,"queries":${es.mkString("{", ",", "}")}}""")
     }
-    // last line keeps the driver's expected "queries" key but bounded to
-    // the 10 slowest (the hot tail), so it always fits a small capture
-    // window; the full map is in the first line, the chunks, and the file
+    // Re-print the full line near the tail: the driver's capture window is
+    // tail-biased (~4.5KB observed in BENCH_r04.json — the head-printed
+    // full line fell out of it), and at 3dp the 108-query line is ~3.4KB,
+    // so printing it here keeps the COMPLETE map inside the window.
+    println(line)
+    // Bounded summary LAST so the literal last stdout line always parses
+    // standalone in any window. Distinct metric name + "queries_top10" key
+    // (NOT "queries") so a generic parser can never mistake this partial
+    // map for the full one.
     val top = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"queries":$top,"failed":$failedJson,"sf":"$sfDir","full_map":"BENCH_LOCAL.json"}""")
+      f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","nqueries":${results.size},"queries_top10":$top,"failed":$failedJson,"sf":"$sfDir","full_map":"BENCH_LOCAL.json"}""")
     // belt-and-braces copy on disk, recoverable even if the captured
     // line is truncated
     try java.nio.file.Files.writeString(
