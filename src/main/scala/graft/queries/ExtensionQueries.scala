@@ -374,18 +374,28 @@ object ExtensionQueries {
   /** One Lloyd k-means assignment step over the embeddings — the IVF
     * index trainer's inner loop (Similarity.kmeansAssign), oracle-
     * checked: DuckDB recomputes every corpus×centroid squared-L2 and
-    * takes the same rounded-distance argmin. Centroids here are the
-    * deterministic modulus sample; the full iterative trainer
-    * (Similarity.kmeansFit) is proven in SimilaritySpec (monotone
-    * within-cluster-variance descent + exact recovery of planted
-    * clusters), since iteration count isn't SQL-expressible. */
+    * takes the same rounded-distance argmin. Centroids are a FIXED-SIZE
+    * hash-rank top-128 pick (order by md5 of the id — a deterministic
+    * pseudo-random spread over the id space — then limit, which Spark
+    * plans as TakeOrderedAndProject: scan-linear, no global sort). The
+    * cap matters at scale: an earlier modulus sample grew |centroids|
+    * with the corpus, making this O(corpus²/97) — the 100× scale step
+    * measured 56×. With k pinned at 128 the step is O(corpus × 128),
+    * the same nlist discipline as [[Similarity.ivfTopK]]. Both engines
+    * emit identical lowercase md5 hex, so DuckDB replays the pick. The
+    * full iterative trainer (Similarity.kmeansFit) is proven in
+    * SimilaritySpec (monotone within-cluster-variance descent + exact
+    * recovery of planted clusters), since iteration count isn't
+    * SQL-expressible. */
   private val x_kmeans_step = Q(
     "x_kmeans_step",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.kmeansAssign(
         emb,
-        emb.filter(col("vec_id") % 97 === 0)
+        emb.filter(col("embedding").isNotNull)
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(128)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
         id = "vec_id", vec = "embedding")
     },
@@ -393,8 +403,10 @@ object ExtensionQueries {
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings WHERE embedding IS NOT NULL),
     cent AS (
-      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 97 = 0),
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE embedding IS NOT NULL
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 128)),
     dists AS (
       SELECT a.vec_id, ct.cid,
         ROUND(list_inner_product(a.v, a.v) + list_inner_product(ct.cv, ct.cv)
