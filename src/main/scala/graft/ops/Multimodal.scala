@@ -98,9 +98,9 @@ object Multimodal {
   // exactly the generated pixels, so a SQL oracle can replay every
   // decoded statistic arithmetically without any image library: the
   // only way Spark matches the oracle hash is if the real encode →
-  // decode roundtrip is bit-exact. Video remains a declared stub above
-  // (the JDK ships no video codec); still, the strip sampler below
-  // gives the same 1:N explode shape over REALLY-decoded pixel data.
+  // decode roundtrip is bit-exact. The video-container path uses the
+  // same proof shape over uncompressed AVI/RIFF (see the section at
+  // the bottom of this file).
   // ------------------------------------------------------------------
 
   /** PNG-encoded payload row. */
@@ -134,6 +134,11 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per image
       it.map { id =>
+        // the generator formulas (and their oracle-SQL mirrors) assume a
+        // non-negative id: Scala % on a negative id yields negative
+        // channel values that setRGB masks to 8 bits while the oracle
+        // keeps the formula value — pin the contract loudly
+        require(id >= 0, s"media generator ids must be >= 0, got $id")
         val w = genWidth(id); val h = genHeight(id)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -279,12 +284,31 @@ object Multimodal {
     * per clip with ZERO thread scaling (32 threads as slow as 1; the
     * 100× scale step caught it as a 311× super-linear ratio), vs
     * 8 µs/clip and linear scaling with the provider cached. Same
-    * provider AudioSystem would select; only the lookup is hoisted. */
+    * provider AudioSystem would select; only the lookup is hoisted.
+    *
+    * Selection is by CAPABILITY, not class name: the JDK registers
+    * several WAVE readers (plain PCM / float / extensible) and
+    * ServiceLoader order is not contractual, so each candidate is
+    * probed against a real 16-bit PCM clip and the first that decodes
+    * it wins — a name match could land on a reader that throws
+    * UnsupportedAudioFileException on every actual payload. */
   private def wavReaderSpi(): javax.sound.sampled.spi.AudioFileReader = {
     import scala.jdk.CollectionConverters._
+    val probe = {
+      val pcm = Array[Byte](0, 1, 2, 3) // 2 samples, any values
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), pcmFormat, 2L)
+      val bos = new java.io.ByteArrayOutputStream(128)
+      wavWriterSpi().write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
     java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
-      .asScala.find(_.getClass.getName.toLowerCase.contains("wave"))
-      .getOrElse(throw new IllegalStateException("no WAV reader SPI in this JRE"))
+      .asScala.find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException(
+        "no SPI reader decodes 16-bit PCM WAV in this JRE"))
   }
   private def wavWriterSpi(): javax.sound.sampled.spi.AudioFileWriter = {
     import scala.jdk.CollectionConverters._
@@ -302,6 +326,9 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       val writer = wavWriterSpi() // codec init once per partition
       it.map { id =>
+        // same non-negative-id contract as pngMediaTable (oracle mirrors
+        // the % formulas, which diverge from Scala % on negative ids)
+        require(id >= 0, s"media generator ids must be >= 0, got $id")
         val n = genSamples(id)
         val pcm = new Array[Byte](n * 2)
         var i = 0
@@ -355,12 +382,13 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 
-  /** STUB frame sampler (video path): emit every `everyK`-th fixed-size
-    * "frame" of the payload as its own row — the 1:N explode shape a real
-    * video pipeline produces (decode container → sample frames → one
-    * feature row per sampled frame). Checksums stand in for per-frame
-    * features; trailing partial frames are dropped, as a real sampler
-    * drops undecodable tails. */
+  /** Generic byte-frame sampler for OPAQUE payloads (format unknown):
+    * emit every `everyK`-th fixed-size slice of the payload as its own
+    * row. Retained for payloads the pipeline cannot parse; the REAL
+    * video-container path — deterministic AVI/RIFF encode, generic RIFF
+    * parse, per-frame pixel decode — is [[aviMediaTable]] /
+    * [[sampleAviFrames]] below. Trailing partial frames are dropped, as
+    * a real sampler drops undecodable tails. */
   def frameSample(spark: SparkSession, media: DataFrame,
                   frameBytes: Int = 64, everyK: Int = 2): Dataset[Frame] = {
     require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
@@ -374,6 +402,206 @@ object Multimodal {
           val end = i + frameBytes
           while (i < end) { sum += (r.payload(i) & 0xff); i += 1 }
           Frame(r.doc_id, f, sum)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video path: uncompressed AVI/RIFF. The JDK ships no video
+  // CODEC, but it doesn't need one for this container: AVI with BI_RGB
+  // DIB frames stores raw 24-bit pixels, and both the writer and the
+  // reader below are pure-JDK implementations of the public RIFF/AVI
+  // layout (RIFF → LIST hdrl {avih, LIST strl {strh, strf}} → LIST
+  // movi {00db…}). Same proof shape as PNG/WAV: pixel (f,x,y) of doc d
+  // is a pure integer function of (d,f,x,y), the container is
+  // lossless, so the SQL oracle replays every sampled frame's channel
+  // sums — the hash can only match if the real container parse
+  // returned the exact frames.
+  // ------------------------------------------------------------------
+
+  /** Frames per video (2–7) and per-frame deterministic channel values
+    * (frame index shears the image formulas); mirrored verbatim in the
+    * oracle SQL. Frame dims reuse genWidth/genHeight. */
+  def genFrames(id: Long): Int = (id % 6 + 2).toInt
+  @inline def vidR(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+  @inline def vidG(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 17 + f * 43 + x * 11 + y * 5) % 256).toInt
+  @inline def vidB(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 23 + f * 47 + x * 3 + y * 19) % 256).toInt
+
+  /** One complete AVI file: RIFF header, hdrl (avih + one 'vids'/'DIB '
+    * stream with a 24bpp BI_RGB BITMAPINFOHEADER), movi with one
+    * '00db' chunk per frame. DIB frames are bottom-up BGR rows padded
+    * to a 4-byte stride — the standard layout every AVI consumer
+    * expects, so the payloads are real playable files, not a private
+    * serialization. */
+  def encodeAvi(id: Long): Array[Byte] = {
+    val w = genWidth(id); val h = genHeight(id); val nf = genFrames(id)
+    val stride = (w * 3 + 3) & ~3
+    val frameSize = stride * h
+    val strlSize = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + nf * (8 + frameSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); buf.putInt(riffSize); fcc("AVI ")
+    fcc("LIST"); buf.putInt(hdrlSize); fcc("hdrl")
+    fcc("avih"); buf.putInt(56)
+    buf.putInt(100000)          // dwMicroSecPerFrame (10 fps)
+    buf.putInt(frameSize * 10)  // dwMaxBytesPerSec
+    buf.putInt(0)               // dwPaddingGranularity
+    buf.putInt(0)               // dwFlags (no index; movi is self-describing)
+    buf.putInt(nf)              // dwTotalFrames
+    buf.putInt(0)               // dwInitialFrames
+    buf.putInt(1)               // dwStreams
+    buf.putInt(frameSize)       // dwSuggestedBufferSize
+    buf.putInt(w); buf.putInt(h)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // dwReserved
+    fcc("LIST"); buf.putInt(strlSize); fcc("strl")
+    fcc("strh"); buf.putInt(56)
+    fcc("vids"); fcc("DIB ")
+    buf.putInt(0)                       // dwFlags
+    buf.putShort(0); buf.putShort(0)    // wPriority, wLanguage
+    buf.putInt(0)                       // dwInitialFrames
+    buf.putInt(1); buf.putInt(10)       // dwScale/dwRate = 10 fps
+    buf.putInt(0)                       // dwStart
+    buf.putInt(nf)                      // dwLength (frames)
+    buf.putInt(frameSize)               // dwSuggestedBufferSize
+    buf.putInt(-1)                      // dwQuality (default)
+    buf.putInt(0)                       // dwSampleSize (0 = one sample/chunk)
+    buf.putShort(0); buf.putShort(0)    // rcFrame
+    buf.putShort(w.toShort); buf.putShort(h.toShort)
+    fcc("strf"); buf.putInt(40)         // BITMAPINFOHEADER
+    buf.putInt(40); buf.putInt(w); buf.putInt(h)
+    buf.putShort(1); buf.putShort(24)   // biPlanes, biBitCount
+    buf.putInt(0)                       // biCompression = BI_RGB
+    buf.putInt(frameSize)               // biSizeImage
+    buf.putInt(0); buf.putInt(0)        // pels/meter
+    buf.putInt(0); buf.putInt(0)        // clrUsed/Important
+    fcc("LIST"); buf.putInt(moviSize); fcc("movi")
+    var f = 0
+    while (f < nf) {
+      fcc("00db"); buf.putInt(frameSize)
+      var y = h - 1 // DIB rows are stored bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          buf.put(vidB(id, f, x, y).toByte)
+          buf.put(vidG(id, f, x, y).toByte)
+          buf.put(vidR(id, f, x, y).toByte)
+          x += 1
+        }
+        var p = w * 3
+        while (p < stride) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Distributed AVI corpus: one real container-encoded clip per
+    * doc_id (payloads generated inside the partition, never
+    * collected). */
+  def aviMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        require(id >= 0, s"media generator ids must be >= 0, got $id")
+        ImageRow(id, encodeAvi(id))
+      }
+    }.toDF()
+  }
+
+  /** Per-sampled-frame decoded statistics (all oracle-replayable). */
+  case class VideoFrame(doc_id: Long, frame_idx: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Generic RIFF chunk walk (descends into hdrl/strl/movi LISTs, skips
+    * unknown chunks by their declared size + odd-size pad byte — the
+    * part that makes this a parser, not an offset table), reading the
+    * stream format from strf (BITMAPINFOHEADER: dims, 24bpp, BI_RGB)
+    * and collecting each '00db' frame chunk's payload offset in movi
+    * order. */
+  private def parseAvi(payload: Array[Byte]): (Int, Int, Seq[Int]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    if (fcc() != "RIFF") throw new IllegalStateException("not a RIFF file")
+    bb.getInt // riff size; bounds come from the buffer limit
+    if (fcc() != "AVI ") throw new IllegalStateException("not an AVI file")
+    var width = -1; var height = -1
+    val frameOffsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(end: Int): Unit = {
+      while (bb.position() + 8 <= end) {
+        val id = fcc(); val size = bb.getInt
+        val next = bb.position() + size + (size & 1) // RIFF word alignment
+        id match {
+          case "LIST" =>
+            val listType = fcc()
+            if (listType == "hdrl" || listType == "strl" || listType == "movi")
+              walk(bb.position() + size - 4)
+          case "strf" =>
+            if (size < 40) throw new IllegalStateException("short strf")
+            bb.getInt // biSize
+            width = bb.getInt; height = bb.getInt
+            bb.getShort // biPlanes
+            val bits = bb.getShort; val comp = bb.getInt
+            if (bits != 24 || comp != 0)
+              throw new IllegalStateException(
+                s"unsupported frame format: ${bits}bpp compression $comp")
+          case "00db" =>
+            if (width <= 0) throw new IllegalStateException("frame before strf")
+            val stride = (width * 3 + 3) & ~3
+            if (size != stride * height)
+              throw new IllegalStateException(
+                s"frame chunk $size bytes, expected ${stride * height}")
+            frameOffsets += bb.position()
+          case _ => () // unknown chunk (e.g. idx1, JUNK): skip by size
+        }
+        bb.position(next)
+      }
+    }
+    walk(payload.length)
+    if (width <= 0 || height <= 0)
+      throw new IllegalStateException("no strf stream format found")
+    (width, height, frameOffsets.toSeq)
+  }
+
+  /** REAL video frame sampler: parse the AVI container, take every
+    * `everyK`-th frame, decode its DIB pixels (bottom-up BGR, padded
+    * stride) and reduce to per-channel sums — the 1:N explode a video
+    * pipeline produces, backed by an actual container parse. */
+  def sampleAviFrames(spark: SparkSession, media: DataFrame,
+                      everyK: Int = 2): Dataset[VideoFrame] = {
+    require(everyK > 0, "everyK must be positive")
+    import spark.implicits._
+    media.as[ImageRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val (w, h, offsets) = parseAvi(r.payload)
+        val stride = (w * 3 + 3) & ~3
+        (0 until offsets.size by everyK).iterator.map { f =>
+          val base = offsets(f)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var rowOff = base + (h - 1 - y) * stride // bottom-up rows
+            var x = 0
+            while (x < w) {
+              sb += r.payload(rowOff) & 0xff
+              sg += r.payload(rowOff + 1) & 0xff
+              sr += r.payload(rowOff + 2) & 0xff
+              rowOff += 3; x += 1
+            }
+            y += 1
+          }
+          VideoFrame(r.doc_id, f, sr, sg, sb)
         }
       }
     }

@@ -1087,9 +1087,8 @@ object ExtensionQueries {
     * REPLAYS THE DECODED PIXELS ARITHMETICALLY — DuckDB recomputes the
     * channel sums from the generator formula with no image library;
     * the hash can only match if Spark's encode→decode roundtrip
-    * returned the exact pixels. (Multimodal.scala keeps the declared
-    * byte stub only for the video-container path — the JDK ships no
-    * video codec.) */
+    * returned the exact pixels. (The video-container path has the same
+    * proof shape over uncompressed AVI/RIFF — x_multimodal_video.) */
   private val x_multimodal_features = Q(
     "x_multimodal_features",
     (s, d) => Multimodal.decodePng(s,
@@ -1174,6 +1173,36 @@ object ExtensionQueries {
       CAST(list_max([ abs((doc_id*7919 + i*2654435761) % 65536 - 32768)
                       for i in range(0, n) ]) AS BIGINT) AS peak
     FROM m"""))
+
+  /** REAL video container decode (pure-JDK uncompressed AVI/RIFF): a
+    * distributed AVI corpus is generated per doc (frame (f,x,y) a pure
+    * integer function of (doc_id,f,x,y), written as standard BI_RGB
+    * DIB '00db' chunks), then PARSED back — generic RIFF chunk walk,
+    * BITMAPINFOHEADER from strf, bottom-up padded BGR rows — sampling
+    * every 2nd frame to per-channel pixel sums. Raw DIB frames are
+    * lossless, so the ORACLE REPLAYS THE SAMPLED FRAMES ARITHMETICALLY
+    * from the generator formulas; the hash can only match if the real
+    * container write→parse roundtrip returned the exact frames. */
+  private val x_multimodal_video = Q(
+    "x_multimodal_video",
+    (s, d) => Multimodal.sampleAviFrames(s,
+      Multimodal.aviMediaTable(s, Tables.documents(s, d)), everyK = 2).toDF(),
+    Some("""WITH m AS (
+      SELECT doc_id,
+        CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+        CAST(doc_id % 16 + 8 AS INTEGER) AS ht,
+        CAST(doc_id % 6 + 2 AS INTEGER) AS nf
+      FROM documents),
+    f AS (
+      SELECT doc_id, w, ht, UNNEST(range(0, nf, 2)) AS fi FROM m)
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+      CAST(list_sum([ (doc_id*31 + fi*41 + (i % w)*7 + (i // w)*13) % 256
+                      for i in range(0, w*ht) ]) AS BIGINT) AS sum_r,
+      CAST(list_sum([ (doc_id*17 + fi*43 + (i % w)*11 + (i // w)*5) % 256
+                      for i in range(0, w*ht) ]) AS BIGINT) AS sum_g,
+      CAST(list_sum([ (doc_id*23 + fi*47 + (i % w)*3 + (i // w)*19) % 256
+                      for i in range(0, w*ht) ]) AS BIGINT) AS sum_b
+    FROM f"""))
 
   /** Binned range join (RangeJoin.binnedPointIntervalJoin): lineitem
     * quantities joined to overlapping half-open quantity bands derived
@@ -1938,6 +1967,7 @@ object ExtensionQueries {
     x_multimodal_features,
     x_multimodal_resize_frames,
     x_multimodal_audio,
+    x_multimodal_video,
     x_asof_clicks_views,
     x_asof_forward_purchase,
     x_events_funnel,

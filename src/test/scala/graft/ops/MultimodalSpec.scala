@@ -124,6 +124,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real AVI roundtrip: container parse returns exactly the generated frames") {
+    val ids = Seq(0L, 5L, 123L)
+    val docs = ids.toDF("doc_id")
+    val media = Multimodal.aviMediaTable(spark, docs)
+    // payload really is an AVI: RIFF....AVI magic
+    val raw = media.filter($"doc_id" === 5).as[Multimodal.ImageRow].head()
+    assert(new String(raw.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(raw.payload.slice(8, 12), "US-ASCII") == "AVI ")
+    // declared RIFF size covers the whole file
+    val declared = java.nio.ByteBuffer.wrap(raw.payload.slice(4, 8))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(declared + 8 == raw.payload.length)
+    val frames = Multimodal.sampleAviFrames(spark, media, everyK = 1).collect()
+      .groupBy(_.doc_id)
+    for (id <- ids) {
+      val w = Multimodal.genWidth(id); val h = Multimodal.genHeight(id)
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.map(_.frame_idx).toSeq == (0 until Multimodal.genFrames(id)))
+      for (fr <- fs) {
+        val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+        assert(fr.sum_r == px.map { case (x, y) => Multimodal.vidR(id, fr.frame_idx, x, y).toLong }.sum)
+        assert(fr.sum_g == px.map { case (x, y) => Multimodal.vidG(id, fr.frame_idx, x, y).toLong }.sum)
+        assert(fr.sum_b == px.map { case (x, y) => Multimodal.vidB(id, fr.frame_idx, x, y).toLong }.sum)
+      }
+    }
+    // everyK=2 keeps frames 0, 2, 4, ...
+    val sampled = Multimodal.sampleAviFrames(spark, media, everyK = 2).collect()
+      .filter(_.doc_id == 5L).map(_.frame_idx).sorted.toSeq
+    assert(sampled == (0 until Multimodal.genFrames(5L) by 2))
+  }
+
+  test("AVI parser rejects corrupt containers loudly") {
+    def frames(payload: Array[Byte]) = Multimodal.sampleAviFrames(spark,
+      Seq((9L, payload)).toDF("doc_id", "payload"), everyK = 1).collect()
+    val good = Multimodal.encodeAvi(9L)
+    assert(frames(good).nonEmpty)
+    // wrong magic
+    val notRiff = good.clone(); notRiff(0) = 'X'.toByte
+    intercept[org.apache.spark.SparkException](frames(notRiff))
+    // WAVE-but-not-AVI RIFF form
+    val notAvi = good.clone(); notAvi(8) = 'W'.toByte
+    intercept[org.apache.spark.SparkException](frames(notAvi))
+    // corrupt a frame chunk's declared size -> size/format mismatch
+    val moviAt = {
+      // find the movi LIST, then the first 00db chunk size field after it
+      val s = new String(good, "ISO-8859-1"); s.indexOf("00db")
+    }
+    assert(moviAt > 0)
+    val badFrame = good.clone(); badFrame(moviAt + 4) = (badFrame(moviAt + 4) + 1).toByte
+    intercept[org.apache.spark.SparkException](frames(badFrame))
+  }
+
+  test("media generators pin the non-negative id contract") {
+    val neg = Seq(-1L).toDF("doc_id")
+    intercept[org.apache.spark.SparkException](
+      Multimodal.aviMediaTable(spark, neg).collect())
+    intercept[org.apache.spark.SparkException](
+      Multimodal.pngMediaTable(spark, neg).collect())
+    intercept[org.apache.spark.SparkException](
+      Multimodal.wavMediaTable(spark, neg).collect())
+  }
+
   test("metadata derivation is stable per doc_id") {
     val docs = Seq((7L, "x")).toDF("doc_id", "text")
     val row = Multimodal.asMediaTable(docs).head()
