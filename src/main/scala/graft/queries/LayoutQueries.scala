@@ -175,6 +175,20 @@ object LayoutQueries {
     f.delete(); ()
   }
 
+  /** Crashed-run hygiene: the application-end listener below never
+    * fires when the JVM is killed, so orphaned landing dirs would grow
+    * /tmp without bound across crashed runs on a shared host. Sweep
+    * dirs from PREVIOUS runs at landing time — age-gated (> 24 h) so a
+    * concurrently-running JVM's live landing is never touched (this
+    * JVM's own dirs are distinct by session token anyway). */
+  private def sweepStaleWarehouses(): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    if (tmp != null)
+      tmp.filter(f => f.getName.startsWith("graft_warehouse_") &&
+        f.lastModified() < cutoff).foreach(deleteRecursively)
+  }
+
   /** Lands both bucketed tables (first call per session+dataset only)
     * and returns their catalog names. */
   private def landBucketed(s: org.apache.spark.sql.SparkSession,
@@ -203,6 +217,12 @@ object LayoutQueries {
                 end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
               deleteRecursively(new java.io.File(wh))
           })
+          // belt-and-braces: a JVM shutdown hook also fires on plain
+          // System.exit (File.deleteOnExit can't — it refuses non-empty
+          // dirs); the second deleteRecursively on a gone dir is a no-op
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => deleteRecursively(new java.io.File(wh))))
+          sweepStaleWarehouses()
         }
       }
     }
