@@ -491,21 +491,32 @@ object Dedup {
     *     the component min) inside ONE task via `mapPartitions` — one
     *     job total. 2^20 edges ≈ tens of MB of hash map, comfortably
     *     one-task-sized.
-    *   - otherwise → iterative min-label propagation in DataFrames:
-    *     each round every node takes the min of its own and its
-    *     neighbors' labels; one shuffle + one action per round (change
-    *     detection rides the label aggregate); rounds = graph diameter
-    *     (shallow for near-dup clusters). The driver holds only the
-    *     changed-row flag, never the labels.
+    *   - otherwise → iterative min-label propagation WITH POINTER
+    *     JUMPING in DataFrames: each round every node first takes the
+    *     min of its own and its neighbors' labels (one hop), then
+    *     shortcuts through its label's own label (label values are
+    *     node ids, so `label(label(n))` composes paths — the classic
+    *     doubling step). Covered distance ~doubles per round, so
+    *     rounds = O(log diameter), not O(diameter): replica-built
+    *     near-dup corpora keep diameter shallow, but one long chain of
+    *     pairwise matches in real data would otherwise pay a
+    *     diameter-bound round count (ConnectedComponentsSpec pins a
+    *     512-node chain converging in ≤ 12 rounds). Cost per round is
+    *     two shuffles (the label aggregate + the jump join, whose
+    *     aggregate exchange AQE reuses) and one bounded action —
+    *     change detection rides the label aggregate; the driver holds
+    *     only the changed-row flag, never the labels. Labels are
+    *     localCheckpoint'ed per round: the jump join references the
+    *     round's aggregate twice, so without truncation the logical
+    *     plan would double every round.
     *
     * Output: (node, cluster_id), one row per node APPEARING IN PAIRS —
     * singleton documents never enter the pair list; left-join the
     * corpus to this and coalesce to its own id for full coverage.
     *
     * @throws IllegalStateException if the iterative path does not
-    *         converge within maxIter (pathological chain-shaped graphs;
-    *         raise maxIter or use a star-contraction variant before
-    *         trusting partial labels)
+    *         converge within maxIter (with doubling, the default 25
+    *         rounds covers any diameter below ~2^25)
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIter: Int = 25,
@@ -526,12 +537,7 @@ object Dedup {
     }
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
-      .cache()
-    // unpersist must target the exact cached plan: `labels` becomes a
-    // PROJECTION of the cached per-round aggregate below, and
-    // unpersisting the projection is a no-op (plan mismatch) — track
-    // the cached frame itself
-    var cached = labels
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -539,18 +545,27 @@ object Dedup {
         .select(col("src").as("node"), col("cluster_id"))
       // change detection rides the SAME aggregate that computes the new
       // labels: the node's old label is tagged into the union and
-      // re-extracted per group, so each round is exactly one shuffle +
-      // one count action on the cached result (a join-based old-vs-new
-      // compare would double the per-round job count)
-      val next = viaNeighbor.withColumn("is_old", lit(false))
+      // re-extracted per group (a join-based old-vs-new compare would
+      // double the per-round job count)
+      val prop = viaNeighbor.withColumn("is_old", lit(false))
         .union(labels.withColumn("is_old", lit(true)))
         .groupBy(col("node"))
-        .agg(min(col("cluster_id")).as("cluster_id"),
+        .agg(min(col("cluster_id")).as("mid"),
           min(when(col("is_old"), col("cluster_id"))).as("old_id"))
-        .cache()
+      // pointer jumping: label values are node ids, so shortcut each
+      // node through its label's own label — covered distance ~doubles
+      // per round (min labels only decrease, so label(mid) <= mid and
+      // the left join + coalesce preserves monotonicity). Renamed copy,
+      // not prop.as(...): self-join ambiguity silently binds both sides
+      // to one relation (see the verify-skill gotcha); the aggregate
+      // exchange under both sides is AQE-reused.
+      val jump = prop.select(col("node").as("jnode"), col("mid").as("jlabel"))
+      val next = prop.join(jump, col("mid") === col("jnode"), "left")
+        .select(col("node"),
+          coalesce(col("jlabel"), col("mid")).as("cluster_id"),
+          col("old_id"))
+        .localCheckpoint() // materialize + truncate: jump references prop twice
       converged = next.filter(col("cluster_id") =!= col("old_id")).isEmpty
-      cached.unpersist()
-      cached = next
       labels = next.select(col("node"), col("cluster_id"))
       i += 1
     }

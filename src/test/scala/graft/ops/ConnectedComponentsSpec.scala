@@ -51,6 +51,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(pairs, threshold = 0) == want)  // iterative path
   }
 
+  test("pointer jumping: a 512-node chain converges in O(log diameter) rounds") {
+    // A chain is the worst case for plain min-label propagation
+    // (rounds = diameter, here 511). With the per-round doubling step,
+    // covered distance ~doubles per round, so maxIter = 12 suffices —
+    // propagation alone would throw the not-converged error here.
+    val chain = (1L until 512L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b", maxIter = 12, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 512L).map(_ -> 1L).toMap)
+  }
+
   test("iterative path throws instead of returning partial labels when not converged") {
     val chain = (1L until 8L).map(i => (i, i + 1))
     intercept[IllegalStateException] {

@@ -264,4 +264,32 @@ class PipelineSpec extends SparkSpec {
     assert(m21.getAs[Double]("pct_change_active") == 50.0)
     assert(m21.getAs[Double]("active_rate") == 100.0)
   }
+
+  test("e2e scale refresh: KPI goldens scale exactly linearly on 100x fixtures") {
+    // Two decades over the hand-computed goldens, matching the
+    // registry-side 100x scale step: replica ids stay disjoint
+    // (shift stride 1000 > any base id), so every count/revenue KPI
+    // must be EXACTLY 100x and every rate/percent-change invariant —
+    // equality assertions, no tolerance, same as the 10x test.
+    val dir = Files.createTempDirectory("airbnb_fixtures_x100")
+    Fixtures.writeAll(dir, factor = 100)
+    val t100 = AirbnbPipeline.run(spark, dir.toString)
+    assert(t100.stagingListing.count() == 1200) // 13 raw - 1 dup, x100
+    val kpi = t100.kpiNeighbourhoodMonth.filter($"area" === "SYDNEY")
+      .orderBy("file_year", "file_month").collect()
+    assert(kpi.length == 3) // months don't multiply
+    val Array(m05, m07, m21) = kpi
+    assert(m05.getAs[Long]("n_listings") == 200 && m05.getAs[Long]("n_active") == 100)
+    assert(m05.getAs[Long]("n_inactive") == 100)
+    assert(m05.getAs[Double]("est_revenue_active") == 135000.0)
+    assert(m07.getAs[Long]("n_active") == 200)
+    assert(m07.getAs[Double]("est_revenue_active") == 300000.0)
+    assert(m07.getAs[Double]("pct_change_active") == 100.0) // ratio invariant
+    assert(m21.getAs[Long]("n_listings") == 300)
+    assert(m21.getAs[Long]("n_hosts") == 200)      // hosts replicate with listings
+    assert(m21.getAs[Long]("n_superhosts") == 100)
+    assert(m21.getAs[Double]("est_revenue_active") == 2618000.0)
+    assert(m21.getAs[Double]("pct_change_active") == 50.0)
+    assert(m21.getAs[Double]("active_rate") == 100.0)
+  }
 }
