@@ -135,4 +135,60 @@ object Graph {
     }
     (ranks.select(col("node"), col("deg"), col("r").as("rank_fp")), used)
   }
+
+  /** Per-node triangle counts by DEGREE-ORDERED edge orientation — the
+    * skew-safe formulation (Suri & Vassilvitskii's MR triangle counting;
+    * also the classic compact-forward algorithm): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher,
+    * enumerate wedges only from each node's ORIENTED out-neighborhood,
+    * and close them against the oriented edge set. Orientation caps
+    * every out-degree at O(√m) regardless of how skewed the raw degree
+    * distribution is — a celebrity node with 10⁸ followers contributes
+    * wedges from its (small) out-list, not its in-list — so wedge volume
+    * is O(m^1.5) worst case and near-linear on real sparse graphs,
+    * where the naive per-node neighborhood self-join is quadratic in the
+    * hottest degree. Each triangle is found exactly once (its
+    * lowest-rank corner is the wedge pivot).
+    *
+    * `edges`: undirected edge list as canonical `(a, b)` pairs with
+    * `a < b`, already distinct. Output: one row per node —
+    * (node, deg, n_tri) — including zero-triangle nodes, so the result
+    * is a total audit of the graph, not just the triangle corners.
+    *
+    * Plan shape: one aggregate for degrees, two broadcast-or-shuffle
+    * equi-joins to decorate endpoints, one self-equi-join on the wedge
+    * pivot, one equi-join to close, one final aggregate. Nothing is
+    * collected; no CartesianProduct anywhere. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // decorate both endpoints with their degree, then orient by
+    // (deg, id) rank — a total order, so orientation is deterministic
+    val dec = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aLower = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val o = dec.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, struct(col("db").as("rd"), col("b").as("rid")))
+        .otherwise(struct(col("da").as("rd"), col("a").as("rid"))).as("rdst"))
+    // wedges: ordered pairs of out-neighbors of one pivot; rank order
+    // on the pair means the closing edge, if present, is oriented v→w
+    val wedges = o.select(col("src"), col("dst").as("v"), col("rdst").as("rv"))
+      .join(o.select(col("src"), col("dst").as("w"), col("rdst").as("rw")),
+        Seq("src"))
+      .filter(col("rv") < col("rw"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tri = wedges.join(
+      o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val corners = tri.select(col("u").as("node"))
+      .unionByName(tri.select(col("v").as("node")))
+      .unionByName(tri.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -107,6 +107,49 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023, arXiv
+    * 2303.09540): cluster the corpus around a FIXED set of centroids,
+    * pick one REPRESENTATIVE per cluster (the member nearest its
+    * centroid), and flag every other member whose cosine to its
+    * cluster's representative clears `minCosine` as a semantic
+    * duplicate. Near-identical meaning lands in the same cluster, so
+    * the comparison graph is member-vs-representative — O(n) cosine
+    * evaluations total, NOT the O(Σ|cluster|²) of full within-cluster
+    * pairwise (that variant exists as [[cosinePairs]] with cluster-id
+    * blocking); at 100 TB the rep-comparison form is the one that
+    * keeps the work scan-linear no matter how the cluster sizes skew.
+    *
+    * Determinism: assignment is [[kmeansAssign]] (6dp-rounded d2,
+    * centroid-id tiebreak); the representative is the min (d2, id)
+    * member — both total orders, so a SQL engine replays the whole
+    * selection. Zero-norm members are dropped (cosine undefined); a
+    * zero-norm representative drops its cluster's members with it —
+    * mirrored exactly by the oracle.
+    *
+    * Output: one row per non-representative member —
+    * (id, cid, rep_id, cosine, is_dup). The centroid frame is expected
+    * to be k rows (broadcast twice: once inside kmeansAssign, once as
+    * the rep-vector side of the cosine join). */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, minCosine: Double,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val assign = kmeansAssign(corpus, centroids, id, vec)
+    val rep = assign.groupBy(col("cid"))
+      .agg(min(struct(col("d2"), col(id))).as("__best"))
+      .select(col("cid"), col("__best").getField(id).as("rep_id"))
+    val vecs = withVecNorm(corpus.select(col(id), col(vec)),
+      col(vec), "__mv", "__mn").drop(vec)
+    val repVecs = broadcast(rep
+      .join(vecs.select(col(id).as("rep_id"), col("__mv").as("__rv"),
+        col("__mn").as("__rn")), Seq("rep_id")))
+    assign.join(vecs, Seq(id))
+      .join(repVecs, Seq("cid"))
+      .filter(col(id) =!= col("rep_id"))
+      .select(col(id), col("cid"), col("rep_id"),
+        round(dot(col("__mv"), col("__rv")) / (col("__mn") * col("__rn")), 6)
+          .as("cosine"))
+      .withColumn("is_dup", col("cosine") >= minCosine)
+  }
+
   /** Deterministic random hyperplanes: `planes` × `dim` Gaussian weights
     * from a fixed seed, as a literal nested array (driver-side constant,
     * broadcast with the plan — no data-dependent state). */

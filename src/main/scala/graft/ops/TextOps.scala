@@ -405,4 +405,112 @@ object TextOps {
           AS avg_logprob
       FROM tf JOIN lp USING (term)
       GROUP BY doc_id)"""
+
+  /** Cross-document LINE-level deduplication (the C4 / RefinedWeb
+    * preprocessing step: any line occurring in ≥ `minDocs` distinct
+    * documents is boilerplate — nav bars, cookie banners, licence
+    * footers — and is removed from EVERY document, which is a different
+    * operator from whole-document dedup: documents survive, their
+    * repeated spans don't). "Lines" here are deterministic
+    * non-overlapping `lineTokens`-token windows ([[chunk]] with
+    * overlap 0), since the corpus carries no newlines; on real web text
+    * the same machinery runs on `split(text, '\n')`.
+    *
+    * Scale shape: explode to lines (linear), one combinable
+    * count-distinct aggregate keyed by line text, one equi-join of
+    * lines to their global frequency, one per-document re-aggregate
+    * that stitches survivors back in order (`collect_list` of
+    * (line_no, text) structs, array_sort, join) — no window over the
+    * whole corpus, no driver-side state. A hot boilerplate line is ONE
+    * aggregate key: skew lands in a combinable partial aggregate, not
+    * a join fan-out.
+    *
+    * Output: (id, n_lines, n_kept, text_kept) — one row per input
+    * document, `text_kept` empty (not NULL) when everything was
+    * boilerplate. */
+  def lineDedup(df: DataFrame, id: String, text: String,
+                lineTokens: Int = 12, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would delete every line, got $minDocs")
+    val lines = chunk(df.select(col(id), col(text)), col(text), lineTokens, 0,
+      outId = "__line_no", outText = "__line_text")
+    val freq = lines.groupBy(col("__line_text"))
+      .agg(countDistinct(col(id)).as("__ndocs"))
+    lines.join(freq, Seq("__line_text"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__ndocs") < minDocs, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__ndocs") < minDocs,
+              struct(col("__line_no"), col("__line_text"))))),
+            x => x.getField("__line_text")),
+          " ").as("text_kept"))
+  }
+
+  /** DuckDB CTE chain recomputing [[lineDedup]] exactly; `srcCte` is a
+    * parenthesized relation with (doc_id, text). */
+  def lineDedupSql(srcCte: String, lineTokens: Int = 12, minDocs: Int = 2): String = {
+    val (nChunks, chunkText) = chunkSqlParts("t", lineTokens, 0)
+    s"""__ld_split AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM $srcCte),
+    __ld_toks AS (
+      SELECT doc_id, t, $nChunks AS n FROM __ld_split),
+    __ld_exploded AS (
+      SELECT doc_id, t,
+        CAST(unnest(generate_series(0, n - 1)) AS INTEGER) AS chunk_id
+      FROM __ld_toks),
+    __ld_lines AS (
+      SELECT doc_id, chunk_id AS line_no, $chunkText AS line_text
+      FROM __ld_exploded),
+    __ld_freq AS (
+      SELECT line_text, COUNT(DISTINCT doc_id) AS ndocs
+      FROM __ld_lines GROUP BY 1),
+    __ld_out AS (
+      SELECT doc_id,
+        COUNT(*) AS n_lines,
+        CAST(COALESCE(SUM(CASE WHEN ndocs < $minDocs THEN 1 END), 0) AS BIGINT)
+          AS n_kept,
+        COALESCE(string_agg(CASE WHEN ndocs < $minDocs THEN line_text END, ' '
+          ORDER BY line_no), '') AS text_kept
+      FROM __ld_lines JOIN __ld_freq USING (line_text)
+      GROUP BY doc_id)"""
+  }
+
+  /** Weight buckets for the hashed linear classifier. */
+  val HashClfBuckets: Int = 2048
+
+  /** Quality score from a fixed LINEAR classifier over hashing-trick
+    * bag-of-words features (the fastText-style architecture every
+    * large-scale quality/toxicity filter deploys: featurize by token
+    * hash, dot with a weight vector, threshold). The "trained" weight
+    * vector here is the deterministic map bucket → bucket − k/2, so
+    * the whole pipeline — tokenize, hash to [[HashClfBuckets]] buckets
+    * via the engine-portable 56-bit MD5 ([[Sampling.hashBucket]]),
+    * accumulate, normalize — is exactly replayable by a SQL oracle; a
+    * real deployment swaps the weight map for learned values with zero
+    * plan change. The accumulator is an INTEGER sum (order-independent,
+    * no float drift); the only float op is the final normalization
+    *   score = Σ(bucket − k/2) / ((k/2) · n_tokens) ∈ [−1, 1],
+    * rounded to 6dp. Per-row, no shuffle, codegen-friendly.
+    *
+    * Returns a score column; NULL for empty token lists. */
+  def hashClfScore(text: Column): Column = {
+    val k = HashClfBuckets
+    val toks = tokens(text)
+    val sumW = aggregate(
+      transform(toks, t => Sampling.hashBucket(t, k) - lit(k / 2)),
+      lit(0L), (acc, x) => acc + x)
+    when(size(toks) > 0,
+      round(sumW.cast("double") / (lit(k / 2.0) * size(toks)), 6))
+  }
+
+  /** DuckDB expression recomputing [[hashClfScore]] of `textExpr`. */
+  def hashClfScoreSql(textExpr: String): String = {
+    val k = HashClfBuckets
+    s"""CASE WHEN len(string_split(lower($textExpr), ' ')) > 0 THEN
+      ROUND(CAST(list_sum(list_transform(string_split(lower($textExpr), ' '),
+          t -> ${Sampling.hashBucketSql("t", k)} - ${k / 2})) AS DOUBLE)
+        / (${k / 2}.0 * len(string_split(lower($textExpr), ' '))), 6) END"""
+  }
 }

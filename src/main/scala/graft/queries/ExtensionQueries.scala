@@ -1933,7 +1933,203 @@ object ExtensionQueries {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1"""))
 
+  // --------------------------------------------------- round-5 additions
+
+  /** Triangle counting (Graph.triangleCounts) over the co-purchase
+    * graph: parts appearing together in one order are linked, orders
+    * restricted to heavy line items so the graph stays sparse at any
+    * SF (an order's qualifying items form a clique, so triangles exist
+    * by construction wherever ≥3 heavy items share an order). The
+    * degree-ordered orientation caps wedge work at O(m^1.5) however
+    * skewed the degrees run — the property that makes triangle counting
+    * feasible on web-scale graphs. Oracle replays orientation, wedge
+    * generation and closure with row-value comparisons. */
+  private val x_graph_triangles = Q(
+    "x_graph_triangles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val edges = l1.join(l2, Seq("ok")).filter(col("pa") < col("pb"))
+        .select(col("pa").as("a"), col("pb").as("b")).distinct()
+      Graph.triangleCounts(edges)
+    },
+    Some("""WITH qi AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_quantity >= 45),
+    edges AS (
+      SELECT DISTINCT x.pk AS a, y.pk AS b
+      FROM qi x JOIN qi y ON x.ok = y.ok AND x.pk < y.pk),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY 1),
+    o AS (
+      SELECT
+        CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+        CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
+        CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dd
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b),
+    wg AS (
+      SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst)),
+    tri AS (SELECT u, v, w FROM wg JOIN o ON o.src = wg.v AND o.dst = wg.w),
+    corners AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri),
+    cnt AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY 1)
+    SELECT d.node, d.deg, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
+    FROM deg d LEFT JOIN cnt c ON c.node = d.node"""))
+
+  /** SemDeDup-style semantic deduplication
+    * (Similarity.semanticDedup): fixed hash-rank top-128 centroid pick
+    * (the x_kmeans_step discipline), nearest-centroid assignment, one
+    * representative per cluster, members flagged by cosine against
+    * their representative — O(n) cosine work total, the scale-safe
+    * member-vs-rep form rather than within-cluster all-pairs. The
+    * oracle replays the centroid pick, the 6dp-rounded argmin
+    * assignment, the (d2, id) representative choice and every member
+    * cosine. The 0.4 threshold is calibrated to THIS synthetic corpus
+    * (member-vs-rep cosines run 0.21–0.51; 0.4 ≈ the 95th pct) —
+    * real embedding corpora use ~0.95+, a knob not a semantic. */
+  private val x_dedup_semantic = Q(
+    "x_dedup_semantic",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("embedding").isNotNull)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(128)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.semanticDedup(emb, cents, minCosine = 0.4)
+    },
+    Some("""WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE embedding IS NOT NULL
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 128)),
+    assign AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT a.vec_id, ct.cid,
+          ROUND(list_inner_product(a.v, a.v) + list_inner_product(ct.cv, ct.cv)
+            - 2 * list_inner_product(a.v, ct.cv), 6) AS d2,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+            ROUND(list_inner_product(a.v, a.v) + list_inner_product(ct.cv, ct.cv)
+              - 2 * list_inner_product(a.v, ct.cv), 6), ct.cid) AS rn
+        FROM c a CROSS JOIN cent ct)
+      WHERE rn = 1),
+    rep AS (
+      SELECT cid, vec_id AS rep_id FROM (
+        SELECT cid, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn
+        FROM assign)
+      WHERE rn = 1),
+    norms AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM c
+      WHERE sqrt(list_inner_product(v, v)) > 0)
+    SELECT a.vec_id, a.cid, r.rep_id,
+      ROUND(list_inner_product(m.v, rv.v) / (m.nrm * rv.nrm), 6) AS cosine,
+      ROUND(list_inner_product(m.v, rv.v) / (m.nrm * rv.nrm), 6) >= 0.4 AS is_dup
+    FROM assign a
+    JOIN norms m ON m.vec_id = a.vec_id
+    JOIN rep r ON r.cid = a.cid
+    JOIN norms rv ON rv.vec_id = r.rep_id
+    WHERE a.vec_id <> r.rep_id"""))
+
+  /** Stream-stream watermarked interval join parity
+    * (EventStream.clickViewJoin): clicks and views run as TWO streaming
+    * sources through the state-store-backed stream-stream join (the
+    * real Structured Streaming join operator, watermark-bounded state
+    * on both sides), AvailableNow; the oracle is the equivalent batch
+    * interval join. Inner joins emit on match, so a single-batch run is
+    * complete regardless of watermark timing — what the watermark
+    * bounds is STATE, which is the 100 TB property this operator
+    * exists for. */
+  private val streamJoinFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val x_stream_join_parity = Q(
+    "x_stream_join_parity",
+    (s, d) => {
+      val (tc, tv) = streamJoinFixtureDirs.getOrElseUpdate(d, {
+        val base =
+          java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+        val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+            col("user_id"), col("event_type"))
+        ev.filter(col("event_type") === "click").drop("event_type")
+          .coalesce(1).write.mode("overwrite").parquet(base + "/clicks")
+        ev.filter(col("event_type") === "view").drop("event_type")
+          .coalesce(1).write.mode("overwrite").parquet(base + "/views")
+        (base + "/clicks", base + "/views")
+      })
+      def src(path: String) = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+        .parquet(path)
+      val sink = "x_stream_join_parity_sink"
+      val sq = EventStream.clickViewJoin(src(tc), src(tv),
+          horizon = "24 hours", delay = "48 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink)
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          col("view_id"), col("view_ts"))
+    },
+    Some("""SELECT c.event_id AS click_id, c.user_id,
+      date_trunc('second', c.ts) AS click_ts,
+      v.event_id AS view_id, date_trunc('second', v.ts) AS view_ts
+    FROM events c JOIN events v ON v.user_id = c.user_id
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND c.ts IS NOT NULL AND v.ts IS NOT NULL
+      AND date_trunc('second', v.ts) <= date_trunc('second', c.ts)
+      AND date_trunc('second', v.ts)
+            >= date_trunc('second', c.ts) - INTERVAL 24 HOUR"""))
+
+  /** Cross-document line-level dedup (TextOps.lineDedup — the C4/
+    * RefinedWeb boilerplate-removal step): lines occurring in ≥2
+    * distinct documents are stripped from every document; documents
+    * survive with their unique content re-stitched in order. */
+  private val x_text_line_dedup = Q(
+    "x_text_line_dedup",
+    (s, d) => TextOps.lineDedup(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", lineTokens = 12, minDocs = 2),
+    Some(s"""WITH ${TextOps.lineDedupSql(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)", 12, 2)}
+      SELECT doc_id, n_lines, n_kept, text_kept FROM __ld_out"""))
+
+  /** Hashed-bag-of-words linear quality classifier
+    * (TextOps.hashClfScore — the fastText-shaped scoring pass every
+    * production quality/toxicity filter runs): integer-exact feature
+    * accumulation, one float normalization, fully oracle-replayed. */
+  private val x_text_hashclf = Q(
+    "x_text_hashclf",
+    (s, d) => Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.hashClfScore(col("text")).as("clf_score"))
+      .withColumn("clf_pass", col("clf_score") > 0),
+    Some(s"""SELECT doc_id,
+        CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+        ${TextOps.hashClfScoreSql("text")} AS clf_score,
+        ${TextOps.hashClfScoreSql("text")} > 0 AS clf_pass
+      FROM documents WHERE text IS NOT NULL"""))
+
   def all: Seq[Q] = Seq(
+    x_graph_triangles,
+    x_dedup_semantic,
+    x_stream_join_parity,
+    x_text_line_dedup,
+    x_text_hashclf,
     x_dedup_exact,
     x_dedup_editdist,
     x_scale_salted,

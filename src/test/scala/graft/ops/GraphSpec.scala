@@ -103,4 +103,37 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankFixedPoint(pathEdges, iters = 1, damping = 100)
     }
   }
+
+  test("triangleCounts: hand-verified counts, zero-triangle nodes included") {
+    // K4 minus edge (1,4), plus pendant node 5:
+    //   triangles (1,2,3) and (2,3,4); node 5 closes nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L)), 2L -> ((3L, 2L)), 3L -> ((3L, 2L)),
+      4L -> ((3L, 1L)), 5L -> ((1L, 0L))))
+  }
+
+  test("triangleCounts: clique count is exact and each triangle found once") {
+    // K6: C(6,3) = 20 triangles, every node in C(5,2) = 10 of them
+    val edges = (for {
+      i <- 0L until 6L; j <- (i + 1) until 6L
+    } yield (i, j)).toDF("a", "b")
+    val out = Graph.triangleCounts(edges).collect()
+    assert(out.length == 6)
+    assert(out.forall(r => r.getLong(1) == 5L && r.getLong(2) == 10L))
+  }
+
+  test("triangleCounts: star graph (max skew) has zero triangles") {
+    // hub 0 with 40 leaves: naive wedge-from-hub enumeration would emit
+    // C(40,2) = 780 wedges from the hub; orientation points every edge
+    // AWAY from the leaves (deg 1 < deg 40) so the hub's out-list is
+    // empty and nothing closes
+    val edges = (1L to 40L).map(l => (0L, l)).toDF("a", "b")
+    val out = Graph.triangleCounts(edges).collect()
+    assert(out.length == 41)
+    assert(out.forall(_.getLong(2) == 0L))
+  }
 }

@@ -158,6 +158,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rt >= rs - 0.05, f"trained centroids regressed recall: $rt%.2f vs $rs%.2f")
   }
 
+  test("semanticDedup: planted clusters — reps, flags, tie and zero-norm rules") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cluster 100 rep (d2 = 0)
+      (2L, Array(0.99f, 0.14f)),  // near rep 1 -> is_dup
+      (4L, Array(0.0f, 1.0f)),    // cluster 200 rep
+      (5L, Array(0.1f, 0.995f)),  // near rep 4 -> is_dup
+      (6L, Array(0.7f, 0.7f)),    // equidistant -> tie to cid 100; cos ~ .707
+      (7L, Array(0.0f, 0.0f))     // zero-norm: dropped from output
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f))
+    ).toDF("cid", "cvec")
+    val out = Similarity.semanticDedup(corpus, cents, minCosine = 0.95)
+      .select($"vec_id", $"cid", $"rep_id", $"is_dup")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (2L, 100L, 1L, true),
+      (6L, 100L, 1L, false),
+      (5L, 200L, 4L, true)))
+  }
+
   test("kmeansFit: within-cluster variance descends monotonically (real embeddings)") {
     val emb = Tables.embeddings(spark, sf001)
     def wcss(iters: Int): Double = {

@@ -154,4 +154,46 @@ class TextOpsSpec extends SparkSpec {
     // the doc built of rarer tokens scores lower
     assert(out(2L)._2 < out(1L)._2)
   }
+
+  test("lineDedup: shared lines removed everywhere, unique lines kept in order") {
+    // 2-token "lines"; "x x" appears in docs 1 and 2 -> boilerplate
+    val docs = Seq(
+      (1L, "a b x x c d"),  // lines: "a b" | "x x" | "c d"
+      (2L, "x x e f"),      // lines: "x x" | "e f"
+      (3L, "x x")           // all boilerplate -> empty text_kept
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, "doc_id", "text", lineTokens = 2, minDocs = 2)
+      .select($"doc_id", $"n_lines", $"n_kept", $"text_kept")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 2L, "a b c d"))) // order preserved across the gap
+    assert(out(2L) == ((2L, 1L, "e f")))
+    assert(out(3L) == ((1L, 0L, "")))        // empty string, not NULL
+  }
+
+  test("lineDedup: within-doc repetition alone does not trigger removal") {
+    // "q q" twice in ONE doc: count of DISTINCT docs is 1 -> kept
+    val docs = Seq((1L, "q q q q"), (2L, "r r s s")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, "doc_id", "text", lineTokens = 2, minDocs = 2)
+      .select($"doc_id", $"text_kept").as[(Long, String)].collect().toMap
+    assert(out(1L) == "q q q q")
+    assert(out(2L) == "r r s s")
+  }
+
+  test("hashClfScore: deterministic, bounded, tf-sensitive") {
+    val s1 = one[Double](TextOps.hashClfScore(col("s")), "the cat sat")
+    val s2 = one[Double](TextOps.hashClfScore(col("s")), "the cat sat")
+    assert(s1 == s2 && s1 >= -1.0 && s1 <= 1.0)
+    // single-token doc: score is exactly round((bucket - k/2) / (k/2), 6)
+    val k = TextOps.HashClfBuckets
+    val b = Seq("the").toDF("s")
+      .select(Sampling.hashBucket(col("s"), k).as[Long]).head()
+    val expected = BigDecimal((b - k / 2) / (k / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(one[Double](TextOps.hashClfScore(col("s")), "the") == expected)
+    // repeating a token moves the mean toward that token's weight
+    val rep = one[Double](TextOps.hashClfScore(col("s")), "the the the cat")
+    val bal = one[Double](TextOps.hashClfScore(col("s")), "the cat")
+    assert(math.abs(rep - expected) < math.abs(bal - expected))
+  }
 }
