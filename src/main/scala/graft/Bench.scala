@@ -108,10 +108,14 @@ object Bench {
     println(
       f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","nqueries":${results.size},"queries_top10":$top,"failed":$failedJson,"sf":"$sfDir","full_map":"BENCH_LOCAL.json"}""")
     // belt-and-braces copy on disk, recoverable even if the captured
-    // line is truncated
+    // line is truncated. A BENCH_ONLY-filtered run must NOT clobber the
+    // committed full-suite map with a partial one under the same name —
+    // it goes to a .partial file unless an explicit OUT path was given.
+    val defaultOut =
+      if (onlyNames.isDefined) "BENCH_LOCAL.partial.json" else "BENCH_LOCAL.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line + "\n")
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), line + "\n")
     catch { case _: Throwable => () }
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
