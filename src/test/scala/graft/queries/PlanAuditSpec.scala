@@ -227,6 +227,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"dangling blend planned unkeyed:\n$p")
   }
 
+  test("x_graph_triangles: filter pushed, 3-col pruning, every join keyed") {
+    val p = planStr("x_graph_triangles")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"),
+      s"quantity filter not pushed to the lineitem scan:\n$p")
+    assert(p.contains("struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"),
+      s"lineitem scan not pruned to the 3 needed columns:\n$p")
+    // wedge generation and closure must both be equi-joins — a nested
+    // loop here is the O(hot-degree²) blowup orientation exists to kill
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"triangle join fell back to an unkeyed join:\n$p")
+  }
+
+  test("x_dedup_semantic: centroid and representative sides broadcast; corpus never shuffles for them") {
+    val p = planStr("x_dedup_semantic")
+    // kmeansAssign's corpus × 128-centroid product: broadcast nested
+    // loop with the bounded side built, collapsed by min-struct agg
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid product not a bounded-side broadcast:\n$p")
+    assert(p.contains("GlobalLimit 128"),
+      s"centroid pick not capped at 128:\n$p")
+    // member-vs-representative cosine join: the ≤k-row rep side is the
+    // build side of a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"),
+      s"rep join not broadcast:\n$p")
+  }
+
+  test("x_text_line_dedup: stitch-back is a partial aggregate, no global window") {
+    val p = planStr("x_text_line_dedup")
+    // the per-doc reassembly must combine map-side (partial_collect_list
+    // before the exchange) and there must be NO corpus-wide window
+    assert(p.contains("partial_collect_list"),
+      s"no map-side partial aggregation for the stitch:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in:\n$p")
+  }
+
+  test("x_text_hashclf: pure per-row scoring — zero exchanges, codegen end-to-end") {
+    val p = planStr("x_text_hashclf")
+    assert(!p.contains("Exchange"), s"per-row classifier plans a shuffle:\n$p")
+    // codegen stages print as "*(n)" in the executed plan
+    assert(p.contains("*("), s"classifier fell out of codegen:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
