@@ -477,6 +477,61 @@ object TextOps {
       GROUP BY doc_id)"""
   }
 
+  /** One BPE statistics step — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al., 2016): count adjacent
+    * character-pair frequencies across the corpus and rank the top
+    * merge candidates. Runs on the VOCABULARY, not the raw corpus —
+    * the classic trick that makes BPE training corpus-size-independent
+    * past the word-count pass: one linear explode to count words, then
+    * all pair work is O(distinct words × word length). A 100 TB corpus
+    * with a 10M-word vocabulary does the quadratic-looking part on 10M
+    * rows. Single-char words carry no pairs and are filtered before
+    * pair generation (both engines — Spark's `sequence(1, 0)` would
+    * count DOWN, not return empty).
+    *
+    * Output: top-`k` (a, b, n, rank) by total pair count, ranked with
+    * a total tiebreak (count desc, then pair lexicographically); the
+    * ranking window runs AFTER a TakeOrdered top-k, so it orders ≤k
+    * rows, never the corpus. */
+  def bpePairStats(df: DataFrame, text: Column, k: Int = 50): DataFrame = {
+    val vocab = df.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+    val pairs = vocab.select(col("cnt"),
+      explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("a"),
+          col("w").substr(i + lit(1), lit(1)).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
+    val agg = pairs.groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+    val top = agg.orderBy(col("n").desc, col("a"), col("b")).limit(k)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("a"), col("b"))).cast("int"))
+  }
+
+  /** DuckDB SQL recomputing [[bpePairStats]]; `srcCte` is a
+    * parenthesized relation with a `text` column. */
+  def bpePairStatsSql(srcCte: String, k: Int = 50): String =
+    s"""WITH __bpe_toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM $srcCte),
+    __bpe_vocab AS (
+      SELECT w, COUNT(*) AS cnt FROM __bpe_toks
+      GROUP BY 1 HAVING len(w) >= 2),
+    __bpe_pos AS (
+      SELECT w, cnt,
+        CAST(unnest(generate_series(1, len(w) - 1)) AS INTEGER) AS i
+      FROM __bpe_vocab),
+    __bpe_pairs AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, cnt
+      FROM __bpe_pos),
+    __bpe_agg AS (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM __bpe_pairs GROUP BY 1, 2)
+    SELECT a, b, n,
+      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rank
+    FROM __bpe_agg
+    QUALIFY rank <= $k"""
+
   /** Weight buckets for the hashed linear classifier. */
   val HashClfBuckets: Int = 2048
 

@@ -2124,12 +2124,67 @@ object ExtensionQueries {
         ${TextOps.hashClfScoreSql("text")} > 0 AS clf_pass
       FROM documents WHERE text IS NOT NULL"""))
 
+  /** One BPE tokenizer-training statistics step
+    * (TextOps.bpePairStats): adjacent character-pair counts over the
+    * VOCABULARY (corpus-linear word count, then pair work bounded by
+    * distinct words), top-50 merge candidates with a total-order
+    * tiebreak. */
+  private val x_text_bpe_step = Q(
+    "x_text_bpe_step",
+    (s, d) => TextOps.bpePairStats(
+      Tables.documents(s, d).filter(col("text").isNotNull), col("text"), k = 50),
+    Some(TextOps.bpePairStatsSql(
+      "(SELECT text FROM documents WHERE text IS NOT NULL)", 50)))
+
+  /** Streaming exact dedup parity (EventStream.dedupEvents,
+    * dropDuplicatesWithinWatermark): the corpus is planted with a FULL
+    * COPY of itself in a second file and the source is throttled to one
+    * file per micro-batch, so every duplicate arrives in a LATER batch
+    * than its original and can only be suppressed by the state store
+    * (not by in-batch dedup) — the cross-batch path is what this
+    * operator exists for, and what the oracle (each event exactly once)
+    * proves ran correctly. The watermark delay exceeds the corpus time
+    * span, so no key is evicted before its duplicate arrives; at 100 TB
+    * the delay is the knob that bounds state instead. */
+  private val streamDedupFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x_stream_dedup_parity = Q(
+    "x_stream_dedup_parity",
+    (s, d) => {
+      val tmp = streamDedupFixtureDirs.getOrElseUpdate(d, {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft_stream_dedup").toString
+        val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+            col("user_id"))
+        ev.coalesce(1).write.mode("overwrite").parquet(t)
+        ev.coalesce(1).write.mode("append").parquet(t) // planted duplicates
+        t
+      })
+      val src = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1") // force the cross-batch path
+        .parquet(tmp)
+      val sink = "x_stream_dedup_parity_sink"
+      val sq = EventStream.dedupEvents(src, delay = "60 days")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink).select(col("event_id"), col("ts"), col("user_id"))
+    },
+    Some("""SELECT event_id, date_trunc('second', ts) AS ts, user_id
+      FROM events WHERE ts IS NOT NULL"""))
+
   def all: Seq[Q] = Seq(
     x_graph_triangles,
     x_dedup_semantic,
     x_stream_join_parity,
     x_text_line_dedup,
     x_text_hashclf,
+    x_text_bpe_step,
+    x_stream_dedup_parity,
     x_dedup_exact,
     x_dedup_editdist,
     x_scale_salted,

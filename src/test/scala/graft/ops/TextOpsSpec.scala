@@ -180,6 +180,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == "r r s s")
   }
 
+  test("bpePairStats: hand-computed pair counts, vocab weighting, tiebreak") {
+    // vocab: "abab" x2 (pairs ab,ba,ab -> ab:2, ba:1 per occurrence),
+    //        "ab" x1, "a" x1 (single char -> no pairs)
+    val docs = Seq((1L, "abab ab a"), (2L, "abab")).toDF("doc_id", "text")
+    val out = TextOps.bpePairStats(docs, col("text"), k = 10)
+      .select($"a", $"b", $"n", $"rank")
+      .as[(String, String, Long, Int)].collect().toSeq
+    // ab: 2*2 + 1 = 5; ba: 2*1 = 2
+    assert(out == Seq(("a", "b", 5L, 1), ("b", "a", 2L, 2)))
+  }
+
   test("hashClfScore: deterministic, bounded, tf-sensitive") {
     val s1 = one[Double](TextOps.hashClfScore(col("s")), "the cat sat")
     val s2 = one[Double](TextOps.hashClfScore(col("s")), "the cat sat")
