@@ -1385,7 +1385,7 @@ object ExtensionQueries {
     "x_stream_hourly_parity",
     (s, d) => {
       val tmp = streamFixtureDirs.getOrElseUpdate(d, {
-        val t = java.nio.file.Files.createTempDirectory("graft_stream_events").toString
+        val t = fixtureTempDir("graft_stream_events")
         Tables.events(s, d).filter(col("ts").isNotNull)
           .write.mode("overwrite").parquet(t)
         t
@@ -1639,6 +1639,22 @@ object ExtensionQueries {
     * emits iff its timeout timestamp passed the final watermark
     * strictly — end + gap < max(ts) over the whole input (Spark times
     * out state when timeoutTimestamp < watermark). */
+  /** Temp fixture dir registered for recursive deletion at JVM exit:
+    * a bench/verify run at large SF writes hundreds of MB of stream
+    * fixtures (the 100× corpus leaves ~400 MB), and without the hook
+    * they accumulate in java.io.tmpdir across runs on a shared host.
+    * (File.deleteOnExit only removes EMPTY dirs, hence the hook.) */
+  private[queries] def fixtureTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   private val sessionParityFixtureDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val x_stream_sessionize_parity = Q(
@@ -1646,7 +1662,7 @@ object ExtensionQueries {
     (s, d) => {
       import s.implicits._
       val tmp = sessionParityFixtureDirs.getOrElseUpdate(d, {
-        val t = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+        val t = fixtureTempDir("graft_stream_sess")
         Tables.events(s, d).filter(col("ts").isNotNull)
           // second-truncated on both sides, same as x_events_sessionize
           .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
@@ -1710,7 +1726,7 @@ object ExtensionQueries {
     (s, d) => {
       import s.implicits._
       val tmp = sessionParityFixtureDirs.getOrElseUpdate(d, {
-        val t = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+        val t = fixtureTempDir("graft_stream_sess")
         Tables.events(s, d).filter(col("ts").isNotNull)
           .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
             col("user_id"))
@@ -2058,7 +2074,7 @@ object ExtensionQueries {
     (s, d) => {
       val (tc, tv) = streamJoinFixtureDirs.getOrElseUpdate(d, {
         val base =
-          java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+          fixtureTempDir("graft_stream_join")
         val ev = Tables.events(s, d).filter(col("ts").isNotNull)
           .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
             col("user_id"), col("event_type"))
@@ -2152,8 +2168,7 @@ object ExtensionQueries {
     "x_stream_dedup_parity",
     (s, d) => {
       val tmp = streamDedupFixtureDirs.getOrElseUpdate(d, {
-        val t = java.nio.file.Files
-          .createTempDirectory("graft_stream_dedup").toString
+        val t = fixtureTempDir("graft_stream_dedup")
         val ev = Tables.events(s, d).filter(col("ts").isNotNull)
           .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
             col("user_id"))
