@@ -218,6 +218,54 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** 60-bit difference hash (dHash — the standard perceptual image
+    * fingerprint) over a REALLY-decoded image: NN-resample the decoded
+    * pixels to an 11×6 grayscale grid with the same contractual
+    * integer mapping as [[resizePngHalf]] (`src = dst * srcDim /
+    * dstDim`, floor), then one bit per horizontal neighbor comparison
+    * (10 × 6 = 60 bits; gray = r+g+b, monotone-equivalent to luminance
+    * for comparisons and division-free). 60 bits rather than the
+    * classic 64 so the hash is a positive BIGINT in every engine and
+    * splits into 4 × 15-bit chunks — the same pigeonhole blocking
+    * (lossless for Hamming ≤ 3) the SimHash path uses, so near-dup
+    * image pairs come from a chunk equi-join, never an all-pairs
+    * product. Per-row, embarrassingly parallel; payloads never leave
+    * the executor. */
+  def dhashPng(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[ImageRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable payload for doc ${r.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        require(w >= 8 && h >= 6, s"dhash needs >= 8x6 source, got ${w}x$h")
+        var hash = 0L
+        val g = new Array[Long](11)
+        var y = 0
+        while (y < 6) {
+          val sy = y * h / 6
+          var x = 0
+          while (x < 11) {
+            val rgb = img.getRGB(x * w / 11, sy)
+            g(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          var i = 0
+          while (i < 10) {
+            hash = (hash << 1) | (if (g(i) > g(i + 1)) 1L else 0L)
+            i += 1
+          }
+          y += 1
+        }
+        ImageHash(r.doc_id, hash)
+      }
+    }
+  }
+
   case class Strip(doc_id: Long, strip_idx: Int, strip_sum: Long)
 
   /** Strip sampler over REALLY-decoded pixels: split each decoded image

@@ -2192,8 +2192,80 @@ object ExtensionQueries {
     Some("""SELECT event_id, date_trunc('second', ts) AS ts, user_id
       FROM events WHERE ts IS NOT NULL"""))
 
+  /** Perceptual-hash image near-dup (Multimodal.dhashPng): the corpus
+    * is the real-PNG media table UNIONED with itself under shifted ids
+    * (the same image re-uploaded under a new id — what pHash catches
+    * even after re-encoding). Collapse-exact-FIRST discipline: images
+    * are grouped by exact dhash (one representative + member count per
+    * group — re-uploads collapse here, so duplicate volume never
+    * reaches the pair join), then only the DISTINCT hashes go through
+    * the lossless 15-bit-chunk pigeonhole join (Hamming ≤ 3). Output is
+    * near-dup GROUP pairs with member counts — linear in distinct
+    * content, not quadratic in duplicates. `dhash_a` is in the output
+    * so the oracle's formula-replayed hash pins every bit of the real
+    * decode → resample → hash pipeline, not just the pair set. */
+  private val x_multimodal_phash = Q(
+    "x_multimodal_phash",
+    (s, d) => {
+      val media = Multimodal.pngMediaTable(s,
+        Tables.documents(s, d).select(col("doc_id")))
+      val corpus = media.unionByName(
+        media.withColumn("doc_id", col("doc_id") + lit(100000000L)))
+      val groups = Multimodal.dhashPng(s, corpus).toDF()
+        .groupBy(col("dhash"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"))
+      val chunked = groups.select(col("rep_id"), col("dhash"), col("n_members"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("dhash"), c * 15).bitwiseAND(lit(0x7fffL))
+              .as("key"))): _*)).as("ck"))
+        .select(col("rep_id"), col("dhash"), col("n_members"),
+          col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      chunked.as("x").join(chunked.as("y"), Seq("chunk", "key"))
+        .filter(col("x.rep_id") < col("y.rep_id"))
+        .select(col("x.rep_id").as("rep_a"), col("y.rep_id").as("rep_b"),
+          col("x.dhash").as("dhash_a"),
+          bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
+          col("x.n_members").as("n_a"), col("y.n_members").as("n_b"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+    Some("""WITH ids AS (
+      SELECT doc_id AS id, doc_id AS cid FROM documents
+      UNION ALL
+      SELECT doc_id + 100000000, doc_id FROM documents),
+    dims AS (SELECT id, cid, cid % 24 + 8 AS w, cid % 16 + 8 AS h FROM ids),
+    grid AS (
+      SELECT id, cid, w, h,
+        CAST(unnest(generate_series(0, 59)) AS BIGINT) AS b
+      FROM dims),
+    bits AS (
+      SELECT id, b,
+        ( (cid*31 + ((b%10)*w//11)*7  + ((b//10)*h//6)*13) % 256
+        + (cid*17 + ((b%10)*w//11)*11 + ((b//10)*h//6)*5)  % 256
+        + (cid*23 + ((b%10)*w//11)*3  + ((b//10)*h//6)*19) % 256) AS g1,
+        ( (cid*31 + (((b%10)+1)*w//11)*7  + ((b//10)*h//6)*13) % 256
+        + (cid*17 + (((b%10)+1)*w//11)*11 + ((b//10)*h//6)*5)  % 256
+        + (cid*23 + (((b%10)+1)*w//11)*3  + ((b//10)*h//6)*19) % 256) AS g2
+      FROM grid),
+    hashes AS (
+      SELECT id, CAST(SUM(CASE WHEN g1 > g2
+          THEN CAST(1 AS BIGINT) << CAST(59 - b AS INTEGER)
+          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+      FROM bits GROUP BY id),
+    groups AS (
+      SELECT dhash, MIN(id) AS rep_id, COUNT(*) AS n_members
+      FROM hashes GROUP BY dhash)
+    SELECT rep_a, rep_b, dhash_a, hamming, n_a, n_b FROM (
+      SELECT a.rep_id AS rep_a, b.rep_id AS rep_b, a.dhash AS dhash_a,
+        CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
+        a.n_members AS n_a, b.n_members AS n_b
+      FROM groups a JOIN groups b ON a.rep_id < b.rep_id)
+    WHERE hamming <= 3"""))
+
   def all: Seq[Q] = Seq(
     x_graph_triangles,
+    x_multimodal_phash,
     x_dedup_semantic,
     x_stream_join_parity,
     x_text_line_dedup,

@@ -176,6 +176,48 @@ class MultimodalSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException](frames(badFrame))
   }
 
+  test("dhashPng: monotone gradients give the extreme hashes; formula replay matches") {
+    // hand-constructed PNGs: strictly increasing left-to-right gray ->
+    // every neighbor comparison g(i) > g(i+1) is false -> hash 0;
+    // strictly decreasing -> all 60 bits set -> 2^60 - 1
+    def gradientPng(decreasing: Boolean): Array[Byte] = {
+      val w = 22; val h = 12
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (decreasing) 220 - 10 * x else 10 * x
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.ImageRow(1L, gradientPng(decreasing = false)),
+      Multimodal.ImageRow(2L, gradientPng(decreasing = true))).toDF()
+    val out = Multimodal.dhashPng(spark, media).collect()
+      .map(r => r.doc_id -> r.dhash).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == (1L << 60) - 1)
+
+    // and the generated-corpus hash matches an independent per-pixel
+    // replay of the generator formulas (the oracle's arithmetic)
+    val gen = Multimodal.pngMediaTable(spark, Seq(5L, 40L).toDF("doc_id"))
+    val hashes = Multimodal.dhashPng(spark, gen).collect()
+      .map(r => r.doc_id -> r.dhash).toMap
+    for (id <- Seq(5L, 40L)) {
+      val w = Multimodal.genWidth(id); val h = Multimodal.genHeight(id)
+      def gray(x: Int, y: Int): Long =
+        Multimodal.pixR(id, x * w / 11, y * h / 6).toLong +
+          Multimodal.pixG(id, x * w / 11, y * h / 6) +
+          Multimodal.pixB(id, x * w / 11, y * h / 6)
+      var expected = 0L
+      for (y <- 0 until 6; x <- 0 until 10)
+        expected = (expected << 1) | (if (gray(x, y) > gray(x + 1, y)) 1L else 0L)
+      assert(hashes(id) == expected, s"dhash mismatch for id $id")
+    }
+  }
+
   test("media generators pin the non-negative id contract") {
     val neg = Seq(-1L).toDF("doc_id")
     intercept[org.apache.spark.SparkException](
