@@ -532,6 +532,96 @@ object TextOps {
     FROM __bpe_agg
     QUALIFY rank <= $k"""
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones / Lucene form) for a
+    * fixed keyword query over the corpus — the search-serving shape
+    * every curation stack needs for "find documents about X" audits and
+    * retrieval-based decontamination. Per-term contributions are
+    * converted to MICRO-integer units before summation (idf =
+    * round(ln(...)·1e6), contribution rounded to integer micros), so
+    * the only libm call is pinned by rounding and the document score is
+    * an order-independent integer sum — bit-equal across engines and
+    * partitionings, same discipline as [[unigramLogProb]].
+    *
+    *   idf(t)      = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *   contrib(t,d)= idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: one token explode filtered to the query terms (the
+    * filter prunes before the shuffle, so work tracks matching tokens,
+    * not corpus tokens), combinable tf/df aggregates, 1-row corpus
+    * stats broadcast back, top-k as TakeOrdered + a ≤k-row ranking
+    * window. Output: (id, n_terms, score_micro, rank), `n_terms` = how
+    * many distinct query terms matched. */
+  def bm25TopK(df: DataFrame, id: String, text: Column, terms: Seq[String],
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val docs = df.select(col(id), tokens(text).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val tf = docs.select(col(id), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(id), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val idf = tf.groupBy(col("__t"))
+      .agg(countDistinct(col(id)).as("__df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf_micro",
+        round(log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
+          + lit(1.0)) * lit(1e6)).cast("long"))
+      .select(col("__t"), col("__idf_micro"))
+    val scored = tf.join(broadcast(idf), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib_micro",
+        round(col("__idf_micro") * (col("__tf") * lit(k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1 - b)
+            + lit(b) * col("__dl") / col("__avgdl")))).cast("long"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__contrib_micro")).as("score_micro"))
+    val top = scored.orderBy(col("score_micro").desc, col(id)).limit(k)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col(id))).cast("int"))
+  }
+
+  /** DuckDB SQL recomputing [[bm25TopK]]; `srcCte` is a parenthesized
+    * relation with (doc_id, text). */
+  def bm25TopKSql(srcCte: String, terms: Seq[String], k: Int = 20,
+                  k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH __bm_docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        len(string_split(lower(text), ' ')) AS dl
+      FROM $srcCte),
+    __bm_stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM __bm_docs),
+    __bm_tf AS (
+      SELECT doc_id, dl, t, COUNT(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS t FROM __bm_docs)
+      WHERE t IN ($termList) GROUP BY 1, 2, 3),
+    __bm_idf AS (
+      SELECT t, CAST(ROUND(ln((n - df + CAST(0.5 AS DOUBLE))
+          / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          * 1000000) AS BIGINT) AS idf_micro
+      FROM (SELECT t, COUNT(DISTINCT doc_id) AS df FROM __bm_tf GROUP BY 1)
+      CROSS JOIN __bm_stats),
+    __bm_scored AS (
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_terms,
+        CAST(SUM(CAST(ROUND(idf_micro * (tf * CAST(${k1 + 1} AS DOUBLE))
+          / (tf + CAST($k1 AS DOUBLE) * (CAST(${1 - b} AS DOUBLE)
+            + CAST($b AS DOUBLE) * dl / avgdl))) AS BIGINT)) AS BIGINT)
+          AS score_micro
+      FROM __bm_tf JOIN __bm_idf USING (t) CROSS JOIN __bm_stats
+      GROUP BY doc_id)
+    SELECT doc_id, n_terms, score_micro,
+      CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+        AS INTEGER) AS rank
+    FROM __bm_scored
+    QUALIFY rank <= $k"""
+  }
+
   /** Weight buckets for the hashed linear classifier. */
   val HashClfBuckets: Int = 2048
 

@@ -2263,9 +2263,22 @@ object ExtensionQueries {
       FROM groups a JOIN groups b ON a.rep_id < b.rep_id)
     WHERE hamming <= 3"""))
 
+  /** BM25 ranked retrieval (TextOps.bm25TopK) for a fixed keyword
+    * query: integer-micro scoring makes the full ranking oracle-exact;
+    * the token explode is pruned to query terms BEFORE the shuffle. */
+  private val x_text_bm25 = Q(
+    "x_text_bm25",
+    (s, d) => TextOps.bm25TopK(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      "doc_id", col("text"), terms = Seq("spark", "window", "scan"), k = 20),
+    Some(TextOps.bm25TopKSql(
+      "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
+      Seq("spark", "window", "scan"), 20)))
+
   def all: Seq[Q] = Seq(
     x_graph_triangles,
     x_multimodal_phash,
+    x_text_bm25,
     x_dedup_semantic,
     x_stream_join_parity,
     x_text_line_dedup,

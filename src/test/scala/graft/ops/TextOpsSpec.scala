@@ -191,6 +191,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", 5L, 1), ("b", "a", 2L, 2)))
   }
 
+  test("bm25TopK: rarity outranks commonality, tf raises, length dampens") {
+    // "common" appears in 6 docs, "rare" in 2 — same tf and length where
+    // they compete, so idf decides
+    val docs = (Seq(
+      (1L, "rare pad pad pad"),
+      (2L, "common pad pad pad"),
+      (3L, "rare rare pad pad"),            // higher tf than doc 1
+      (4L, "common pad pad pad pad pad pad pad pad pad pad pad") // longer
+    ) ++ (5L to 9L).map(i => (i, "common pad"))).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, "doc_id", col("text"),
+      terms = Seq("rare", "common"), k = 10)
+      .select($"doc_id", $"n_terms", $"score_micro", $"rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 9 && out.values.forall(_._3 > 0))
+    val score = out.view.mapValues(_._3).toMap
+    assert(score(1L) > score(2L), "rare term must outrank common at equal tf/len")
+    assert(score(3L) > score(1L), "higher tf must raise the score")
+    assert(score(2L) > score(4L), "longer doc must be dampened at equal tf")
+    assert(out.values.map(_._4).toSeq.sorted == (1 to 9))
+  }
+
   test("hashClfScore: deterministic, bounded, tf-sensitive") {
     val s1 = one[Double](TextOps.hashClfScore(col("s")), "the cat sat")
     val s2 = one[Double](TextOps.hashClfScore(col("s")), "the cat sat")
