@@ -107,6 +107,29 @@ object Quality {
         coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 
+  /** k-anonymity audit (Sweeney 2002): equivalence classes of the
+    * quasi-identifier tuple smaller than `k` re-identify their members.
+    * Returns only the VIOLATING classes — the QI columns, the class
+    * size, and the re-identification risk `1/size` fixed-pointed to
+    * integer micro-units so the value hash-matches across engines
+    * (1e6/size is one exact double division both ways, but emitting the
+    * rounded integer removes even formatting ambiguity).
+    *
+    * Scale shape: one map-side-combinable COUNT keyed by the QI tuple —
+    * the same plan as any groupBy — then a filter on the aggregate. A
+    * 100 TB table audits in a single shuffle whose key domain is the QI
+    * cross-product, not the row count; hot (large, SAFE) classes
+    * collapse map-side and are then filtered out, so output is bounded
+    * by the number of small classes. */
+  def kAnonymityViolations(df: DataFrame, qis: Seq[Column], k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    df.groupBy(qis: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+      .withColumn("risk_micro",
+        round(lit(1e6) / col("class_size")).cast("long"))
+  }
+
   /** Referential integrity: fact keys with no matching dimension row
     * (NULL FKs are not violations, matching SQL FK semantics). */
   def auditForeignKey(fact: DataFrame, factKey: String,

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count–Min sketch (Cormode & Muthukrishnan 2005) as a DataFrame
+  * program — the mergeable frequency summary a 100 TB engine uses when
+  * exact per-key counts would shuffle every key but only HEAVY HITTERS
+  * are wanted.
+  *
+  * Unlike the approximate aggregates in `x_sketch_suite` (HLL /
+  * percentile_approx, whose estimates are engine-specific and can only
+  * be BOUND-checked), this sketch is built from the engine-portable
+  * 56-bit MD5 hash ([[Sampling.hashValue]]) and pure integer counting,
+  * so another engine replays the ENTIRE sketch bit-exactly: cell
+  * counters, per-item estimates, and the overcount are all
+  * hash-matchable values, not tolerance checks.
+  *
+  * Scale shape: the sketch is ONE map-side-combinable aggregation into
+  * `depth × width` cells — a shuffle of at most (partitions × d·w)
+  * partial rows regardless of corpus size, and the cells table itself
+  * is tiny and broadcast-joinable. Merging two corpora's sketches is
+  * `UNION ALL` + re-sum, which is why the structure survives
+  * distribution: every partial is itself a valid sketch. The CM
+  * guarantee (estimate ≥ true count, overcount ≤ εN with probability
+  * 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉) holds per min-of-d-rows estimate;
+  * the ≥ lower bound is deterministic and is emitted as `overcount =
+  * est − exact ≥ 0` for the probe set.
+  */
+object Sketches {
+
+  /** Per-row cell key: `hash(j ++ ":" ++ key) % width` — the j-th hash
+    * function of the standard CM construction, derived from one MD5
+    * family ([[Sampling.hashBucket]]) by seed-prefixing. */
+  private def cell(j: Column, key: Column, width: Int): Column =
+    Sampling.hashBucket(concat(j.cast("string"), lit(":"), key.cast("string")), width)
+
+  private def cellSql(jExpr: String, keyExpr: String, width: Int): String =
+    Sampling.hashBucketSql(
+      s"CAST($jExpr AS VARCHAR) || ':' || CAST($keyExpr AS VARCHAR)", width)
+
+  /** The sketch: `(j, bucket, cnt)` — exactly `depth` rows of `width`
+    * counters (cells no row hashed into are absent ≡ zero). */
+  def countMinCells(df: DataFrame, key: Column,
+                    depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape d=$depth w=$width")
+    df.select(key.as("__key"))
+      .select(explode(array((0 until depth).map(lit(_)): _*)).as("j"), col("__key"))
+      .select(col("j"), cell(col("j"), col("__key"), width).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (a SMALL keyed relation — it is
+    * broadcast): min over the d cells each probe key hashes into.
+    * Returns `probes` columns plus `cms_est`. */
+  def countMinEstimate(cells: DataFrame, probes: DataFrame, probeKey: Column,
+                       depth: Int = 4, width: Int = 256): DataFrame = {
+    val keyed = probes.select(probes.columns.map(col) :+
+      explode(array((0 until depth).map(lit(_)): _*)).as("__j"): _*)
+      .withColumn("__bucket", cell(col("__j"), probeKey, width))
+    val joined = cells.join(broadcast(keyed),
+      col("j") === col("__j") && col("bucket") === col("__bucket"))
+    joined.groupBy(probes.columns.map(col): _*)
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  /** DuckDB CTE chain replaying [[countMinCells]] + [[countMinEstimate]]
+    * over `srcCte` (one column `$keyCol`) and probe CTE `probesCte`
+    * (columns incl. `$keyCol`); final relation `$out` = probes columns +
+    * `cms_est`. `probeCols` lists the probe CTE's columns. */
+  def countMinSql(srcCte: String, keyCol: String, probesCte: String,
+                  probeCols: Seq[String], out: String,
+                  depth: Int = 4, width: Int = 256): String = {
+    val js = (0 until depth).mkString(", ")
+    val cols = probeCols.mkString(", ")
+    s"""__cm_js AS (SELECT unnest([$js]) AS j),
+    __cm_cells AS (
+      SELECT j, ${cellSql("j", keyCol, width)} AS bucket, COUNT(*) AS cnt
+      FROM $srcCte CROSS JOIN __cm_js
+      GROUP BY 1, 2),
+    __cm_keyed AS (
+      SELECT $cols, j AS __j,
+        ${cellSql("j", keyCol, width)} AS __bucket
+      FROM $probesCte CROSS JOIN __cm_js),
+    $out AS (
+      SELECT $cols, MIN(cnt) AS cms_est
+      FROM __cm_cells JOIN __cm_keyed
+        ON j = __j AND bucket = __bucket
+      GROUP BY ${(1 to probeCols.size).mkString(", ")})"""
+  }
+}

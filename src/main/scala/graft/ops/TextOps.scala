@@ -406,6 +406,101 @@ object TextOps {
       FROM tf JOIN lp USING (term)
       GROUP BY doc_id)"""
 
+  /** Bigram-LM document scoring — the next rung of the CCNet-style
+    * perplexity-filter ladder above [[unigramLogProb]]: each document
+    * scored by the mean conditional log-probability ln P(w₂|w₁) of its
+    * adjacent word pairs under the corpus's OWN bigram MLE (count(w₁w₂)
+    * / count(w₁·)). Real pipelines use a 5-gram KenLM; the bigram is
+    * the same estimator at n=2 and shares its plan shape, and because
+    * the model is fit on the scored corpus itself every observed bigram
+    * has nonzero probability — no smoothing term to disagree on.
+    *
+    * Scale shape: bigram construction is per-row (transform over the
+    * token array); then two map-side-combinable counts (doc×bigram tf,
+    * bigram → corpus count), one combinable re-aggregate for the
+    * context totals count(w₁·), and ONE shuffle equi-join of the
+    * distinct (doc, bigram) frame against the model — join cardinality
+    * is bounded by vocabulary reuse, not token occurrences. No window,
+    * no driver state.
+    *
+    * Float discipline (same as [[unigramLogProb]]): per-bigram log-probs
+    * fixed-pointed to integer micro-nats so the per-doc sum is
+    * order-free integer arithmetic; only the final mean divides.
+    * Documents with fewer than two tokens have no bigrams and drop out
+    * (the unigram scorer covers them). */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val btf = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__toks) - 2)," +
+          " i -> named_struct('w1', __toks[i], 'w2', __toks[i + 1]))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val model = btf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+    val ctx = model.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val lp = model.join(ctx, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("cb").cast("double") / col("cw")) * 1e6d)
+          .cast("long").as("lp_micro"))
+    btf.join(lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("int").as("n_bigrams"),
+        round(sum(col("tf") * col("lp_micro")).cast("double") /
+          (sum(col("tf")) * 1e6d), 6).as("avg_bigram_logprob"))
+  }
+
+  /** DuckDB CTE chain recomputing [[bigramLogProb]] exactly; `srcCte` is
+    * a parenthesized relation with (doc_id, text); final relation
+    * `bg_scored`. */
+  def bigramLogProbSql(srcCte: String): String =
+    s"""bg_base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM $srcCte),
+    bg_tf AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+          unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+                  for i in range(1, len(toks))], recursive := true)
+        FROM bg_base WHERE len(toks) >= 2)
+      GROUP BY 1, 2, 3),
+    bg_model AS (
+      SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb FROM bg_tf GROUP BY 1, 2),
+    bg_ctx AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM bg_model GROUP BY 1),
+    bg_lp AS (
+      SELECT w1, w2,
+        CAST(ROUND(ln(CAST(cb AS DOUBLE) / cw) * 1000000) AS BIGINT) AS lp_micro
+      FROM bg_model JOIN bg_ctx USING (w1)),
+    bg_scored AS (
+      SELECT doc_id,
+        CAST(SUM(tf) AS INTEGER) AS n_bigrams,
+        ROUND(CAST(SUM(tf * lp_micro) AS DOUBLE) / (SUM(tf) * 1000000.0), 6)
+          AS avg_bigram_logprob
+      FROM bg_tf JOIN bg_lp USING (w1, w2)
+      GROUP BY doc_id)"""
+
+  /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019's regex,
+    * simplified to ASCII classes so Java regex and RE2 agree literally):
+    * contraction suffixes, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs. Both engines run the
+    * IDENTICAL pattern string — alternation is leftmost-first in both
+    * (RE2 mimics Perl submatch semantics), and no lookarounds are used
+    * (RE2 has none). */
+  val Gpt2ishPattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+  /** Pre-tokenize into GPT-2-ish pieces (leading-space convention kept,
+    * as real BPE vocabularies do — " the" and "the" are distinct
+    * types). Per-row; stays in codegen. */
+  def gpt2Tokens(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2ishPattern), lit(0))
+
+  /** The same call in DuckDB (group 0 is its default). */
+  def gpt2TokensSql(textExpr: String): String = {
+    val quoted = Gpt2ishPattern.replace("'", "''")
+    s"regexp_extract_all($textExpr, '$quoted')"
+  }
+
   /** Cross-document LINE-level deduplication (the C4 / RefinedWeb
     * preprocessing step: any line occurring in ≥ `minDocs` distinct
     * documents is boilerplate — nav bars, cookie banners, licence

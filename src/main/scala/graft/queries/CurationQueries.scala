@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Quality, Sketches, TextOps}
+
+/** Round-5 curation/profiling additions: an exactly-replayable
+  * Count–Min sketch, a k-anonymity privacy audit, a GPT-2-style regex
+  * pre-tokenizer profile, and a bigram-LM perplexity-proxy scorer.
+  * Each is a library operator ([[graft.ops]]) plus a DuckDB oracle that
+  * recomputes the identical arithmetic.
+  */
+object CurationQueries {
+
+  /** Count–Min heavy-hitter check over the lineitem supplier stream:
+    * build the d×w sketch (one combinable aggregation into 1024 cells),
+    * take the 10 exact-heaviest suppliers (TakeOrderedAndProject with a
+    * total-order tie-break), and read their sketch estimates back. The
+    * CM lower-bound property — estimate never undercounts — is emitted
+    * as `overcount = cms_est − exact_cnt` (≥ 0 by construction), and
+    * because the hash family is the engine-portable MD5-56 the oracle
+    * replays cells AND estimates bit-exactly — no tolerance checks, in
+    * contrast to `x_sketch_suite`'s HLL bound booleans. */
+  private val x_sketch_countmin = Q(
+    "x_sketch_countmin", {
+      (s, d) => {
+        val items = Tables.lineitem(s, d).select(col("l_suppkey").as("suppkey"))
+        val cells = Sketches.countMinCells(items, col("suppkey"))
+        val exact = items.groupBy(col("suppkey"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        val probes = exact
+          .orderBy(col("exact_cnt").desc, col("suppkey").asc).limit(10)
+        Sketches.countMinEstimate(cells, probes, col("suppkey"))
+          .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      }
+    },
+    Some(s"""WITH src AS (SELECT l_suppkey AS suppkey FROM lineitem),
+      exact AS (SELECT suppkey, COUNT(*) AS exact_cnt FROM src GROUP BY 1),
+      probes AS (SELECT * FROM exact ORDER BY exact_cnt DESC, suppkey LIMIT 10),
+      ${Sketches.countMinSql("src", "suppkey", "probes",
+        Seq("suppkey", "exact_cnt"), "est")}
+      SELECT suppkey, exact_cnt, cms_est,
+        cms_est - exact_cnt AS overcount
+      FROM est"""))
+
+  /** k-anonymity audit (Quality.kAnonymityViolations) over the customer
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band): equivalence classes smaller than k = 5 re-identify their
+    * members and are reported with their re-identification risk. The
+    * balance band (floor(bal/5000) — one exact double division both
+    * engines) is what makes the audit bite: at sf0.01 roughly half the
+    * classes violate, so the query proves both directions of the
+    * filter. One combinable groupBy — the privacy audit costs the same
+    * as any aggregate. */
+  private val x_dq_k_anonymity = Q(
+    "x_dq_k_anonymity",
+    (s, d) => Quality.kAnonymityViolations(
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 5000.0d).cast("long").as("bal_band")),
+      Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")), k = 5),
+    Some("""SELECT c_nationkey, c_mktsegment,
+      CAST(FLOOR(c_acctbal / 5000.0) AS BIGINT) AS bal_band,
+      COUNT(*) AS class_size,
+      CAST(ROUND(1000000.0 / COUNT(*)) AS BIGINT) AS risk_micro
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < 5"""))
+
+  /** Tokenizer-cost profile with a real pre-tokenizer: documents get a
+    * deterministic punctuation/contraction/number suffix (the corpus is
+    * bare lowercase words, same trick as `x_text_redact`), are split by
+    * the GPT-2-style regex ([[TextOps.Gpt2ishPattern]], leading-space
+    * convention and all), and profiled per language: document count,
+    * total pieces, distinct piece TYPES (the vocabulary-size signal a
+    * tokenizer-training run budgets by), and mean pieces/doc in integer
+    * micro-units. Explode + two combinable aggregates; the distinct is
+    * over (lang, piece) — vocabulary-bounded, not corpus-bounded. */
+  private val x_text_regex_tokens = Q(
+    "x_text_regex_tokens", {
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            concat(col("text"), lit(" doc#"), col("doc_id"),
+              lit("'s rev "), col("doc_id") % 7,
+              lit("."), col("doc_id") % 3, lit("!")).as("txt"))
+        val toks = docs.select(col("lang"),
+          explode(TextOps.gpt2Tokens(col("txt"))).as("piece"))
+        val per = toks.groupBy(col("lang"))
+          .agg(count(lit(1)).as("total_pieces"),
+            countDistinct(col("piece")).as("n_piece_types"))
+        val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        nd.join(per, "lang")
+          .select(col("lang"), col("n_docs"), col("total_pieces"),
+            col("n_piece_types"),
+            round(col("total_pieces") * 1000000.0d / col("n_docs"))
+              .cast("long").as("pieces_per_doc_micro"))
+      }
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, lang,
+          concat(text, ' doc#', doc_id, '''s rev ', doc_id % 7,
+                 '.', doc_id % 3, '!') AS txt
+        FROM documents WHERE text IS NOT NULL),
+      toks AS (SELECT lang, unnest(${TextOps.gpt2TokensSql("txt")}) AS piece
+               FROM docs),
+      per AS (SELECT lang, COUNT(*) AS total_pieces,
+                COUNT(DISTINCT piece) AS n_piece_types
+              FROM toks GROUP BY 1),
+      nd AS (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY 1)
+      SELECT lang, n_docs, total_pieces, n_piece_types,
+        CAST(ROUND(total_pieces * 1000000.0 / n_docs) AS BIGINT)
+          AS pieces_per_doc_micro
+      FROM nd JOIN per USING (lang)"""))
+
+  /** Bigram-LM scoring (TextOps.bigramLogProb): mean conditional
+    * ln P(w₂|w₁) per document under the corpus's own bigram MLE — the
+    * n=2 rung of the CCNet perplexity-filter ladder above the unigram
+    * scorer, fixed-pointed to integer micro-nats so both engines sum
+    * exactly. */
+  private val x_text_bigram_logprob = Q(
+    "x_text_bigram_logprob",
+    (s, d) => TextOps.bigramLogProb(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text")),
+    Some(s"""WITH ${TextOps.bigramLogProbSql(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")}
+      SELECT doc_id, n_bigrams, avg_bigram_logprob FROM bg_scored"""))
+
+  def all: Seq[Q] = Seq(
+    x_sketch_countmin,
+    x_dq_k_anonymity,
+    x_text_regex_tokens,
+    x_text_bigram_logprob,
+  )
+}

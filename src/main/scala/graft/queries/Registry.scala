@@ -15,7 +15,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ReferenceQueries.all ++ ExtensionQueries.all ++ RelationalQueries.all ++
-      EltQueries.all ++ TimeSeriesQueries.all ++ LayoutQueries.all
+      EltQueries.all ++ TimeSeriesQueries.all ++ LayoutQueries.all ++
+      CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> withSessionDefaults(q.fn)).toMap

@@ -83,4 +83,18 @@ class QualitySpec extends SparkSpec {
       .as[(String, Long)].collect().head
     assert(out == ("fk_fk_to_k", 2L)) // the two fk=3 rows; NULL exempt
   }
+
+  test("kAnonymityViolations reports only sub-k classes, with risk") {
+    val rows = Seq.fill(5)(("AU", "BLDG")) ++ // safe class (size 5 = k)
+      Seq.fill(2)(("AU", "AUTO")) ++          // violating, size 2
+      Seq(("NZ", "AUTO"))                     // violating, size 1
+    val out = Quality.kAnonymityViolations(
+      rows.toDF("nation", "segment"),
+      Seq(col("nation"), col("segment")), k = 5)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out == Map(
+      ("AU", "AUTO") -> ((2L, 500000L)),
+      ("NZ", "AUTO") -> ((1L, 1000000L))))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed stream: key k appears k times, k = 1..40 (820 rows)
+  private def stream = spark.range(1, 41)
+    .select(explode(sequence(lit(1), col("id"))).as("copy"), col("id").as("key"))
+    .select(col("key"))
+
+  test("count-min never undercounts and hits exactly without collisions") {
+    val cells = Sketches.countMinCells(stream, col("key"), depth = 4, width = 256)
+    val exact = stream.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketches.countMinEstimate(cells, exact, col("key"), depth = 4, width = 256)
+      .as[(Long, Long, Long)].collect()
+    assert(est.length == 40)
+    est.foreach { case (key, ex, cm) =>
+      assert(cm >= ex, s"CM undercounted key $key: $cm < $ex")
+      assert(ex == key) // sanity of the fixture itself
+    }
+    // 40 keys into 256 buckets x 4 rows: the min-of-4 estimate should be
+    // exact for nearly every key; require a large exact majority so a
+    // broken hash (everything colliding) fails loudly.
+    val exactHits = est.count { case (_, ex, cm) => cm == ex }
+    assert(exactHits >= 35, s"only $exactHits/40 estimates exact")
+  }
+
+  test("sketches merge: cells of halves re-summed equal cells of the whole") {
+    val a = stream.filter(col("key") <= 20)
+    val b = stream.filter(col("key") > 20)
+    val merged = Sketches.countMinCells(a, col("key"))
+      .unionByName(Sketches.countMinCells(b, col("key")))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = Sketches.countMinCells(stream, col("key"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("sketch size is bounded by depth x width regardless of rows") {
+    val cells = Sketches.countMinCells(stream, col("key"), depth = 2, width = 8)
+      .as[(Int, Long, Long)].collect()
+    assert(cells.length <= 2 * 8)
+    assert(cells.map(_._1).toSet.subsetOf(Set(0, 1)))
+    assert(cells.forall(c => c._2 >= 0 && c._2 < 8))
+    assert(cells.map(_._3).sum == 2 * 820) // every row lands in every depth row
+  }
+}

@@ -229,4 +229,27 @@ class TextOpsSpec extends SparkSpec {
     val bal = one[Double](TextOps.hashClfScore(col("s")), "the cat")
     assert(math.abs(rep - expected) < math.abs(bal - expected))
   }
+
+  test("gpt2Tokens: contraction/space/number/punct pieces, GPT-2 conventions") {
+    val out = Seq("Hello world, it's 42 tokens-ish! x2")
+      .toDF("s").select(TextOps.gpt2Tokens(col("s")).as[Seq[String]]).head()
+    assert(out == Seq("Hello", " world", ",", " it", "'s", " 42",
+      " tokens", "-", "ish", "!", " x", "2"))
+  }
+
+  test("bigramLogProb: hand-checked MLE on a 2-doc corpus; short docs drop") {
+    // corpus bigrams: d1 "a b a b" -> (a,b)x2 (b,a)x1; d2 "a c" -> (a,c)x1; d3 "x"
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("id", "text")
+    val out = TextOps.bigramLogProb(docs, col("id"), col("text"))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(3L)) // single-token doc has no bigrams
+    // model: P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1
+    def micro(p: Double) = math.round(math.log(p) * 1e6)
+    val d1 = (2 * micro(2.0 / 3) + 1 * micro(1.0)) / (3 * 1e6)
+    val d2 = micro(1.0 / 3) / 1e6
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3, r6(d1))))
+    assert(out(2L) == ((1, r6(d2))))
+  }
 }

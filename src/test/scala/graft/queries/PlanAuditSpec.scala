@@ -269,6 +269,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*("), s"classifier fell out of codegen:\n$p")
   }
 
+  test("x_sketch_countmin: top-k probes as heap, probe join broadcast, cells agg partial") {
+    val p = planStr("x_sketch_countmin")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 probe pick is not a bounded heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-to-cells join is not broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"sketch cells lack map-side partial aggregation:\n$p")
+  }
+
+  test("x_dq_k_anonymity: ONE hash aggregate with map-side partials, no join") {
+    val p = planStr("x_dq_k_anonymity")
+    assert(p.contains("partial_count"),
+      s"k-anonymity groupBy lacks map-side combine:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in the privacy audit:\n$p")
+  }
+
+  test("x_text_bigram_logprob: model joins are keyed, aggregates partial") {
+    val p = planStr("x_text_bigram_logprob")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bigram counts lack map-side combine:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"model join fell back to nested-loop:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
