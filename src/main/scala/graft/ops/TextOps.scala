@@ -480,6 +480,56 @@ object TextOps {
       FROM bg_tf JOIN bg_lp USING (w1, w2)
       GROUP BY doc_id)"""
 
+  /** Per-document character-entropy profile — the compressibility-proxy
+    * quality signal (low-entropy docs are repetitive boilerplate;
+    * implausibly high entropy flags binary junk/encoding damage).
+    * Real pipelines often use zlib ratio; the Shannon form measures the
+    * same order-0 redundancy but is exactly replayable cross-engine,
+    * where a codec's byte count is implementation-defined.
+    *
+    * Fixed-point discipline: H = ln n − (Σ cᵢ·ln cᵢ)/n is computed as
+    * `round(ln n · 1e6) − round(S/n)` with S = Σ cᵢ·round(ln cᵢ · 1e6)
+    * — S is an ORDER-FREE integer sum (the only place addition happens),
+    * so both engines produce the identical micro-nat integer.
+    *
+    * Scale shape: explode to characters (corpus-byte-linear), one
+    * map-side-combinable (doc, char) count, one per-doc re-aggregate —
+    * no windows, no joins. */
+  def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val chars = df.select(id.as("doc_id"),
+      explode(regexp_extract_all(text, lit("."), lit(0))).as("ch"))
+    val cf = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    cf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * round(log(col("c").cast("double")) * 1e6d).cast("long"))
+          .as("__s"))
+      .select(col("doc_id"), col("n_chars"),
+        col("n_distinct_chars").cast("int").as("n_distinct_chars"),
+        (round(log(col("n_chars").cast("double")) * 1e6d).cast("long") -
+          round(col("__s").cast("double") / col("n_chars")).cast("long"))
+          .as("entropy_micro"))
+  }
+
+  /** DuckDB CTE chain recomputing [[charEntropy]] exactly; `srcCte` is a
+    * parenthesized relation with (doc_id, text); final relation
+    * `ent_scored`. */
+  def charEntropySql(srcCte: String): String =
+    s"""ent_chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM $srcCte),
+    ent_cf AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM ent_chars GROUP BY 1, 2),
+    ent_scored AS (
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_chars,
+        CAST(COUNT(*) AS INTEGER) AS n_distinct_chars,
+        CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE)) * 1000000) AS BIGINT)
+          - CAST(ROUND(CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000)
+                                        AS BIGINT)) AS DOUBLE)
+                       / SUM(c)) AS BIGINT) AS entropy_micro
+      FROM ent_cf GROUP BY doc_id)"""
+
   /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019's regex,
     * simplified to ASCII classes so Java regex and RE2 agree literally):
     * contraction suffixes, space-prefixed letter runs, space-prefixed

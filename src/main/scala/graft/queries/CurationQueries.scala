@@ -128,7 +128,21 @@ object CurationQueries {
         "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")}
       SELECT doc_id, n_bigrams, avg_bigram_logprob FROM bg_scored"""))
 
+  /** Character-entropy profile (TextOps.charEntropy): the
+    * compressibility-proxy quality signal in exact micro-nats — explode
+    * to chars, two combinable aggregates, no joins or windows. */
+  private val x_text_entropy = Q(
+    "x_text_entropy",
+    (s, d) => TextOps.charEntropy(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text")),
+    Some(s"""WITH ${TextOps.charEntropySql(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")}
+      SELECT doc_id, n_chars, n_distinct_chars, entropy_micro
+      FROM ent_scored"""))
+
   def all: Seq[Q] = Seq(
+    x_text_entropy,
     x_sketch_countmin,
     x_dq_k_anonymity,
     x_text_regex_tokens,

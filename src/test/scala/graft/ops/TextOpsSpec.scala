@@ -252,4 +252,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == ((3, r6(d1))))
     assert(out(2L) == ((1, r6(d2))))
   }
+
+  test("charEntropy: hand-checked micro-nats; uniform max, constant zero") {
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aab"))
+      .toDF("id", "text")
+    val out = TextOps.charEntropy(docs, col("id"), col("text"))
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((4L, 1, math.round(math.log(4) * 1e6) -
+      math.round(4 * math.round(math.log(4) * 1e6) / 4.0))))
+    assert(out(1L)._3 == 0L) // constant text: zero entropy exactly
+    assert(out(2L) == ((4L, 4, math.round(math.log(4) * 1e6)))) // uniform: ln 4
+    val s3 = 2 * math.round(math.log(2) * 1e6) + 1 * 0L
+    assert(out(3L) == ((3L, 2,
+      math.round(math.log(3) * 1e6) - math.round(s3 / 3.0))))
+  }
 }
