@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Quality, Sketches, TextOps}
+import graft.ops.{Quality, Similarity, Sketches, TextOps}
 
 /** Round-5 curation/profiling additions: an exactly-replayable
   * Count–Min sketch, a k-anonymity privacy audit, a GPT-2-style regex
@@ -141,8 +141,64 @@ object CurationQueries {
       SELECT doc_id, n_chars, n_distinct_chars, entropy_micro
       FROM ent_scored"""))
 
+  /** ANN quality evaluation: recall@5 of the LSH index vs exact brute
+    * force, per query — the measurement harness that justifies shipping
+    * an approximate index at all (an ANN path without a recall gauge is
+    * unfalsifiable). Both arms are the registered operators themselves;
+    * the LEFT join + count(matched) per query is exact integer
+    * arithmetic, and the oracle recomputes BOTH indexes and the same
+    * intersection, so the recall numbers — not just the rankings —
+    * hash-match. Scale: the exact arm is the bounded ground-truth mode
+    * (10 fixed queries × corpus, broadcast query side); recall
+    * evaluation always runs on a sampled query set, never the corpus. */
+  private val x_sim_lsh_recall = Q(
+    "x_sim_lsh_recall", {
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.lshTopK(q, emb, k = 5)
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+        exact.join(approx,
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("an")).as("n_hit"))
+          .withColumn("recall_micro",
+            round(col("n_hit") * 1000000.0d / col("n_exact")).cast("long"))
+      }
+    },
+    Some(s"""WITH exact AS (
+      WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 10),
+      c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          ROUND(list_inner_product(qv, cv)
+            / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+            6) AS cosine
+        FROM c, q WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= 5),
+    approx AS (
+      SELECT query_id AS aq, neighbor_id AS an
+      FROM (${graft.ops.Similarity.lshTopKSql("vec_id < 10", k = 5)}))
+    SELECT query_id, COUNT(*) AS n_exact, COUNT(an) AS n_hit,
+      CAST(ROUND(COUNT(an) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_micro
+    FROM exact LEFT JOIN approx
+      ON query_id = aq AND neighbor_id = an
+    GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     x_text_entropy,
+    x_sim_lsh_recall,
     x_sketch_countmin,
     x_dq_k_anonymity,
     x_text_regex_tokens,
