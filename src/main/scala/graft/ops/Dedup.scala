@@ -252,6 +252,46 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** ASYMMETRIC near-dup: ordered pairs (a → b) with containment
+    * C(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ `minC` —
+    * the RefinedWeb-style signal Jaccard misses: a short document
+    * quoted verbatim inside a much longer one has high containment but
+    * low Jaccard (the length mismatch drowns the symmetric measure).
+    * For the same reason the block key must NOT include a length
+    * bucket — cross-length pairs are the point.
+    *
+    * Candidate generation is prefix-filtered on the PROBE side only
+    * (pigeonhole: if a shares ≥ ⌈minC·|a|⌉ shingles with b, then ANY
+    * fixed subset of |a| − ⌈minC·|a|⌉ + 1 of a's shingles contains a
+    * shared one — lossless for any subset choice), while the corpus
+    * side indexes every shingle; the join is a plain equi-join on
+    * (block, shingle), so candidate volume tracks genuinely shared
+    * shingles, never block-pair cross products. Verification is one
+    * sorted-set intersect per deduped ordered pair. */
+  def containmentPairs(docs: DataFrame, block: Column,
+                       minC: Double): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("toks"), block.as("blk"))
+      .filter(size(col("toks")) > 0)
+    val prefLen = (size(col("toks"))
+      - ceil(lit(minC) * size(col("toks"))).cast("int") + 1)
+    val probe = keyed.select(col("blk"), col("doc_id").as("doc_a"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("ptok"))
+    val corpus = keyed.select(col("blk"), col("doc_id").as("doc_b"),
+      explode(col("toks")).as("ptok"))
+    val cands = probe.join(corpus, Seq("blk", "ptok"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(keyed.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(keyed.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(GraftFunctions.sortedIntersectCount(col("toks_a"), col("toks_b"))
+          .cast("double") / size(col("toks_a")).cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= minC)
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** Per-row MinHash signature: for seed i, min over tokens of h_i(token)

@@ -428,6 +428,57 @@ object Multimodal {
     }
   }
 
+  case class AudioFrame(doc_id: Long, frame_idx: Int, energy: Long, zcr: Long)
+
+  /** Frame-level audio features over the REAL decode path: each clip is
+    * decoded through the cached SPI WAV codec (same as [[decodeWav]]),
+    * split into fixed `frameLen`-sample frames (trailing partial frame
+    * dropped, as real front-ends drop undecodable tails), and reduced to
+    * the two classic integer-exact descriptors — frame ENERGY (Σ s², the
+    * VAD/loudness signal) and ZERO-CROSSING RATE (adjacent sign flips,
+    * the cheap voiced/unvoiced proxy). Both are pure integer arithmetic
+    * on lossless 16-bit PCM, so the oracle replays every frame's
+    * features from the generator formula — the hash matches only if the
+    * real encode→decode roundtrip returned the exact samples.
+    *
+    * Scale shape: embarrassingly parallel 1:N explode (clip → frames);
+    * payloads never leave their partition, nothing shuffles. */
+  def wavFrameFeatures(spark: SparkSession, media: DataFrame,
+                       frameLen: Int = 160): Dataset[AudioFrame] = {
+    require(frameLen >= 2, s"need frameLen >= 2, got $frameLen")
+    import spark.implicits._
+    media.as[ImageRow].mapPartitions { it =>
+      val reader = wavReaderSpi() // codec init once per partition
+      it.flatMap { r =>
+        val ais = reader.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian || f.getChannels != 1)
+          throw new IllegalStateException(
+            s"unexpected decoded format $f for doc ${r.doc_id}")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        @inline def s(i: Int): Int =
+          ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        (0 until n / frameLen).iterator.map { fi =>
+          var energy = 0L; var zcr = 0L
+          var j = fi * frameLen
+          val end = j + frameLen
+          var prev = s(j)
+          energy += prev.toLong * prev
+          j += 1
+          while (j < end) {
+            val cur = s(j)
+            energy += cur.toLong * cur
+            if (prev.toLong * cur < 0) zcr += 1
+            prev = cur; j += 1
+          }
+          AudioFrame(r.doc_id, fi, energy, zcr)
+        }
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 
   /** Generic byte-frame sampler for OPAQUE payloads (format unknown):

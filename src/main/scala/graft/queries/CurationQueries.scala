@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Quality, Similarity, Sketches, TextOps}
+import graft.ops.{Dedup, Multimodal, Quality, Similarity, Sketches, TextOps}
 
 /** Round-5 curation/profiling additions: an exactly-replayable
   * Count–Min sketch, a k-anonymity privacy audit, a GPT-2-style regex
@@ -196,9 +196,66 @@ object CurationQueries {
       ON query_id = aq AND neighbor_id = an
     GROUP BY 1"""))
 
+  /** Asymmetric containment near-dup (Dedup.containmentPairs): ordered
+    * pairs where ≥ 80% of a's 3-shingles appear in b — the
+    * quote-inclusion signal the symmetric Jaccard queries miss, blocked
+    * by language ONLY (a length bucket would exclude exactly the
+    * cross-length pairs containment exists for). The oracle verifies
+    * every same-language ordered pair directly, so the prefix-filter
+    * candidate generation is proven lossless, not just plausible. */
+  private val x_dedup_containment = Q(
+    "x_dedup_containment",
+    (s, d) => Dedup.containmentPairs(
+      Dedup.shingled(
+        Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("lang").isNotNull
+            && size(split(lower(col("text")), " ")) >= 3),
+        col("doc_id"), col("text"), keep = Seq(col("lang"))),
+      block = col("lang"), minC = 0.8),
+    Some("""WITH docs AS (
+      SELECT doc_id, lang,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, len(toks) - 1)]) AS shingles
+      FROM (SELECT *, string_split(lower(text), ' ') AS toks
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL)
+      WHERE len(toks) >= 3)
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(a.shingles) AS DOUBLE), 6) AS containment
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+    WHERE containment >= 0.8"""))
+
+  /** Frame-level audio features (Multimodal.wavFrameFeatures) over the
+    * REAL WAV decode path: 160-sample frame energy + zero-crossing
+    * rate, integer-exact on lossless PCM, so the oracle replays every
+    * frame from the generator formula. Clip → frame explode only;
+    * payloads never shuffle. */
+  private val x_multimodal_audio_frames = Q(
+    "x_multimodal_audio_frames",
+    (s, d) => Multimodal.wavFrameFeatures(s,
+      Multimodal.wavMediaTable(s, Tables.documents(s, d))).toDF(),
+    Some("""WITH m AS (
+      SELECT doc_id, CAST(doc_id % 400 + 100 AS INTEGER) AS n FROM documents),
+    fr AS (SELECT doc_id, UNNEST(range(0, n // 160)) AS fi FROM m),
+    sm AS (
+      SELECT doc_id, fi,
+        [(doc_id*7919 + (fi*160 + j)*2654435761) % 65536 - 32768
+         for j in range(0, 160)] AS ss
+      FROM fr)
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+      CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS energy,
+      CAST(len(list_filter(range(1, len(ss)),
+                           j -> ss[j] * ss[j + 1] < 0)) AS BIGINT) AS zcr
+    FROM sm"""))
+
   def all: Seq[Q] = Seq(
     x_text_entropy,
     x_sim_lsh_recall,
+    x_dedup_containment,
+    x_multimodal_audio_frames,
     x_sketch_countmin,
     x_dq_k_anonymity,
     x_text_regex_tokens,

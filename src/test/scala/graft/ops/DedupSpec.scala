@@ -64,6 +64,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("containmentPairs: quoted-inside pair is one-directional and Jaccard-invisible") {
+    // doc 11 (5 shingles) quoted verbatim inside doc 12 (19 shingles):
+    // C(11->12)=1.0, C(12->11)=5/19, Jaccard=5/19 — below any useful
+    // symmetric threshold.
+    val quote = "p q r s t u v"
+    val page = s"$quote w x y z aa bb cc dd ee ff gg hh ii"
+    val docs = Seq((11L, quote), (12L, page), (13L, "k l m n o"))
+      .toDF("doc_id", "text")
+    val shingles = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val got = Dedup.containmentPairs(shingles, block = lit(1), minC = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((11L, 12L, 1.0)))
+    // the symmetric measure misses it at the same threshold
+    val jac = Dedup.jaccardPairs(shingles, block = lit(1), minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+  }
+
   test("minhashLshPairs recovers the exact-Jaccard pairs on planted dups, with sane estimates") {
     val shingles = Dedup.shingled(docs, col("doc_id"), col("text"))
     val got = Dedup.minhashLshPairs(shingles)

@@ -124,6 +124,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavFrameFeatures: energy/zcr per frame match the generator; tail dropped") {
+    val docs = Seq(0L, 3L, 250L).toDF("doc_id")
+    val media = Multimodal.wavMediaTable(spark, docs)
+    val got = Multimodal.wavFrameFeatures(spark, media, frameLen = 160).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    for (id <- Seq(0L, 3L, 250L)) {
+      val n = Multimodal.genSamples(id)
+      val nFrames = n / 160
+      assert(got.keys.count(_._1 == id) == nFrames) // partial tail dropped
+      for (fi <- 0 until nFrames) {
+        val ss = (fi * 160 until (fi + 1) * 160).map(Multimodal.sampleAt(id, _))
+        val f = got((id, fi))
+        assert(f.energy == ss.map(s => s.toLong * s).sum)
+        assert(f.zcr == ss.sliding(2).count(p => p(0).toLong * p(1) < 0))
+      }
+    }
+  }
+
   test("real AVI roundtrip: container parse returns exactly the generated frames") {
     val ids = Seq(0L, 5L, 123L)
     val docs = ids.toDF("doc_id")
