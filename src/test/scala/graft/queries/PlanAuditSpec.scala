@@ -294,6 +294,20 @@ class PlanAuditSpec extends SparkSpec {
       s"model join fell back to nested-loop:\n$p")
   }
 
+  test("x_dedup_containment: candidates come from an equi-join on (block, shingle)") {
+    val p = planStr("x_dedup_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment candidate generation is not an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no hash/merge join found:\n$p")
+  }
+
+  test("x_multimodal_audio_frames: the decode+frame pipeline plans zero exchanges") {
+    val p = planStr("x_multimodal_audio_frames")
+    assert(!p.contains("Exchange"),
+      s"per-row audio frame features plan a shuffle:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
