@@ -130,6 +130,24 @@ object Quality {
         round(lit(1e6) / col("class_size")).cast("long"))
   }
 
+  /** Order-independent grouped table checksum — migration/replication
+    * validation (the per-partition check a 100 TB copy job runs instead
+    * of comparing rows): md5-56 of the caller's canonical row rendering,
+    * summed per group in DECIMAL(38) (order-free; no overflow below
+    * ~1e80-row groups), reduced mod 2⁶² to a BIGINT. Checksums agree iff
+    * the row multisets agree (up to hash collisions) — regardless of
+    * partitioning, ordering, or file layout. Callers must render floats
+    * deliberately (engine-specific formatting) or exclude them. */
+  def tableChecksum(df: DataFrame, group: Seq[String],
+                    canonical: Column): DataFrame =
+    df.select(group.map(col) :+
+        Sampling.hashValue(canonical)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__h"): _*)
+      .groupBy(group.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__h")) % lit(BigDecimal(4611686018427387904L)))
+          .cast("long").as("checksum"))
+
   /** Referential integrity: fact keys with no matching dimension row
     * (NULL FKs are not violations, matching SQL FK semantics). */
   def auditForeignKey(fact: DataFrame, factKey: String,

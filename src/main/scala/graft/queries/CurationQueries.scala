@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Quality, Similarity, Sketches, TextOps}
+import graft.ops.{Dedup, Multimodal, Quality, Sampling, Similarity, Sketches, TextOps}
 
 /** Round-5 curation/profiling additions: an exactly-replayable
   * Count–Min sketch, a k-anonymity privacy audit, a GPT-2-style regex
@@ -251,7 +251,78 @@ object CurationQueries {
                            j -> ss[j] * ss[j + 1] < 0)) AS BIGINT) AS zcr
     FROM sm"""))
 
+  /** Join-key skew diagnostic — the measurement that decides WHEN
+    * `Scale.saltedJoin` is worth its replication cost: the 20 heaviest
+    * supplier keys in lineitem with their corpus share and their ratio
+    * to the mean key load, in integer micro-units. One combinable
+    * count, a 1-row global frame broadcast back (the scalar-subquery
+    * pattern), and a TakeOrderedAndProject top-20 with a total-order
+    * tie-break — the whole diagnostic costs one aggregate over the
+    * fact, which is what makes it runnable as a routine pre-join check
+    * at 100 TB. */
+  private val x_dq_skew_report = Q(
+    "x_dq_skew_report", {
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("suppkey"), col("cnt"),
+            round(col("cnt") * 1000000.0d / col("n_rows")).cast("long")
+              .as("share_micro"),
+            round(col("cnt").cast("double") * col("n_keys") / col("n_rows") * 1e6d)
+              .cast("long").as("vs_mean_micro"))
+          .orderBy(col("cnt").desc, col("suppkey").asc)
+          .limit(20)
+      }
+    },
+    Some("""WITH counts AS (
+      SELECT l_suppkey AS suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM counts)
+    SELECT suppkey, cnt,
+      CAST(ROUND(cnt * 1000000.0 / n_rows) AS BIGINT) AS share_micro,
+      CAST(ROUND(CAST(cnt AS DOUBLE) * n_keys / n_rows * 1000000.0) AS BIGINT)
+        AS vs_mean_micro
+    FROM counts CROSS JOIN tot
+    ORDER BY cnt DESC, suppkey LIMIT 20"""))
+
+  /** Order-independent table checksum — migration/replication
+    * validation at fleet scale (the check a 100 TB copy job runs
+    * per partition instead of comparing rows): each row rendered to a
+    * canonical string (integer/date/string columns — float rendering is
+    * engine-specific and is deliberately excluded from the contract),
+    * hashed with the engine-portable md5-56, and SUMMED per group in
+    * DECIMAL(38) (order-free, no overflow until ~1e80-row groups), then
+    * reduced mod 2⁶² to a comparable BIGINT. Two engines agree on the
+    * checksum iff the row MULTISETS agree (up to hash collisions) —
+    * regardless of partitioning, ordering, or file layout. */
+  private val x_dq_table_checksum = Q(
+    "x_dq_table_checksum", {
+      (s, d) => {
+        val canon = concat_ws("|",
+          col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+          col("o_orderstatus"), col("o_orderdate").cast("string"),
+          col("o_orderpriority"))
+        Quality.tableChecksum(
+          Tables.orders(s, d).withColumn("priority", col("o_orderpriority")),
+          group = Seq("priority"), canonical = canon)
+      }
+    },
+    Some(s"""SELECT o_orderpriority AS priority,
+      COUNT(*) AS n_rows,
+      CAST(SUM(${Sampling.hashValueSql(
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+          "o_orderstatus || '|' || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority")})
+        % 4611686018427387904 AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
+    x_dq_skew_report,
+    x_dq_table_checksum,
     x_text_entropy,
     x_sim_lsh_recall,
     x_dedup_containment,

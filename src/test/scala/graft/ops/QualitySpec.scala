@@ -84,6 +84,25 @@ class QualitySpec extends SparkSpec {
     assert(out == ("fk_fk_to_k", 2L)) // the two fk=3 rows; NULL exempt
   }
 
+  test("tableChecksum: invariant to order/partitioning, sensitive to one row") {
+    val base = Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g2"))
+      .toDF("id", "v", "g")
+    def canon = concat_ws("|", col("id").cast("string"), col("v"))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Quality.tableChecksum(df, Seq("g"), canon)
+        .as[(String, Long, Long)].collect().toSet
+    val ref = sums(base)
+    assert(ref.map(_._1) == Set("g1", "g2"))
+    // shuffled + repartitioned input: identical checksums
+    assert(sums(base.orderBy(col("v").desc).repartition(7)) == ref)
+    // one changed value flips exactly its group's checksum
+    val mut = Seq((1L, "a", "g1"), (2L, "B", "g1"), (3L, "c", "g2"))
+      .toDF("id", "v", "g")
+    val got = sums(mut)
+    assert(got.find(_._1 == "g2") == ref.find(_._1 == "g2"))
+    assert(got.find(_._1 == "g1") != ref.find(_._1 == "g1"))
+  }
+
   test("kAnonymityViolations reports only sub-k classes, with risk") {
     val rows = Seq.fill(5)(("AU", "BLDG")) ++ // safe class (size 5 = k)
       Seq.fill(2)(("AU", "AUTO")) ++          // violating, size 2
