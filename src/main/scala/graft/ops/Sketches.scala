@@ -79,6 +79,23 @@ object Sketches {
       .agg(min(col("cnt")).as("cms_est"))
   }
 
+  /** Join-size estimation from two sketches (Cormode & Muthukrishnan's
+    * inner-product estimator): |A ⋈ B| on the sketched key =
+    * Σ_k fA(k)·fB(k) ≈ min over the d rows of Σ_bucket cntA·cntB.
+    * Never underestimates (collisions only add mass), and needs only
+    * the two d×w summaries — the cost-based-optimizer primitive that
+    * prices a join without touching either table again. Pass the same
+    * cells twice for the self-join size (the F₂ moment, the standard
+    * skew statistic). Returns one row: `cms_join_size`. */
+  def countMinJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    val b = cellsB.select(col("j").as("jb"), col("bucket").as("bb"),
+      col("cnt").as("cnt_b"))
+    cellsA.join(b, col("j") === col("jb") && col("bucket") === col("bb"))
+      .groupBy(col("j"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("cms_join_size"))
+  }
+
   /** DuckDB CTE chain replaying [[countMinCells]] + [[countMinEstimate]]
     * over `srcCte` (one column `$keyCol`) and probe CTE `probesCte`
     * (columns incl. `$keyCol`); final relation `$out` = probes columns +

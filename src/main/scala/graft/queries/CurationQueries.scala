@@ -320,9 +320,51 @@ object CurationQueries {
     FROM orders
     GROUP BY 1"""))
 
+  /** Sketch-based self-join-size estimation (Sketches.countMinJoinSize):
+    * the F₂ frequency moment of events.user_id — Σ f(k)² — estimated
+    * from the count-min inner product and compared against the exact
+    * moment. This is the cost-based-optimizer primitive that prices an
+    * m:n join from two d×w summaries without rescanning either side;
+    * the estimator never underestimates, surfaced as `overcount ≥ 0`.
+    * Exactly replayable: both the exact moment and the sketch estimate
+    * are integer arithmetic over the md5-56 cells. */
+  private val x_sketch_join_size = Q(
+    "x_sketch_join_size", {
+      (s, d) => {
+        val users = Tables.events(s, d).select(col("user_id"))
+        val cells = Sketches.countMinCells(users, col("user_id"))
+        val est = Sketches.countMinJoinSize(cells, cells)
+        val exact = users.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
+        est.crossJoin(broadcast(exact))
+          .select(col("exact_f2"), col("cms_join_size"),
+            (col("cms_join_size") - col("exact_f2")).as("overcount"))
+      }
+    },
+    Some(s"""WITH src AS (SELECT user_id FROM events),
+      __cm_js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      __cm_freq AS (
+        SELECT user_id, COUNT(*) AS __freq FROM src GROUP BY 1),
+      __cm_cells AS (
+        SELECT j, ${Sampling.hashBucketSql(
+          "CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)", 256)} AS bucket,
+          CAST(SUM(__freq) AS BIGINT) AS cnt
+        FROM __cm_freq CROSS JOIN __cm_js
+        GROUP BY 1, 2),
+      ip AS (
+        SELECT j, CAST(SUM(cnt * cnt) AS BIGINT) AS ip
+        FROM __cm_cells GROUP BY 1),
+      est AS (SELECT MIN(ip) AS cms_join_size FROM ip),
+      exact AS (
+        SELECT CAST(SUM(__freq * __freq) AS BIGINT) AS exact_f2 FROM __cm_freq)
+      SELECT exact_f2, cms_join_size, cms_join_size - exact_f2 AS overcount
+      FROM est CROSS JOIN exact"""))
+
   def all: Seq[Q] = Seq(
     x_dq_skew_report,
     x_dq_table_checksum,
+    x_sketch_join_size,
     x_text_entropy,
     x_sim_lsh_recall,
     x_dedup_containment,

@@ -41,6 +41,16 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("countMinJoinSize: never under the true F2; exact when collision-free") {
+    val cells = Sketches.countMinCells(stream, col("key"), depth = 4, width = 256)
+    val est = Sketches.countMinJoinSize(cells, cells)
+      .as[Long].collect().head
+    val f2 = (1L to 40L).map(k => k * k).sum // key k appears k times
+    assert(est >= f2, s"inner-product estimate $est under true F2 $f2")
+    // 40 keys in 256 buckets x 4 rows: expect the min row collision-free
+    assert(est == f2, s"expected exact F2 with this sketch shape, got $est vs $f2")
+  }
+
   test("sketch size is bounded by depth x width regardless of rows") {
     val cells = Sketches.countMinCells(stream, col("key"), depth = 2, width = 8)
       .as[(Int, Long, Long)].collect()
