@@ -361,10 +361,82 @@ object CurationQueries {
       SELECT exact_f2, cms_join_size, cms_join_size - exact_f2 AS overcount
       FROM est CROSS JOIN exact"""))
 
+  private val topTypeFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** MapState `transformWithState` parity: per-user favorite event type
+    * (EventStream.topTypePerUser) — composite per-key state (a
+    * type→count map in RocksDB, per-entry updates) fed TWO micro-batches
+    * (`maxFilesPerTrigger=1` over a two-file fixture split by event_id
+    * parity), so the argmax after batch 2 is only correct if the map
+    * carried across batches. Update-mode emissions are reduced to the
+    * latest per user (n_total strictly increases), and the oracle
+    * recomputes the same deterministic argmax (count desc, type asc)
+    * from the batch table. */
+  private val x_stream_tws_toptype = Q(
+    "x_stream_tws_toptype",
+    (s, d) => {
+      import s.implicits._
+      val tmp = topTypeFixtureDirs.getOrElseUpdate(d, {
+        val t = ExtensionQueries.fixtureTempDir("graft_stream_toptype")
+        val ev = Tables.events(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+            col("user_id"), col("event_type"))
+        ev.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(t)
+        ev.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(t)
+        t
+      })
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+          .option("maxFilesPerTrigger", "1") // force the cross-batch path
+          .parquet(tmp)
+          .as[graft.streaming.EventStream.TypedEvent]
+        val sink = "x_stream_tws_toptype_sink"
+        val sq = graft.streaming.EventStream.topTypePerUser(s, ev)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink).groupBy(col("user_id"))
+          .agg(max(struct(col("n_total"), col("n_types"),
+            col("top_type"), col("top_cnt"))).as("m"))
+          .select(col("user_id"), col("m.n_total").as("n_total"),
+            col("m.n_types").as("n_types"), col("m.top_type").as("top_type"),
+            col("m.top_cnt").as("top_cnt"))
+      } finally prev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None    => s.conf.unset(provKey)
+      }
+    },
+    Some("""WITH ec AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_total,
+        CAST(COUNT(*) AS INTEGER) AS n_types
+      FROM ec GROUP BY 1),
+    top AS (
+      SELECT user_id, event_type AS top_type, c AS top_cnt FROM ec
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY c DESC, event_type) = 1)
+    SELECT user_id, n_total, n_types, top_type, top_cnt
+    FROM tot JOIN top USING (user_id)"""))
+
   def all: Seq[Q] = Seq(
     x_dq_skew_report,
     x_dq_table_checksum,
     x_sketch_join_size,
+    x_stream_tws_toptype,
     x_text_entropy,
     x_sim_lsh_recall,
     x_dedup_containment,

@@ -233,6 +233,59 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TypedEvent(event_id: Long, ts: java.sql.Timestamp,
+                              user_id: Long, event_type: String)
+  final case class UserTypeTop(user_id: Long, n_total: Long, n_types: Int,
+                               top_type: String, top_cnt: Long)
+
+  /** Per-user favorite-event-type tracker on `transformWithState`
+    * MAP state — the composite-state tier of the arbitrary-state API
+    * ([[RunningCountProcessor]] covers `ValueState`): a
+    * `MapState[event_type → count]` per user, updated per row, scanned
+    * per batch for the deterministic argmax (count desc, type asc — a
+    * total order, so emissions are engine-replayable). The map is
+    * keyed RANGE state in RocksDB: per-type updates touch one map entry,
+    * not a serialized blob of the whole user (the reason MapState exists
+    * over a ValueState[Map]), and the store scales with
+    * |users × types-per-user|, not |events|. Update-mode: each batch
+    * emits the refreshed summary for users seen in that batch, and
+    * `n_total` strictly increases per emission, so "latest per user" is
+    * selectable without a batch-id column. */
+  class TopTypeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, UserTypeTop] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypeTop] = {
+      rows.foreach { e =>
+        val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1L)
+      }
+      var total = 0L; var n = 0; var topT: String = null; var topC = 0L
+      counts.iterator().foreach { case (t, c) =>
+        total += c; n += 1
+        if (c > topC || (c == topC && (topT == null || t < topT))) {
+          topT = t; topC = c
+        }
+      }
+      Iterator.single(UserTypeTop(key, total, n, topT, topC))
+    }
+  }
+
+  def topTypePerUser(spark: SparkSession,
+                     events: Dataset[TypedEvent]): Dataset[UserTypeTop] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopTypeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long,
                            start_ms: Long, end_ms: Long)

@@ -141,6 +141,43 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState merges per-type counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.TypedEvent]
+      val q = EventStream.topTypePerUser(spark, input.toDS())
+        .writeStream.format("memory").queryName("tws_toptype_test")
+        .outputMode("update")
+        .start()
+      def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+      // batch 0: user 1 -> b,b,a : top is b(2)
+      input.addData(
+        EventStream.TypedEvent(1, ts(0), 1, "b"),
+        EventStream.TypedEvent(2, ts(1), 1, "b"),
+        EventStream.TypedEvent(3, ts(2), 1, "a"))
+      q.processAllAvailable()
+      // batch 1: two more a's — the MAP must carry b's 2 and a's 1, so
+      // the argmax flips to a(3); a fresh-state batch would report a(2)
+      input.addData(
+        EventStream.TypedEvent(4, ts(3), 1, "a"),
+        EventStream.TypedEvent(5, ts(4), 1, "a"))
+      q.processAllAvailable()
+      val got = spark.table("tws_toptype_test")
+        .as[EventStream.UserTypeTop].collect().toSet
+      assert(got == Set(
+        EventStream.UserTypeTop(1, 3, 2, "b", 2),
+        EventStream.UserTypeTop(1, 5, 2, "a", 3)))
+      q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("scd2MaintainStream folds micro-batches into a versioned Type-2 ledger") {
     implicit val sqlCtx = spark.sqlContext
     val ledgerDir = Files.createTempDirectory("scd2_ledger").toString
