@@ -432,11 +432,77 @@ object CurationQueries {
     SELECT user_id, n_total, n_types, top_type, top_cnt
     FROM tot JOIN top USING (user_id)"""))
 
+  /** ListState `transformWithState` parity: per-user last-3 event feed
+    * (EventStream.recentEventsPerUser) — the activity-history primitive
+    * and the third member of the state trio (Value/Map/List). Max-k
+    * selection is order-free, so the feed string is deterministic
+    * whatever order rows arrive in; same two-batch fixture as the
+    * MapState query, so the list must merge across the state store. */
+  private val x_stream_tws_recent = Q(
+    "x_stream_tws_recent",
+    (s, d) => {
+      import s.implicits._
+      val tmp = topTypeFixtureDirs.getOrElseUpdate(d, {
+        val t = ExtensionQueries.fixtureTempDir("graft_stream_toptype")
+        val ev = Tables.events(s, d)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+            col("user_id"), col("event_type"))
+        ev.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(t)
+        ev.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(t)
+        t
+      })
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+          .option("maxFilesPerTrigger", "1") // force the cross-batch path
+          .parquet(tmp)
+          .as[graft.streaming.EventStream.TypedEvent]
+        val sink = "x_stream_tws_recent_sink"
+        val sq = graft.streaming.EventStream.recentEventsPerUser(s, ev)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink).groupBy(col("user_id"))
+          .agg(max(struct(col("n_seen"), col("n_kept"), col("recent"))).as("m"))
+          .select(col("user_id"), col("m.n_seen").as("n_seen"),
+            col("m.n_kept").as("n_kept"), col("m.recent").as("recent"))
+      } finally prev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None    => s.conf.unset(provKey)
+      }
+    },
+    Some("""WITH ev AS (
+      SELECT event_id, date_trunc('second', ts) AS ts, user_id
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    top3 AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev QUALIFY rn <= 3),
+    agg AS (
+      SELECT user_id,
+        CAST(COUNT(*) AS INTEGER) AS n_kept,
+        string_agg(CAST(event_id AS VARCHAR) || '@' || CAST(ms AS VARCHAR),
+                   ',' ORDER BY rn) AS recent
+      FROM top3 GROUP BY 1),
+    tot AS (SELECT user_id, COUNT(*) AS n_seen FROM ev GROUP BY 1)
+    SELECT user_id, n_seen, n_kept, recent FROM tot JOIN agg USING (user_id)"""))
+
   def all: Seq[Q] = Seq(
     x_dq_skew_report,
     x_dq_table_checksum,
     x_sketch_join_size,
     x_stream_tws_toptype,
+    x_stream_tws_recent,
     x_text_entropy,
     x_sim_lsh_recall,
     x_dedup_containment,

@@ -286,6 +286,59 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class RecentRef(ts_ms: Long, event_id: Long)
+  final case class UserRecent(user_id: Long, n_seen: Long, n_kept: Int,
+                              recent: String)
+
+  /** Per-user LAST-3 events on `transformWithState` LIST state — the
+    * third member of the arbitrary-state trio (`ValueState` in
+    * [[RunningCountProcessor]], `MapState` in [[TopTypeProcessor]]):
+    * the activity-feed / recent-history primitive. The list holds the
+    * current top-3 (ts, event_id) pairs; each batch merges its rows and
+    * `put`s the re-selected top-3 back. Max-k selection is ORDER-FREE —
+    * deterministic whatever order rows arrive within a batch — so
+    * emissions are engine-replayable, where a naive "append and trim"
+    * would depend on arrival order. State is 3 small rows per user,
+    * RocksDB list-typed (append without rewriting the whole value —
+    * the reason ListState exists over ValueState[Seq]). */
+  class RecentEventsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, UserRecent] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[RecentRef] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      recent = getHandle.getListState[RecentRef]("recent",
+        org.apache.spark.sql.Encoders.product[RecentRef],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      // strictly-increasing per-emission counter: "latest per user" is
+      // selectable from update-mode output without a batch-id column
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRecent] = {
+      val incoming = rows.map(e => RecentRef(e.ts.getTime, e.event_id)).toSeq
+      val merged = (recent.get().toSeq ++ incoming)
+        .sortBy(r => (-r.ts_ms, -r.event_id)).take(3)
+      recent.put(merged.toArray)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
+      seen.update(n)
+      Iterator.single(UserRecent(key, n, merged.size,
+        merged.map(r => s"${r.event_id}@${r.ts_ms}").mkString(",")))
+    }
+  }
+
+  def recentEventsPerUser(spark: SparkSession,
+                          events: Dataset[TypedEvent]): Dataset[UserRecent] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long,
                            start_ms: Long, end_ms: Long)

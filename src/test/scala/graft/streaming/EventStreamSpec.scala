@@ -178,6 +178,41 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState keeps the order-free last-3 across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.TypedEvent]
+      val q = EventStream.recentEventsPerUser(spark, input.toDS())
+        .writeStream.format("memory").queryName("tws_recent_test")
+        .outputMode("update")
+        .start()
+      def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+      def ms(minute: Int) = 1704067200000L + minute * 60000L
+      // batch 0: events at minutes 5, 1, 9 (unsorted arrival)
+      input.addData(
+        EventStream.TypedEvent(50, ts(5), 1, "a"),
+        EventStream.TypedEvent(10, ts(1), 1, "a"),
+        EventStream.TypedEvent(90, ts(9), 1, "a"))
+      q.processAllAvailable()
+      // batch 1: minute 7 — must displace minute 1 from the carried list
+      input.addData(EventStream.TypedEvent(70, ts(7), 1, "a"))
+      q.processAllAvailable()
+      val got = spark.table("tws_recent_test")
+        .as[EventStream.UserRecent].collect().toSet
+      assert(got == Set(
+        EventStream.UserRecent(1, 3, 3, s"90@${ms(9)},50@${ms(5)},10@${ms(1)}"),
+        EventStream.UserRecent(1, 4, 3, s"90@${ms(9)},70@${ms(7)},50@${ms(5)}")))
+      q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("scd2MaintainStream folds micro-batches into a versioned Type-2 ledger") {
     implicit val sqlCtx = spark.sqlContext
     val ledgerDir = Files.createTempDirectory("scd2_ledger").toString
