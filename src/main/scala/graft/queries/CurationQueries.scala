@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Quality, Sampling, Similarity, Sketches, TextOps}
+import graft.ops.{Dedup, Multimodal, Quality, Sampling, Scale, Similarity, Sketches, TextOps}
 
 /** Round-5 curation/profiling additions: an exactly-replayable
   * Count–Min sketch, a k-anonymity privacy audit, a GPT-2-style regex
@@ -497,7 +497,49 @@ object CurationQueries {
     tot AS (SELECT user_id, COUNT(*) AS n_seen FROM ev GROUP BY 1)
     SELECT user_id, n_seen, n_kept, recent FROM tot JOIN agg USING (user_id)"""))
 
+  /** Small-files compaction — the table-maintenance job every
+    * long-lived warehouse runs (streaming ingest and per-partition
+    * writers fragment tables; a 100 TB scan over 10⁶ tiny files is
+    * metadata-bound before it reads a byte): the orders table is landed
+    * deliberately fragmented (64-way round-robin), compacted with
+    * `repartitionByRange` on the natural sort key (which also restores
+    * min/max file-skipping selectivity — compaction and clustering are
+    * the same pass), compacted IN PLACE by the library op
+    * `Scale.compactParquet` (byte-sized coalesce, tmp-write + atomic
+    * swap), and read back. Content preservation is proven with the
+    * order-independent [[Quality.tableChecksum]] per priority group,
+    * which the oracle recomputes from the ORIGINAL table — the hash
+    * matches only if the fragment → compact → swap → read roundtrip
+    * preserved the exact row multiset. File-count mechanics are pinned
+    * in ScaleSpec. */
+  private val x_layout_compaction = Q(
+    "x_layout_compaction",
+    (s, d) => {
+      val frag = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_compaction_frag").getPath
+      Tables.orders(s, d).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      Scale.compactParquet(s, frag)
+      val canon = concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), col("o_orderdate").cast("string"),
+        col("o_orderpriority"))
+      Quality.tableChecksum(
+        s.read.parquet(frag)
+          .withColumn("priority", col("o_orderpriority")),
+        group = Seq("priority"), canonical = canon)
+    },
+    Some(s"""SELECT o_orderpriority AS priority,
+      COUNT(*) AS n_rows,
+      CAST(SUM(${Sampling.hashValueSql(
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+          "o_orderstatus || '|' || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority")})
+        % 4611686018427387904 AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
+    x_layout_compaction,
     x_dq_skew_report,
     x_dq_table_checksum,
     x_sketch_join_size,
