@@ -538,8 +538,85 @@ object CurationQueries {
     FROM orders
     GROUP BY 1"""))
 
+  private val twsSessFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Timer-based sessionization parity: the fMGWS sessionizer's exact
+    * semantics re-expressed on `transformWithState` with EXPLICIT
+    * event-time timers (EventStream.sessionizeTws — delete-then-rearm
+    * per batch, handleExpiredTimer flush), run through the real
+    * RocksDB-backed operator and compared to the same gaps-and-islands
+    * oracle as `x_stream_sessionize_parity` — including WHICH sessions
+    * the closing watermark flushes. Completes the arbitrary-state API
+    * surface: Value/Map/List state + timers, each oracle-proven. */
+  private val x_stream_tws_sessionize = Q(
+    "x_stream_tws_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val tmp = twsSessFixtureDirs.getOrElseUpdate(d, {
+        val t = ExtensionQueries.fixtureTempDir("graft_stream_twssess")
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+            col("user_id"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+          .parquet(tmp)
+          .as[graft.streaming.EventStream.Event]
+        val sink = "x_stream_tws_sessionize_sink"
+        val sq = graft.streaming.EventStream.sessionizeTws(s, ev)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink).select(col("user_id"), col("n_events"),
+          timestamp_millis(col("start_ms")).as("session_start"),
+          timestamp_millis(col("end_ms")).as("session_end"))
+      } finally prev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None    => s.conf.unset(provKey)
+      }
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+      FROM events WHERE ts IS NOT NULL),
+    flagged AS (
+      SELECT user_id, event_id, ts_s,
+        CASE WHEN LAG(ts_s) OVER w IS NULL
+               OR epoch(ts_s) - epoch(LAG(ts_s) OVER w) > 1800.0
+             THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+    sessions AS (
+      SELECT user_id, ts_s,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    agg AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(ts_s) AS session_start, max(ts_s) AS session_end
+      FROM sessions GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
+      FROM agg),
+    mx AS (SELECT max(ts_s) AS max_ts FROM e)
+    SELECT user_id, n_events, session_start, session_end
+    FROM ranked, mx
+    WHERE session_id < last_sid
+       OR epoch(session_end) + 1800.0 < epoch(max_ts)"""))
+
   def all: Seq[Q] = Seq(
     x_layout_compaction,
+    x_stream_tws_sessionize,
     x_dq_skew_report,
     x_dq_table_checksum,
     x_sketch_join_size,

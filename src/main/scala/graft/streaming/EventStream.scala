@@ -339,6 +339,72 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** Event-time-TIMER sessionization on `transformWithState` — the last
+    * piece of the arbitrary-state API surface (state trio + timers):
+    * the same 30-minute-gap semantics as the fMGWS [[sessionize]], but
+    * timeouts are explicit registered timers (`TimeMode.EventTime`,
+    * `registerTimer`/`handleExpiredTimer`) instead of
+    * `GroupStateTimeout`. Per batch: merge the key's rows in
+    * deterministic (ts, event_id) order, emit sessions closed by
+    * in-batch gaps, persist the open session, then RE-ARM the key's
+    * single timer (delete-then-register — stale timers from earlier
+    * batches must not fire on a since-extended session) at
+    * max(end+gap, watermark+1), the same flush rule the fMGWS version
+    * encodes. When the watermark passes the timer, the open session is
+    * emitted and cleared. Output equals [[sessionize]] row-for-row —
+    * spec-pinned — so the oracle can be shared. */
+  class SessionizerTwsProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Session] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var cur = if (st.exists()) Some(st.get()) else None
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(s.copy(end = t, n = s.n + 1))
+          case Some(s) =>
+            closed ::= Session(key, s.n, s.start, s.end)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer(_))
+        getHandle.registerTimer(
+          math.max(s.end + gapMs, timerValues.getCurrentWatermarkInMs + 1))
+      }
+      closed.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] =
+      if (st.exists()) {
+        val s = st.get(); st.clear()
+        Iterator.single(Session(key, s.n, s.start, s.end))
+      } else Iterator.empty
+  }
+
+  def sessionizeTws(spark: SparkSession, events: Dataset[Event],
+                    gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizerTwsProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long,
                            start_ms: Long, end_ms: Long)

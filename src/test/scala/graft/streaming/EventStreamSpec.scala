@@ -213,6 +213,54 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeTws (event-time timers) equals fMGWS sessionize row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+      // user 1: two sessions split by a 31-min gap; the second session is
+      // left OPEN at the horizon and must be flushed by the final
+      // watermark timer. user 2: one closed session.
+      // batch 0 holds the early events of BOTH users (nothing in batch 1
+      // is behind the batch-0 watermark — late-row policy must not differ
+      // between the two APIs for this equality to be meaningful)
+      val events = Seq(
+        EventStream.Event(1, ts(0), 1), EventStream.Event(2, ts(10), 1),
+        EventStream.Event(4, ts(0), 2), EventStream.Event(5, ts(5), 2),
+        EventStream.Event(3, ts(41), 1),
+        EventStream.Event(6, ts(90), 2)) // advances the watermark horizon
+      def run(f: (org.apache.spark.sql.SparkSession,
+                  org.apache.spark.sql.Dataset[EventStream.Event]) =>
+                org.apache.spark.sql.Dataset[EventStream.Session],
+              name: String) = {
+        val input = MemoryStream[EventStream.Event]
+        val q = f(spark, input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        input.addData(events.take(4))
+        q.processAllAvailable()
+        input.addData(events.drop(4))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).as[EventStream.Session].collect().toSet
+      }
+      val viaTimers = run(EventStream.sessionizeTws(_, _), "tws_sess_test")
+      val viaFmgws = run(EventStream.sessionize(_, _), "fmgws_sess_test")
+      assert(viaTimers == viaFmgws)
+      // and the planted structure is what both produced: user 1's open
+      // 1-event session is flushed by the final watermark (41+30 < 90),
+      // user 2's minute-90 session is not (90+30 > 90)
+      assert(viaTimers.map(s => (s.user_id, s.n_events)) ==
+        Set((1L, 2L), (1L, 1L), (2L, 2L)))
+    } finally prev match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("scd2MaintainStream folds micro-batches into a versioned Type-2 ledger") {
     implicit val sqlCtx = spark.sqlContext
     val ledgerDir = Files.createTempDirectory("scd2_ledger").toString
