@@ -614,8 +614,160 @@ object CurationQueries {
     WHERE session_id < last_sid
        OR epoch(session_end) + 1800.0 < epoch(max_ts)"""))
 
+  /** Data-drift monitor — the freshness/distribution check a scheduled
+    * pipeline runs BEFORE publishing each increment (row-volume or
+    * value-distribution jumps are the first symptom of an upstream
+    * break): per-month order volume and exact-decimal mean price, with
+    * month-over-month deltas in integer micro-units via LAG, and a
+    * drift flag on >20% movement of either. One combinable monthly
+    * aggregate + a window over the TINY month frame — the check costs
+    * one scan however large the fact is. */
+  private val x_dq_drift = Q(
+    "x_dq_drift", {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val monthly = Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(graft.core.Exact.avgMoney(col("o_totalprice")) * 1e6d)
+              .cast("long").as("avg_price_micro"))
+        val w = Window.orderBy(col("month"))
+        monthly
+          .withColumn("d_rows_pct_micro",
+            round((col("n_rows") - lag(col("n_rows"), 1).over(w)).cast("double")
+              * 1e6d / lag(col("n_rows"), 1).over(w)).cast("long"))
+          .withColumn("d_price_pct_micro",
+            round((col("avg_price_micro") - lag(col("avg_price_micro"), 1).over(w))
+              .cast("double") * 1e6d / lag(col("avg_price_micro"), 1).over(w))
+              .cast("long"))
+          .withColumn("drift_flag",
+            abs(coalesce(col("d_rows_pct_micro"), lit(0L))) > 200000L ||
+              abs(coalesce(col("d_price_pct_micro"), lit(0L))) > 200000L)
+      }
+    },
+    Some(s"""WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        COUNT(*) AS n_rows,
+        CAST(ROUND(CAST(${graft.core.Exact.avgMoneySql("o_totalprice")} AS DOUBLE)
+                   * 1000000) AS BIGINT) AS avg_price_micro
+      FROM orders GROUP BY 1)
+    SELECT month, n_rows, avg_price_micro,
+      CAST(ROUND(CAST(n_rows - LAG(n_rows) OVER w AS DOUBLE) * 1000000
+                 / LAG(n_rows) OVER w) AS BIGINT) AS d_rows_pct_micro,
+      CAST(ROUND(CAST(avg_price_micro - LAG(avg_price_micro) OVER w AS DOUBLE)
+                 * 1000000 / LAG(avg_price_micro) OVER w) AS BIGINT)
+        AS d_price_pct_micro,
+      (ABS(COALESCE(CAST(ROUND(CAST(n_rows - LAG(n_rows) OVER w AS DOUBLE) * 1000000
+                               / LAG(n_rows) OVER w) AS BIGINT), 0)) > 200000
+       OR ABS(COALESCE(CAST(ROUND(CAST(avg_price_micro - LAG(avg_price_micro) OVER w
+                                       AS DOUBLE) * 1000000
+                                  / LAG(avg_price_micro) OVER w) AS BIGINT), 0))
+          > 200000) AS drift_flag
+    FROM monthly
+    WINDOW w AS (ORDER BY month)"""))
+
+  /** Round-5 flagship composite — the curation chain rebuilt from this
+    * round's operators, end-to-end: entropy gate (boilerplate floor) →
+    * bigram-LM gate (perplexity-proxy ceiling) → asymmetric containment
+    * SURVIVORSHIP (a doc ≥80%-contained in another is dropped; mutual
+    * containment keeps the min id — the quote dies, the page survives)
+    * → deterministic 90/10 split → per-language TOKEN BUDGET fill
+    * (hash-ordered cumulative token count capped per language — the
+    * mixture-control step that turns a corpus into a training budget).
+    * The oracle recomputes the whole composition, so stage INTERACTIONS
+    * are hash-checked. Scale shape: the gates are the per-row/aggregate
+    * plans proven individually; the budget is one window per language
+    * partition; nothing new shuffles. */
+  private val x_curation_pipeline_v2 = Q(
+    "x_curation_pipeline_v2", {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs0 = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("lang").isNotNull
+            && size(split(lower(col("text")), " ")) >= 3)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val ent = TextOps.charEntropy(docs0, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("entropy_micro"))
+        val lm = TextOps.bigramLogProb(docs0, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("avg_bigram_logprob"))
+        val gated = docs0.join(ent, "doc_id").join(lm, "doc_id")
+          .filter(col("entropy_micro") >= 2700000L
+            && col("avg_bigram_logprob") >= -3.5)
+        val pairs = Dedup.containmentPairs(
+          Dedup.shingled(gated, col("doc_id"), col("text"),
+            keep = Seq(col("lang"))),
+          block = col("lang"), minC = 0.8)
+        val rev = pairs.select(col("doc_a").as("r_a"), col("doc_b").as("r_b"))
+        val dropped = pairs
+          .join(rev, col("r_a") === col("doc_b") && col("r_b") === col("doc_a"),
+            "left")
+          .filter(col("r_a").isNull || col("doc_a") > col("doc_b"))
+          .select(col("doc_a").as("doc_id")).distinct()
+        val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
+        val train = survivors
+          .filter(Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 90, "val" -> 10)) === "train")
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(Sampling.hashValue(col("doc_id")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        train
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 2000L)
+          .select(col("doc_id"), col("lang"),
+            col("n_tokens").cast("long").as("n_tokens"), col("cum_tokens"))
+      }
+    }, {
+      val split = Sampling.splitLabelSql("doc_id", Seq("train" -> 90, "val" -> 10))
+      Some(s"""WITH docs0 AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL
+          AND len(string_split(lower(text), ' ')) >= 3),
+      ${TextOps.charEntropySql("docs0")},
+      ${TextOps.bigramLogProbSql("docs0")},
+      gated AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM docs0 d
+        JOIN ent_scored e USING (doc_id)
+        JOIN bg_scored b USING (doc_id)
+        WHERE e.entropy_micro >= 2700000 AND b.avg_bigram_logprob >= -3.5),
+      sh AS (
+        SELECT doc_id, lang,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)]) AS shingles
+        FROM (SELECT *, string_split(lower(text), ' ') AS toks FROM gated)),
+      pairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(a.shingles) AS DOUBLE), 6) AS containment
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+        WHERE containment >= 0.8),
+      dropped AS (
+        SELECT DISTINCT p.doc_a AS doc_id
+        FROM pairs p LEFT JOIN pairs r
+          ON r.doc_a = p.doc_b AND r.doc_b = p.doc_a
+        WHERE r.doc_a IS NULL OR p.doc_a > p.doc_b),
+      survivors AS (
+        SELECT g.* FROM gated g ANTI JOIN dropped USING (doc_id)),
+      train AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        FROM survivors WHERE $split = 'train')
+      SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY lang
+            ORDER BY ${Sampling.hashValueSql("doc_id")}, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM train)
+      WHERE cum_tokens <= 2000""")
+    })
+
   def all: Seq[Q] = Seq(
     x_layout_compaction,
+    x_dq_drift,
+    x_curation_pipeline_v2,
     x_stream_tws_sessionize,
     x_dq_skew_report,
     x_dq_table_checksum,
