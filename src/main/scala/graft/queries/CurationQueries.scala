@@ -690,13 +690,24 @@ object CurationQueries {
           .select(col("doc_id"), col("entropy_micro"))
         val lm = TextOps.bigramLogProb(docs0, col("doc_id"), col("text"))
           .select(col("doc_id"), col("avg_bigram_logprob"))
+        // the gated frame feeds FOUR consumers (containment probe side,
+        // corpus side, both verify joins, survivor anti-join) — without
+        // materialization the entropy+bigram gate subtrees re-execute
+        // under each one (measured ~4x the gate cost at sf0.1)
         val gated = docs0.join(ent, "doc_id").join(lm, "doc_id")
           .filter(col("entropy_micro") >= 2700000L
             && col("avg_bigram_logprob") >= -3.5)
+          .localCheckpoint(true)
+        // the pair list is consumed THREE times (both sides of the
+        // mutuality self-join + the reversed frame) and is tiny —
+        // without materialization each consumer re-runs the whole
+        // containment pipeline (measured: the pipeline tail cost 252 s
+        // instead of ~10 s at 100x)
         val pairs = Dedup.containmentPairs(
           Dedup.shingled(gated, col("doc_id"), col("text"),
             keep = Seq(col("lang"))),
           block = col("lang"), minC = 0.8)
+          .localCheckpoint(true)
         val rev = pairs.select(col("doc_a").as("r_a"), col("doc_b").as("r_b"))
         val dropped = pairs
           .join(rev, col("r_a") === col("doc_b") && col("r_b") === col("doc_a"),
