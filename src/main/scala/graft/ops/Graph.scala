@@ -201,4 +201,58 @@ object Graph {
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** k-core decomposition by iterative peeling — the dense-cluster
+    * extractor corpus curation uses to find link farms / spam rings
+    * (and, symmetrically, high-trust cores) before weighting a crawl:
+    * repeatedly delete every node of degree < k until the residual
+    * graph is stable; what's left is the k-core.
+    *
+    * `edgesIn` is an undirected graph given as a SYMMETRIC (src, dst)
+    * list (both directions present), so `COUNT(*) GROUP BY src` is the
+    * full degree. Each round is one map-side-combinable degree
+    * aggregate plus two LEFT SEMI joins (edges whose BOTH endpoints
+    * survive); the residual edge list is `localCheckpoint`ed per round
+    * — identical lineage-truncation posture to [[pageRankConverged]],
+    * without which the two-sided semi-join doubles the plan per round —
+    * and the convergence probe is a single 1-row count of surviving
+    * nodes (never the data itself). Peeling is monotone (node sets only
+    * shrink), so once a round removes nothing every further round is
+    * the identity: a data-dependent early exit at round j < maxRounds
+    * returns bit-identical results to running all maxRounds, which is
+    * exactly what the unrolled-SQL oracle replays — the same early-stop
+    * / fixed-unroll equivalence [[pageRankConverged]] relies on.
+    *
+    * Returns one row per node still owning an edge after peeling:
+    * (node, deg, in_core) with deg measured on the residual graph and
+    * `in_core = deg >= k` (all TRUE iff converged within maxRounds —
+    * surfacing the flag rather than filtering on it keeps a truncated
+    * run auditable instead of silently wrong). */
+  def kcorePeel(edgesIn: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    var edges = edgesIn.localCheckpoint(true)
+    // 1-row probes: edge count is monotone non-increasing, so equality
+    // across a round means a fixed point (count once per round)
+    var edgeCount = edges.agg(count(lit(1))).head().getLong(0)
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val survivors = deg.filter(col("deg") >= k).select(col("node"))
+      val next = edges
+        .join(survivors.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val nextCount = next.agg(count(lit(1))).head().getLong(0)
+      stable = nextCount == edgeCount
+      edgeCount = nextCount
+      edges = next
+      round += 1
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .withColumn("in_core", col("deg") >= k)
+  }
 }

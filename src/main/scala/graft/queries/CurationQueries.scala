@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Quality, Sampling, Scale, Similarity, Sketches, TextOps}
+import graft.ops.{Dedup, Graph, Multimodal, Quality, Sampling, Scale, Similarity, Sketches, TextOps}
 
 /** Round-5 curation/profiling additions: an exactly-replayable
   * Count–Min sketch, a k-anonymity privacy audit, a GPT-2-style regex
@@ -666,6 +666,54 @@ object CurationQueries {
     FROM monthly
     WINDOW w AS (ORDER BY month)"""))
 
+  /** k-core decomposition (Graph.kcorePeel) over the symmetric
+    * customer↔supplier trade graph — the dense-cluster extractor that
+    * link-graph curation runs to find spam rings / high-trust cores:
+    * peel every node of residual degree < 35 until stable (≤4 rounds).
+    * Peeling is monotone, so Spark's data-dependent early stop and the
+    * oracle's fixed 4-round unroll provably agree (a converged round is
+    * the identity — same equivalence the converged-PageRank oracle
+    * uses). At sf0.01 round 1 removes roughly the lower half of the
+    * customers, the cascade re-checks suppliers on the residual graph,
+    * and the surviving core's degrees are re-reported on the residual
+    * edges, bit-exact against the unrolled replay. */
+  private val x_graph_kcore = Q(
+    "x_graph_kcore", {
+      (s, d) => {
+        val eraw = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        // even/odd id spaces are disjoint: the symmetrized union is
+        // already distinct (same construction as x_graph_pagerank)
+        val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+        Graph.kcorePeel(edges, k = 35, maxRounds = 4)
+      }
+    },
+    Some {
+      def peel(i: Int) =
+        s"""d$i AS (SELECT src AS node, COUNT(*) AS deg FROM e${i - 1} GROUP BY 1),
+        e$i AS (
+          SELECT e.src, e.dst FROM e${i - 1} e
+          JOIN d$i da ON da.node = e.src
+          JOIN d$i db ON db.node = e.dst
+          WHERE da.deg >= 35 AND db.deg >= 35)"""
+      s"""WITH eraw AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e0 AS (
+        SELECT a AS src, b AS dst FROM eraw
+        UNION ALL SELECT b AS src, a AS dst FROM eraw),
+      ${peel(1)},
+      ${peel(2)},
+      ${peel(3)},
+      ${peel(4)}
+      SELECT src AS node, COUNT(*) AS deg, COUNT(*) >= 35 AS in_core
+      FROM e4 GROUP BY 1"""
+    })
+
   /** Round-5 flagship composite — the curation chain rebuilt from this
     * round's operators, end-to-end: entropy gate (boilerplate floor) →
     * bigram-LM gate (perplexity-proxy ceiling) → asymmetric containment
@@ -778,6 +826,7 @@ object CurationQueries {
   def all: Seq[Q] = Seq(
     x_layout_compaction,
     x_dq_drift,
+    x_graph_kcore,
     x_curation_pipeline_v2,
     x_stream_tws_sessionize,
     x_dq_skew_report,

@@ -136,4 +136,43 @@ class GraphSpec extends SparkSpec {
     assert(out.length == 41)
     assert(out.forall(_.getLong(2) == 0L))
   }
+
+  /** Symmetrize an undirected edge list given as (a, b) pairs. */
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+
+  test("kcorePeel: path graph cascades away entirely under k = 2") {
+    // 10-path: endpoints have deg 1, die; their neighbors BECOME
+    // endpoints; full cascade needs 5 rounds — the worst case peeling
+    // depth, pinning that rounds iterate on RESIDUAL degrees
+    val path = (1L to 9L).map(i => (i, i + 1))
+    assert(Graph.kcorePeel(sym(path), k = 2, maxRounds = 10).count() == 0)
+    // ...and a truncated run reports the partial peel honestly:
+    // after 1 round nodes 2..9 remain with the new endpoints at deg 1
+    val r1 = Graph.kcorePeel(sym(path), k = 2, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(r1.keySet == (2L to 9L).toSet)
+    assert(r1(2L) == ((1L, false)) && r1(9L) == ((1L, false)))
+    assert(r1(5L) == ((2L, true)))
+  }
+
+  test("kcorePeel: clique plus pendant tail keeps exactly the clique") {
+    // K4 (every node deg 3) with tail 4-100-101: k=3 peels the tail in
+    // two rounds and stops; the clique survives with degrees intact
+    val k4 = for { i <- 0L until 4L; j <- (i + 1) until 4L } yield (i, j)
+    val edges = sym(k4 ++ Seq((3L, 100L), (100L, 101L)))
+    val out = Graph.kcorePeel(edges, k = 3, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out.values.forall(_ == ((3L, true))))
+  }
+
+  test("kcorePeel: early convergence equals running more rounds") {
+    // triangle is its own 2-core: stable after the first no-op round,
+    // so maxRounds 1 and 10 must return identical frames
+    val tri = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val a = Graph.kcorePeel(tri, k = 2, maxRounds = 1).collect().toSet
+    val b = Graph.kcorePeel(tri, k = 2, maxRounds = 10).collect().toSet
+    assert(a == b && a.size == 3)
+  }
 }
