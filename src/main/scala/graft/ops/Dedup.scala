@@ -677,4 +677,118 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // -------------------------------------------- duplicated passages
+
+  /** Exact duplicated-PASSAGE detection between document pairs — the
+    * substring-level dedup signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): two documents that
+    * share a verbatim run of ≥ `minRun + gram − 1` tokens are flagged
+    * with the length and count of their shared passages, which document-
+    * level near-dup (Jaccard/MinHash) misses entirely when the passage
+    * is a small fraction of each document (a quoted paragraph, a
+    * boilerplate header, a copied license block).
+    *
+    * Seed-and-extend, fully relational: positional token `gram`-grams
+    * are digested (md5 — engine-portable, so a SQL engine replays every
+    * stage); digests are FREQUENCY-CAPPED (total occurrences ≤ `maxOcc`
+    * and ≥ 2 distinct docs — the stop-gram guard that bounds the
+    * self-join fanout the way real substring-dedup systems drop
+    * super-frequent seeds); the surviving seed matches self-join on the
+    * digest; and a shared passage appears as a run of consecutive
+    * positions on one DIAGONAL (pos_a − pos_b constant) of a pair's
+    * match matrix — classic gaps-and-islands per (pair, diagonal), one
+    * window over fine-grained partitions. A run of r grams = r+gram−1
+    * shared tokens.
+    *
+    * Scale shape: gram explode is O(total tokens) with combinable
+    * frequency aggregation; the join is equi on the digest with fanout
+    * ≤ maxOcc²/4 per digest BY CONSTRUCTION; islands window partitions
+    * by (doc_a, doc_b, diag) — millions of tiny partitions, no skew
+    * magnet; no cross join, nothing collected.
+    *
+    * Output: one row per document pair sharing ≥ 1 passage of ≥ minRun
+    * grams — (doc_a, doc_b, n_passages, max_run_grams, max_span_tokens,
+    * dup_grams). */
+  def dupPassages(df: DataFrame, id: Column, text: Column,
+                  gram: Int = 8, minRun: Int = 3, maxOcc: Int = 16): DataFrame = {
+    require(gram >= 2, s"need gram >= 2, got $gram")
+    require(minRun >= 1, s"need minRun >= 1, got $minRun")
+    require(maxOcc >= 2, s"need maxOcc >= 2, got $maxOcc")
+    // stage the token array first (see the evaluation-cost rule above)
+    val tk = df.select(id.as("doc_id"), split(lower(text), " ").as("t"))
+      .filter(size(col("t")) >= gram)
+    // positional gram digests; sequence() guard: size >= gram above
+    // keeps the bound >= 1 (Spark's sequence DESCENDS on upper < lower)
+    val pg = tk.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(t) - ${gram - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(t, i, $gram))))")))
+      .select(col("doc_id"), col("pos"), col("col").as("gd"))
+    // seed filter: shared (>= 2 docs) but not boilerplate (<= maxOcc
+    // occurrences total) — one combinable aggregate, semi-joined back
+    val seeds = pg.groupBy(col("gd"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_occ") <= maxOcc)
+      .select(col("gd"))
+    val hits = pg.join(seeds, Seq("gd"), "left_semi")
+    val pairs = hits.select(col("gd"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(hits.select(col("gd"), col("doc_id").as("doc_b"), col("pos").as("pos_b")),
+        Seq("gd"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    // islands: within a diagonal pos_a values are unique (pos_b is
+    // determined), so pos_a - row_number is constant exactly on runs
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val runs = pairs
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_passages"),
+        max(col("run")).as("max_run_grams"),
+        (max(col("run")) + lit(gram - 1)).as("max_span_tokens"),
+        sum(col("run")).as("dup_grams"))
+  }
+
+  /** DuckDB CTE chain replaying [[dupPassages]] bit-for-bit over
+    * `srcCte` (columns doc_id, text); final CTE `__dp_out` has the
+    * operator's six output columns. */
+  def dupPassagesSql(srcCte: String, gram: Int = 8, minRun: Int = 3,
+                     maxOcc: Int = 16): String = {
+    s"""__dp_tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM $srcCte),
+    __dp_pg AS (
+      SELECT doc_id, u.p AS pos, u.g AS gd FROM (
+        SELECT doc_id,
+          unnest([{'p': i, 'g': md5(array_to_string(t[i:i+${gram - 1}], ' '))}
+                  for i in range(1, len(t) - ${gram - 2})]) AS u
+        FROM __dp_tk WHERE len(t) >= $gram)),
+    __dp_seeds AS (
+      SELECT gd FROM __dp_pg
+      GROUP BY 1
+      HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= $maxOcc),
+    __dp_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+        a.pos - b.pos AS diag
+      FROM __dp_pg a JOIN __dp_seeds USING (gd) JOIN __dp_pg b USING (gd)
+      WHERE a.doc_id < b.doc_id),
+    __dp_runs AS (
+      SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run FROM (
+        SELECT doc_a, doc_b, diag, pos_a,
+          pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pos_a) AS isl
+        FROM __dp_pairs)
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= $minRun),
+    __dp_out AS (
+      SELECT doc_a, doc_b, COUNT(*) AS n_passages,
+        MAX(run) AS max_run_grams,
+        MAX(run) + ${gram - 1} AS max_span_tokens,
+        CAST(SUM(run) AS BIGINT) AS dup_grams
+      FROM __dp_runs GROUP BY 1, 2)"""
+  }
 }

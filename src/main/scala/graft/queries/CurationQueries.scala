@@ -714,6 +714,26 @@ object CurationQueries {
       FROM e4 GROUP BY 1"""
     })
 
+  /** Duplicated-passage detection (Dedup.dupPassages) — substring-level
+    * dedup on the documents corpus: verbatim runs of ≥ 10 shared tokens
+    * (8-grams, minRun 3) between document pairs, found by seed-and-
+    * extend over frequency-capped positional gram digests and diagonal
+    * gaps-and-islands. The signal document-level Jaccard/MinHash misses
+    * when the copied block is a small fraction of each doc. The oracle
+    * replays every stage (digests, seed cap, diagonal islands) via
+    * [[Dedup.dupPassagesSql]]. */
+  private val x_dedup_passages = Q(
+    "x_dedup_passages",
+    (s, d) => Dedup.dupPassages(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text"), gram = 8, minRun = 3, maxOcc = 16),
+    Some(s"""WITH src AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ${Dedup.dupPassagesSql("src", gram = 8, minRun = 3, maxOcc = 16)}
+    SELECT doc_a, doc_b, n_passages, max_run_grams, max_span_tokens,
+      dup_grams
+    FROM __dp_out"""))
+
   /** Round-5 flagship composite — the curation chain rebuilt from this
     * round's operators, end-to-end: entropy gate (boilerplate floor) →
     * bigram-LM gate (perplexity-proxy ceiling) → asymmetric containment
@@ -827,6 +847,7 @@ object CurationQueries {
     x_layout_compaction,
     x_dq_drift,
     x_graph_kcore,
+    x_dedup_passages,
     x_curation_pipeline_v2,
     x_stream_tws_sessionize,
     x_dq_skew_report,

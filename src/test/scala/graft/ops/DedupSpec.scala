@@ -183,4 +183,52 @@ class DedupSpec extends SparkSpec {
     // the quote contains exactly 1 distinct shared 7-gram
     assert(report == Map(1L -> 1L))
   }
+
+  test("dupPassages: a copied paragraph is one island with exact run length") {
+    // docs 1 and 2 share a verbatim 12-token block inside otherwise
+    // distinct text; 12 tokens = 12 - 8 + 1 = 5 consecutive 8-grams
+    val block = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, s"one two three four five six $block seven eight nine ten eleven"),
+      (2L, s"uno dos tres cuatro cinco seis $block siete ocho nueve diez once"),
+      (3L, "totally unrelated filler text with enough tokens to gram nicely around")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupPassages(d, col("doc_id"), col("text"),
+        gram = 8, minRun = 3, maxOcc = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    // (n_passages, max_run_grams, max_span_tokens, dup_grams)
+    assert(out((1L, 2L)) == ((1L, 5L, 12L, 5L)))
+  }
+
+  test("dupPassages: two separate copied blocks are two islands; short runs drop") {
+    val blockA = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val blockB = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    // 10 tokens per block = 3 consecutive 8-grams each (>= minRun 3);
+    // the blocks sit at DIFFERENT relative offsets in the two docs, so
+    // they land on different diagonals
+    val d = Seq(
+      (1L, s"$blockA x1 y1 z1 w1 $blockB"),
+      (2L, s"p q r $blockA x2 y2 $blockB tail word here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupPassages(d, col("doc_id"), col("text"),
+        gram = 8, minRun = 3, maxOcc = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(out((1L, 2L)) == ((2L, 3L, 6L)))
+  }
+
+  test("dupPassages: boilerplate gram above the occurrence cap never seeds") {
+    // the same 8-token sentence pasted into 20 docs: 13 grams... no —
+    // one 8-gram per doc, 20 occurrences total > maxOcc 16, so the
+    // seed is dropped and no pair is emitted (the stop-gram guard)
+    val sent = "this exact boilerplate footer appears on every single"
+    val d = (1L to 20L).map(i => (i, s"$sent page$i")).toDF("doc_id", "text")
+    assert(Dedup.dupPassages(d, col("doc_id"), col("text"),
+      gram = 8, minRun = 1, maxOcc = 16).isEmpty)
+    // raising the cap to 20 admits it: C(20,2) = 190 pairs
+    assert(Dedup.dupPassages(d, col("doc_id"), col("text"),
+      gram = 8, minRun = 1, maxOcc = 20).count() == 190L)
+  }
 }
