@@ -734,6 +734,39 @@ object CurationQueries {
       dup_grams
     FROM __dp_out"""))
 
+  /** Per-language ADAPTIVE quality gate — percentile thresholding (the
+    * FineWeb/CCNet posture: a fixed score cutoff over-prunes low-
+    * resource languages whose score distribution sits lower, so the
+    * cutoff is a PER-LANGUAGE quantile, not a constant): rank each
+    * document's quality score within its language partition, keep the
+    * top half. percent_rank over a TOTAL order (score desc, doc_id) is
+    * (rn−1)/(n−1) — pure integer-derived double division, bit-stable
+    * across engines. One window over language partitions; no skew magnet
+    * (partition count = language count, each internally parallel via
+    * the range-partitioned sort). */
+  private val x_curation_quantile_gate = Q(
+    "x_curation_quantile_gate", {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            TextOps.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        scored.withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("keep", col("pct_rank") <= 0.5)
+      }
+    },
+    Some(s"""WITH scored AS (
+      SELECT doc_id, lang, ${TextOps.qualityScoreSql("text")} AS quality
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, lang, quality,
+      PERCENT_RANK() OVER (PARTITION BY lang
+                           ORDER BY quality DESC, doc_id) AS pct_rank,
+      PERCENT_RANK() OVER (PARTITION BY lang
+                           ORDER BY quality DESC, doc_id) <= 0.5 AS keep
+    FROM scored"""))
+
   /** Round-5 flagship composite — the curation chain rebuilt from this
     * round's operators, end-to-end: entropy gate (boilerplate floor) →
     * bigram-LM gate (perplexity-proxy ceiling) → asymmetric containment
@@ -848,6 +881,7 @@ object CurationQueries {
     x_dq_drift,
     x_graph_kcore,
     x_dedup_passages,
+    x_curation_quantile_gate,
     x_curation_pipeline_v2,
     x_stream_tws_sessionize,
     x_dq_skew_report,
