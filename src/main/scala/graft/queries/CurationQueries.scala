@@ -741,9 +741,19 @@ object CurationQueries {
     * document's quality score within its language partition, keep the
     * top half. percent_rank over a TOTAL order (score desc, doc_id) is
     * (rn−1)/(n−1) — pure integer-derived double division, bit-stable
-    * across engines. One window over language partitions; no skew magnet
-    * (partition count = language count, each internally parallel via
-    * the range-partitioned sort). */
+    * across engines.
+    *
+    * Scale shape — the naive form is a straggler wall: a window
+    * PARTITION BY lang puts an entire language in ONE task (half of
+    * CommonCrawl is English). So the global per-language rank is
+    * DECOMPOSED: (1) one combinable count by (lang, quality) — the
+    * distinct-score frame, tiny next to the corpus; (2) a cumulative
+    * better-score count by a window over THAT frame (partitions =
+    * languages, rows = distinct scores — driver-scale, not doc-scale);
+    * (3) per-doc rank = better_cnt + row_number within its
+    * (lang, quality) TIE GROUP ordered by doc_id — fine-grained window
+    * partitions, no skew magnet. Output is value-identical to the
+    * single-window form the oracle runs. */
   private val x_curation_quantile_gate = Q(
     "x_curation_quantile_gate", {
       (s, d) => {
@@ -751,10 +761,31 @@ object CurationQueries {
         val scored = Tables.documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), col("lang"),
             TextOps.qualityScore(col("text")).as("quality"))
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(col("quality").desc, col("doc_id"))
-        scored.withColumn("pct_rank", percent_rank().over(w))
+        // (1) distinct-score histogram per language (combinable agg)
+        val hist = scored.groupBy(col("lang"), col("quality"))
+          .agg(count(lit(1)).as("cnt"))
+        // (2) strictly-better cumulative count + language total, both
+        // over the TINY histogram frame
+        val wCum = Window.partitionBy(col("lang"))
+          .orderBy(col("quality").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(col("lang"))
+        val ranked = hist
+          .withColumn("better_cnt",
+            coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+          .withColumn("n_lang", sum(col("cnt")).over(wTot))
+        // (3) tie-group row_number per (lang, quality): fine-grained
+        val wTie = Window.partitionBy(col("lang"), col("quality"))
+          .orderBy(col("doc_id"))
+        scored.join(ranked, Seq("lang", "quality"))
+          .withColumn("rn", col("better_cnt") + row_number().over(wTie))
+          .withColumn("pct_rank",
+            when(col("n_lang") === 1, lit(0.0d))
+              .otherwise((col("rn") - 1).cast("double")
+                / (col("n_lang") - 1).cast("double")))
           .withColumn("keep", col("pct_rank") <= 0.5)
+          .select(col("doc_id"), col("lang"), col("quality"),
+            col("pct_rank"), col("keep"))
       }
     },
     Some(s"""WITH scored AS (
