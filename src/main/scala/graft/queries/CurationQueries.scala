@@ -693,25 +693,29 @@ object CurationQueries {
       }
     },
     Some {
+      // the same delta recursion kcorePeel runs: dead_i = alive nodes
+      // below k; survivors' degrees drop by their edges into dead_i
       def peel(i: Int) =
-        s"""d$i AS (SELECT src AS node, COUNT(*) AS deg FROM e${i - 1} GROUP BY 1),
-        e$i AS (
-          SELECT e.src, e.dst FROM e${i - 1} e
-          JOIN d$i da ON da.node = e.src
-          JOIN d$i db ON db.node = e.dst
-          WHERE da.deg >= 35 AND db.deg >= 35)"""
+        s"""dead$i AS (SELECT node FROM a${i - 1} WHERE deg < 35),
+        a$i AS (
+          SELECT a.node, a.deg - COALESCE(c.c, 0) AS deg
+          FROM a${i - 1} a LEFT JOIN (
+            SELECT e.src AS node, COUNT(*) AS c
+            FROM e0 e JOIN dead$i d ON d.node = e.dst
+            GROUP BY 1) c ON c.node = a.node
+          WHERE a.deg >= 35)"""
       s"""WITH eraw AS (
         SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
       e0 AS (
         SELECT a AS src, b AS dst FROM eraw
         UNION ALL SELECT b AS src, a AS dst FROM eraw),
+      a0 AS (SELECT src AS node, COUNT(*) AS deg FROM e0 GROUP BY 1),
       ${peel(1)},
       ${peel(2)},
       ${peel(3)},
       ${peel(4)}
-      SELECT src AS node, COUNT(*) AS deg, COUNT(*) >= 35 AS in_core
-      FROM e4 GROUP BY 1"""
+      SELECT node, deg, deg >= 35 AS in_core FROM a4"""
     })
 
   /** Duplicated-passage detection (Dedup.dupPassages) — substring-level
