@@ -680,6 +680,23 @@ object Dedup {
 
   // -------------------------------------------- duplicated passages
 
+  /** (doc_id, pos, gd) — every positional whitespace-token `gram`-gram
+    * of each document, digested with md5 (engine-portable). One row per
+    * token position; docs shorter than `gram` tokens emit nothing.
+    * Shared stage of [[dupPassages]] and [[gramNovelty]]. */
+  def positionalGrams(df: DataFrame, id: Column, text: Column,
+                      gram: Int): DataFrame = {
+    // stage the token array first (see the evaluation-cost rule above)
+    val tk = df.select(id.as("doc_id"), split(lower(text), " ").as("t"))
+      .filter(size(col("t")) >= gram)
+    // sequence() guard: size >= gram above keeps the bound >= 1
+    // (Spark's sequence DESCENDS on upper < lower)
+    tk.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(t) - ${gram - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(t, i, $gram))))")))
+      .select(col("doc_id"), col("pos"), col("col").as("gd"))
+  }
+
   /** Exact duplicated-PASSAGE detection between document pairs — the
     * substring-level dedup signal (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): two documents that
@@ -715,15 +732,7 @@ object Dedup {
     require(gram >= 2, s"need gram >= 2, got $gram")
     require(minRun >= 1, s"need minRun >= 1, got $minRun")
     require(maxOcc >= 2, s"need maxOcc >= 2, got $maxOcc")
-    // stage the token array first (see the evaluation-cost rule above)
-    val tk = df.select(id.as("doc_id"), split(lower(text), " ").as("t"))
-      .filter(size(col("t")) >= gram)
-    // positional gram digests; sequence() guard: size >= gram above
-    // keeps the bound >= 1 (Spark's sequence DESCENDS on upper < lower)
-    val pg = tk.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, size(t) - ${gram - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(t, i, $gram))))")))
-      .select(col("doc_id"), col("pos"), col("col").as("gd"))
+    val pg = positionalGrams(df, id, text, gram)
     // seed filter: shared (>= 2 docs) but not boilerplate (<= maxOcc
     // occurrences total) — one combinable aggregate, semi-joined back
     val seeds = pg.groupBy(col("gd"))
@@ -790,5 +799,54 @@ object Dedup {
         MAX(run) + ${gram - 1} AS max_span_tokens,
         CAST(SUM(run) AS BIGINT) AS dup_grams
       FROM __dp_runs GROUP BY 1, 2)"""
+  }
+
+  /** Per-document n-gram NOVELTY — the memorization/boilerplate metric
+    * corpus audits run before training (what fraction of this document
+    * is verbatim present elsewhere in the corpus?): over positional
+    * `gram`-grams, `shared_grams` counts positions whose gram occurs in
+    * ≥ 2 distinct documents and `novel_frac = 1 − shared/total`. A doc
+    * quoting one paragraph scores high novelty; a mirror page scores
+    * ~0. Unlike [[dupPassages]] this is per-document (no pair join):
+    * one explode, one combinable doc-frequency aggregate, one gd-keyed
+    * equi-join back, one per-doc aggregate — scan-linear, no fanout,
+    * needs no occurrence cap. Docs shorter than `gram` tokens emit
+    * nothing. */
+  def gramNovelty(df: DataFrame, id: Column, text: Column,
+                  gram: Int = 8): DataFrame = {
+    require(gram >= 2, s"need gram >= 2, got $gram")
+    val pg = positionalGrams(df, id, text, gram)
+    val freq = pg.groupBy(col("gd"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    pg.join(freq, Seq("gd"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("nd") >= 2, 1)).as("shared_grams"))
+      .withColumn("novel_frac",
+        lit(1.0d) - col("shared_grams").cast("double")
+          / col("n_grams").cast("double"))
+  }
+
+  /** DuckDB CTE chain replaying [[gramNovelty]] over `srcCte`
+    * (columns doc_id, text); final CTE `__gn_out`. */
+  def gramNoveltySql(srcCte: String, gram: Int = 8): String = {
+    s"""__gn_tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM $srcCte),
+    __gn_pg AS (
+      SELECT doc_id, u AS gd FROM (
+        SELECT doc_id,
+          unnest([md5(array_to_string(t[i:i+${gram - 1}], ' '))
+                  for i in range(1, len(t) - ${gram - 2})]) AS u
+        FROM __gn_tk WHERE len(t) >= $gram)),
+    __gn_freq AS (
+      SELECT gd, COUNT(DISTINCT doc_id) AS nd FROM __gn_pg GROUP BY 1),
+    __gn_out AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+        COUNT(CASE WHEN nd >= 2 THEN 1 END) AS shared_grams,
+        CAST(1 AS DOUBLE)
+          - CAST(COUNT(CASE WHEN nd >= 2 THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS novel_frac
+      FROM __gn_pg JOIN __gn_freq USING (gd)
+      GROUP BY 1)"""
   }
 }

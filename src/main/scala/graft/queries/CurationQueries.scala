@@ -738,6 +738,21 @@ object CurationQueries {
       dup_grams
     FROM __dp_out"""))
 
+  /** Per-document n-gram novelty (Dedup.gramNovelty) — the
+    * memorization/boilerplate audit: fraction of each document's
+    * positional 8-grams verbatim present in other documents. Scan-
+    * linear (no pair join, no cap needed); the oracle recomputes
+    * digests, doc frequencies, and the per-doc shares. */
+  private val x_text_novelty = Q(
+    "x_text_novelty",
+    (s, d) => Dedup.gramNovelty(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text"), gram = 8),
+    Some(s"""WITH src AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ${Dedup.gramNoveltySql("src", gram = 8)}
+    SELECT doc_id, n_grams, shared_grams, novel_frac FROM __gn_out"""))
+
   /** Per-language ADAPTIVE quality gate — percentile thresholding (the
     * FineWeb/CCNet posture: a fixed score cutoff over-prunes low-
     * resource languages whose score distribution sits lower, so the
@@ -917,6 +932,7 @@ object CurationQueries {
     x_graph_kcore,
     x_dedup_passages,
     x_curation_quantile_gate,
+    x_text_novelty,
     x_curation_pipeline_v2,
     x_stream_tws_sessionize,
     x_dq_skew_report,

@@ -219,6 +219,23 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == ((2L, 3L, 6L)))
   }
 
+  test("gramNovelty: shared block lowers novelty by exactly its gram share") {
+    val block = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, s"one two three four five six $block seven eight nine ten eleven"),
+      (2L, s"uno dos tres cuatro cinco seis $block siete ocho nueve diez once"),
+      (3L, "totally unrelated filler text with enough tokens to gram nicely around")
+    ).toDF("doc_id", "text")
+    val out = Dedup.gramNovelty(d, col("doc_id"), col("text"), gram = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 1/2: 23 tokens -> 16 grams, 5 inside the copied block shared
+    assert(out(1L) == ((16L, 5L, 1.0 - 5.0 / 16.0)))
+    assert(out(2L) == ((16L, 5L, 1.0 - 5.0 / 16.0)))
+    // doc 3: 11 tokens -> 4 grams, nothing shared
+    assert(out(3L) == ((4L, 0L, 1.0)))
+  }
+
   test("dupPassages: boilerplate gram above the occurrence cap never seeds") {
     // the same 8-token sentence pasted into 20 docs: 13 grams... no —
     // one 8-gram per doc, 20 occurrences total > maxOcc 16, so the
