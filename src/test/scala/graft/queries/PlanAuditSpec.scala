@@ -308,6 +308,40 @@ class PlanAuditSpec extends SparkSpec {
       s"per-row audio frame features plan a shuffle:\n$p")
   }
 
+  test("x_curation_quantile_gate: every window is partitioned (no one-task language rank)") {
+    // the scale claim of the decomposed gate: no window may run with an
+    // empty partition spec (ORDER BY without PARTITION BY = all rows in
+    // one task). The formatted plan prints windows as
+    // Window [exprs], [partition spec], [order spec] — assert none has
+    // an empty partition list.
+    // an unpartitioned window requires Exchange SinglePartition under it
+    // (the window line itself just omits the partition bracket group) —
+    // so the detector is the exchange, which the gate must never plan
+    // positive control: the detector must FIRE on a genuinely
+    // unpartitioned window, or the assertion below is vacuous
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val ctl = Seq(1, 2).toDF("x")
+        .withColumn("rn", row_number().over(Window.orderBy(col("x"))))
+        .queryExecution.executedPlan.toString
+      assert(ctl.contains("Exchange SinglePartition"),
+        s"single-partition detector failed its positive control:\n$ctl")
+    }
+    val p = planStr("x_curation_quantile_gate")
+    assert(p.contains("Window"), s"no window operator found in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the gate plans a single-partition exchange (one-task stage):\n$p")
+  }
+
+  test("x_dedup_passages: seed and pair joins are hash/merge equi-joins") {
+    val p = planStr("x_dedup_passages")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"passage candidate generation is not an equi-join:\n$p")
+    assert(p.contains("LeftSemi"), s"no semi join for the seed filter in:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
