@@ -753,6 +753,46 @@ object CurationQueries {
     ${Dedup.gramNoveltySql("src", gram = 8)}
     SELECT doc_id, n_grams, shared_grams, novel_frac FROM __gn_out"""))
 
+  /** Out-of-vocabulary rate under a FIXED-SIZE corpus vocabulary — the
+    * tokenizer-coverage audit run before committing to a vocab budget
+    * (how much of each document falls outside the top-K word list?):
+    * top-500 tokens by (count desc, token) TOTAL order — a
+    * TakeOrderedAndProject, never a global sort — then per-doc token
+    * totals vs vocabulary hits via a BROADCAST join against the
+    * 500-row vocab. Occurrence explode is byte-linear; both aggregates
+    * combinable; the vocab side is fixed-size however large the corpus.
+    * The oracle re-derives the vocabulary and every per-doc fraction. */
+  private val x_text_oov = Q(
+    "x_text_oov", {
+      (s, d) => {
+        val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(500)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+          .withColumn("oov_frac",
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      }
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+        ORDER BY cnt DESC, tok LIMIT 500))
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+      COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+      CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY 1"""))
+
   /** Per-language ADAPTIVE quality gate — percentile thresholding (the
     * FineWeb/CCNet posture: a fixed score cutoff over-prunes low-
     * resource languages whose score distribution sits lower, so the
@@ -933,6 +973,7 @@ object CurationQueries {
     x_dedup_passages,
     x_curation_quantile_gate,
     x_text_novelty,
+    x_text_oov,
     x_curation_pipeline_v2,
     x_stream_tws_sessionize,
     x_dq_skew_report,
