@@ -732,7 +732,10 @@ object Dedup {
     require(gram >= 2, s"need gram >= 2, got $gram")
     require(minRun >= 1, s"need minRun >= 1, got $minRun")
     require(maxOcc >= 2, s"need maxOcc >= 2, got $maxOcc")
-    val pg = positionalGrams(df, id, text, gram)
+    // pg feeds the seed aggregate AND both self-join sides: materialize
+    // the corpus-wide md5 explode once (the multi-consumer gotcha —
+    // ReusedExchange does not span separate join sides)
+    val pg = positionalGrams(df, id, text, gram).localCheckpoint(true)
     // seed filter: shared (>= 2 docs) but not boilerplate (<= maxOcc
     // occurrences total) — one combinable aggregate, semi-joined back
     val seeds = pg.groupBy(col("gd"))
@@ -815,7 +818,8 @@ object Dedup {
   def gramNovelty(df: DataFrame, id: Column, text: Column,
                   gram: Int = 8): DataFrame = {
     require(gram >= 2, s"need gram >= 2, got $gram")
-    val pg = positionalGrams(df, id, text, gram)
+    // two consumers (frequency aggregate + join back): materialize once
+    val pg = positionalGrams(df, id, text, gram).localCheckpoint(true)
     val freq = pg.groupBy(col("gd"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     pg.join(freq, Seq("gd"))

@@ -765,6 +765,10 @@ object CurationQueries {
   private val x_text_oov = Q(
     "x_text_oov", {
       (s, d) => {
+        // toks has two consumers, but deliberately NOT checkpointed:
+        // the subtree is a plain split+explode (no hashing), and
+        // materializing the occurrence-grain frame costs more than the
+        // second scan it saves — unlike the md5 gram pipelines
         val toks = Tables.documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"),
             explode(split(lower(col("text")), " ")).as("tok"))
@@ -817,9 +821,17 @@ object CurationQueries {
     "x_curation_quantile_gate", {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val scored = Tables.documents(s, d).filter(col("text").isNotNull)
+        // lang is a JOIN KEY below (null-unsafe): a NULL-lang doc would
+        // silently vanish from the output instead of being classified —
+        // filter explicitly, like every per-language query in the suite
+        // two consumers (histogram aggregate + the per-doc join):
+        // materialize the scored frame once so the quality formula runs
+        // one pass over the corpus, not two
+        val scored = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("lang").isNotNull)
           .select(col("doc_id"), col("lang"),
             TextOps.qualityScore(col("text")).as("quality"))
+          .localCheckpoint(true)
         // (1) distinct-score histogram per language (combinable agg)
         val hist = scored.groupBy(col("lang"), col("quality"))
           .agg(count(lit(1)).as("cnt"))
@@ -849,7 +861,7 @@ object CurationQueries {
     },
     Some(s"""WITH scored AS (
       SELECT doc_id, lang, ${TextOps.qualityScoreSql("text")} AS quality
-      FROM documents WHERE text IS NOT NULL)
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
     SELECT doc_id, lang, quality,
       PERCENT_RANK() OVER (PARTITION BY lang
                            ORDER BY quality DESC, doc_id) AS pct_rank,

@@ -311,12 +311,10 @@ class PlanAuditSpec extends SparkSpec {
   test("x_curation_quantile_gate: every window is partitioned (no one-task language rank)") {
     // the scale claim of the decomposed gate: no window may run with an
     // empty partition spec (ORDER BY without PARTITION BY = all rows in
-    // one task). The formatted plan prints windows as
-    // Window [exprs], [partition spec], [order spec] — assert none has
-    // an empty partition list.
-    // an unpartitioned window requires Exchange SinglePartition under it
-    // (the window line itself just omits the partition bracket group) —
-    // so the detector is the exchange, which the gate must never plan
+    // one task). An unpartitioned WindowExec OMITS the empty partition
+    // bracket from its toString (grepping for `], [], [` never fires)
+    // but always requires Exchange SinglePartition under it — so the
+    // exchange is the detector, and the gate must never plan one
     // positive control: the detector must FIRE on a genuinely
     // unpartitioned window, or the assertion below is vacuous
     locally {
