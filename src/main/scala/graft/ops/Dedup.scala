@@ -804,6 +804,105 @@ object Dedup {
       FROM __dp_runs GROUP BY 1, 2)"""
   }
 
+  /** WITHIN-document repeated passages — the intra-doc repetition
+    * signal (a looping template, a chorus, a copy-pasted paragraph
+    * inside one page) that Gopher's aggregate repetition FRACTIONS
+    * detect but cannot localize: the same diagonal machinery as
+    * [[dupPassages]] applied to a document's self-matches. A gram
+    * occurring at positions p and q (p < q) of the SAME doc seeds a
+    * match at shift `period = q − p`; a run of ≥ minRun consecutive
+    * seeds on one (doc, period) diagonal is a repeated passage of
+    * `run + gram − 1` tokens recurring at that period.
+    *
+    * Seeds are grams occurring ≥ 2 times in the SAME document (not
+    * ≥ 2 docs), still capped at ≤ `maxOcc` total occurrences per doc —
+    * a doc chanting one token m times would otherwise self-pair
+    * O(m²)/2. Output: one row per (doc, period) family after
+    * aggregation — (doc_id, n_passages, max_run_grams, max_span_tokens,
+    * dup_grams, min_period) with min_period the smallest shift among
+    * the doc's maximal runs. */
+  def selfRepeatPassages(df: DataFrame, id: Column, text: Column,
+                         gram: Int = 8, minRun: Int = 3,
+                         maxOcc: Int = 16): DataFrame = {
+    require(gram >= 2, s"need gram >= 2, got $gram")
+    require(minRun >= 1, s"need minRun >= 1, got $minRun")
+    require(maxOcc >= 2, s"need maxOcc >= 2, got $maxOcc")
+    // multi-consumer (seed aggregate + both self-join sides)
+    val pg = positionalGrams(df, id, text, gram).localCheckpoint(true)
+    val seeds = pg.groupBy(col("doc_id"), col("gd"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2 && col("n_occ") <= maxOcc)
+      .select(col("doc_id"), col("gd"))
+    val hits = pg.join(seeds, Seq("doc_id", "gd"), "left_semi")
+    val pairs = hits.select(col("doc_id"), col("gd"), col("pos").as("pos_a"))
+      .join(hits.select(col("doc_id"), col("gd"), col("pos").as("pos_b")),
+        Seq("doc_id", "gd"))
+      .filter(col("pos_a") < col("pos_b"))
+      .select(col("doc_id"), col("pos_a"),
+        (col("pos_b") - col("pos_a")).as("period"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"), col("period"))
+      .orderBy(col("pos_a"))
+    val runs = pairs
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_id"), col("period"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+    // min_period = smallest shift among the doc's MAXIMAL runs: tag the
+    // per-doc max via a window over the tiny runs frame, then aggregate
+    val runsM = runs.withColumn("doc_max",
+      max(col("run")).over(Window.partitionBy(col("doc_id"))))
+    runsM.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        max(col("run")).as("max_run_grams"),
+        (max(col("run")) + lit(gram - 1)).as("max_span_tokens"),
+        sum(col("run")).as("dup_grams"),
+        min(when(col("run") === col("doc_max"), col("period")))
+          .as("min_period"))
+  }
+
+  /** DuckDB CTE chain replaying [[selfRepeatPassages]] over `srcCte`
+    * (columns doc_id, text); final CTE `__sr_out`. */
+  def selfRepeatPassagesSql(srcCte: String, gram: Int = 8, minRun: Int = 3,
+                            maxOcc: Int = 16): String = {
+    s"""__sr_tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM $srcCte),
+    __sr_pg AS (
+      SELECT doc_id, u.p AS pos, u.g AS gd FROM (
+        SELECT doc_id,
+          unnest([{'p': i, 'g': md5(array_to_string(t[i:i+${gram - 1}], ' '))}
+                  for i in range(1, len(t) - ${gram - 2})]) AS u
+        FROM __sr_tk WHERE len(t) >= $gram)),
+    __sr_seeds AS (
+      SELECT doc_id, gd FROM __sr_pg
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxOcc),
+    __sr_pairs AS (
+      SELECT a.doc_id, a.pos AS pos_a, b.pos - a.pos AS period
+      FROM __sr_pg a JOIN __sr_seeds USING (doc_id, gd)
+      JOIN __sr_pg b USING (doc_id, gd)
+      WHERE a.pos < b.pos),
+    __sr_runs AS (
+      SELECT doc_id, period, isl, COUNT(*) AS run FROM (
+        SELECT doc_id, period, pos_a,
+          pos_a - ROW_NUMBER() OVER (PARTITION BY doc_id, period
+                                     ORDER BY pos_a) AS isl
+        FROM __sr_pairs)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= $minRun),
+    __sr_out AS (
+      SELECT doc_id, COUNT(*) AS n_passages,
+        MAX(run) AS max_run_grams,
+        MAX(run) + ${gram - 1} AS max_span_tokens,
+        CAST(SUM(run) AS BIGINT) AS dup_grams,
+        CAST(MIN(CASE WHEN run = doc_max THEN period END) AS INTEGER)
+          AS min_period
+      FROM (
+        SELECT *, MAX(run) OVER (PARTITION BY doc_id) AS doc_max
+        FROM __sr_runs)
+      GROUP BY 1)"""
+  }
+
   /** Per-document n-gram NOVELTY — the memorization/boilerplate metric
     * corpus audits run before training (what fraction of this document
     * is verbatim present elsewhere in the corpus?): over positional

@@ -738,6 +738,26 @@ object CurationQueries {
       dup_grams
     FROM __dp_out"""))
 
+  /** Within-document repeated passages (Dedup.selfRepeatPassages) —
+    * localized intra-doc repetition (template loops, choruses,
+    * copy-pasted paragraphs) with the recurrence PERIOD, which Gopher's
+    * aggregate repetition fractions can't localize. gram = 3 here
+    * because the synthetic corpus carries no 8-gram self-repetition
+    * (production template loops would run the default 8); the oracle
+    * replays digests, per-doc seed caps, period diagonals and the
+    * maximal-run period pick. */
+  private val x_dedup_selfrepeat = Q(
+    "x_dedup_selfrepeat",
+    (s, d) => Dedup.selfRepeatPassages(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text"), gram = 3, minRun = 1, maxOcc = 16),
+    Some(s"""WITH src AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ${Dedup.selfRepeatPassagesSql("src", gram = 3, minRun = 1, maxOcc = 16)}
+    SELECT doc_id, n_passages, max_run_grams, max_span_tokens, dup_grams,
+      min_period
+    FROM __sr_out"""))
+
   /** Per-document n-gram novelty (Dedup.gramNovelty) — the
     * memorization/boilerplate audit: fraction of each document's
     * positional 8-grams verbatim present in other documents. Scan-
@@ -986,6 +1006,7 @@ object CurationQueries {
     x_curation_quantile_gate,
     x_text_novelty,
     x_text_oov,
+    x_dedup_selfrepeat,
     x_curation_pipeline_v2,
     x_stream_tws_sessionize,
     x_dq_skew_report,

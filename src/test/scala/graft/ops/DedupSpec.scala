@@ -236,6 +236,25 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((4L, 0L, 1.0)))
   }
 
+  test("selfRepeatPassages: a 3x template loop yields run and period exactly") {
+    // 10-token block repeated 3x back-to-back after a 1-token intro:
+    // block occupies positions 2..31. A gram at i repeats at period 10
+    // iff i >= 2 and i+17 <= 31 -> i in 2..14 = run 13; at period 20
+    // iff i in 2..4 = run 3. So 2 passages, max run 13 (span 20
+    // tokens), dup 16, min_period 10.
+    val block = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val d = Seq(
+      (1L, s"intro $block $block $block"),
+      (2L, "no repetition in this perfectly ordinary document of distinct words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.selfRepeatPassages(d, col("doc_id"), col("text"),
+        gram = 8, minRun = 3, maxOcc = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == ((2L, 13L, 20L, 16L, 10)))
+  }
+
   test("dupPassages: boilerplate gram above the occurrence cap never seeds") {
     // the same 8-token sentence pasted into 20 docs: 13 grams... no —
     // one 8-gram per doc, 20 occurrences total > maxOcc 16, so the
