@@ -131,4 +131,29 @@ object Snapshot {
       .withColumn("valid_from", asOf)
       .withColumn("valid_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
+
+  /** Content diff of two corpus snapshots — the dataset-versioning
+    * audit run between releases (what changed since the run the model
+    * was trained on?): one row per id present in either snapshot whose
+    * content differs — `status ∈ {added, removed, changed}` — with the
+    * md5 content digests of both sides (NULL on the absent side).
+    * Unchanged entities are filtered out IN the join projection, so the
+    * output is bounded by the churn, not the corpus.
+    *
+    * Scale shape: digests are computed per row pre-shuffle, so the
+    * full-outer equi-join on `id` carries (id, 32-byte digest) — never
+    * the payloads; no window, no collect. At 100 TB, both sides prune
+    * to two thin columns at the scan. */
+  def contentDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                  id: Column, payload: Column): DataFrame = {
+    val o = oldSnap.select(id.as("id"), md5(payload).as("old_digest"))
+    val n = newSnap.select(id.as("id"), md5(payload).as("new_digest"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("id"), col("status"), col("old_digest"), col("new_digest"))
+  }
 }

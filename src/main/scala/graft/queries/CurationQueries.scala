@@ -738,6 +738,52 @@ object CurationQueries {
       dup_grams
     FROM __dp_out"""))
 
+  /** Corpus snapshot diff (Snapshot.contentDiff) — the dataset-
+    * versioning audit between releases: the "new" snapshot is a
+    * DETERMINISTIC mutation of the documents corpus (every 13th doc
+    * removed, every 11th surviving doc edited, one synthetic doc added
+    * per 17th), so both engines derive both snapshots and the diff
+    * itself is fully replayable. Digest-only full-outer join — payloads
+    * never shuffle; output bounded by the churn. */
+  private val x_dq_snapshot_diff = Q(
+    "x_dq_snapshot_diff", {
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val oldSnap = docs.select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" updated")))
+              .otherwise(col("text")).as("text"))
+        val added = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("added doc "), col("doc_id")).as("text"))
+        val newSnap = base.unionByName(added)
+        graft.ops.Snapshot.contentDiff(oldSnap, newSnap,
+          col("doc_id"), col("text"))
+      }
+    },
+    Some("""WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    o AS (SELECT doc_id AS id, md5(text) AS old_digest FROM docs),
+    n AS (
+      SELECT doc_id AS id,
+        md5(CASE WHEN doc_id % 11 = 0 THEN text || ' updated' ELSE text END)
+          AS new_digest
+      FROM docs WHERE doc_id % 13 != 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS id, md5('added doc ' || doc_id)
+      FROM docs WHERE doc_id % 17 = 0)
+    SELECT COALESCE(o.id, n.id) AS id,
+      CASE WHEN o.id IS NULL THEN 'added'
+           WHEN n.id IS NULL THEN 'removed'
+           WHEN o.old_digest != n.new_digest THEN 'changed' END AS status,
+      o.old_digest, n.new_digest
+    FROM o FULL OUTER JOIN n ON o.id = n.id
+    WHERE CASE WHEN o.id IS NULL THEN 'added'
+               WHEN n.id IS NULL THEN 'removed'
+               WHEN o.old_digest != n.new_digest THEN 'changed' END
+          IS NOT NULL"""))
+
   /** Within-document repeated passages (Dedup.selfRepeatPassages) —
     * localized intra-doc repetition (template loops, choruses,
     * copy-pasted paragraphs) with the recurrence PERIOD, which Gopher's
@@ -1007,6 +1053,7 @@ object CurationQueries {
     x_text_novelty,
     x_text_oov,
     x_dedup_selfrepeat,
+    x_dq_snapshot_diff,
     x_curation_pipeline_v2,
     x_stream_tws_sessionize,
     x_dq_skew_report,

@@ -65,4 +65,19 @@ class SnapshotSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(history == Set(2L, 3L)) // the month-2 closures survive verbatim
   }
+
+  test("contentDiff: added/removed/changed classified; unchanged absent") {
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Snapshot.contentDiff(oldSnap, newSnap, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // digest sides: absent side NULL, present side non-null
+    val rows = Snapshot.contentDiff(oldSnap, newSnap, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(rows(3L) == ((false, true)) && rows(4L) == ((true, false))
+      && rows(2L) == ((false, false)))
+  }
 }
