@@ -103,4 +103,38 @@ class PropertiesSpec extends SparkSpec {
       == once.select("doc_id", "text").collect().toSet)
     assert(twice.select("n_copies").as[Long].collect().forall(_ == 1L))
   }
+
+  test("gramNovelty laws: bounded, exact copies score 0, shared+novel = total (DataFrame law)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta eps zeta eta theta iota kappa"), // copy of 1
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.gramNovelty(df, col("doc_id"), col("text"), gram = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // exact copies: every gram shared -> novelty 0; unique doc -> 1
+    assert(out(1L)._3 == 0.0 && out(2L)._3 == 0.0 && out(3L)._3 == 1.0)
+    // bounds + consistency: 0 <= shared <= total and frac = 1 - shared/total
+    out.values.foreach { case (n, sh, f) =>
+      assert(sh >= 0 && sh <= n && math.abs(f - (1.0 - sh.toDouble / n)) == 0.0)
+    }
+  }
+
+  test("dupPassages symmetry: doc id relabeling permutes ids, not passage stats (DataFrame law)") {
+    import org.apache.spark.sql.functions.col
+    val block = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, s"one two three four five six $block seven eight nine ten eleven"),
+      (2L, s"uno dos tres cuatro cinco seis $block siete ocho nueve diez once"))
+      .toDF("doc_id", "text")
+    // relabel 1->20, 2->10 (REVERSES the pair order)
+    val relabeled = df.withColumn("doc_id",
+      org.apache.spark.sql.functions.when(col("doc_id") === 1L, 20L).otherwise(10L))
+    def stats(d: org.apache.spark.sql.DataFrame) =
+      Dedup.dupPassages(d, col("doc_id"), col("text"), gram = 8, minRun = 3, maxOcc = 16)
+        .select("n_passages", "max_run_grams", "max_span_tokens", "dup_grams")
+        .collect().map(_.toSeq).toSeq
+    assert(stats(df) == stats(relabeled))
+  }
 }
