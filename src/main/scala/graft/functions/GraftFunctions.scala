@@ -188,6 +188,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaro-Winkler similarity of two strings over UTF-8 bytes, DuckDB-
+  * `jaro_winkler_similarity`-compatible (see [[Kernels.jaroWinkler]] for
+  * the exact contract incl. the empty-string and boost-threshold edges). */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).collectFirst {
+      // NullType is a literal NULL: nullSafeEval short-circuits it
+      case e if e.dataType != StringType && e.dataType != NullType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string inputs, got ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API + SQL-registration surface for the native expressions. */
 object GraftFunctions {
 
@@ -237,6 +259,10 @@ object GraftFunctions {
   def quantizeInt8(vec: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
 
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -281,7 +307,10 @@ object GraftFunctions {
         builder("graft_md5_simhash60", "(arr)") { case Seq(e) => Md5SimHash60(e) }),
       (FunctionIdentifier("graft_winnow_roll"), info("graft_winnow_roll"),
         builder("graft_winnow_roll", "(text, k, w)") { case Seq(e, k, w) =>
-          WinnowRoll(e, intLit(k, "k"), intLit(w, "w")) }))
+          WinnowRoll(e, intLit(k, "k"), intLit(w, "w")) }),
+      (FunctionIdentifier("graft_jaro_winkler"), info("graft_jaro_winkler"),
+        builder("graft_jaro_winkler", "(a, b)") { case Seq(a, b) =>
+          JaroWinkler(a, b) }))
   }
 
   /** Register `graft_*` as session SQL functions so `spark.sql` users get

@@ -362,6 +362,62 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Jaro-Winkler similarity over UTF-8 BYTES, matching DuckDB's
+    * `jaro_winkler_similarity` bit-for-bit (validated exhaustively
+    * against DuckDB on random + real-name corpora): byte-level match
+    * window (NOT codepoints — DuckDB's vendored implementation walks
+    * the raw UTF-8 encoding), either-empty → 0.0 (including BOTH
+    * empty, where the textbook definition says 1.0), Winkler prefix
+    * boost of 0.1·min(prefix,4)·(1−jaro) applied only when jaro > 0.7.
+    * Standard flag-array algorithm: O(window·len) time, two small
+    * boolean scratch arrays, no boxing — safe as a per-candidate-pair
+    * kernel inside whole-stage codegen. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.getBytes
+    val s2 = b.getBytes
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val f1 = new Array[Boolean](l1)
+    val f2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!f2(j) && s1(i) == s2(j)) {
+          f1(i) = true; f2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (f1(i)) {
+        while (!f2(k)) k += 1
+        if (s1(i) != s2(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      var p = 0
+      val pmax = math.min(4, math.min(l1, l2))
+      while (p < pmax && s1(p) == s2(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+
   /** |A ∩ B| for two SORTED string arrays (strictly ascending, i.e.
     * sorted distinct sets): single merge pass, zero allocation. The
     * caller owns the sorted-distinct invariant (see Dedup.shingled). */

@@ -306,4 +306,42 @@ object Sampling {
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Deterministic weighted sampling WITHOUT replacement via priority
+    * sampling (Duffield-Lund-Thorup, JACM 2007): each row gets priority
+    * w/u with u uniform in (0,1], and the k highest-priority rows form
+    * the sample — heavy rows are included with probability proportional
+    * to weight, and the scheme supports unbiased subset-sum estimation.
+    * Our u is (hash+1)/2^56 of the row key (same 56-bit md5 primitive as
+    * every split/shard op), so the "randomness" is a pure function of
+    * the key: reruns, engines and layouts agree, and equal keys can
+    * never both enter the sample twice under dedup-then-sample.
+    *
+    * Plan shape: priority is one map-side expression; top-k is
+    * `orderBy(...).limit(k)` = TakeOrderedAndProject — per-partition
+    * heaps + a single k-row reduce to the driver stage, NO global sort,
+    * the only shape that survives a 100 TB scan. The priority compare is
+    * `w/(h+1)` in doubles: both operands convert and divide under IEEE
+    * round-to-nearest in any engine, so the ORDER (with key tiebreak) is
+    * bit-reproducible cross-engine without emitting the float itself.
+    * Non-positive and null weights are excluded (they have no sampling
+    * mass). Returns the k sampled rows with their 1-based `rank`. */
+  def prioritySample(df: org.apache.spark.sql.DataFrame, key: Column,
+                     weight: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val pri = Names.fresh("pri", df.columns)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pri).desc, key)
+    df.filter(weight.isNotNull && weight > 0 && key.isNotNull)
+      .withColumn(pri, weight.cast("double") / (hashValue(key) + 1).cast("double"))
+      .orderBy(col(pri).desc, key)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .drop(pri)
+  }
+
+  /** DuckDB priority expression equal to [[prioritySample]]'s (rank and
+    * limit are left to the caller's QUALIFY/ORDER BY). */
+  def prioritySql(keyExpr: String, weightExpr: String): String =
+    s"CAST($weightExpr AS DOUBLE) / CAST(${hashValueSql(keyExpr)} + 1 AS DOUBLE)"
 }

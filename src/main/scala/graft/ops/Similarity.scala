@@ -432,4 +432,52 @@ object Similarity {
     base.unpersist()
     out
   }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions with
+    * a HASH-DERIVED ±1 sign matrix (Achlioptas 2003: Rademacher entries
+    * preserve pairwise distances with the same JL guarantee as Gaussian
+    * ones, and need no RNG state — sign(j,i) is a pure function of
+    * (j,i), so both engines and any re-run derive the identical matrix).
+    * The matrix is built once from `spark.range(outDim·inDim)`, folded
+    * to a SINGLE broadcast row (outDim arrays of inDim signs), and
+    * joined in with a bounded-side crossJoin — the projection itself is
+    * then one map-side `zip_with`+`aggregate` per (row, output dim):
+    * ZERO shuffle over the corpus, the shape that survives 100 TB.
+    *
+    * Arithmetic is exact-integer: each term is `round(v_i·10⁶)·s_ji` as
+    * a long, so the sum is ORDER-FREE and bit-identical in any engine —
+    * no float-summation-order hazard in the oracle compare. Output is
+    * one row per (id, out_dim) with the projection in micros
+    * (`proj_micro`); downstream ANN can consume `proj_micro/1e6` or
+    * stay in integer space. Null embeddings are dropped (a projection
+    * of nothing is not zero). */
+  def randomProject(corpus: DataFrame, inDim: Int, outDim: Int,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(inDim > 0 && outDim > 0, "inDim and outDim must be positive")
+    val spark = corpus.sparkSession
+    val signs = spark.range(outDim.toLong * inDim)
+      .select((col("id") / inDim).cast("int").as("j"),
+        (col("id") % inDim).cast("int").as("i"))
+      .withColumn("s",
+        when(Sampling.hashValue(
+          concat_ws("|", lit("rp"), col("j").cast("string"),
+            col("i").cast("string"))) % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy(col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        e => e.getField("s")).as("row"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("row")))),
+        e => e.getField("row")).as("__signs"))
+    corpus.filter(col(vec).isNotNull)
+      .crossJoin(broadcast(signs))
+      .select(col(id), posexplode(
+        transform(col("__signs"), srow =>
+          aggregate(
+            zip_with(col(vec), srow,
+              (x, sgn) => round(x.cast("double") * 1e6).cast("long") * sgn),
+            lit(0L), (acc, t) => acc + t))))
+      .select(col(id), col("pos").cast("int").as("out_dim"),
+        col("col").as("proj_micro"))
+  }
 }

@@ -180,10 +180,55 @@ object EltQueries {
     FROM (SELECT unnest(range(0, 22)) AS bucket) b
     LEFT JOIN counts c USING (bucket)"""))
 
+  /** Per-group winsorization + robust scaling — the outlier-taming
+    * transform feature pipelines apply before training (clamp to the
+    * [p05, p95] band; center/scale by median and IQR, which outliers
+    * cannot drag the way mean/stddev can). Percentiles are EXACT
+    * (Spark `percentile` = the p·(n−1) linear-interpolation definition
+    * shared by DuckDB's percentile_cont) computed once per group — 25
+    * brand groups, so the stats side is a broadcast join back onto the
+    * row stream, keeping the per-row pass map-side. At 100 TB the same
+    * shape holds while group count stays bounded; for high-cardinality
+    * groups the sketch suite's KLL approx_percentile is the drop-in
+    * (documented trade: exact percentile materializes each group's
+    * values). Degenerate IQR=0 → NULL z (no spread to scale by). */
+  private val x_dq_winsorize = Q(
+    "x_dq_winsorize",
+    (s, d) => {
+      val part = Tables.part(s, d)
+      val price = col("p_retailprice")
+      val stats = part.groupBy(col("p_brand")).agg(
+        percentile(price, lit(0.05)).as("lo"),
+        percentile(price, lit(0.95)).as("hi"),
+        percentile(price, lit(0.25)).as("q1"),
+        percentile(price, lit(0.5)).as("med"),
+        percentile(price, lit(0.75)).as("q3"))
+      part.join(broadcast(stats), "p_brand")
+        .select(col("p_partkey"), col("p_brand"), price.as("price"),
+          round(least(greatest(price, col("lo")), col("hi")), 6).as("price_w"),
+          when(col("q3") > col("q1"),
+            round((price - col("med")) / (col("q3") - col("q1")), 6))
+            .as("z_robust"))
+    },
+    Some("""WITH stx AS (
+      SELECT p_brand,
+        percentile_cont(0.05) WITHIN GROUP (ORDER BY p_retailprice) AS lo,
+        percentile_cont(0.95) WITHIN GROUP (ORDER BY p_retailprice) AS hi,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY p_retailprice) AS q1,
+        percentile_cont(0.5)  WITHIN GROUP (ORDER BY p_retailprice) AS med,
+        percentile_cont(0.75) WITHIN GROUP (ORDER BY p_retailprice) AS q3
+      FROM part GROUP BY p_brand)
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice AS price,
+      ROUND(LEAST(GREATEST(p.p_retailprice, s.lo), s.hi), 6) AS price_w,
+      CASE WHEN s.q3 > s.q1
+        THEN ROUND((p.p_retailprice - s.med) / (s.q3 - s.q1), 6) END AS z_robust
+    FROM part p JOIN stx s USING (p_brand)"""))
+
   def all: Seq[Q] = Seq(
     x_scd2_merge,
     x_dq_audit,
     x_dq_profile,
     x_dq_histogram,
+    x_dq_winsorize,
   )
 }

@@ -468,6 +468,39 @@ object ExtensionQueries {
       unnest(qv) AS q
     FROM q"""))
 
+  /** Johnson-Lindenstrauss random projection 64→16 dims
+    * ([[Similarity.randomProject]]): hash-derived Rademacher (±1) sign
+    * matrix, broadcast once, applied map-side with ZERO corpus shuffle —
+    * the dimensionality-reduction stage in front of ANN indexing (4×
+    * fewer dot-product terms at a JL-bounded distance distortion, which
+    * SimilaritySpec pins statistically). Arithmetic is exact integer
+    * micros, so the oracle re-derives the ENTIRE projection — sign
+    * matrix (same md5 formula via Sampling.hashValueSql) and every
+    * order-free term sum — bit-for-bit. */
+  private val x_embed_project = Q(
+    "x_embed_project",
+    (s, d) => Similarity.randomProject(
+      Tables.embeddings(s, d), inDim = 64, outDim = 16),
+    Some(s"""WITH signs AS (
+      SELECT j, i,
+        CASE WHEN ${Sampling.hashValueSql("'rp|' || j || '|' || i")} % 2 = 0
+             THEN 1 ELSE -1 END AS s
+      FROM range(16) tj(j), range(64) ti(i)),
+    v AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vm
+      FROM embeddings WHERE embedding IS NOT NULL),
+    e AS (
+      SELECT vec_id,
+        CAST(unnest(generate_series(1, len(vm))) - 1 AS BIGINT) AS i,
+        unnest(vm) AS xm
+      FROM v)
+    SELECT vec_id, CAST(s.j AS INTEGER) AS out_dim,
+      CAST(SUM(e.xm * s.s) AS BIGINT) AS proj_micro
+    FROM e JOIN signs s ON s.i = e.i
+    GROUP BY vec_id, s.j"""))
+
   /** Brute-force cosine top-5 over int8-QUANTIZED embeddings — the
     * compressed-index search path (quantize once, search the 4×-smaller
     * vectors). Integer dot products are exact in double, so unlike raw
@@ -634,6 +667,28 @@ object ExtensionQueries {
       col("lang"), col("doc_id"), k = 20),
     Some(s"""SELECT doc_id, lang FROM documents
       QUALIFY ${Sampling.stratifiedSampleSql("lang", "doc_id", 20)}"""))
+
+  /** Length-weighted corpus sample via priority sampling
+    * ([[Sampling.prioritySample]], Duffield-Lund-Thorup): top-100 rows
+    * by w/u priority with hash-derived u — weight-proportional inclusion
+    * with NO replacement and NO RNG state, plan shape
+    * TakeOrderedAndProject (per-partition heaps, no global sort). The
+    * oracle recomputes every priority from the same md5 formula and
+    * replays the ranking, so selection AND order are value-checked. */
+  private val x_sample_priority = Q(
+    "x_sample_priority",
+    (s, d) => Sampling.prioritySample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      col("doc_id"), col("n_chars"), k = 100),
+    Some(s"""WITH t AS (
+      SELECT doc_id, lang, n_chars,
+        ${Sampling.prioritySql("doc_id", "n_chars")} AS pri
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL)
+    SELECT doc_id, lang, n_chars,
+      CAST(ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS INTEGER) AS rank
+    FROM t
+    QUALIFY rank <= 100"""))
 
   /** Corpus mixture control (Sampling): language-balanced remix of the
     * documents table — downsample dominant `en` to 40% via the per-domain
@@ -1926,6 +1981,55 @@ object ExtensionQueries {
     SELECT doc_a, doc_b, CAST(levenshtein(pfx_a, pfx_b) AS INTEGER) AS dist
     FROM cands WHERE levenshtein(pfx_a, pfx_b) <= 4"""))
 
+  /** Entity resolution: blocked BEST-MATCH assignment on the part
+    * catalog via the native codegen [[graft.functions.JaroWinkler]]
+    * expression — the canonical record-linkage shape (Fellegi-Sunter
+    * style candidate generation + fuzzy-score ranking). Blocking key is
+    * (brand, size, first name token): candidates are an equi-join on the
+    * block, never all-pairs, so pair volume is Σ|block|² with block
+    * sizes held small by the three-attribute key (max block 10 at
+    * sf0.1). Per entity the single best candidate wins (rounded-score
+    * desc, id asc — rounding BEFORE ranking keeps both engines' order
+    * identical), giving output bounded by the entity count. The oracle
+    * recomputes every score with DuckDB's own `jaro_winkler_similarity`
+    * — the kernel was validated byte-for-byte against it (byte-level
+    * match window, either-empty → 0, 0.7 boost threshold), so this row
+    * set cross-checks two INDEPENDENT implementations of the metric. */
+  private val x_er_jarowinkler = Q(
+    "x_er_jarowinkler",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+        split(col("p_name"), " ").getItem(0).as("w1"))
+      val left = p.select(col("p_partkey").as("entity_id"), col("p_name").as("name_a"),
+        col("p_brand").as("brand_a"), col("p_size").as("size_a"), col("w1").as("w1_a"))
+      val right = p.select(col("p_partkey").as("match_id"), col("p_name").as("name_b"),
+        col("p_brand").as("brand_b"), col("p_size").as("size_b"), col("w1").as("w1_b"))
+      val pairs = left.join(right,
+          col("brand_a") === col("brand_b") && col("size_a") === col("size_b") &&
+            col("w1_a") === col("w1_b") && col("entity_id") =!= col("match_id"))
+        .withColumn("sim",
+          round(graft.functions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b")), 6))
+        .filter(col("sim") >= 0.88)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id")).orderBy(col("sim").desc, col("match_id"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("entity_id"), col("match_id"), col("sim"))
+    },
+    Some("""WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_size,
+             split_part(p_name, ' ', 1) AS w1
+      FROM part),
+    pairs AS (
+      SELECT a.p_partkey AS entity_id, b.p_partkey AS match_id,
+             ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.w1 = b.w1
+          AND a.p_partkey <> b.p_partkey
+      WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88)
+    SELECT entity_id, match_id, sim FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY sim DESC, match_id) = 1"""))
+
   /** Salted-join correctness via the driver oracle: the skew-mitigation
     * join (graft.ops.Scale.saltedJoin — hot keys split across `factor`
     * salt replicas, bounded side replicated) must be RESULT-IDENTICAL
@@ -2287,6 +2391,7 @@ object ExtensionQueries {
     x_stream_dedup_parity,
     x_dedup_exact,
     x_dedup_editdist,
+    x_er_jarowinkler,
     x_scale_salted,
     x_dedup_pipeline,
     x_dedup_jaccard,
@@ -2303,6 +2408,7 @@ object ExtensionQueries {
     x_range_band_revenue,
     x_dedup_embedding,
     x_embed_quantize,
+    x_embed_project,
     x_text_stats,
     x_text_langid,
     x_text_chunks,
@@ -2311,6 +2417,7 @@ object ExtensionQueries {
     x_curation_pipeline,
     x_split_sample,
     x_stratified_sample,
+    x_sample_priority,
     x_mixture_weighted,
     x_pack_sequences,
     x_decontaminate,

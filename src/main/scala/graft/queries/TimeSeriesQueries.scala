@@ -229,10 +229,84 @@ object TimeSeriesQueries {
       COUNT(DISTINCT user_id) AS n_users
     FROM assigned GROUP BY 1, 2, 3"""))
 
+  /** LINEAR interpolation gap-fill — the numeric upgrade of LOCF for
+    * continuously-varying signals: a missing reading is reconstructed
+    * from the bracketing observations, weighted by elapsed time
+    * (v_prev + (v_next−v_prev)·(t−t_prev)/(t_next−t_prev)). Neighbor
+    * lookup is two IGNORE-NULLS window scans with STRICT frames
+    * (…,-1 and +1,…) so a row never brackets itself; value and
+    * timestamp are pulled by the same non-null predicate, so both come
+    * from the same neighbor row. Edge rows with no bracket on one side
+    * stay NULL (interpolation needs two anchors — LOCF is the other
+    * query's contract). The equal-timestamp degenerate bracket (two
+    * anchors in the same second) takes v_prev, guarding the 0/0 that
+    * ANSI mode would throw on. Same scale shape as LOCF: one window
+    * shuffle on user_id, incrementally-evaluated frames, rounded to
+    * 6dp before compare so the shared IEEE op order is belt-and-braces
+    * rather than load-bearing. */
+  private val x_ts_interpolate = Q(
+    "x_ts_interpolate",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"),
+          when(col("event_id") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value_raw"))
+        .withColumn("t", col("ts_s").cast("long"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      val obs = when(col("value_raw").isNotNull, col("value_raw"))
+      val obsT = when(col("value_raw").isNotNull, col("t"))
+      val withN = e
+        .withColumn("vp", last(obs, ignoreNulls = true).over(wPrev))
+        .withColumn("tp", last(obsT, ignoreNulls = true).over(wPrev))
+        .withColumn("vn", first(obs, ignoreNulls = true).over(wNext))
+        .withColumn("tn", first(obsT, ignoreNulls = true).over(wNext))
+      withN.select(col("user_id"), col("event_id"), col("ts_s"), col("value_raw"),
+        round(
+          when(col("value_raw").isNotNull, col("value_raw"))
+            .when(col("vp").isNull || col("vn").isNull, lit(null).cast("double"))
+            .when(col("tn") === col("tp"), col("vp"))
+            .otherwise(col("vp") + (col("vn") - col("vp")) *
+              (col("t") - col("tp")).cast("double") /
+              (col("tn") - col("tp")).cast("double")), 6).as("value_interp"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value_raw,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+      FROM events WHERE ts IS NOT NULL),
+    n AS (
+      SELECT user_id, event_id, ts_s, value_raw, t,
+        LAST_VALUE(CASE WHEN value_raw IS NOT NULL THEN value_raw END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+        LAST_VALUE(CASE WHEN value_raw IS NOT NULL THEN t END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tp,
+        FIRST_VALUE(CASE WHEN value_raw IS NOT NULL THEN value_raw END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn,
+        FIRST_VALUE(CASE WHEN value_raw IS NOT NULL THEN t END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS tn
+      FROM e)
+    SELECT user_id, event_id, ts_s, value_raw,
+      ROUND(CASE
+        WHEN value_raw IS NOT NULL THEN value_raw
+        WHEN vp IS NULL OR vn IS NULL THEN NULL
+        WHEN tn = tp THEN vp
+        ELSE vp + (vn - vp) * CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)
+      END, 6) AS value_interp
+    FROM n"""))
+
   def all: Seq[Q] = Seq(
     x_ts_locf,
     x_ts_rolling,
     x_ts_incremental,
+    x_ts_interpolate,
     x_ts_session_window,
     x_ts_sliding_window,
   )

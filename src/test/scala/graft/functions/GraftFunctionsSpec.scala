@@ -125,4 +125,45 @@ class GraftFunctionsSpec extends SparkSpec {
       size(array_intersect(col("a"), col("b"))).as("ref")).collect()
     got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
+
+  test("jaro_winkler matches DuckDB's jaro_winkler_similarity on pinned cases") {
+    // expected values computed by DuckDB's jaro_winkler_similarity —
+    // including its byte-level (not codepoint) window ('café'/'cafe'),
+    // its either-empty → 0.0 edge (INCLUDING both-empty, where the
+    // textbook says 1.0), the window=0 degenerate ('ab'/'ba' → 0), and
+    // a below-boost-threshold case where no prefix bonus applies
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("café", "cafe", 0.8483333333333334),
+      ("ab", "ba", 0.0),
+      ("", "", 0.0),
+      ("a", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("crzy", "fuzzy", 0.6333333333333333))
+    val got = cases.toDF("a", "b", "want")
+      .select(GraftFunctions.jaroWinkler(col("a"), col("b")).as("got"), col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"got ${r.getDouble(0)}, want ${r.getDouble(1)}")
+    }
+  }
+
+  test("jaro_winkler: symmetric, bounded, null-safe, SQL-callable") {
+    GraftFunctions.register(spark)
+    val pairs = Seq(("alpha beta", "alpha bta"), ("x", "yz"), ("same", "same"))
+    pairs.toDF("a", "b")
+      .select(GraftFunctions.jaroWinkler(col("a"), col("b")).as("ab"),
+        GraftFunctions.jaroWinkler(col("b"), col("a")).as("ba"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1), "must be symmetric")
+        assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      }
+    val viaSql = spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS s").head()
+    assert(math.abs(viaSql.getDouble(0) - 0.9611111111111111) < 1e-12)
+    val nullRow = spark.sql("SELECT graft_jaro_winkler(NULL, 'x') AS s").head()
+    assert(nullRow.isNullAt(0))
+  }
 }

@@ -225,4 +225,44 @@ class SamplingSpec extends SparkSpec {
     assert(back.count() == 300)
     assert(back.exceptAll(plan).isEmpty && plan.exceptAll(back).isEmpty)
   }
+
+  test("prioritySample: k rows, contiguous rank, no replacement, deterministic") {
+    val docs = (1L to 500L).map(i => (i, (i % 13) + 1)).toDF("k", "w")
+    val s1 = Sampling.prioritySample(docs, $"k", $"w", k = 50)
+      .select($"k", $"w", $"rank").as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(s1.length == 50)
+    assert(s1.map(_._3).toSeq == (1 to 50))
+    assert(s1.map(_._1).distinct.length == 50, "sample must be without replacement")
+    val s2 = Sampling.prioritySample(docs, $"k", $"w", k = 50)
+      .select($"k", $"w", $"rank").as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(s1.toSeq == s2.toSeq, "hash-derived priorities must be rerun-stable")
+  }
+
+  test("prioritySample: inclusion tracks weight; null/non-positive weights excluded") {
+    // one row carries (almost) all the mass — priority w/u makes its
+    // exclusion require u below ~100/1e6, and u is a fixed hash, so
+    // this is deterministic, not flaky
+    val docs = ((1L to 200L).map(i => (i, 1L)) :+ (999L, 1000000L))
+      .toDF("k", "w")
+    val got = Sampling.prioritySample(docs, $"k", $"w", k = 20)
+      .select($"k").as[Long].collect().toSet
+    assert(got.contains(999L), "the dominant-weight row must be sampled")
+    val withBad = docs.union(Seq((777L, 0L), (778L, -5L)).toDF("k", "w"))
+      .union(Seq((779L, Option.empty[Long])).toDF("k", "w"))
+    val got2 = Sampling.prioritySample(withBad, $"k", $"w", k = 300)
+      .select($"k").as[Long].collect().toSet
+    assert(!got2.contains(777L) && !got2.contains(778L) && !got2.contains(779L))
+    assert(got2.size == 201, "all positive-weight rows fit in k=300")
+  }
+
+  test("prioritySample: heavier duplicate-weight population is over-represented") {
+    // 400 light rows (w=1) vs 100 heavy rows (w=20): expected heavy share
+    // of a k=50 sample is far above the 1/5 population share; assert the
+    // direction with wide margin (hash-fixed, so the exact count is stable)
+    val docs = ((1L to 400L).map(i => (i, 1L)) ++ (1001L to 1100L).map(i => (i, 20L)))
+      .toDF("k", "w")
+    val heavy = Sampling.prioritySample(docs, $"k", $"w", k = 50)
+      .filter($"k" >= 1000L).count()
+    assert(heavy >= 25, s"heavy rows under-sampled: $heavy of 50")
+  }
 }

@@ -190,4 +190,59 @@ class SimilaritySpec extends SparkSpec {
     assert(costs.sliding(2).forall { case Seq(a, b) => b <= a + 1e-6 },
       s"WCSS not monotone: $costs")
   }
+
+  test("randomProject: one-hot input reads out one ±1e6 sign per output dim") {
+    // projecting the basis vector e_i yields exactly column i of the
+    // sign matrix scaled to micros — pins the matrix wiring (dim order,
+    // sign derivation) without re-deriving md5 in the test
+    val oneHot = Array.tabulate(64)(i => if (i == 7) 1.0f else 0.0f)
+    val df = Seq((1L, oneHot)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, inDim = 64, outDim = 16)
+      .select($"out_dim", $"proj_micro").as[(Int, Long)].collect().toMap
+    assert(out.keySet == (0 until 16).toSet)
+    assert(out.values.forall(v => v == 1000000L || v == -1000000L),
+      s"expected ±1e6 sign readout, got ${out.values.take(4)}")
+  }
+
+  test("randomProject: exactly linear in micro space on micro-exact inputs") {
+    // 0.25-multiples are exact binary floats whose *1e6 scaling is an
+    // exact integer, so round() commutes with doubling and the
+    // projection must be exactly homogeneous
+    val v = Array.tabulate(64)(i => ((i % 5) - 2) * 0.25f)
+    val v2 = v.map(_ * 2.0f)
+    val df = Seq((1L, v), (2L, v2)).toDF("vec_id", "embedding")
+    val rows = Similarity.randomProject(df, 64, 16)
+      .select($"vec_id", $"out_dim", $"proj_micro").as[(Long, Int, Long)]
+      .collect().groupBy(_._1).map { case (k, a) =>
+        k -> a.map(t => t._2 -> t._3).toMap }
+    (0 until 16).foreach { j =>
+      assert(rows(2L)(j) == 2L * rows(1L)(j), s"dim $j not homogeneous")
+    }
+  }
+
+  test("randomProject: JL distance preservation within loose bounds (real embeddings)") {
+    val emb = Tables.embeddings(spark, sf001).filter($"vec_id" < 40)
+    val proj = Similarity.randomProject(emb, 64, 16)
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"out_dim", $"proj_micro"))),
+        e => e.getField("proj_micro").cast("double") / 1e6).as("pv"))
+    val orig = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("ov"))
+    val both = proj.join(orig, "vec_id").collect().map { r =>
+      r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+    }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E[||Px||^2] = k*||x||^2 for Rademacher projections: the per-pair
+    // ratio ||Pa-Pb||^2 / (k*||a-b||^2) concentrates near 1; with k=16
+    // individual pairs wander, so bound the MEAN ratio loosely
+    val ids = both.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      (pa, oa) = both(ids(i)); (pb, ob) = both(ids(j))
+      od = d2(oa, ob) if od > 1e-9
+    } yield d2(pa, pb) / (16.0 * od)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"JL mean ratio off: $mean over ${ratios.size} pairs")
+  }
 }

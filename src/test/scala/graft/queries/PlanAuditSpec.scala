@@ -340,6 +340,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"no semi join for the seed filter in:\n$p")
   }
 
+  test("x_sample_priority: top-k runs as TakeOrderedAndProject, never a global sort") {
+    val p = planStr("x_sample_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"priority sample should plan per-partition heaps + k-row reduce:\n$p")
+    // the global Sort is only over the k sampled rows (rank window),
+    // never the corpus: no corpus-wide Exchange rangepartitioning
+    assert(!p.contains("rangepartitioning"),
+      s"corpus-wide range partitioning in a top-k sample:\n$p")
+  }
+
+  test("x_embed_project: sign matrix broadcasts; the corpus is never shuffled") {
+    val p = planStr("x_embed_project")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sign matrix should broadcast:\n$p")
+    // the only exchanges allowed belong to the bounded 1024-row sign
+    // matrix build (range → two tiny aggregates); corpus-side shuffle
+    // would show as an exchange keyed on vec_id
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled on vec_id — projection should be map-side:\n$p")
+  }
+
+  test("x_er_jarowinkler: candidates from a keyed join; JW scoring post-join, codegen'd") {
+    val p = planStr("x_er_jarowinkler")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"blocked candidate generation must be an equi-join:\n$p")
+    assert(p.contains("graft_jaro_winkler") || p.contains("jaroWinkler") ||
+      p.contains("jaro"), s"native JW expression missing from plan:\n$p")
+  }
+
+  test("x_dq_winsorize: per-group stats broadcast back onto the row stream") {
+    val p = planStr("x_dq_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded stats side should broadcast:\n$p")
+  }
+
   test("no query in the registry executes a CartesianProduct") {
     Registry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planStr(name)
