@@ -202,6 +202,49 @@ object Graph {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Link prediction by common-neighbor Jaccard — for every
+    * NON-adjacent node pair sharing at least `minCommon` neighbors,
+    * score |N(a)∩N(b)| / |N(a)∪N(b)| (Liben-Nowell & Kleinberg's
+    * neighborhood-overlap predictor). Candidate pairs come from the
+    * wedge join (adjacency self-joined on the shared neighbor) — the
+    * same Σdeg² work bound as triangle counting, NEVER all-pairs — and
+    * existing edges are removed with one anti-join. Per-node output is
+    * capped at the `topK` best predictions (score desc, partner asc;
+    * the score is a rounded ratio of exact integer counts, so ranking
+    * is engine-stable), keeping the result node-bounded however dense
+    * the wedge space is.
+    *
+    * `edges`: undirected edge list as canonical `(a, b)`, `a < b`,
+    * distinct. Output: (node, candidate, common, jaccard, rank). */
+  def commonNeighborTopK(edges: DataFrame, minCommon: Int, topK: Int): DataFrame = {
+    require(minCommon >= 1 && topK >= 1, "minCommon and topK must be >= 1")
+    val adj = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("nbr").as("via"), col("node").as("x"))
+      .join(adj.select(col("nbr").as("via"), col("node").as("y")), Seq("via"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val candidates = common.join(edges,
+      common("x") === edges("a") && common("y") === edges("b"), "left_anti")
+    val scored = candidates
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("dx") + col("dy") - col("common")).cast("double"), 6))
+    // symmetric expansion so each node ranks ALL its candidates, then
+    // per-node top-k as a WindowGroupLimit-able rank
+    val sym = scored.select(col("x").as("node"), col("y").as("candidate"),
+        col("common"), col("jaccard"))
+      .unionByName(scored.select(col("y").as("node"), col("x").as("candidate"),
+        col("common"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("jaccard").desc, col("candidate"))
+    sym.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
   /** k-core decomposition by iterative peeling — the dense-cluster
     * extractor corpus curation uses to find link farms / spam rings
     * (and, symmetrically, high-trust cores) before weighting a crawl:

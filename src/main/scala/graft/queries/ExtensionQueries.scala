@@ -1607,6 +1607,50 @@ object ExtensionQueries {
             OVER (PARTITION BY cohort_week) AS DOUBLE) * 100.0, 2) AS retention_pct
     FROM matrix"""))
 
+  /** Behavioral path mining: the 20 most common 3-step event-type
+    * sequences across all user journeys — the "what do users do next"
+    * analysis every product-events warehouse runs. Per-user ordering is
+    * (ts, event_id) so ties inside one timestamp are deterministic;
+    * trigrams come from two LEADs over ONE window spec (one shuffle on
+    * user_id, both leads evaluated in the same window pass), tails with
+    * fewer than 3 events are dropped via null-propagating concat
+    * semantics (explicit IS NOT NULL on both leads — concat_ws would
+    * silently shrink tail trigrams to 2-grams). The global top-20 runs
+    * on the tiny path-count aggregate: TakeOrderedAndProject, rank
+    * window over 20 rows only. */
+  private val x_events_paths = Q(
+    "x_events_paths",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+      val cnt = seq
+        .select(concat(col("event_type"), lit(">"), col("e2"),
+          lit(">"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+      val wr = Window.orderBy(col("n").desc, col("path"))
+      cnt.withColumn("rank", row_number().over(wr).cast("int"))
+    },
+    Some("""WITH seq AS (
+      SELECT event_type,
+        lead(event_type, 1) OVER w AS e2,
+        lead(event_type, 2) OVER w AS e3
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    cnt AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1)
+    SELECT path, n,
+      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank
+    FROM cnt
+    QUALIFY rank <= 20"""))
+
   /** Tumbling 1-hour window aggregate over the event stream (batch form
     * of the Structured Streaming windowed agg — see streaming package). */
   private val x_events_hourly = Q(
@@ -2105,6 +2149,57 @@ object ExtensionQueries {
     SELECT d.node, d.deg, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
     FROM deg d LEFT JOIN cnt c ON c.node = d.node"""))
 
+  /** Link prediction over the same co-purchase graph as
+    * [[x_graph_triangles]]: [[Graph.commonNeighborTopK]] scores every
+    * non-adjacent pair sharing ≥2 neighbors by neighborhood Jaccard and
+    * keeps each node's top-3 predictions — the "you may also like"
+    * recommender primitive. Wedge-join candidate generation (Σdeg²
+    * bound, no all-pairs), one anti-join to drop existing edges, scores
+    * from exact integer degree/common counts. */
+  private val x_graph_linkpred = Q(
+    "x_graph_linkpred",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val edges = l1.join(l2, Seq("ok")).filter(col("pa") < col("pb"))
+        .select(col("pa").as("a"), col("pb").as("b")).distinct()
+      Graph.commonNeighborTopK(edges, minCommon = 2, topK = 3)
+    },
+    Some("""WITH qi AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_quantity >= 45),
+    edges AS (
+      SELECT DISTINCT x.pk AS a, y.pk AS b
+      FROM qi x JOIN qi y ON x.ok = y.ok AND x.pk < y.pk),
+    adj AS (
+      SELECT a AS node, b AS nbr FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+    common AS (
+      SELECT p.node AS x, q.node AS y, count(*) AS common
+      FROM adj p JOIN adj q ON p.nbr = q.nbr AND p.node < q.node
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    cand AS (
+      SELECT c.* FROM common c
+      ANTI JOIN edges e ON c.x = e.a AND c.y = e.b),
+    scored AS (
+      SELECT x, y, common,
+        ROUND(CAST(common AS DOUBLE)
+          / CAST(dx.deg + dy.deg - common AS DOUBLE), 6) AS jaccard
+      FROM cand
+      JOIN deg dx ON dx.node = cand.x
+      JOIN deg dy ON dy.node = cand.y),
+    sym AS (
+      SELECT x AS node, y AS candidate, common, jaccard FROM scored
+      UNION ALL
+      SELECT y, x, common, jaccard FROM scored)
+    SELECT node, candidate, common, jaccard,
+      CAST(ROW_NUMBER() OVER (PARTITION BY node
+        ORDER BY jaccard DESC, candidate) AS INTEGER) AS rank
+    FROM sym
+    QUALIFY rank <= 3"""))
+
   /** SemDeDup-style semantic deduplication
     * (Similarity.semanticDedup): fixed hash-rank top-128 centroid pick
     * (the x_kmeans_step discipline), nearest-centroid assignment, one
@@ -2381,6 +2476,7 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(
     x_graph_triangles,
+    x_graph_linkpred,
     x_multimodal_phash,
     x_text_bm25,
     x_dedup_semantic,
@@ -2432,6 +2528,7 @@ object ExtensionQueries {
     x_events_hourly,
     x_events_sessionize,
     x_events_retention,
+    x_events_paths,
     x_events_json_props,
     x_events_anomaly,
     x_stream_hourly_parity,

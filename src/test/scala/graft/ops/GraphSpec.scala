@@ -175,4 +175,32 @@ class GraphSpec extends SparkSpec {
     val b = Graph.kcorePeel(tri, k = 2, maxRounds = 10).collect().toSet
     assert(a == b && a.size == 3)
   }
+
+  test("commonNeighborTopK: C4 diagonals score Jaccard 1.0; edges never predicted") {
+    // 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share
+    // BOTH neighbors (common=2, union=2 -> jaccard 1.0); every adjacent
+    // pair must be anti-joined away
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val out = Graph.commonNeighborTopK(c4, minCommon = 2, topK = 3)
+      .select($"node", $"candidate", $"common", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 3L, 2L, 1.0), (3L, 1L, 2L, 1.0),
+      (2L, 4L, 2L, 1.0), (4L, 2L, 2L, 1.0)))
+  }
+
+  test("commonNeighborTopK: topK caps per-node output, rank orders by score then id") {
+    // star 0-{1,2,3,4}: every leaf pair shares exactly neighbor 0
+    // (common=1, jaccard 1/(1+1-1)=1.0); with minCommon=1, each leaf
+    // has 3 candidates -> topK=2 keeps the two lowest ids
+    val star = (1L to 4L).map(i => (0L, i)).toDF("a", "b")
+    val out = Graph.commonNeighborTopK(star, minCommon = 1, topK = 2)
+      .select($"node", $"candidate", $"rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1)
+    assert(!out.contains(0L), "hub is adjacent to every leaf — no predictions")
+    (1L to 4L).foreach { leaf =>
+      val cands = out(leaf).sortBy(_._3).map(_._2).toSeq
+      val expect = (1L to 4L).filterNot(_ == leaf).take(2)
+      assert(cands == expect, s"leaf $leaf: got $cands want $expect")
+    }
+  }
 }
