@@ -281,6 +281,55 @@ object Graph {
     * iff converged within maxRounds — surfacing the flag rather than
     * filtering on it keeps a truncated run auditable instead of
     * silently wrong). */
+  /** Multi-source BFS: minimum hop distance from any seed node, the
+    * frontier-expansion primitive under reachability audits (how much
+    * of the corpus graph is within k links of a trusted seed set),
+    * crawl-depth budgeting, and influence radii.
+    *
+    * Delta iteration, the Pregel/Flink formulation: each round joins
+    * the STATIC edge list against only the current FRONTIER (the nodes
+    * first discovered last round), anti-joins the visited set to keep
+    * first discoveries only, and unions them in at `dist = round`.
+    * Per-round edge work is bounded by the frontier's incident edges —
+    * never the whole graph — and total work across all rounds is
+    * O(edges reached), the same every-edge-once bound as
+    * [[kcorePeel]]'s peeling. Node-sized frames (`visited`, frontier)
+    * are `localCheckpoint`ed per round to keep lineage flat
+    * ([[pageRankConverged]] posture); the only driver-side action is
+    * the empty-frontier probe, a bounded existence check.
+    *
+    * BFS discovers each node at its minimum distance (level-order
+    * expansion), so the result equals `MIN(dist)` over all bounded
+    * walks — which is exactly what a recursive-CTE oracle replays; an
+    * early exit on an empty frontier is the identity, the same
+    * early-stop / fixed-bound equivalence the other iterative
+    * operators rely on.
+    *
+    * `edgesIn`: DIRECTED (src, dst); symmetrize for undirected graphs.
+    * `sources`: seed nodes as a `node` column (dist 0; deduped here).
+    * Returns (node, dist) for every node within `maxHops`; unreachable
+    * nodes are absent, matching the walk semantics. */
+  def bfsHops(edgesIn: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint(true)
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(edges("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .unionByName(next.withColumn("dist", lit(hop)))
+        .localCheckpoint(true)
+      frontier = next
+      hop += 1
+    }
+    visited
+  }
+
   def kcorePeel(edgesIn: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")

@@ -68,6 +68,51 @@ object Scale {
   def approxMedian(c: Column, accuracy: Int = 10000): Column =
     percentile_approx(c, lit(0.5), lit(accuracy))
 
+  /** Contiguous global row numbering (1..n in `key` order) WITHOUT the
+    * single-task shuffle that `row_number() OVER (ORDER BY key)`
+    * plans: an empty window partition spec sends every row to ONE
+    * reducer, the canonical scale wall (shard-id assignment, stable
+    * example ids, and resumable export offsets all need exactly this
+    * numbering at corpus scale).
+    *
+    * Two-pass formulation: (1) range-repartition by `key`, so
+    * partition i holds a contiguous key range and partitions are
+    * ordered — then number rows per partition with a window
+    * PARTITIONED by the range-partition id (parallelism = #partitions,
+    * no global funnel); (2) per-partition row counts (a #partitions-row
+    * aggregate) turn into starting offsets via a prefix sum over that
+    * tiny frame, broadcast-joined back. Total cost: one range shuffle +
+    * one pid shuffle + a broadcast — vs the naive plan's all-rows-to-
+    * one-task sort.
+    *
+    * The ranged frame is localCheckpointed so the numbering branch and
+    * the counting branch read the SAME materialized partition
+    * assignment (range bounds come from sampling; two independent
+    * executions are not contractually identical).
+    *
+    * `key` must be a total order (unique) for a deterministic result —
+    * ties across a partition boundary would otherwise split
+    * arbitrarily. Appends `global_rn`. */
+  def globalRowNumber(df: DataFrame, key: String, parts: Int = 32): DataFrame = {
+    require(parts > 0, s"need parts > 0, got $parts")
+    val ranged = df.repartitionByRange(parts, col(key))
+      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(key))
+    val local = ranged.withColumn("__lrn", row_number().over(w))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // #partitions rows: the ONLY frame the prefix-sum window sees
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("global_rn", col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
   /** Small-files compaction for a parquet directory — the maintenance
     * job every file-landing layer eventually needs (the reference's
     * monthly drops are one CSV per month; at 100 TB a streaming or

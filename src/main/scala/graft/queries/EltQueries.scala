@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Quality, Qualify, Snapshot}
+import graft.ops.{Features, Quality, Qualify, Snapshot}
 
 /** ELT-hardening tier: the warehouse-maintenance operators a team
   * migrating the reference pipeline asks for next — a true SCD Type-2
@@ -224,11 +224,44 @@ object EltQueries {
         THEN ROUND((p.p_retailprice - s.med) / (s.q3 - s.q1), 6) END AS z_robust
     FROM part p JOIN stx s USING (p_brand)"""))
 
+  /** Leave-one-out target encoding of the customer's nation against
+    * order value ([[Features.targetEncodeLoo]]): each order's feature is
+    * the mean o_totalprice of the OTHER orders from the same nation,
+    * shrunk toward the global mean by a pseudo-count of 10 — the
+    * label-leak-free categorical encoding feature pipelines feed to
+    * gradient-boosted models. Oracle recomputes every row's encoding
+    * from scratch; sums stay decimal-exact until the final double
+    * division (rounded 6 dp on both engines). Scale shape: category
+    * stats are a combinable groupBy (25 nations) broadcast back; no
+    * per-category window. */
+  private val x_feat_target_encode = Q(
+    "x_feat_target_encode",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("nation"),
+          col("o_totalprice"))
+      Features.targetEncodeLoo(base, "nation", "o_totalprice",
+          priorWeight = 10.0)
+        .select(col("o_orderkey"), col("nation"), col("enc"))
+    },
+    Some("""WITH base AS (
+      SELECT o_orderkey, c_nationkey AS nation, o_totalprice AS t
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    stx AS (
+      SELECT nation, SUM(t) AS s, COUNT(*) AS n FROM base GROUP BY nation),
+    g AS (SELECT CAST(SUM(t) AS DOUBLE) / COUNT(*) AS g FROM base)
+    SELECT b.o_orderkey, b.nation,
+      ROUND((CAST(st.s AS DOUBLE) - CAST(b.t AS DOUBLE) + 10.0 * g.g)
+        / (st.n - 1 + 10.0), 6) AS enc
+    FROM base b JOIN stx st USING (nation) CROSS JOIN g"""))
+
   def all: Seq[Q] = Seq(
     x_scd2_merge,
     x_dq_audit,
     x_dq_profile,
     x_dq_histogram,
     x_dq_winsorize,
+    x_feat_target_encode,
   )
 }

@@ -1089,6 +1089,45 @@ object ExtensionQueries {
       SELECT node, deg, r AS rank_fp FROM r3"""
     })
 
+  /** Multi-source BFS ([[Graph.bfsHops]]) over the undirected
+    * customer↔supplier trade graph: minimum hop distance from the seed
+    * customers (custkey ≤ 3) out to 3 hops — the reachability audit
+    * shape (how much of the corpus graph sits within k links of a
+    * trusted seed set). Frontier delta iteration: per-round edge work
+    * is bounded by the frontier's incident edges, never the whole
+    * graph. The oracle is a recursive CTE taking MIN(dist) over all
+    * bounded walks — equal to BFS's first-discovery level by
+    * shortest-path = shortest-walk. */
+  private val x_graph_bfs = Q(
+    "x_graph_bfs",
+    (s, d) => {
+      val eraw = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = Tables.orders(s, d).filter(col("o_custkey") <= 3)
+        .select((col("o_custkey") * 2).as("node"))
+      Graph.bfsHops(edges, seeds, maxHops = 3)
+    },
+    Some("""WITH RECURSIVE eraw AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT a AS src, b AS dst FROM eraw
+      UNION ALL SELECT b AS src, a AS dst FROM eraw),
+    walk AS (
+      SELECT DISTINCT o_custkey * 2 AS node, 0 AS dist
+      FROM orders WHERE o_custkey <= 3
+      UNION
+      SELECT e.dst AS node, w.dist + 1 AS dist
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < 3)
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM walk GROUP BY node"""))
+
   /** Deterministic global shuffle + sharding (Sampling.withShardPlan):
     * the "write the corpus as N shuffled shards" terminal step. Every
     * row's (shard, pos) is a pure function of its key — bit-reproducible
@@ -2477,6 +2516,7 @@ object ExtensionQueries {
   def all: Seq[Q] = Seq(
     x_graph_triangles,
     x_graph_linkpred,
+    x_graph_bfs,
     x_multimodal_phash,
     x_text_bm25,
     x_dedup_semantic,

@@ -246,10 +246,29 @@ object LayoutQueries {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1"""))
 
+  /** Contiguous global row numbering over orders WITHOUT the
+    * single-reducer sort ([[graft.ops.Scale.globalRowNumber]]): range
+    * shuffle → per-partition numbering → tiny prefix-sum of partition
+    * counts broadcast back. The oracle is the naive
+    * `ROW_NUMBER() OVER (ORDER BY ...)` — identical output, different
+    * physical plan; ScaleSpec audits that no window in the executed
+    * plan has an empty partition spec (the global funnel this operator
+    * exists to avoid). */
+  private val x_scale_global_rownum = Q(
+    "x_scale_global_rownum",
+    (s, d) => graft.ops.Scale.globalRowNumber(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        key = "o_orderkey")
+      .select(col("o_orderkey"), col("o_totalprice"), col("global_rn")),
+    Some("""SELECT o_orderkey, o_totalprice,
+      CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_rn
+    FROM orders"""))
+
   def all: Seq[Q] = Seq(
     x_scale_zorder,
     x_rel_nullsafe,
     x_rel_bagops,
     x_scale_bucketed,
+    x_scale_global_rownum,
   )
 }

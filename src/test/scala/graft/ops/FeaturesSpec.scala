@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def enc(rows: Seq[(String, java.lang.Double)], m: Double = 2.0) =
+    Features.targetEncodeLoo(rows.toDF("cat", "t"), "cat", "t", m)
+      .select($"cat", $"t", $"enc")
+      .as[(String, Option[Double], Option[Double])].collect()
+
+  test("targetEncodeLoo excludes the row's own target (no label leak)") {
+    // cat a: targets 10, 20; global mean g = (10+20+30)/3 = 20, m = 2
+    // row(a,10): (30-10+2*20)/(2-1+2) = 60/3 = 20
+    // row(a,20): (30-20+40)/3 = 50/3
+    // row(b,30): (30-30+40)/(1-1+2) = 20  (singleton -> global mean)
+    val out = enc(Seq(("a", 10.0), ("a", 20.0), ("b", 30.0))).toSet
+    def d(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == Set(
+      ("a", Some(10.0), Some(20.0)),
+      ("a", Some(20.0), Some(d(50.0 / 3))),
+      ("b", Some(30.0), Some(20.0))))
+  }
+
+  test("targetEncodeLoo: singleton categories collapse to the global mean exactly") {
+    val out = enc(Seq(("x", 1.0), ("y", 5.0), ("z", 12.0)))
+    val g = (1.0 + 5.0 + 12.0) / 3
+    out.foreach { case (c, _, e) =>
+      assert(e.contains(math.rint(g * 1e6) / 1e6), s"$c -> $e, want $g") }
+  }
+
+  test("targetEncodeLoo passes NULL category/target through with NULL enc") {
+    val out = enc(Seq(("a", 1.0), ("a", 3.0), (null, 9.0), ("a", null)))
+    assert(out.count(_._3.isEmpty) == 2)
+    // the NULL rows are excluded from the stats: for row (a,1):
+    // S_a=4, n_a=2, g=(1+3)/2=2 -> (4-1+2*2)/(2-1+2)=7/3
+    val r = out.find(r => r._1 == "a" && r._2.contains(1.0)).get
+    assert(r._3.contains(math.rint(7.0 / 3 * 1e6) / 1e6))
+  }
+
+  test("targetEncodeLoo shrinks toward the global mean as priorWeight grows") {
+    val rows = Seq(("a", 100.0), ("a", 100.0), ("a", 100.0), ("b", 0.0),
+      ("b", 0.0), ("b", 0.0)).map { case (c, t) => (c, t: java.lang.Double) }
+    val g = 50.0
+    val weak = enc(rows, m = 0.1).filter(_._1 == "a").head._3.get
+    val strong = enc(rows, m = 1000.0).filter(_._1 == "a").head._3.get
+    assert(math.abs(strong - g) < math.abs(weak - g),
+      s"m=1000 ($strong) should sit closer to g=$g than m=0.1 ($weak)")
+  }
+
+  test("targetEncodeLoo plans no per-category window (aggregate+join shape)") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("cat", "t")
+    val plan = Features.targetEncodeLoo(df, "cat", "t", 5.0)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, s"window found in:\n${plan.treeString}")
+  }
+}

@@ -203,4 +203,38 @@ class GraphSpec extends SparkSpec {
       assert(cands == expect, s"leaf $leaf: got $cands want $expect")
     }
   }
+
+  private def bfsOut(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     maxHops: Int): Map[Long, Int] =
+    Graph.bfsHops(edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfsHops: chain distances, cycle termination, unreachable absent") {
+    // chain 1->2->3->4, cycle 5<->6, isolated-from-seeds 7->8
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 5L), (7L, 8L))
+    val out = bfsOut(edges, Seq(1L, 5L), maxHops = 10)
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 0, 6L -> 1),
+      s"got $out")
+  }
+
+  test("bfsHops: multi-source takes the minimum distance over seeds") {
+    // 1->2->3->4 and 4 is also a seed: dist(3)=2 via 1, dist(4)=0
+    val out = bfsOut(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L, 4L), 5)
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("bfsHops: maxHops truncates the expansion; maxHops=0 is seeds only") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(bfsOut(chain, Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(bfsOut(chain, Seq(1L), 0) == Map(1L -> 0))
+  }
+
+  test("bfsHops: diamond keeps first discovery (shortest path), seeds deduped") {
+    // two paths to 4: 1->2->4 (len 2) and 1->3a->3b->4 (len 3)
+    val edges = Seq((1L, 2L), (2L, 4L), (1L, 30L), (30L, 31L), (31L, 4L))
+    val out = bfsOut(edges, Seq(1L, 1L), 5)
+    assert(out(4L) == 2)
+    assert(out == Map(1L -> 0, 2L -> 1, 30L -> 1, 4L -> 2, 31L -> 2))
+  }
 }

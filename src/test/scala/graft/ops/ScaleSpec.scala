@@ -105,4 +105,46 @@ class ScaleSpec extends SparkSpec {
     val (em, am) = (r.getAs[Double]("exact_m"), r.getAs[Double]("approx_m"))
     assert(math.abs(am - em) / em < 0.05, s"percentile sketch off: $am vs $em")
   }
+
+  test("globalRowNumber equals the single-reducer ROW_NUMBER on shuffled input") {
+    // keys inserted in scrambled order across many input partitions
+    val keys = scala.util.Random.shuffle((1L to 997L).toList)
+    val df = keys.toDF("k").repartition(16)
+      .withColumn("payload", col("k") * 7)
+    val out = Scale.globalRowNumber(df, "k", parts = 8)
+      .select("k", "global_rn").as[(Long, Long)].collect().toMap
+    assert(out.size == 997)
+    (1L to 997L).foreach(k => assert(out(k) == k, s"key $k got ${out(k)}"))
+  }
+
+  test("globalRowNumber is contiguous 1..n and keeps payload columns") {
+    val df = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("k", "v")
+    val out = Scale.globalRowNumber(df, "k", parts = 4)
+      .select("k", "v", "global_rn").as[(Long, String, Long)]
+      .collect().sortBy(_._3).toSeq
+    assert(out == Seq((10L, "a", 1L), (20L, "b", 2L), (30L, "c", 3L)))
+  }
+
+  test("globalRowNumber plans no empty-partition window (the global funnel)") {
+    val df = (1L to 100L).toDF("k")
+    val plan = Scale.globalRowNumber(df, "k", parts = 4)
+      .queryExecution.optimizedPlan
+    // the ROW-STREAM numbering window must be partitioned; an
+    // empty-partition window is tolerable only directly above an
+    // Aggregate (the #partitions-row prefix sum, bounded input).
+    // positive control: the naive form trips the predicate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    def globalRowWindows(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect {
+        case w: Window if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+    assert(globalRowWindows(plan).isEmpty,
+      s"found unpartitioned row-stream window in:\n${plan.treeString}")
+    val naive = df.withColumn("global_rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+    assert(globalRowWindows(naive.queryExecution.optimizedPlan).nonEmpty,
+      "positive control: naive plan should contain an empty-partition window")
+  }
 }
