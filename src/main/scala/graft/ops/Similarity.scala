@@ -480,4 +480,147 @@ object Similarity {
       .select(col(id), col("pos").cast("int").as("out_dim"),
         col("col").as("proj_micro"))
   }
+
+  /** Product-quantization encode + asymmetric-distance (ADC) top-k —
+    * the memory-bound ANN serving path: each corpus vector is stored as
+    * `m` small codebook indices (here 8 codes of 4 bits = 4 bytes per
+    * 64-dim vector, a 64× compression), and a query scans CODES, not
+    * floats, summing per-subspace distances out of a tiny per-query
+    * lookup table (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — public paper).
+    *
+    * Deterministic, oracle-replayable codebook: the `codebookSize`
+    * source vectors are a fixed-size hash-rank pick (md5 order →
+    * TakeOrderedAndProject, scan-linear — the [[ivfTopK]] nlist
+    * discipline; a trained codebook drops in via [[kmeansFit]]), sliced
+    * into per-subspace centroids. Codes are argmin squared-L2 per
+    * subspace, ties to the smaller code.
+    *
+    * Scale shape: encoding is one corpus scan against a BROADCAST
+    * codebook (m·codebookSize rows) with a combinable per-(vector,
+    * subspace) argmin — paid once per corpus, amortized over queries,
+    * like any index build. Search touches only the codes frame joined
+    * to a broadcast LUT of |queries|·m·codebookSize rows and sums
+    * integer micro-distances (order-independent, so the groupBy is
+    * exact under any partitioning). Ranking is per-query
+    * (WindowGroupLimit), never global.
+    *
+    * Returns (query_id, neighbor_id, adc_micro, rank ≤ k); adc_micro is
+    * the ADC squared-L2 in 1e-6 units. Self-matches excluded. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(codebookSize > 0 && k > 0, "codebookSize and k must be positive")
+    val sub = dim / m
+    val pickKey = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    // bounded frames below (≤ codebookSize·m rows): the single-partition
+    // window ranks only the already-limited pick
+    val cents = corpus.filter(col("embedding").isNotNull)
+      .orderBy(pickKey: _*).limit(codebookSize)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+      .withColumn("code", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(pickKey: _*)) - 1)
+    val js = explode(sequence(lit(0), lit(m - 1)))
+    val centSub = cents.select(col("code"), js.as("j"), col("cv"))
+      .withColumn("csub", slice(col("cv"), col("j") * sub + 1, lit(sub)))
+      .withColumn("cn", dot(col("csub"), col("csub")))
+      .select(col("code"), col("j"), col("csub"), col("cn"))
+    def subspaced(df: DataFrame, idAs: String) =
+      df.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as(idAs),
+          transform(col("embedding"), x => x.cast("double")).as("__v"))
+        .select(col(idAs), js.as("j"), col("__v"))
+        .withColumn("vsub", slice(col("__v"), col("j") * sub + 1, lit(sub)))
+        .withColumn("vn", dot(col("vsub"), col("vsub")))
+        .drop("__v")
+    // encode: per-(vector, subspace) argmin over the broadcast codebook
+    val codes = subspaced(corpus, "neighbor_id")
+      .join(broadcast(centSub), Seq("j"))
+      .withColumn("d2", round(
+        col("vn") + col("cn") - lit(2.0) * dot(col("vsub"), col("csub")), 6))
+      .groupBy(col("neighbor_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("neighbor_id"), col("j"), col("b.code").as("code"))
+    // per-query LUT: query × subspace × code → micro distance
+    val lut = subspaced(queries, "query_id")
+      .join(centSub, Seq("j"))
+      .withColumn("d2m", round(
+        (col("vn") + col("cn") - lit(2.0) * dot(col("vsub"), col("csub")))
+          * lit(1e6)).cast("long"))
+      .select(col("query_id"), col("j"), col("code"), col("d2m"))
+    val scored = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2m")).as("adc_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Top principal direction of the corpus embedding Gram matrix by
+    * power iteration — the PCA step corpus analytics reach for first
+    * (dominant variance axis for whitening, drift detection, or as the
+    * split axis of a spill tree).
+    *
+    * Two phases with opposite scale postures:
+    *   1. Gram accumulation G = Σ v·vᵀ — the ONLY corpus-sized pass: a
+    *      double posexplode into (i, j, xᵢ·xⱼ) cells whose groupBy is
+    *      map-side combinable, so each task emits at most dim² rows no
+    *      matter how many vectors it scanned; the shuffle moves
+    *      O(partitions · dim²), never O(rows). Components are
+    *      milli-quantized so cell sums are exact integers
+    *      (order-independent under any partitioning; |gm| stays below
+    *      2⁵³ out to ~10⁹ unit-scale vectors, far past the long bound
+    *      worry at milli precision).
+    *   2. Power rounds on dim-sized frames: tᵢ = (G·w)ᵢ as a
+    *      [[dot]]-kernel product of the i-th Gram ROW (an ordered
+    *      dim-array) against the current direction — the identical
+    *      left-to-right fold DuckDB's list_inner_product runs, which
+    *      is what makes the iteration replayable. Normalization is by
+    *      max|tᵢ| (order-independent, unlike an L2 fold) and the
+    *      direction re-enters micro-quantized, so every round is a
+    *      fixed point both engines agree on bit-for-bit. All
+    *      round-frame work is bounded by dim; nothing corpus-sized
+    *      recurs.
+    *
+    * Starts from the all-ones direction (nonzero overlap with the top
+    * eigenvector for a Gram matrix, which is PSD). Returns one row per
+    * dimension: (dim, w_micro), the direction after `rounds` rounds in
+    * 1e-6 units of its max-norm. */
+  def gramTopDirection(corpus: DataFrame, dim: Int, rounds: Int,
+                       vec: String = "embedding"): DataFrame = {
+    require(dim > 0 && rounds >= 1, "need dim > 0 and rounds >= 1")
+    val spark = corpus.sparkSession
+    val vm = corpus.filter(col(vec).isNotNull)
+      .select(transform(col(vec),
+        x => round(x.cast("double") * 1e3).cast("long")).as("vm"))
+    val cells = vm.select(col("vm"), posexplode(col("vm")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("vm")).as(Seq("j", "xj")))
+    // Gram rows as ordered dim-arrays, scaled back to unit space;
+    // multi-consumer across rounds -> materialize once
+    val gramRows = cells.groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("gm"))
+      .groupBy(col("i"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("gm")))),
+        e => e.getField("gm").cast("double") / 1e6).as("grow"))
+      .localCheckpoint(true)
+    var w = spark.range(dim)
+      .select(col("id").cast("int").as("j"), lit(1000000L).as("wm"))
+    for (_ <- 1 to rounds) {
+      val warr = w.groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("wm")))),
+          e => e.getField("wm").cast("double") / 1e6).as("wd"))
+      val t = gramRows.crossJoin(broadcast(warr))
+        .select(col("i"), dot(col("grow"), col("wd")).as("ti"))
+      val mx = t.agg(max(abs(col("ti"))).as("mx"))
+      w = t.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          round(col("ti") / col("mx") * 1e6).cast("long").as("wm"))
+        .localCheckpoint(true)
+    }
+    w.select(col("j").as("dim"), col("wm").as("w_micro"))
+  }
 }

@@ -541,6 +541,108 @@ object ExtensionQueries {
     FROM scored
     QUALIFY rank <= 5"""))
 
+  /** Product-quantization ADC top-5 ([[Similarity.pqTopK]]): corpus
+    * stored as 8 four-bit codes per 64-dim vector (64× compression),
+    * queries scan codes against a per-query lookup table and sum
+    * integer micro-distances. The oracle replays EVERYTHING — the
+    * hash-rank codebook pick, every subspace argmin code, the LUT, and
+    * the ranked ADC sums — so a drift anywhere in the encode/search
+    * chain breaks the hash. Recall vs exact search is data-dependent
+    * and spec-pinned (SimilaritySpec); this query pins the PQ
+    * semantics. */
+  private val x_sim_pq_adc = Q(
+    "x_sim_pq_adc",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    Some("""WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS INTEGER) - 1 AS code, v AS cv
+      FROM (SELECT * FROM v
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+    js AS (SELECT unnest(range(8)) AS j),
+    centsub AS (
+      SELECT code, j, list_slice(cv, j*8 + 1, j*8 + 8) AS csub,
+        list_inner_product(list_slice(cv, j*8 + 1, j*8 + 8),
+                           list_slice(cv, j*8 + 1, j*8 + 8)) AS cn
+      FROM cents CROSS JOIN js),
+    vsub AS (
+      SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS vs,
+        list_inner_product(list_slice(v, j*8 + 1, j*8 + 8),
+                           list_slice(v, j*8 + 1, j*8 + 8)) AS vn
+      FROM v CROSS JOIN js),
+    codes AS (
+      SELECT vec_id AS neighbor_id, j, code FROM (
+        SELECT a.vec_id, a.j, ct.code,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.j
+            ORDER BY ROUND(a.vn + ct.cn - 2 * list_inner_product(a.vs, ct.csub), 6),
+                     ct.code) AS rn
+        FROM vsub a JOIN centsub ct USING (j))
+      WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.j, ct.code,
+        CAST(ROUND((q.vn + ct.cn - 2 * list_inner_product(q.vs, ct.csub)) * 1e6)
+          AS BIGINT) AS d2m
+      FROM vsub q JOIN centsub ct USING (j) WHERE q.vec_id < 10),
+    scored AS (
+      SELECT query_id, neighbor_id, SUM(d2m) AS adc_micro
+      FROM codes JOIN lut USING (j, code)
+      WHERE query_id <> neighbor_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc_micro, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""))
+
+  /** Top principal direction of the embedding corpus by Gram-matrix
+    * power iteration ([[Similarity.gramTopDirection]], 3 rounds) — the
+    * PCA step. The oracle unrolls the identical fixed-point recursion:
+    * milli-quantized Gram cells (exact integer sums), per-round
+    * list_inner_product against the ordered direction array, max-norm
+    * renormalization, micro re-quantization. The one corpus-sized pass
+    * is the combinable Gram aggregate; every round frame is dim-sized. */
+  private val x_embed_pca_power = Q(
+    "x_embed_pca_power",
+    (s, d) => Similarity.gramTopDirection(
+      Tables.embeddings(s, d), dim = 64, rounds = 3),
+    Some {
+      def step(r: Int) = {
+        val p = r - 1
+        s"""t$r AS (
+          SELECT i, list_inner_product(grow,
+            (SELECT list(CAST(wm AS DOUBLE) / 1e6 ORDER BY j) FROM w$p)) AS ti
+          FROM g),
+        m$r AS (SELECT MAX(ABS(ti)) AS mx FROM t$r),
+        w$r AS (
+          SELECT i AS j, CAST(ROUND(ti / mx * 1e6) AS BIGINT) AS wm
+          FROM t$r CROSS JOIN m$r)"""
+      }
+      s"""WITH vm AS (
+        SELECT list_transform(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS vm
+        FROM embeddings WHERE embedding IS NOT NULL),
+      cells AS (
+        SELECT CAST(ti.i AS INTEGER) AS i, CAST(tj.j AS INTEGER) AS j,
+               vm[CAST(ti.i AS INTEGER) + 1] * vm[CAST(tj.j AS INTEGER) + 1] AS p
+        FROM vm CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(j)),
+      g AS (
+        SELECT i, list(CAST(gm AS DOUBLE) / 1e6 ORDER BY j) AS grow FROM (
+          SELECT i, j, SUM(p) AS gm FROM cells GROUP BY i, j)
+        GROUP BY i),
+      w0 AS (
+        SELECT CAST(t.j AS INTEGER) AS j, CAST(1000000 AS BIGINT) AS wm
+        FROM range(64) t(j)),
+      ${step(1)},
+      ${step(2)},
+      ${step(3)}
+      SELECT j AS dim, wm AS w_micro FROM w3"""
+    })
+
   // --------------------------------------------------------------- text
 
   /** Per-document text statistics: token counts (whitespace + BPE-ish
@@ -2540,6 +2642,8 @@ object ExtensionQueries {
     x_sim_lsh_topk,
     x_sim_ivf_topk,
     x_sim_quantized_topk,
+    x_sim_pq_adc,
+    x_embed_pca_power,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,

@@ -245,4 +245,88 @@ class SimilaritySpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.5 && mean < 2.0, s"JL mean ratio off: $mean over ${ratios.size} pairs")
   }
+
+  test("pqTopK: planted clusters — ADC retrieves same-cluster neighbors first") {
+    // 4 tight clusters far apart; with 16 codebook sources the ADC
+    // ranking must place same-cluster points above other clusters
+    val pts = (0 until 32).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(64)(d => if (d % 4 == c) 50.0f else 0.0f)
+      base(i / 4 % 64) += (i % 7) * 0.01f
+      (i.toLong, base.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df.filter($"vec_id" < 4), df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, n) =>
+      assert(q % 4 == n % 4, s"query $q got cross-cluster neighbor $n") }
+  }
+
+  test("pqTopK recall vs brute force on real sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // ADC with an untrained 16-entry codebook is coarse; require it to
+    // beat the random-retrieval floor (5/500 per query = 1%) clearly
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.1, f"PQ recall $recall%.2f at the random floor — ADC broken")
+    assert(approx.forall { case (a, b) => a != b })
+  }
+
+  test("pqTopK: exactly k ranked rows per query, ranks contiguous from 1") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = Similarity.pqTopK(emb.filter($"vec_id" < 5), emb, k = 3)
+      .select("query_id", "rank").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(out.size == 5)
+    out.values.foreach(rs => assert(rs == Seq(1, 2, 3)))
+  }
+
+  test("pqTopK validates dimension split") {
+    val df = Seq((1L, Seq.fill(10)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(df, df, k = 1, m = 8, dim = 10)
+    }
+    assert(ex.getMessage.contains("subspaces"))
+  }
+
+  test("gramTopDirection: rank-1 corpus recovers the basis axis in one round") {
+    // every vector is a multiple of e_5 -> G = c * e5 e5^T; from the
+    // all-ones start one round lands exactly on e_5 (max-norm 1e6)
+    val pts = (1 to 8).map(s =>
+      (s.toLong, Seq.tabulate(16)(d => if (d == 5) s * 1.0f else 0.0f)))
+    val out = Similarity.gramTopDirection(
+        pts.toDF("vec_id", "embedding"), dim = 16, rounds = 1)
+      .as[(Int, Long)].collect().toMap
+    assert(out(5) == 1000000L)
+    (0 until 16).filterNot(_ == 5).foreach(d => assert(out(d) == 0L, s"dim $d"))
+  }
+
+  test("gramTopDirection: dominant variance axis wins on anisotropic data") {
+    // axis 2 has 100x the spread of every other axis
+    val pts = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(d => (((i * 7 + d) % 5) - 2) * 0.01f)
+      v(2) = (((i * 3) % 5) - 2) * 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val out = Similarity.gramTopDirection(
+        pts.toDF("vec_id", "embedding"), dim = 8, rounds = 5)
+      .as[(Int, Long)].collect().toMap
+    val top = out.maxBy { case (_, w) => math.abs(w) }._1
+    assert(top == 2, s"dominant axis $top, weights $out")
+    assert(math.abs(out(2)) == 1000000L, "max-norm must pin the top weight")
+  }
+
+  test("gramTopDirection is partitioning-independent (real embeddings)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val a = Similarity.gramTopDirection(emb, 64, 2)
+      .as[(Int, Long)].collect().toMap
+    val b = Similarity.gramTopDirection(emb.repartition(13), 64, 2)
+      .as[(Int, Long)].collect().toMap
+    assert(a == b, "direction must not depend on input partitioning")
+  }
 }
