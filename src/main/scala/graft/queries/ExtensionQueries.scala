@@ -1274,6 +1274,24 @@ object ExtensionQueries {
     FROM documents WHERE text IS NOT NULL
     GROUP BY 1"""))
 
+  /** DataSource V2 scan with real planning integration
+    * ([[graft.sources.GenSource]]): the pushed id range narrows the
+    * generated interval AND prunes input partitions before execution,
+    * the bucket predicate stays a post-scan residual, and column
+    * pruning reaches the reader (GenSourceSpec pins all three against
+    * the executed plan). The oracle regenerates the same table from
+    * range() — every column is a pure function of id. */
+  private val x_source_dsv2 = Q(
+    "x_source_dsv2_pushdown",
+    (s, d) => s.read.format("graftgen")
+      .option("rows", "200000").option("parts", "32").load()
+      .filter(col("id") >= 1000 && col("id") < 51000 && col("bucket") === 7)
+      .select(col("id"), col("bucket"), col("payload")),
+    Some("""SELECT id, CAST(id % 97 AS INTEGER) AS bucket,
+      md5(CAST(id AS VARCHAR)) AS payload
+    FROM range(0, 200000) t(id)
+    WHERE id >= 1000 AND id < 51000 AND CAST(id % 97 AS INTEGER) = 7"""))
+
   // --------------------------------------------------------- multimodal
 
   /** REAL image decode (javax.imageio): a distributed PNG corpus is
@@ -2644,6 +2662,7 @@ object ExtensionQueries {
     x_sim_quantized_topk,
     x_sim_pq_adc,
     x_embed_pca_power,
+    x_source_dsv2,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
