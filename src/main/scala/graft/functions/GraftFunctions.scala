@@ -137,6 +137,111 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /** Dot product of two array<double> (hot loop of every similarity op). */
+/** Native bounded top-k aggregate: keeps the k (score, key) pairs with
+  * the highest scores (ties to the smaller key), returned as a sorted
+  * array of structs — tier-(b) custom AGGREGATE, completing the scalar
+  * Expression tier above.
+  *
+  * The scale point vs the window formulation
+  * (`row_number() OVER (PARTITION BY g ORDER BY s DESC) <= k`): a
+  * window must shuffle EVERY row of every group to its reducer before
+  * discarding all but k; this aggregate is partial-aggregable, so each
+  * map task ships at most k pairs per group into the shuffle — for
+  * "top 3 of millions per group" that is the difference between moving
+  * the corpus and moving k·groups rows. (Spark's own
+  * WindowGroupLimit pushes a rank limit into the shuffle per
+  * partition, but still materializes and sorts full groups; the
+  * aggregate keeps constant state per group per task.)
+  *
+  * Buffer is a bounded binary min-heap ordered by evictability (lowest
+  * score first, larger key first on ties): update is O(log k), merge
+  * O(k log k), NULL score/key rows ignored. */
+case class TopKByScore(
+    scoreExpr: Expression, keyExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]] {
+  require(k > 0, s"graft_topk_by: need k > 0, got $k")
+
+  // dequeue yields the MOST EVICTABLE pair under this ordering
+  private def evictability: Ordering[(Double, Long)] =
+    Ordering.by { case (s, key) => (-s, key) }
+
+  override def children: Seq[Expression] = Seq(scoreExpr, keyExpr)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (scoreExpr.dataType, keyExpr.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, key) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk_by expects (double, bigint), got " +
+          s"(${s.catalogString}, ${key.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("key", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk_by"
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Double, Long)] =
+    scala.collection.mutable.PriorityQueue.empty(evictability)
+
+  private def insert(buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+                     s: Double, key: Long): Unit = {
+    if (buf.size < k) buf.enqueue((s, key))
+    else {
+      val (ws, wk) = buf.head
+      // keep the incoming pair iff it beats the current worst
+      if (s > ws || (s == ws && key < wk)) {
+        buf.dequeue(); buf.enqueue((s, key)); ()
+      }
+    }
+  }
+
+  override def update(buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+                      input: org.apache.spark.sql.catalyst.InternalRow): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val s = scoreExpr.eval(input)
+    val key = keyExpr.eval(input)
+    if (s != null && key != null)
+      insert(buf, s.asInstanceOf[Double], key.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+                     other: scala.collection.mutable.PriorityQueue[(Double, Long)]): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach { case (s, key) => insert(buf, s, key) }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toSeq.sortBy { case (s, key) => (-s, key) }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sorted.map { case (s, key) =>
+        org.apache.spark.sql.catalyst.InternalRow(s, key) })
+  }
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, key) => bb.putDouble(s); bb.putLong(key) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach { _ => buf.enqueue((bb.getDouble, bb.getLong)) }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(scoreExpr = newChildren(0), keyExpr = newChildren(1))
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -263,6 +368,14 @@ object GraftFunctions {
     ColumnBridge.column(JaroWinkler(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Bounded top-k aggregate Column: array<struct<score,key>> of the k
+    * highest-scored keys per group, partial-aggregable (see
+    * [[TopKByScore]]). */
+  def topKBy(score: Column, key: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKByScore(ColumnBridge.expression(score),
+        ColumnBridge.expression(key), k).toAggregateExpression())
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -287,6 +400,9 @@ object GraftFunctions {
           MinHashSig(e, intLit(n, "numHashes")) }),
       (FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
         builder("graft_simhash64", "(arr)") { case Seq(e) => SimHash64(e) }),
+      (FunctionIdentifier("graft_topk_by"), info("graft_topk_by"),
+        builder("graft_topk_by", "(score, key, k)") { case Seq(s, key, k) =>
+          TopKByScore(s, key, intLit(k, "k")).toAggregateExpression() }),
       (FunctionIdentifier("graft_winnow"), info("graft_winnow"),
         builder("graft_winnow", "(text, k, w)") { case Seq(e, k, w) =>
           WinnowFingerprints(e, intLit(k, "k"), intLit(w, "w")) }),

@@ -1292,6 +1292,29 @@ object ExtensionQueries {
     FROM range(0, 200000) t(id)
     WHERE id >= 1000 AND id < 51000 AND CAST(id % 97 AS INTEGER) = 7"""))
 
+  /** Native bounded top-k aggregate ([[graft.functions.TopKByScore]],
+    * a TypedImperativeAggregate): top-3 orders by value per priority
+    * class. The window formulation shuffles every order to its group's
+    * reducer; this aggregate ships at most k pairs per group per map
+    * task (partial aggregation), the shape that survives groups of
+    * millions. Oracle is the window formulation — identical rows,
+    * different movement. */
+  private val x_agg_topk_native = Q(
+    "x_agg_topk_native",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("o_totalprice").cast("double"), col("o_orderkey"), 3).as("top"))
+      .select(col("prio"), posexplode(col("top")))
+      .select(col("prio"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.key").as("o_orderkey"), col("col.score").as("price")),
+    Some("""SELECT o_orderpriority AS prio,
+      CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS INTEGER) AS rank,
+      o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    QUALIFY rank <= 3"""))
+
   // --------------------------------------------------------- multimodal
 
   /** REAL image decode (javax.imageio): a distributed PNG corpus is
@@ -2663,6 +2686,7 @@ object ExtensionQueries {
     x_sim_pq_adc,
     x_embed_pca_power,
     x_source_dsv2,
+    x_agg_topk_native,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,

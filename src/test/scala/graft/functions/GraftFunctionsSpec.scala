@@ -166,4 +166,50 @@ class GraftFunctionsSpec extends SparkSpec {
     val nullRow = spark.sql("SELECT graft_jaro_winkler(NULL, 'x') AS s").head()
     assert(nullRow.isNullAt(0))
   }
+
+  test("topKBy: hand case — k largest scores, ties to smaller key, sorted out") {
+    val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 5.0), (4L, 1.0), (5L, 9.0))
+      .toDF("k", "s")
+    val out = rows.agg(GraftFunctions.topKBy(col("s"), col("k"), 3).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.score"), col("e.key")).as[(Double, Long)].collect().toSeq
+    // 9.0@2, 9.0@5 (tie: smaller key first), then 5.0@1 (5.0@3 evicted)
+    assert(out == Seq((9.0, 2L), (9.0, 5L), (5.0, 1L)), out.toString)
+  }
+
+  test("topKBy matches the window formulation per group on real data") {
+    val o = graft.core.Tables.orders(spark, sf001)
+      .select(col("o_orderpriority").as("g"),
+        col("o_totalprice").cast("double").as("s"), col("o_orderkey").as("k"))
+    val viaAgg = o.groupBy(col("g"))
+      .agg(GraftFunctions.topKBy(col("s"), col("k"), 4).as("t"))
+      .select(col("g"), explode(col("t")).as("e"))
+      .select(col("g"), col("e.key")).as[(String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s").desc, col("k"))
+    val viaWin = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).select(col("g"), col("k"))
+      .as[(String, Long)].collect().toSet
+    assert(viaAgg == viaWin)
+  }
+
+  test("topKBy is partitioning-independent (merge path exercised) and null-safe") {
+    val rows = (1L to 500L).map(i => (i, (i * 37 % 101).toDouble))
+    val base = rows.toDF("k", "s")
+      .union(Seq((501L, Double.box(null.asInstanceOf[Double])))
+        .toDF("k", "s").withColumn("s", lit(null).cast("double")))
+    val a = base.agg(GraftFunctions.topKBy(col("s"), col("k"), 7)).head().getSeq[Any](0)
+    val b = base.repartition(17)
+      .agg(GraftFunctions.topKBy(col("s"), col("k"), 7)).head().getSeq[Any](0)
+    assert(a == b, "top-k must not depend on partitioning")
+    assert(a.size == 7)
+  }
+
+  test("topKBy with fewer rows than k returns all, SQL surface works") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT graft_topk_by(CAST(v AS DOUBLE), id, 10) AS t
+         FROM VALUES (1L, 3), (2L, 1) AS t(id, v)""").head().getSeq[Any](0)
+    assert(out.size == 2)
+  }
 }
