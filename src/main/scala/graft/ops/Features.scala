@@ -61,4 +61,32 @@ object Features {
             (col("__n") - lit(1) + lit(priorWeight)), 6)))
       .drop("__s", "__n", "__g")
   }
+
+  /** Per-group equi-depth (quantile) binning — the feature
+    * discretization that turns a heavy-tailed numeric into `nBins`
+    * roughly equal-population ordinal buckets, robust to outliers in a
+    * way equal-WIDTH bins are not. Boundaries are the group's exact
+    * interpolated percentiles at i/nBins; a row's bin is the number of
+    * boundaries strictly below its value (0-based, so bin ∈
+    * [0, nBins-1]; boundary-equal values fall into the lower bin on
+    * both engines).
+    *
+    * Scale shape mirrors [[graft.ops.Quality]]'s winsorization: exact
+    * `percentile` per BOUNDED group (the stats side stays
+    * |groups|-sized and broadcasts back; the row pass is map-side).
+    * Exact percentile materializes each group's values on its reducer —
+    * for high-cardinality values within a group at 100 TB, swap in the
+    * KLL sketch ([[graft.ops.Scale.approxMedian]] family); the exact
+    * form is what the oracle can replay. */
+  def quantileBin(df: DataFrame, group: String, value: Column, nBins: Int,
+                  binOut: String = "bin"): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val stats = df.groupBy(col(group))
+      .agg(percentile(value, typedLit(qs)).as("__bounds"))
+    df.join(broadcast(stats), Seq(group))
+      .withColumn(binOut,
+        size(filter(col("__bounds"), b => value > b)).cast("int"))
+      .drop("__bounds")
+  }
 }

@@ -256,6 +256,29 @@ object EltQueries {
         / (st.n - 1 + 10.0), 6) AS enc
     FROM base b JOIN stx st USING (nation) CROSS JOIN g"""))
 
+  /** Equi-depth binning of order value into 8 quantile buckets per
+    * priority class ([[Features.quantileBin]]) — feature
+    * discretization. The oracle recomputes every group's interpolated
+    * percentile boundaries (quantile_cont = Spark's exact percentile
+    * definition) and every row's boundary count. */
+  private val x_feat_quantile_bin = Q(
+    "x_feat_quantile_bin",
+    (s, d) => Features.quantileBin(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("prio"), col("o_totalprice")),
+        group = "prio", value = col("o_totalprice").cast("double"),
+        nBins = 8)
+      .select(col("o_orderkey"), col("prio"), col("bin")),
+    Some("""WITH b AS (
+      SELECT o_orderpriority AS prio,
+        quantile_cont(CAST(o_totalprice AS DOUBLE),
+          [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderkey, o.o_orderpriority AS prio,
+      CAST(len(list_filter(b.bounds,
+        x -> CAST(o.o_totalprice AS DOUBLE) > x)) AS INTEGER) AS bin
+    FROM orders o JOIN b ON o.o_orderpriority = b.prio"""))
+
   def all: Seq[Q] = Seq(
     x_scd2_merge,
     x_dq_audit,
@@ -263,5 +286,6 @@ object EltQueries {
     x_dq_histogram,
     x_dq_winsorize,
     x_feat_target_encode,
+    x_feat_quantile_bin,
   )
 }

@@ -583,7 +583,38 @@ object RelationalQueries {
         (PARTITION BY l_returnflag ORDER BY c DESC, l_quantity ASC) = 1)
     SELECT q.*, m.mode_qty FROM q JOIN m USING (l_returnflag)"""))
 
+  /** Cumulative DISTINCT count over a window — SQL surface Spark's
+    * window aggregates don't offer (`count(DISTINCT) OVER` is
+    * unsupported), completed by the collect_set/size emulation: the
+    * running number of distinct event types each user has produced.
+    * State per frame is bounded by the DISTINCT-value cardinality
+    * (event types here), not frame length — the property that keeps
+    * the emulation viable at 100 TB; for unbounded-cardinality columns
+    * the HLL sketch is the swap-in. Oracle runs DuckDB's native
+    * windowed COUNT(DISTINCT). */
+  private val x_rel_window_distinct = Q(
+    "x_rel_window_distinct",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("user_id"), col("event_id"), col("ts_s"),
+        size(collect_set(col("event_type")).over(w)).cast("int")
+          .as("n_distinct_types"))
+    },
+    Some("""SELECT user_id, event_id,
+      date_trunc('second', ts) AS ts_s,
+      CAST(COUNT(DISTINCT event_type) OVER (
+        PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+        AS n_distinct_types
+    FROM events WHERE ts IS NOT NULL"""))
+
   def all: Seq[Q] = Seq(
+    x_rel_window_distinct,
     x_rel_quantiles,
     x_rel_stats_suite,
     x_rel_lateral,

@@ -51,6 +51,32 @@ class FeaturesSpec extends SparkSpec {
       s"m=1000 ($strong) should sit closer to g=$g than m=0.1 ($weak)")
   }
 
+  test("quantileBin: equal-population bins on uniform data, bounded range, monotone") {
+    val df = (1 to 400).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Features.quantileBin(df, "grp", col("v"), nBins = 4)
+      .select($"v", $"bin").as[(Double, Int)].collect()
+    assert(out.forall { case (_, b) => b >= 0 && b < 4 })
+    val byBin = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byBin.keySet == Set(0, 1, 2, 3))
+    byBin.values.foreach(n => assert(math.abs(n - 100) <= 1, byBin.toString))
+    val sorted = out.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      "bins must be monotone in the value")
+  }
+
+  test("quantileBin bins per group independently") {
+    // group a: values 1..4; group b: values 101..104 — each group's
+    // bins must span 0/1 regardless of the other group's scale
+    val df = (Seq.tabulate(4)(i => ("a", i + 1.0)) ++
+      Seq.tabulate(4)(i => ("b", i + 101.0))).toDF("grp", "v")
+    val out = Features.quantileBin(df, "grp", col("v"), nBins = 2)
+      .select($"grp", $"v", $"bin").as[(String, Double, Int)].collect()
+    Seq("a", "b").foreach { g =>
+      val bins = out.filter(_._1 == g).sortBy(_._2).map(_._3).toSeq
+      assert(bins == Seq(0, 0, 1, 1), s"group $g got $bins")
+    }
+  }
+
   test("targetEncodeLoo plans no per-category window (aggregate+join shape)") {
     val df = Seq(("a", 1.0), ("b", 2.0)).toDF("cat", "t")
     val plan = Features.targetEncodeLoo(df, "cat", "t", 5.0)
