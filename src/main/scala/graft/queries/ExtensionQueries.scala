@@ -1650,6 +1650,50 @@ object ExtensionQueries {
     WHERE ts IS NOT NULL
     GROUP BY 1, 2"""))
 
+  /** Stream-STATIC enrichment join parity: the streaming event feed
+    * joined to a bounded static dimension (user → cohort) — the
+    * third Structured Streaming join shape next to the stream-stream
+    * interval join ([[x_stream_join_parity]]) and the stateful
+    * aggregations. The static side is a plain batch DataFrame
+    * broadcast under the micro-batch join (no state store: each batch
+    * re-joins against the static relation — at 100 TB this is the
+    * dimension-enrichment shape where only the FACT side streams).
+    * Oracle is the equivalent batch join+aggregate. */
+  private val x_stream_static_join = Q(
+    "x_stream_static_join_parity",
+    (s, d) => {
+      val tmp = streamFixtureDirs.getOrElseUpdate(d, {
+        val t = fixtureTempDir("graft_stream_events")
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+      val dim = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(7)).cast("int"))
+      val agg = EventStream.readEvents(s, tmp, format = "parquet")
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+      val sink = "x_stream_static_join_sink"
+      val sq = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink)
+    },
+    Some("""SELECT CAST(user_id % 7 AS INTEGER) AS cohort, event_type,
+      COUNT(*) AS n_events,
+      MIN(event_id) AS min_event,
+      MAX(event_id) AS max_event
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1, 2"""))
+
   /** Semi-structured path extraction — the true analogue of the
     * reference's VARIANT `value:cN` access (design.sql:142–262; our CSV
     * ingest maps it positionally, this maps it by PATH): the events
@@ -2256,6 +2300,76 @@ object ExtensionQueries {
     SELECT entity_id, match_id, sim FROM pairs
     QUALIFY ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY sim DESC, match_id) = 1"""))
 
+  /** Entity resolution END-TO-END: the [[x_er_jarowinkler]] match graph
+    * (blocked Jaro-Winkler pairs, a < b) closed into entity CLUSTERS by
+    * [[Dedup.connectedComponents]], then collapsed to one GOLDEN RECORD
+    * per entity by survivorship (longest name, ties to the smallest
+    * key; max price; member count) — the full record-linkage pipeline a
+    * master-data system runs: block → score → cluster → merge.
+    * Singletons keep themselves as their cluster. The oracle replays
+    * the scoring with DuckDB's independent jaro_winkler_similarity, the
+    * clustering with a recursive transitive closure, and the
+    * survivorship with a ranked window. */
+  private val x_er_golden = Q(
+    "x_er_golden_record",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+        split(col("p_name"), " ").getItem(0).as("w1"))
+      val left = p.select(col("p_partkey").as("entity_a"), col("p_name").as("name_a"),
+        col("p_brand").as("brand_a"), col("p_size").as("size_a"), col("w1").as("w1_a"))
+      val right = p.select(col("p_partkey").as("entity_b"), col("p_name").as("name_b"),
+        col("p_brand").as("brand_b"), col("p_size").as("size_b"), col("w1").as("w1_b"))
+      val pairs = left.join(right,
+          col("brand_a") === col("brand_b") && col("size_a") === col("size_b") &&
+            col("w1_a") === col("w1_b") && col("entity_a") < col("entity_b"))
+        .filter(round(graft.functions.GraftFunctions.jaroWinkler(
+          col("name_a"), col("name_b")), 6) >= 0.88)
+        .select(col("entity_a"), col("entity_b"))
+      val cc = Dedup.connectedComponents(pairs, "entity_a", "entity_b")
+      val base = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      base.join(cc, base("p_partkey") === cc("node"), "left")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          coalesce(col("cluster_id"), col("p_partkey")).as("cluster_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("int").as("n_members"),
+          max(struct(length(col("p_name")).as("l"),
+            (-col("p_partkey")).as("negk"), col("p_name").as("name")))
+            .getField("name").as("golden_name"),
+          max(col("p_retailprice")).as("price_max"))
+    },
+    Some("""WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, p_brand, p_size,
+             split_part(p_name, ' ', 1) AS w1 FROM part),
+    prs AS (
+      SELECT a.p_partkey AS ea, b.p_partkey AS eb
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.w1 = b.w1
+          AND a.p_partkey < b.p_partkey
+      WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88),
+    edges AS (SELECT ea AS src, eb AS dst FROM prs
+              UNION SELECT eb, ea FROM prs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cc AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+    labeled AS (
+      SELECT pt.p_partkey, pt.p_name, pt.p_retailprice,
+        COALESCE(cc.cluster_id, pt.p_partkey) AS cluster_id
+      FROM part pt LEFT JOIN cc ON pt.p_partkey = cc.node),
+    g AS (
+      SELECT cluster_id, p_name,
+        ROW_NUMBER() OVER (PARTITION BY cluster_id
+          ORDER BY length(p_name) DESC, p_partkey) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS n_members,
+        MAX(p_retailprice) OVER (PARTITION BY cluster_id) AS price_max
+      FROM labeled)
+    SELECT cluster_id, n_members, p_name AS golden_name, price_max
+    FROM g WHERE rn = 1"""))
+
   /** Salted-join correctness via the driver oracle: the skew-mitigation
     * join (graft.ops.Scale.saltedJoin — hot keys split across `factor`
     * salt replicas, bounded side replicated) must be RESULT-IDENTICAL
@@ -2687,6 +2801,8 @@ object ExtensionQueries {
     x_embed_pca_power,
     x_source_dsv2,
     x_agg_topk_native,
+    x_er_golden,
+    x_stream_static_join,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
