@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, SinglePartition}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Skyline (Pareto frontier) as a CUSTOM WHOLE OPERATOR — tier (c) of
+  * the extension ladder (SURVEY §7.3): a logical plan node, a planner
+  * strategy, and a physical operator, because no composition of
+  * built-in operators expresses skyline without an O(n²) self-join.
+  *
+  * A row survives iff no other row is ≥ on every dimension and > on at
+  * least one (all dimensions MAXIMIZED; negate a column to minimize).
+  * The multi-criteria "best tradeoffs" query — price-vs-quality corpus
+  * picks, cost-vs-coverage source selection — that a NOT EXISTS
+  * formulation computes by comparing every pair.
+  *
+  * Physical plan: LOCAL skyline per partition (the skyline operator is
+  * idempotent and distributive: skyline(A ∪ B) = skyline(skyline(A) ∪
+  * skyline(B)), so partition-local pruning is lossless), then the
+  * surviving candidates — for random data an O(log^{d-1} n)-sized set,
+  * not O(n) — gather to one task for the final pass. The corpus-sized
+  * pass never shuffles; only frontier candidates move. Each local pass
+  * sorts by the first dimension descending so a candidate is only ever
+  * compared against rows that can actually dominate it.
+  */
+case class SkylinePlan(dims: Seq[Expression], child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): SkylinePlan =
+    copy(child = newChild)
+}
+
+object SkylineStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case SkylinePlan(dims, child) =>
+      SkylineExec(dims, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class SkylineExec(dims: Seq[Expression], child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = SinglePartition
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bound = dims.map(BindReferences.bindReference(_, child.output))
+    bound.foreach { e =>
+      e.dataType match {
+        case DoubleType | LongType | IntegerType => ()
+        case other => throw new IllegalArgumentException(
+          s"skyline dimensions must be double/bigint/int, got ${other.catalogString}")
+      }
+    }
+    def keyOf(dim: Expression, row: InternalRow): Double = dim.eval(row) match {
+      case null => Double.NegativeInfinity // NULL never dominates, never survives a dominator
+      case d: java.lang.Double => d
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case other => throw new IllegalStateException(s"unexpected dim value $other")
+    }
+    def dominates(a: Array[Double], b: Array[Double]): Boolean = {
+      var ge = true; var gt = false; var i = 0
+      while (i < a.length && ge) {
+        if (a(i) < b(i)) ge = false else if (a(i) > b(i)) gt = true
+        i += 1
+      }
+      ge && gt
+    }
+    def skyline(it: Iterator[InternalRow]): Iterator[InternalRow] = {
+      val rows = it.map { r =>
+        val copied = r.copy()
+        (bound.map(keyOf(_, copied)).toArray, copied)
+      }.toArray
+      // first-dim-descending scan: only earlier rows can dominate later
+      // ones (a later row never has a strictly larger first dim), so one
+      // forward pass against the kept frontier is complete
+      val sorted = rows.sortBy { case (k, _) => -k(0) }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], InternalRow)]
+      sorted.foreach { case (k, r) =>
+        if (!kept.exists { case (kk, _) => dominates(kk, k) }) kept += ((k, r))
+      }
+      kept.iterator.map(_._2)
+    }
+    child.execute()
+      .mapPartitions(skyline)     // corpus-sized pass, no shuffle
+      .coalesce(1)
+      .mapPartitions(skyline)     // frontier candidates only
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SkylineExec =
+    copy(child = newChild)
+}
+
+object Skyline {
+  /** Pareto frontier of `df` maximizing every named column in `dims`.
+    * Dimension attributes are resolved against the child's analyzed
+    * output HERE (generic analyzer rules don't resolve expressions
+    * inside foreign plan nodes), so the plan enters the session fully
+    * resolved. Injects [[SkylineStrategy]] into the session planner on
+    * first use (idempotent) — the `spark.experimental.extraStrategies`
+    * route, so no session-construction config is required. */
+  def of(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "skyline needs at least one dimension")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(SkylineStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SkylineStrategy
+    val child = df.queryExecution.analyzed
+    val attrs = dims.map { n =>
+      child.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"skyline dimension $n not in ${child.output.map(_.name).mkString(", ")}"))
+    }
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
+      SkylinePlan(attrs, child))
+  }
+}

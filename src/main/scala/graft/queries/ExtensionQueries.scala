@@ -2268,23 +2268,55 @@ object ExtensionQueries {
   private val x_er_jarowinkler = Q(
     "x_er_jarowinkler",
     (s, d) => {
-      val p = Tables.part(s, d).select(
+      // Collapse-exact-first (same discipline as [[x_er_golden]]): the
+      // Jaro-Winkler pair join runs between DISTINCT (name,brand,size)
+      // records, so pair volume scales with distinct entities, not
+      // (duplicates/record)². Per-part best-match semantics are
+      // preserved EXACTLY: a member of an exact-duplicate group can
+      // only be best-matched within its group (JW=1.0, unreachable
+      // cross-group) at the group's smallest other key; a singleton
+      // takes its group's rep-level best cross match (per-group sim is
+      // name-constant, and the tied-group min rep IS the min candidate
+      // key). The pre-collapse form measured >10 min at the 100× step —
+      // a replicated corpus is exactly the adversarial duplicate mass.
+      val parts = Tables.part(s, d).select(
         col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
         split(col("p_name"), " ").getItem(0).as("w1"))
-      val left = p.select(col("p_partkey").as("entity_id"), col("p_name").as("name_a"),
+      val g1 = parts.groupBy(col("p_name"), col("p_brand"), col("p_size"), col("w1"))
+        .agg(min(col("p_partkey")).as("rep_id"), count(lit(1)).as("gn"))
+      val g2 = parts
+        .join(g1.select(col("p_name"), col("p_brand"), col("p_size"), col("rep_id")),
+          Seq("p_name", "p_brand", "p_size"))
+        .filter(col("p_partkey") =!= col("rep_id"))
+        .groupBy(col("p_name"), col("p_brand"), col("p_size"))
+        .agg(min(col("p_partkey")).as("rep2_id"))
+      val groups = g1.join(g2, Seq("p_name", "p_brand", "p_size"), "left")
+      val la = groups.select(col("rep_id").as("ga"), col("p_name").as("name_a"),
         col("p_brand").as("brand_a"), col("p_size").as("size_a"), col("w1").as("w1_a"))
-      val right = p.select(col("p_partkey").as("match_id"), col("p_name").as("name_b"),
+      val lb = groups.select(col("rep_id").as("gb"), col("p_name").as("name_b"),
         col("p_brand").as("brand_b"), col("p_size").as("size_b"), col("w1").as("w1_b"))
-      val pairs = left.join(right,
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ga")).orderBy(col("sim").desc, col("gb"))
+      val bestCross = la.join(lb,
           col("brand_a") === col("brand_b") && col("size_a") === col("size_b") &&
-            col("w1_a") === col("w1_b") && col("entity_id") =!= col("match_id"))
+            col("w1_a") === col("w1_b") && col("ga") =!= col("gb"))
         .withColumn("sim",
           round(graft.functions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b")), 6))
         .filter(col("sim") >= 0.88)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("entity_id")).orderBy(col("sim").desc, col("match_id"))
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("entity_id"), col("match_id"), col("sim"))
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .select(col("ga"), col("gb").as("cross_match"), col("sim").as("cross_sim"))
+      parts
+        .join(groups.select(col("p_name"), col("p_brand"), col("p_size"),
+          col("rep_id"), col("gn"), col("rep2_id")),
+          Seq("p_name", "p_brand", "p_size"))
+        .join(bestCross, col("rep_id") === col("ga"), "left")
+        .select(col("p_partkey").as("entity_id"),
+          when(col("gn") >= 2,
+            when(col("p_partkey") === col("rep_id"), col("rep2_id"))
+              .otherwise(col("rep_id")))
+            .otherwise(col("cross_match")).as("match_id"),
+          when(col("gn") >= 2, lit(1.0)).otherwise(col("cross_sim")).as("sim"))
+        .filter(col("match_id").isNotNull)
     },
     Some("""WITH p AS (
       SELECT p_partkey, p_name, p_brand, p_size,
@@ -2313,12 +2345,24 @@ object ExtensionQueries {
   private val x_er_golden = Q(
     "x_er_golden_record",
     (s, d) => {
-      val p = Tables.part(s, d).select(
-        col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
-        split(col("p_name"), " ").getItem(0).as("w1"))
-      val left = p.select(col("p_partkey").as("entity_a"), col("p_name").as("name_a"),
+      // COLLAPSE-EXACT-FIRST (the Dedup entry-point discipline): parts
+      // sharing (name, brand, size) collapse to one representative
+      // (min key) BEFORE the quadratic match-graph stage, so
+      // Jaro-Winkler pair volume scales with DISTINCT records — a
+      // corpus that is 100× exact duplicates costs the same match
+      // graph, not 10,000× the pairs (the pre-collapse form measured
+      // >10 min at the 100× step). Result-identical: exact duplicates
+      // share a rep (JW(name,name)=1.0 would have clustered them
+      // anyway), and the cluster label — min rep id = min member key —
+      // is the label the uncollapsed graph produces.
+      val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_size"), col("p_retailprice"))
+      val reps = parts.groupBy(col("p_name"), col("p_brand"), col("p_size"))
+        .agg(min(col("p_partkey")).as("rep_id"))
+        .withColumn("w1", split(col("p_name"), " ").getItem(0))
+      val left = reps.select(col("rep_id").as("entity_a"), col("p_name").as("name_a"),
         col("p_brand").as("brand_a"), col("p_size").as("size_a"), col("w1").as("w1_a"))
-      val right = p.select(col("p_partkey").as("entity_b"), col("p_name").as("name_b"),
+      val right = reps.select(col("rep_id").as("entity_b"), col("p_name").as("name_b"),
         col("p_brand").as("brand_b"), col("p_size").as("size_b"), col("w1").as("w1_b"))
       val pairs = left.join(right,
           col("brand_a") === col("brand_b") && col("size_a") === col("size_b") &&
@@ -2327,11 +2371,12 @@ object ExtensionQueries {
           col("name_a"), col("name_b")), 6) >= 0.88)
         .select(col("entity_a"), col("entity_b"))
       val cc = Dedup.connectedComponents(pairs, "entity_a", "entity_b")
-      val base = Tables.part(s, d)
-        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
-      base.join(cc, base("p_partkey") === cc("node"), "left")
+      parts
+        .join(reps.select(col("p_name"), col("p_brand"), col("p_size"), col("rep_id")),
+          Seq("p_name", "p_brand", "p_size"))
+        .join(cc, col("rep_id") === cc("node"), "left")
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
-          coalesce(col("cluster_id"), col("p_partkey")).as("cluster_id"))
+          coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).cast("int").as("n_members"),
           max(struct(length(col("p_name")).as("l"),
@@ -2369,6 +2414,30 @@ object ExtensionQueries {
       FROM labeled)
     SELECT cluster_id, n_members, p_name AS golden_name, price_max
     FROM g WHERE rn = 1"""))
+
+  /** Skyline (Pareto frontier) via the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.Skyline]] — logical node + planner strategy +
+    * SkylineExec, tier (c) of the extension ladder): parts not
+    * dominated on (price, size). The corpus pass is partition-local
+    * pruning with no shuffle; only frontier candidates gather. The
+    * oracle is the O(n²) NOT EXISTS formulation — the plan this
+    * operator exists to avoid. */
+  private val x_plan_skyline = Q(
+    "x_plan_skyline",
+    (s, d) => graft.plans.Skyline.of(
+      Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_retailprice").cast("double").as("price"),
+        col("p_size").cast("long").as("psize")),
+      Seq("price", "psize")),
+    Some("""WITH p AS (
+      SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS price,
+             CAST(p_size AS BIGINT) AS psize
+      FROM part)
+    SELECT p_partkey, p_name, price, psize FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price >= a.price AND b.psize >= a.psize
+        AND (b.price > a.price OR b.psize > a.psize))"""))
 
   /** Salted-join correctness via the driver oracle: the skew-mitigation
     * join (graft.ops.Scale.saltedJoin — hot keys split across `factor`
@@ -2803,6 +2872,7 @@ object ExtensionQueries {
     x_agg_topk_native,
     x_er_golden,
     x_stream_static_join,
+    x_plan_skyline,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
