@@ -73,6 +73,54 @@ object Graph {
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
 
+  /** Personalized (topic-sensitive) PageRank: the teleport mass lands
+    * on a SEED set instead of uniformly — ranks then measure proximity
+    * to the seeds (trust propagation from vetted domains, "more like
+    * these" corpus expansion), not global importance. Same integer
+    * fixed-point arithmetic as [[pageRankFixedPoint]] (bit-exact,
+    * unrolled-SQL replayable): r₀ = FP div |seeds| on seeds else 0, and
+    * each round r' = (p·(100−d)) div 100 + (Σ contribs · d) div 100
+    * with p the personalization vector. Seeds outside the node domain
+    * are dropped (inner join); node domain is distinct `src`, so every
+    * node has out-degree ≥ 1 (symmetrize first, as with the uniform
+    * variant). Scale shape identical to [[pageRankFixedPoint]]: the
+    * loop-invariant (node, deg, p) frame re-enters each round through
+    * one reusable exchange; per-round work is one equi-join + one
+    * combinable sum. */
+  def pageRankPersonalized(edgesIn: DataFrame, seedsIn: DataFrame,
+                           iters: Int, damping: Int = 85): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(damping > 0 && damping < 100, s"need 0 < damping < 100, got $damping")
+    val edges = edgesIn.localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val seeds = seedsIn.select(col("node")).distinct()
+      .join(deg.select(col("node")), Seq("node"))
+      .withColumn("is_seed", lit(1))
+    val ns = seeds.agg(count(lit(1)).as("n_seeds"))
+    val base = deg
+      .join(seeds.select(col("node"), col("is_seed")), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .withColumn("p", when(col("is_seed") === 1,
+        expr(s"$RankFp div n_seeds")).otherwise(lit(0L)))
+      .drop("is_seed")
+    var ranks = base.withColumn("r", col("p"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.select(col("node"), col("deg"), col("r")),
+          edges("src") === col("node"))
+        .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+      val sums = contribs.groupBy(col("node"))
+        .agg(sum(col("contrib")).as("s"))
+      ranks = base.join(sums, Seq("node"), "left")
+        .withColumn("r",
+          expr(s"(p * ${100 - damping}) div 100") +
+            expr(s"(coalesce(s, 0L) * $damping) div 100"))
+        .drop("s")
+    }
+    ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
+  }
+
   /** General PageRank for DIRECTED graphs: node domain is src ∪ dst,
     * sink nodes (out-degree 0) keep their mass in the system via
     * dangling-mass redistribution — each iteration their summed rank is

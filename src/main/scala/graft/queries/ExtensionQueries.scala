@@ -1191,6 +1191,59 @@ object ExtensionQueries {
       SELECT node, deg, r AS rank_fp FROM r3"""
     })
 
+  /** Personalized PageRank ([[Graph.pageRankPersonalized]]) over the
+    * symmetric trade graph with teleport mass concentrated on the seed
+    * customers (custkey ≤ 5) — proximity-to-seeds importance ("more
+    * like these" corpus expansion), integer fixed-point, the oracle
+    * unrolling all 3 rounds bit-exactly. */
+  private val x_graph_ppr = Q(
+    "x_graph_ppr",
+    (s, d) => {
+      val eraw = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = Tables.orders(s, d).filter(col("o_custkey") <= 5)
+        .select((col("o_custkey") * 2).as("node"))
+      Graph.pageRankPersonalized(edges, seeds, iters = 3)
+    },
+    Some {
+      val fp = Graph.RankFp
+      def step(i: Int) =
+        s"""c$i AS (
+          SELECT e.dst AS node, CAST(SUM(r.r // r.deg) AS BIGINT) AS s
+          FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
+        r$i AS (
+          SELECT b.node, b.deg, b.p,
+            (b.p * 15) // 100 + (COALESCE(c.s, 0) * 85) // 100 AS r
+          FROM base b LEFT JOIN c$i c ON c.node = b.node)"""
+      s"""WITH eraw AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT a AS src, b AS dst FROM eraw
+        UNION ALL SELECT b AS src, a AS dst FROM eraw),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+      seeds AS (
+        SELECT DISTINCT s.node FROM
+          (SELECT DISTINCT o_custkey * 2 AS node FROM orders
+           WHERE o_custkey <= 5) s
+        JOIN deg d ON s.node = d.node),
+      ns AS (SELECT COUNT(*) AS n_seeds FROM seeds),
+      base AS (
+        SELECT d.node, d.deg,
+          CASE WHEN s.node IS NOT NULL THEN $fp // n_seeds ELSE 0 END AS p
+        FROM deg d LEFT JOIN seeds s ON d.node = s.node CROSS JOIN ns),
+      r0 AS (SELECT node, deg, p, p AS r FROM base),
+      ${step(1)},
+      ${step(2)},
+      ${step(3)}
+      SELECT node, deg, r AS rank_fp FROM r3"""
+    })
+
   /** Multi-source BFS ([[Graph.bfsHops]]) over the undirected
     * customer↔supplier trade graph: minimum hop distance from the seed
     * customers (custkey ≤ 3) out to 3 hops — the reachability audit
@@ -2843,6 +2896,7 @@ object ExtensionQueries {
     x_graph_triangles,
     x_graph_linkpred,
     x_graph_bfs,
+    x_graph_ppr,
     x_multimodal_phash,
     x_text_bm25,
     x_dedup_semantic,

@@ -349,6 +349,62 @@ object TimeSeriesQueries {
         AS ewma
     FROM w"""))
 
+  /** Interval-union coverage (gaps-and-islands over overlapping
+    * intervals): each event claims [t, t+60s); per user, the UNION of
+    * those intervals — total covered seconds and island count — the
+    * dwell-time/uptime aggregation naive SUM double-counts overlaps
+    * on. Island boundary = start strictly beyond the running max end
+    * of all earlier intervals; a total tiebreak (st, en, event_id)
+    * keeps the prefix max deterministic under same-start ties (the
+    * flag would otherwise depend on tie order). All integer seconds —
+    * engine-exact. One per-user window + one aggregate; frames never
+    * exceed a user's events. */
+  private val x_ts_interval_union = Q(
+    "x_ts_interval_union",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("st"))
+        .withColumn("en", col("st") + 60)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("en"), col("event_id"))
+      val flagged = e.withColumn("prev_max",
+          max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max").isNull || col("st") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("i_en") - col("i_st")).cast("long").as("covered_s"),
+          count(lit(1)).cast("int").as("n_islands"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id,
+        epoch(date_trunc('second', ts)) AS st,
+        epoch(date_trunc('second', ts)) + 60 AS en
+      FROM events WHERE ts IS NOT NULL),
+    f AS (
+      SELECT user_id, event_id, st, en,
+        MAX(en) OVER (PARTITION BY user_id ORDER BY st, en, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM e),
+    g AS (
+      SELECT user_id, st, en,
+        SUM(CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY st, en, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM f),
+    i AS (
+      SELECT user_id, island, MIN(st) AS i_st, MAX(en) AS i_en
+      FROM g GROUP BY 1, 2)
+    SELECT user_id, CAST(SUM(i_en - i_st) AS BIGINT) AS covered_s,
+      CAST(COUNT(*) AS INTEGER) AS n_islands
+    FROM i GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     x_ts_locf,
     x_ts_rolling,
@@ -357,5 +413,6 @@ object TimeSeriesQueries {
     x_ts_session_window,
     x_ts_sliding_window,
     x_ts_ewma,
+    x_ts_interval_union,
   )
 }

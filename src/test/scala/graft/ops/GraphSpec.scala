@@ -204,6 +204,40 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankPersonalized: all mass stays near seeds on a disconnected graph") {
+    // two disjoint symmetric triangles; seeds only in the first —
+    // the second component must hold rank 0 throughout
+    def tri(base: Long) = Seq((base, base + 1), (base + 1, base + 2), (base + 2, base))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = (tri(0) ++ tri(10)).toDF("src", "dst")
+    val out = Graph.pageRankPersonalized(edges, Seq(0L).toDF("node"), iters = 3)
+      .select($"node", $"rank_fp").as[(Long, Long)].collect().toMap
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 0L),
+      s"unseeded component leaked rank: $out")
+    assert(out(0L) > out(1L) && out(1L) == out(2L),
+      s"seed must outrank its symmetric neighbors: $out")
+  }
+
+  test("pageRankPersonalized with all nodes seeded ~ uniform PageRank") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val allSeeds = Seq(1L, 2L, 3L).toDF("node")
+    val ppr = Graph.pageRankPersonalized(edges, allSeeds, iters = 2)
+      .select($"node", $"rank_fp").as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRankFixedPoint(edges, iters = 2)
+      .select($"node", $"rank_fp").as[(Long, Long)].collect().toMap
+    assert(ppr == pr, s"uniform seeding must equal plain PageRank: $ppr vs $pr")
+  }
+
+  test("pageRankPersonalized drops seeds outside the node domain") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRankPersonalized(edges, Seq(1L, 99L).toDF("node"), 1)
+      .select($"node", $"rank_fp").as[(Long, Long)].collect().toMap
+    // 99 is not a node: the seed mass must all land on node 1
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) > 0L && out(2L) > 0L)
+  }
+
   private def bfsOut(edges: Seq[(Long, Long)], seeds: Seq[Long],
                      maxHops: Int): Map[Long, Int] =
     Graph.bfsHops(edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
