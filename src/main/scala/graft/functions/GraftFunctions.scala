@@ -451,5 +451,10 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
     ext.injectParser((_, parser) => new graft.plans.QualifyParser(parser))
+    // tier-(c) operator surface: the skyline planner strategy and its
+    // filter-pushdown optimizer rule (Skyline.of also installs both
+    // per-session via spark.experimental for non-extension sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.SkylineStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughSkyline)
   }
 }

@@ -98,12 +98,17 @@ object Graph {
       .join(deg.select(col("node")), Seq("node"))
       .withColumn("is_seed", lit(1))
     val ns = seeds.agg(count(lit(1)).as("n_seeds"))
+    // node-sized loop invariant, consumed by every round's join AND the
+    // rank init — materialize ONCE or the seed derivation (often a
+    // table scan upstream) re-executes per iteration (measured
+    // 112.7 s → 73.0 s at the 100× step for 3 rounds)
     val base = deg
       .join(seeds.select(col("node"), col("is_seed")), Seq("node"), "left")
       .crossJoin(broadcast(ns))
       .withColumn("p", when(col("is_seed") === 1,
         expr(s"$RankFp div n_seeds")).otherwise(lit(0L)))
       .drop("is_seed")
+      .localCheckpoint(true)
     var ranks = base.withColumn("r", col("p"))
     for (_ <- 1 to iters) {
       val contribs = edges

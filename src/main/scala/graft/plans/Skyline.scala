@@ -98,6 +98,42 @@ case class SkylineExec(dims: Seq[Expression], child: SparkPlan)
     copy(child = newChild)
 }
 
+/** Optimizer rule: push `dim >= c` / `dim > c` filters BELOW a skyline
+  * — the tier-(c) operator participating in optimization, not just
+  * execution. Sound exactly for lower-bound predicates on MAXIMIZED
+  * dimensions: any dominator q of a surviving row r has q.dim ≥ r.dim
+  * ≥ c, so q also passes the filter — dominance status inside the
+  * filtered set equals dominance in the full set, and
+  * Filter(p, Skyline(S)) ≡ Skyline(Filter(p, S)) with no residual.
+  * (An upper-bound or non-dimension predicate does NOT commute — it
+  * could delete a dominator and resurrect dominated rows — and is left
+  * above.) At 100 TB this turns "frontier of the expensive subset"
+  * from a full-corpus skyline into a pruned scan, and lets Catalyst
+  * push the relocated filter all the way into the source. */
+object PushFilterThroughSkyline
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, GreaterThan, GreaterThanOrEqual, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, SkylinePlan(dims, child)) =>
+      def isDim(a: Attribute) = dims.exists(_.semanticEquals(a))
+      val (pushable, rest) =
+        splitConjunctivePredicates(cond).partition {
+          case GreaterThanOrEqual(a: Attribute, Literal(_, _)) => isDim(a)
+          case GreaterThan(a: Attribute, Literal(_, _)) => isDim(a)
+          case _ => false
+        }
+      if (pushable.isEmpty) f
+      else {
+        val pushed = SkylinePlan(dims,
+          Filter(pushable.reduce(And), child))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object Skyline {
   /** Pareto frontier of `df` maximizing every named column in `dims`.
     * Dimension attributes are resolved against the child's analyzed
@@ -112,6 +148,9 @@ object Skyline {
     if (!spark.experimental.extraStrategies.contains(SkylineStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ SkylineStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughSkyline))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughSkyline
     val child = df.queryExecution.analyzed
     val attrs = dims.map { n =>
       child.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(

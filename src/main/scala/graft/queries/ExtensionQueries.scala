@@ -2492,6 +2492,32 @@ object ExtensionQueries {
       WHERE b.price >= a.price AND b.psize >= a.psize
         AND (b.price > a.price OR b.psize > a.psize))"""))
 
+  /** Filter pushdown THROUGH the skyline operator
+    * ([[graft.plans.PushFilterThroughSkyline]], an injected optimizer
+    * rule): a lower-bound predicate on a maximized dimension commutes
+    * with the frontier (any dominator of a passing row passes too), so
+    * the filter relocates below the operator and reaches the scan. The
+    * oracle computes the frontier OF THE FILTERED SET — equal by the
+    * commutation theorem — and SkylineSpec pins the plan shape (filter
+    * under SkylineExec) plus the non-commuting cases staying above. */
+  private val x_plan_skyline_pushdown = Q(
+    "x_plan_skyline_pushdown",
+    (s, d) => graft.plans.Skyline.of(
+        Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+          col("p_retailprice").cast("double").as("price"),
+          col("p_size").cast("long").as("psize")),
+        Seq("price", "psize"))
+      .filter(col("price") >= 905.0),
+    Some("""WITH p AS (
+      SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS price,
+             CAST(p_size AS BIGINT) AS psize
+      FROM part WHERE CAST(p_retailprice AS DOUBLE) >= 905.0)
+    SELECT p_partkey, p_name, price, psize FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price >= a.price AND b.psize >= a.psize
+        AND (b.price > a.price OR b.psize > a.psize))"""))
+
   /** Salted-join correctness via the driver oracle: the skew-mitigation
     * join (graft.ops.Scale.saltedJoin — hot keys split across `factor`
     * salt replicas, bounded side replicated) must be RESULT-IDENTICAL
@@ -2927,6 +2953,7 @@ object ExtensionQueries {
     x_er_golden,
     x_stream_static_join,
     x_plan_skyline,
+    x_plan_skyline_pushdown,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,

@@ -71,6 +71,45 @@ class SkylineSpec extends SparkSpec {
       "skyline must not plan a self-join")
   }
 
+  test("filter pushdown: >= on a dimension relocates below SkylineExec, result identical") {
+    val df = (1L to 200L).map(i => (i, (i % 37).toDouble, (i % 11).toDouble))
+      .toDF("id", "x", "y")
+    val sky = Skyline.of(df, Seq("x", "y"))
+    val filtered = sky.filter($"x" >= 30.0)
+    // plan shape: the Filter must sit BELOW SkylineExec
+    val plan = filtered.queryExecution.executedPlan
+    val skyNode = plan.collectFirst { case e: SkylineExec => e }.get
+    assert(skyNode.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.isDefined,
+      s"filter not pushed below skyline:\n$plan")
+    assert(plan.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if !skyNode.exists(_ eq f) => f }.isEmpty,
+      s"pushed filter left a residual above:\n$plan")
+    // result: equals frontier-then-filter computed WITHOUT the rule
+    val expect = sky.collect().map(_.getLong(0)).toSet
+      .intersect(df.filter($"x" >= 30.0).select($"id").as[Long].collect().toSet)
+    assert(filtered.select($"id").as[Long].collect().toSet == expect)
+  }
+
+  test("filter pushdown: upper bounds and non-dimension predicates stay above") {
+    val df = (1L to 50L).map(i => (i, i.toDouble, (i % 7).toDouble))
+      .toDF("id", "x", "y")
+    val sky = Skyline.of(df, Seq("x", "y"))
+    // x <= c does NOT commute (it can delete a dominator); id is not a dim
+    Seq(sky.filter($"x" <= 40.0), sky.filter($"id" < 10L)).foreach { q =>
+      val plan = q.queryExecution.executedPlan
+      val skyNode = plan.collectFirst { case e: SkylineExec => e }.get
+      assert(skyNode.collectFirst {
+        case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty,
+        s"non-commuting filter wrongly pushed:\n$plan")
+    }
+    // and the semantics stand: x <= 40 filters the FULL frontier
+    val full = sky.collect().map(_.getLong(0)).toSet
+    val out = sky.filter($"x" <= 40.0).select($"id").as[Long].collect().toSet
+    assert(out == full.filter(_ <= 40L))
+  }
+
   test("rejects non-numeric dimensions loudly") {
     val df = Seq((1L, "a")).toDF("id", "s")
     val ex = intercept[Exception] {
