@@ -1848,6 +1848,101 @@ object ExtensionQueries {
     * on user_id (distinct month-activity + first-seen), then the rate
     * window runs over the tiny aggregated matrix — fact-table volume
     * never reaches a window. */
+  /** Event-type co-occurrence with lift — the market-basket
+    * "users who do X also do Y" primitive: per-user DISTINCT type sets,
+    * type-pair user counts, lift = P(a,b)/(P(a)·P(b)) over the user
+    * universe. The per-user self-join fans out ≤ |types|² rows per
+    * user (types are a bounded vocabulary), and every aggregate is
+    * combinable — output is |types|² rows at any corpus size. */
+  private val x_events_cooccur = Q(
+    "x_events_cooccur",
+    (s, d) => {
+      val ut = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type")).distinct()
+      val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      val nu = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(totals.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), Seq("type_a"))
+        .join(broadcast(totals.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), Seq("type_b"))
+        .crossJoin(broadcast(nu))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("n_a"), col("n_b"),
+          round((col("n_both").cast("double") * col("n_users")) /
+            (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+    },
+    Some("""WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    totals AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both, ta.n_t AS n_a, tb.n_t AS n_b,
+      ROUND((CAST(n_both AS DOUBLE) * n_users) /
+            (CAST(ta.n_t AS DOUBLE) * tb.n_t), 6) AS lift
+    FROM pairs
+    JOIN totals ta ON ta.event_type = type_a
+    JOIN totals tb ON tb.event_type = type_b
+    CROSS JOIN nu"""))
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: LAG pairs per user (one window pass), combinable pair
+    * counts, per-source row normalization in integer micro —
+    * the session-model summary (next-action prediction, anomaly
+    * scoring) whose output is |types|² however large the corpus. */
+  private val x_events_markov = Q(
+    "x_events_markov",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val trans = e
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      trans.join(broadcast(fromTotals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") * lit(1e6) / col("n_from")).cast("long")
+            .as("p_micro"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s, event_type
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    seq AS (
+      SELECT event_type AS from_type,
+        LEAD(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts_s, event_id) AS to_type
+      FROM e),
+    trans AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    ft AS (SELECT from_type, SUM(n) AS n_from FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+      CAST(ROUND(t.n * 1e6 / f.n_from) AS BIGINT) AS p_micro
+    FROM trans t JOIN ft f ON t.from_type = f.from_type"""))
+
   private val x_events_retention = Q(
     "x_events_retention",
     (s, d) => {
@@ -2954,6 +3049,8 @@ object ExtensionQueries {
     x_stream_static_join,
     x_plan_skyline,
     x_plan_skyline_pushdown,
+    x_events_cooccur,
+    x_events_markov,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
