@@ -1368,6 +1368,111 @@ object ExtensionQueries {
     FROM orders
     QUALIFY rank <= 3"""))
 
+  /** Schema-evolution read: two parquet generations of one table —
+    * v1 without a column, v2 with it — read through `mergeSchema`
+    * (the additive-evolution contract a long-lived lakehouse table
+    * accumulates; schema-on-read unification, missing columns NULL).
+    * The oracle reconstructs the same union from the source rows, so a
+    * row misassigned between generations or a dropped/ghost column
+    * breaks the hash. */
+  private val x_source_schema_merge = Q(
+    "x_source_schema_merge",
+    (s, d) => {
+      val base = schemaMergeFixtureDirs.getOrElseUpdate(d, {
+        val t = fixtureTempDir("graft_schema_merge")
+        val o = Tables.orders(s, d)
+          .withColumn("yr", year(col("o_orderdate")))
+        o.filter(col("yr") < 1997)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(t + "/v1")
+        o.filter(col("yr") >= 1997)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(t + "/v2")
+        t
+      })
+      s.read.option("mergeSchema", "true").parquet(base + "/v1", base + "/v2")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("revenue"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    },
+    Some(s"""SELECT
+      CASE WHEN year(o_orderdate) >= 1997 THEN o_orderstatus END AS o_orderstatus,
+      COUNT(*) AS n_orders,
+      ${Exact.sumMoneySql("o_totalprice")} AS revenue,
+      MIN(o_orderkey) AS min_key,
+      MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY 1"""))
+
+  private val schemaMergeFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** k-anonymity GENERALIZATION ladder — the remediation step the
+    * [[EltQueries]] k-anonymity audit feeds: quasi-identifier classes
+    * below k coarsen one rung at a time (nation → region → suppressed
+    * '*') until every published class holds ≥ k rows or is fully
+    * suppressed. Each rung is one combinable COUNT over only the rows
+    * the previous rung demoted — work shrinks per level, output
+    * bounded by |classes|. The oracle replays the whole ladder. */
+  private val x_dq_k_generalize = Q(
+    "x_dq_k_generalize",
+    (s, d) => {
+      val k = 20
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name").as("nat"),
+          col("r_name").as("reg"), col("c_mktsegment").as("seg"))
+      val c0 = cust.groupBy(col("nat"), col("seg"))
+        .agg(count(lit(1)).as("n"))
+      val ok0 = c0.filter(col("n") >= k)
+        .select(col("nat").as("qi1"), col("seg").as("qi2"),
+          lit(0).as("level"), col("n").as("n_rows"))
+      val demoted0 = cust.join(
+        c0.filter(col("n") < k).select(col("nat"), col("seg")),
+        Seq("nat", "seg"), "left_semi")
+      val c1 = demoted0.groupBy(col("reg"), col("seg"))
+        .agg(count(lit(1)).as("n"))
+      val ok1 = c1.filter(col("n") >= k)
+        .select(col("reg").as("qi1"), col("seg").as("qi2"),
+          lit(1).as("level"), col("n").as("n_rows"))
+      val n2 = demoted0.join(
+        c1.filter(col("n") < k).select(col("reg"), col("seg")),
+        Seq("reg", "seg"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") > 0)
+        .select(lit("*").as("qi1"), lit("*").as("qi2"),
+          lit(2).as("level"), col("n_rows"))
+      ok0.unionByName(ok1).unionByName(n2)
+    },
+    Some("""WITH cust AS (
+      SELECT c_custkey, n_name AS nat, r_name AS reg, c_mktsegment AS seg
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+    c0 AS (SELECT nat, seg, COUNT(*) AS n FROM cust GROUP BY 1, 2),
+    ok0 AS (
+      SELECT nat AS qi1, seg AS qi2, 0 AS level, n AS n_rows
+      FROM c0 WHERE n >= 20),
+    d0 AS (
+      SELECT cu.* FROM cust cu
+      JOIN c0 ON cu.nat = c0.nat AND cu.seg = c0.seg AND c0.n < 20),
+    c1 AS (SELECT reg, seg, COUNT(*) AS n FROM d0 GROUP BY 1, 2),
+    ok1 AS (
+      SELECT reg AS qi1, seg AS qi2, 1 AS level, n AS n_rows
+      FROM c1 WHERE n >= 20),
+    n2 AS (
+      SELECT '*' AS qi1, '*' AS qi2, 2 AS level, COUNT(*) AS n_rows
+      FROM d0 JOIN c1 ON d0.reg = c1.reg AND d0.seg = c1.seg AND c1.n < 20
+      HAVING COUNT(*) > 0)
+    SELECT qi1, qi2, CAST(level AS INTEGER) AS level,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM ok1
+          UNION ALL SELECT * FROM n2)"""))
+
   // --------------------------------------------------------- multimodal
 
   /** REAL image decode (javax.imageio): a distributed PNG corpus is
@@ -3051,6 +3156,8 @@ object ExtensionQueries {
     x_plan_skyline_pushdown,
     x_events_cooccur,
     x_events_markov,
+    x_source_schema_merge,
+    x_dq_k_generalize,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
