@@ -613,8 +613,119 @@ object RelationalQueries {
         AS n_distinct_types
     FROM events WHERE ts IS NOT NULL"""))
 
+  /** Closed-form OLS regression (y = order value on x = items/order)
+    * via the normal equations — slope, intercept and r² from five
+    * EXACT sufficient statistics (integer Σx/Σx², decimal Σy/Σxy/Σy²),
+    * finalized in double and rounded. One combinable aggregate per
+    * statistic: the regression never materializes points, only sums —
+    * the statistic-shipping shape that makes model fitting viable at
+    * corpus scale. Spark's builtin regr_* run float accumulation;
+    * these sums are order-independent, so the oracle replays them
+    * bit-for-bit. */
+  private val x_stat_ols = Q(
+    "x_stat_ols",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x"))
+      val pts = Tables.orders(s, d)
+        .join(items, Seq("o_orderkey"))
+        .select(col("x"), col("o_totalprice").cast(DecimalType(18, 2)).as("y"))
+      val stats = pts.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      stats.select(col("n"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+            col("sx").cast("double")) / col("n"), 6).as("intercept"),
+        round(
+          pow(col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double"), 2) /
+            ((col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("r2"))
+    },
+    Some("""WITH pts AS (
+      SELECT i.x, CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders
+      JOIN (SELECT l_orderkey AS o_orderkey, COUNT(*) AS x
+            FROM lineitem GROUP BY 1) i USING (o_orderkey)),
+    st AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM pts)
+    SELECT n,
+      ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        AS slope,
+      ROUND((CAST(sy AS DOUBLE) -
+        ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+      ROUND(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+        / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        AS r2
+    FROM st"""))
+
+  /** Chi-squared independence test (event type × user cohort): exact
+    * integer contingency counts; each cell's statistic finalized in
+    * double and micro-quantized so the 49-term total is an
+    * order-independent INTEGER sum (a raw double Σ would be
+    * partition-order-dependent). The feature-selection / drift test in
+    * its engine-exact form. */
+  private val x_stat_chi2 = Q(
+    "x_stat_chi2",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("t"),
+          pmod(col("user_id"), lit(7)).cast("int").as("cohort"))
+      val cells = base.groupBy(col("t"), col("cohort"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("t")).agg(sum(col("o")).as("r"))
+      val cols_ = cells.groupBy(col("cohort")).agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("nn"))
+      cells.join(broadcast(rows), Seq("t"))
+        .join(broadcast(cols_), Seq("cohort"))
+        .crossJoin(broadcast(n))
+        .select(col("t"), col("cohort"), col("o"),
+          round((pow(col("o").cast("double") * col("nn") -
+            col("r").cast("double") * col("c"), 2) /
+            (col("r").cast("double") * col("c") * col("nn"))) * lit(1e6))
+            .cast("long").as("chi2_cell_micro"))
+    },
+    Some("""WITH base AS (
+      SELECT event_type AS t, CAST(user_id % 7 AS INTEGER) AS cohort
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (SELECT t, cohort, COUNT(*) AS o FROM base GROUP BY 1, 2),
+    r AS (SELECT t, SUM(o) AS r FROM cells GROUP BY 1),
+    c AS (SELECT cohort, SUM(o) AS c FROM cells GROUP BY 1),
+    n AS (SELECT SUM(o) AS nn FROM cells)
+    SELECT t, cohort, o,
+      CAST(ROUND((pow(CAST(o AS DOUBLE) * nn - CAST(r.r AS DOUBLE) * c.c, 2)
+        / (CAST(r.r AS DOUBLE) * c.c * nn)) * 1e6) AS BIGINT)
+        AS chi2_cell_micro
+    FROM cells JOIN r USING (t) JOIN c USING (cohort) CROSS JOIN n"""))
+
   def all: Seq[Q] = Seq(
     x_rel_window_distinct,
+    x_stat_ols,
+    x_stat_chi2,
     x_rel_quantiles,
     x_rel_stats_suite,
     x_rel_lateral,
