@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Exact, Tables}
 import graft.ops.{Features, Quality, Qualify, Snapshot}
 
 /** ELT-hardening tier: the warehouse-maintenance operators a team
@@ -279,8 +279,80 @@ object EltQueries {
         x -> CAST(o.o_totalprice AS DOUBLE) > x)) AS INTEGER) AS bin
     FROM orders o JOIN b ON o.o_orderpriority = b.prio"""))
 
+  /** POINT-IN-TIME lookup against the SCD2 ledger — the temporal join
+    * the Type-2 layout exists to serve: each 1996–1998 order joins the
+    * customer-priority VERSION valid at its order date
+    * (valid_from ≤ d < valid_to, open current = ∞), revenue then rolls
+    * up by the as-of attribute. Exercises every ledger branch:
+    * unchanged rows span all dates, changed customers flip attribution
+    * at the merge boundary, soft-deleted customers' later orders find
+    * NO valid version, pre-history customers none at all. The join is
+    * an equi-join on the entity key with a residual interval filter —
+    * versions per key are bounded, so the fan-out is too. The oracle
+    * derives the same as-of attribute from the raw snapshots by case
+    * analysis, independent of the merge implementation. */
+  private val x_scd2_pit = Q(
+    "x_scd2_pit_lookup",
+    (s, d) => {
+      def snap(y: Int): DataFrame = Qualify.rowNumber(
+        Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate"), col("o_orderkey")),
+        partCols = Seq(col("custkey")),
+        orderCols = Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select("custkey", "priority")
+      val ledger = Snapshot.scd2Merge(
+        Snapshot.scd2Init(snap(1996), lit("1996-01-01").cast("date")),
+        snap(1997),
+        keyCols = Seq("custkey"), attrCols = Seq("priority"),
+        asOf = lit("1997-01-01").cast("date"))
+      val facts = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")).between(1996, 1998))
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+          col("o_totalprice"))
+      facts.join(ledger,
+          facts("o_custkey") === ledger("custkey") &&
+            col("od") >= col("valid_from") &&
+            (col("valid_to").isNull || col("od") < col("valid_to")),
+          "left")
+        .groupBy(coalesce(col("priority"), lit("(none)")).as("pit_priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("revenue"))
+    },
+    Some(s"""WITH snap_a AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority
+      FROM orders WHERE year(o_orderdate) = 1996
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+    snap_b AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority
+      FROM orders WHERE year(o_orderdate) = 1997
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+    pit AS (
+      SELECT o.o_totalprice,
+        CASE
+          WHEN a.custkey IS NOT NULL AND b.custkey IS NOT NULL
+               AND a.priority = b.priority THEN a.priority
+          WHEN CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+               AND b.custkey IS NOT NULL THEN b.priority
+          WHEN CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+               AND a.custkey IS NOT NULL THEN a.priority
+        END AS pit_priority
+      FROM orders o
+      LEFT JOIN snap_a a ON o.o_custkey = a.custkey
+      LEFT JOIN snap_b b ON o.o_custkey = b.custkey
+      WHERE year(o.o_orderdate) BETWEEN 1996 AND 1998)
+    SELECT COALESCE(pit_priority, '(none)') AS pit_priority,
+      COUNT(*) AS n_orders,
+      ${Exact.sumMoneySql("o_totalprice")} AS revenue
+    FROM pit GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     x_scd2_merge,
+    x_scd2_pit,
     x_dq_audit,
     x_dq_profile,
     x_dq_histogram,
