@@ -1283,6 +1283,49 @@ object ExtensionQueries {
     SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
     FROM walk GROUP BY node"""))
 
+  /** Deterministic NEGATIVE SAMPLING for contrastive training: each
+    * anchor document draws k=4 pseudo-random negatives from documents
+    * in a DIFFERENT language (the "not this distribution" constraint),
+    * ranked by md5(anchor|candidate) — bit-reproducible across runs and
+    * engines, unlike rand()-based draws, so pair sets are stable under
+    * retries and the oracle replays every pick. Scale shape: the
+    * bounded anchor set broadcasts against one corpus stream
+    * (row-linear per anchor) and the per-anchor top-k is a
+    * WindowGroupLimit — no corpus×corpus pair space. */
+  private val x_sample_negatives = Q(
+    "x_sample_negatives",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"))
+      val anchors = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("anchor_id"), col("lang").as("anchor_lang"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor_id")).orderBy(col("rk"), col("neg_id"))
+      docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang"))
+        .crossJoin(broadcast(anchors))
+        .filter(col("neg_lang") =!= col("anchor_lang"))
+        .withColumn("rk", md5(concat_ws("|",
+          col("anchor_id").cast("string"), col("neg_id").cast("string"))))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 4)
+        .select(col("anchor_id"), col("neg_id"), col("neg_lang"), col("rank"))
+    },
+    Some("""WITH docs AS (
+      SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+    a AS (SELECT doc_id AS anchor_id, lang AS anchor_lang
+          FROM docs WHERE doc_id < 50),
+    scored AS (
+      SELECT a.anchor_id, c.doc_id AS neg_id, c.lang AS neg_lang,
+        md5(CAST(a.anchor_id AS VARCHAR) || '|' || CAST(c.doc_id AS VARCHAR)) AS rk
+      FROM docs c CROSS JOIN a
+      WHERE c.lang <> a.anchor_lang)
+    SELECT anchor_id, neg_id, neg_lang,
+      CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY rk, neg_id)
+        AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 4"""))
+
   /** Deterministic global shuffle + sharding (Sampling.withShardPlan):
     * the "write the corpus as N shuffled shards" terminal step. Every
     * row's (shard, pos) is a pure function of its key — bit-reproducible
@@ -3158,6 +3201,7 @@ object ExtensionQueries {
     x_events_markov,
     x_source_schema_merge,
     x_dq_k_generalize,
+    x_sample_negatives,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
