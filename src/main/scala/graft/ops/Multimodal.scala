@@ -218,6 +218,58 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ImageSobel(doc_id: Long, width: Int, height: Int,
+                        n_interior: Long, energy: Long)
+
+  /** Sobel gradient energy over a REALLY-decoded image — the edge/
+    * texture signal image-quality filters rank on (blurry or flat
+    * synthetic frames score near zero): 3×3 Sobel Gx/Gy over
+    * gray = r+g+b, summed as Σ(|gx|+|gy|) across interior pixels. The
+    * L1 magnitude keeps everything in exact integers, so the oracle
+    * replays the convolution arithmetically from the generator
+    * formulas — the hash matches only if decode returned the exact
+    * pixels AND the kernel arithmetic agrees. Per-row kernel,
+    * embarrassingly parallel; payloads never leave the executor. */
+  def sobelPng(spark: SparkSession, media: DataFrame): Dataset[ImageSobel] = {
+    import spark.implicits._
+    media.as[ImageRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable payload for doc ${r.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val g = Array.ofDim[Int](h, w)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            g(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        var energy = 0L; var n = 0L
+        var yy = 1
+        while (yy < h - 1) {
+          var xx = 1
+          while (xx < w - 1) {
+            val gx = (g(yy - 1)(xx + 1) + 2 * g(yy)(xx + 1) + g(yy + 1)(xx + 1)) -
+              (g(yy - 1)(xx - 1) + 2 * g(yy)(xx - 1) + g(yy + 1)(xx - 1))
+            val gy = (g(yy + 1)(xx - 1) + 2 * g(yy + 1)(xx) + g(yy + 1)(xx + 1)) -
+              (g(yy - 1)(xx - 1) + 2 * g(yy - 1)(xx) + g(yy - 1)(xx + 1))
+            energy += math.abs(gx) + math.abs(gy)
+            n += 1
+            xx += 1
+          }
+          yy += 1
+        }
+        ImageSobel(r.doc_id, w, h, n, energy)
+      }
+    }
+  }
+
   case class ImageHash(doc_id: Long, dhash: Long)
 
   /** 60-bit difference hash (dHash — the standard perceptual image

@@ -3090,6 +3090,44 @@ object ExtensionQueries {
     * content, not quadratic in duplicates. `dhash_a` is in the output
     * so the oracle's formula-replayed hash pins every bit of the real
     * decode → resample → hash pipeline, not just the pair set. */
+  /** Sobel gradient energy over the REAL PNG decode
+    * ([[Multimodal.sobelPng]]): the edge/texture quality signal, exact
+    * in integers (L1 magnitude), so the oracle replays the 3×3
+    * convolution arithmetically from the pixel generator — decode
+    * fidelity AND kernel arithmetic are both hash-checked. */
+  private val x_multimodal_sobel = Q(
+    "x_multimodal_sobel",
+    (s, d) => Multimodal.sobelPng(s,
+      Multimodal.pngMediaTable(s, Tables.documents(s, d).select(col("doc_id"))))
+      .toDF(),
+    Some {
+      def gray(dx: Int, dy: Int) =
+        s"""(((id*31 + (x+($dx))*7 + (y+($dy))*13) % 256)
+          + ((id*17 + (x+($dx))*11 + (y+($dy))*5) % 256)
+          + ((id*23 + (x+($dx))*3 + (y+($dy))*19) % 256))"""
+      val gx = s"""((${gray(1, -1)} + 2*${gray(1, 0)} + ${gray(1, 1)})
+        - (${gray(-1, -1)} + 2*${gray(-1, 0)} + ${gray(-1, 1)}))"""
+      val gy = s"""((${gray(-1, 1)} + 2*${gray(0, 1)} + ${gray(1, 1)})
+        - (${gray(-1, -1)} + 2*${gray(0, -1)} + ${gray(1, -1)}))"""
+      s"""WITH ids AS (
+        SELECT doc_id AS id,
+               CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+               CAST(doc_id % 16 + 8 AS BIGINT) AS h
+        FROM documents),
+      cells AS (
+        SELECT id, w, h, CAST(tx.x AS BIGINT) AS x, CAST(ty.y AS BIGINT) AS y
+        FROM ids
+        CROSS JOIN range(1, 31) tx(x)
+        CROSS JOIN range(1, 23) ty(y)
+        WHERE tx.x < w - 1 AND ty.y < h - 1)
+      SELECT id AS doc_id, CAST(w AS INTEGER) AS width,
+        CAST(h AS INTEGER) AS height,
+        COUNT(*) AS n_interior,
+        CAST(SUM(ABS($gx) + ABS($gy)) AS BIGINT) AS energy
+      FROM cells
+      GROUP BY 1, 2, 3"""
+    })
+
   private val x_multimodal_phash = Q(
     "x_multimodal_phash",
     (s, d) => {
@@ -3202,6 +3240,7 @@ object ExtensionQueries {
     x_source_schema_merge,
     x_dq_k_generalize,
     x_sample_negatives,
+    x_multimodal_sobel,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,

@@ -253,4 +253,28 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Int]("height") == (7 % 480 + 48))
     assert(Set("jpeg", "png", "webp").contains(row.getAs[String]("format")))
   }
+
+  test("sobelPng: hand-computed energy on the generated image; interior count exact") {
+    val out = Multimodal.sobelPng(spark,
+        Multimodal.pngMediaTable(spark, Seq(3L, 4L).toDF("doc_id")))
+      .collect().map(s => s.doc_id -> s).toMap
+    Seq(3L, 4L).foreach { id =>
+      val s = out(id)
+      val (w, h) = (Multimodal.genWidth(id), Multimodal.genHeight(id))
+      assert((s.width, s.height) == ((w, h)))
+      assert(s.n_interior == (w - 2).toLong * (h - 2))
+      def g(x: Int, y: Int) = Multimodal.pixR(id, x, y) +
+        Multimodal.pixG(id, x, y) + Multimodal.pixB(id, x, y)
+      var expect = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+          (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+        val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+          (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+        expect += math.abs(gx) + math.abs(gy)
+      }
+      assert(s.energy == expect, s"energy mismatch for id $id")
+      assert(s.energy > 0, "generated gradient image cannot be flat")
+    }
+  }
 }
