@@ -406,6 +406,58 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** INCREMENTAL (append-batch) minhash-LSH dedup — the daily-crawl
+    * production shape: a new batch dedups against the existing corpus
+    * AND itself WITHOUT re-scoring corpus-internal pairs. Only rows
+    * with `isNew` probe the band index; the index side is everything.
+    * Candidate volume scales with the BATCH's band collisions, not the
+    * corpus's — on a corpus that dwarfs its daily increment this is
+    * the difference between re-running the full dedup and touching the
+    * delta. Output equals [[minhashLshPairsMd5]] restricted to pairs
+    * with ≥ 1 new side (same bands, same verify), which is what the
+    * oracle replays. */
+  def minhashLshIncrementalMd5(allDocs: DataFrame, isNew: Column,
+                               numHashes: Int = 64, bands: Int = 16,
+                               minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = allDocs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), isNew.as("__new"),
+        GraftFunctions.md5MinhashSig(col("toks"), numHashes).as("sig"))
+    val keyCols = (0 until rowsPerBand).map(r => s"k$r")
+    val banded = sigs.select(col("doc_id"), col("__new"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band") +:
+            (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1).as(s"k$r")): _*)
+        }: _*)).as("bk"))
+      .select(col("doc_id") +: col("__new") +: col("bk.band").as("band") +:
+        keyCols.map(k => col(s"bk.$k").as(k)): _*)
+    val probe = banded.filter(col("__new")).drop("__new")
+    val cands = probe.as("x")
+      .join(banded.drop("__new").as("y"), "band" +: keyCols)
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val withSig = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("toks").as("toks_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("toks").as("toks_b")), "doc_b")
+    val matching = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b))
+    withSig.select(
+        col("doc_a"), col("doc_b"),
+        round(matching.cast("double") / numHashes, 6).as("est_jaccard"),
+        GraftFunctions.sortedIntersectCount(col("toks_a"), col("toks_b")).as("__i"),
+        (size(col("toks_a")) + size(col("toks_b"))).as("__t"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(col("__i").cast("double") / (col("__t") - col("__i")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** md5-family SimHash near-dup pairs over 60-bit signatures
     * (graft.functions.Kernels.md5Simhash60): blocking on 15-bit chunks —
     * pigeonhole-lossless for maxHamming ≤ 3 over 4 chunks, same as the

@@ -246,6 +246,24 @@ object ExtensionQueries {
         "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)", "mh_docs")},
     ${Dedup.minhashLshPairsMd5Sql("mh_docs")}"""))
 
+  /** Incremental append-batch dedup ([[Dedup.minhashLshIncrementalMd5]]):
+    * the "new" 20% of documents (doc_id % 5 = 0) dedup against the
+    * standing corpus and themselves; corpus-internal pairs are never
+    * re-scored. The oracle runs the FULL LSH pair replay restricted to
+    * ≥-one-new-side pairs — equal because the incremental probe uses
+    * the same bands and the same verify. */
+  private val x_dedup_incremental = Q(
+    "x_dedup_incremental",
+    (s, d) => Dedup.minhashLshIncrementalMd5(
+      Dedup.shingled(Tables.documents(s, d).filter(col("text").isNotNull),
+        col("doc_id"), col("text")),
+      isNew = col("doc_id") % 5 === 0),
+    Some(s"""SELECT * FROM (
+      WITH ${Dedup.shinglesSqlCte(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)", "mi_docs")},
+      ${Dedup.minhashLshPairsMd5Sql("mi_docs")}
+    ) t WHERE doc_a % 5 = 0 OR doc_b % 5 = 0"""))
+
   /** SimHash near-dup pairs within Hamming distance 3 — md5-family
     * 60-bit variant (15-bit chunk blocking, pigeonhole-lossless), so the
     * oracle brute-forces the same pair set: DuckDB rebuilds every
@@ -3241,6 +3259,7 @@ object ExtensionQueries {
     x_dq_k_generalize,
     x_sample_negatives,
     x_multimodal_sobel,
+    x_dedup_incremental,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,

@@ -267,4 +267,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupPassages(d, col("doc_id"), col("text"),
       gram = 8, minRun = 1, maxOcc = 20).count() == 190L)
   }
+
+  test("incremental LSH equals the full pair set restricted to new-side pairs") {
+    // near-dup families straddling the old/new boundary: ids 1,2 (old)
+    // and 101 (new) share text A; 3 (old) and 103,104 (new) share B;
+    // 5,6 (old only) share C — the (5,6) pair must NOT appear
+    val mk = (i: Long, t: String) => (i, t)
+    val docs = Seq(
+      mk(1, "alpha beta gamma delta epsilon zeta"),
+      mk(2, "alpha beta gamma delta epsilon zeta eta"),
+      mk(101, "alpha beta gamma delta epsilon zeta theta"),
+      mk(3, "one two three four five six seven"),
+      mk(103, "one two three four five six eight"),
+      mk(104, "one two three four five six nine"),
+      mk(5, "red orange yellow green blue indigo"),
+      mk(6, "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val isNew = col("doc_id") >= 100L
+    val inc = Dedup.minhashLshIncrementalMd5(sh, isNew, minJaccard = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairsMd5(sh, minJaccard = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expect = full.filter { case (a, b) => a >= 100 || b >= 100 }
+    assert(inc == expect, s"inc=$inc expect=$expect")
+    assert(!inc.contains((5L, 6L)), "corpus-internal pair re-scored")
+    assert(inc.exists { case (a, b) => a < 100 && b >= 100 },
+      "cross old-new pairs must be found")
+    assert(inc.exists { case (a, b) => a >= 100 && b >= 100 },
+      "new-new pairs must be found")
+  }
 }
