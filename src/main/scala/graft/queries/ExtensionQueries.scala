@@ -3217,8 +3217,68 @@ object ExtensionQueries {
       "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
       Seq("spark", "window", "scan"), 20)))
 
+  /** Ranking evaluation: nDCG@10 of the BM25 ranking against an
+    * INDEPENDENT relevance label (lang = 'en') — the falsifiability
+    * gauge a retrieval stack ships next to the ANN recall query. Both
+    * DCG terms and the ideal-ordering terms are micro-quantized per
+    * position (ln-based log2 on both engines) so the sums are
+    * order-independent integers; every window runs over the ≤10-row
+    * ranked frame. */
+  private val x_text_ndcg = Q(
+    "x_text_ndcg",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      val ranked = TextOps.bm25TopK(docs, "doc_id", col("text"),
+        terms = Seq("spark", "window", "scan"), k = 10)
+      val labeled = ranked.join(
+        docs.select(col("doc_id"), (col("lang") === "en").cast("int").as("rel")),
+        "doc_id")
+      val wIdeal = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rel").desc, col("doc_id"))
+      val terms = labeled
+        .withColumn("gain_micro",
+          round(col("rel") * lit(1e6) * log(lit(2.0)) / log(col("rank") + 1))
+            .cast("long"))
+        .withColumn("irank", row_number().over(wIdeal))
+        .withColumn("ideal_micro",
+          round(col("rel") * lit(1e6) * log(lit(2.0)) / log(col("irank") + 1))
+            .cast("long"))
+      terms.agg(count(lit(1)).as("n_ranked"),
+          sum(col("rel")).cast("long").as("n_rel"),
+          sum(col("gain_micro")).as("dcg_micro"),
+          sum(col("ideal_micro")).as("idcg_micro"))
+        .withColumn("ndcg",
+          when(col("idcg_micro") > 0,
+            round(col("dcg_micro").cast("double") / col("idcg_micro"), 6)))
+    },
+    Some(s"""WITH ranked AS (
+      ${TextOps.bm25TopKSql(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)",
+        Seq("spark", "window", "scan"), 10)}),
+    labeled AS (
+      SELECT r.doc_id, r.rank,
+        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS rel
+      FROM ranked r JOIN documents d ON r.doc_id = d.doc_id),
+    terms AS (
+      SELECT rel,
+        CAST(ROUND(rel * 1e6 * ln(2) / ln(rank + 1)) AS BIGINT) AS gain_micro,
+        CAST(ROUND(rel * 1e6 * ln(2) /
+          ln(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) + 1)) AS BIGINT)
+          AS ideal_micro
+      FROM labeled),
+    agg AS (
+      SELECT COUNT(*) AS n_ranked, CAST(SUM(rel) AS BIGINT) AS n_rel,
+        SUM(gain_micro) AS dcg_micro, SUM(ideal_micro) AS idcg_micro
+      FROM terms)
+    SELECT n_ranked, n_rel, dcg_micro, idcg_micro,
+      CASE WHEN idcg_micro > 0
+        THEN ROUND(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) END AS ndcg
+    FROM agg"""))
+
   def all: Seq[Q] = Seq(
     x_graph_triangles,
+    x_text_ndcg,
     x_graph_linkpred,
     x_graph_bfs,
     x_graph_ppr,
