@@ -1044,7 +1044,73 @@ object CurationQueries {
       WHERE cum_tokens <= 2000""")
     })
 
+  /** Round-5 flagship composite — the INCREMENTAL RELEASE pipeline a
+    * standing corpus runs on each new crawl batch: (1) the new 20%
+    * dedups against corpus+itself via the incremental LSH probe
+    * (corpus-internal pairs never re-scored; a new doc dies if it
+    * matches corpus or a smaller-id new doc), (2) survivors pass the
+    * Gopher repetition gates, (3) the release is sharded
+    * deterministically and (4) published as a per-shard MANIFEST —
+    * doc count, token sum, order-free content checksum — the artifact
+    * a training job validates before reading. Stage INTERACTIONS are
+    * what the oracle checks: the dedup verdicts feed the gate feed the
+    * shards feed the checksums, all replayed end-to-end. */
+  private val x_curation_release = Q(
+    "x_curation_incremental_release",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val isNewId = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val pairs = Dedup.minhashLshIncrementalMd5(
+        Dedup.shingled(docs, col("doc_id"), col("text")),
+        isNew = isNewId(col("doc_id")))
+      val dead = pairs.filter(isNewId(col("doc_b")))
+        .select(col("doc_b").as("doc_id"))
+        .unionByName(pairs
+          .filter(isNewId(col("doc_a")) && !isNewId(col("doc_b")))
+          .select(col("doc_a").as("doc_id")))
+        .distinct()
+      val gated = TextOps.gopherQuality(
+          docs.filter(isNewId(col("doc_id"))), col("doc_id"), col("text"))
+        .filter(col("gopher_pass"))
+        .join(dead, Seq("doc_id"), "left_anti")
+      Sampling.withShardPlan(
+          gated.select(col("doc_id"), col("n_words")), col("doc_id"), shards = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("sum_words"),
+          (sum(Sampling.hashValue(col("doc_id").cast("string"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(BigDecimal(4611686018427387904L))).cast("long").as("checksum"))
+    },
+    Some {
+      val (shard, _) = Sampling.shardPlanSql("doc_id", 4)
+      s"""WITH inc AS (
+        SELECT * FROM (
+          WITH ${Dedup.shinglesSqlCte(
+            "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)", "rel_docs")},
+          ${Dedup.minhashLshPairsMd5Sql("rel_docs")}
+        ) t WHERE doc_a % 5 = 0 OR doc_b % 5 = 0),
+      dead AS (
+        SELECT doc_b AS doc_id FROM inc WHERE doc_b % 5 = 0
+        UNION
+        SELECT doc_a FROM inc WHERE doc_a % 5 = 0 AND doc_b % 5 <> 0),
+      batch_src AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 5 = 0),
+      ${TextOps.gopherQualitySql("batch_src", "gq")},
+      survivors AS (
+        SELECT doc_id, n_words FROM gq
+        WHERE gopher_pass AND doc_id NOT IN (SELECT doc_id FROM dead))
+      SELECT $shard AS shard, COUNT(*) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS sum_words,
+        CAST(SUM(${Sampling.hashValueSql("CAST(doc_id AS VARCHAR)")})
+          % 4611686018427387904 AS BIGINT) AS checksum
+      FROM survivors
+      GROUP BY 1"""
+    })
+
   def all: Seq[Q] = Seq(
+    x_curation_release,
     x_layout_compaction,
     x_dq_drift,
     x_graph_kcore,
