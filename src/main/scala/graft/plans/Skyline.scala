@@ -78,10 +78,23 @@ case class SkylineExec(dims: Seq[Expression], child: SparkPlan)
         val copied = r.copy()
         (bound.map(keyOf(_, copied)).toArray, copied)
       }.toArray
-      // first-dim-descending scan: only earlier rows can dominate later
-      // ones (a later row never has a strictly larger first dim), so one
-      // forward pass against the kept frontier is complete
-      val sorted = rows.sortBy { case (k, _) => -k(0) }
+      // FULL-lexicographic-descending scan: at the first differing
+      // dimension a later row is strictly smaller, so a later row can
+      // never dominate an earlier one and one forward pass against the
+      // kept frontier is complete. (Sorting by the first dimension
+      // alone is NOT enough: under dim-0 ties a later row with a larger
+      // second dimension dominates an already-kept earlier row — caught
+      // by the randomized dominance law in PropertiesSpec.)
+      def lexGreater(a: Array[Double], b: Array[Double]): Boolean = {
+        var i = 0
+        while (i < a.length) {
+          if (a(i) > b(i)) return true
+          if (a(i) < b(i)) return false
+          i += 1
+        }
+        false
+      }
+      val sorted = rows.sortWith { case ((ka, _), (kb, _)) => lexGreater(ka, kb) }
       val kept = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], InternalRow)]
       sorted.foreach { case (k, r) =>
         if (!kept.exists { case (kk, _) => dominates(kk, k) }) kept += ((k, r))

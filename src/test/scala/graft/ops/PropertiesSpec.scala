@@ -137,4 +137,41 @@ class PropertiesSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     assert(stats(df) == stats(relabeled))
   }
+
+  test("skyline law: SkylineExec equals brute-force dominance on random point sets") {
+    // randomized but deterministic (fixed seed): 30 draws of up to 60
+    // points in a small integer grid (dense ties — the hard case),
+    // each compared against the quadratic reference definition
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { trial =>
+      val n = 1 + rnd.nextInt(60)
+      val pts = (1 to n).map(i =>
+        (i.toLong, rnd.nextInt(8).toDouble, rnd.nextInt(8).toDouble))
+      val expect = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, bx, by) =>
+          bx >= x && by >= y && (bx > x || by > y) }
+      }.map(_._1).toSet
+      val got = graft.plans.Skyline.of(
+          pts.toDF("id", "x", "y").repartition(1 + rnd.nextInt(7)),
+          Seq("x", "y"))
+        .select($"id").as[Long].collect().toSet
+      assert(got == expect, s"trial $trial: got $got want $expect on $pts")
+    }
+  }
+
+  test("topKBy law: equals sort-take on random scored sets, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(80)
+      val k = 1 + rnd.nextInt(10)
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(12).toDouble))
+      val expect = rows.sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, s) => (s, id) }
+      val got = rows.toDF("k", "s").repartition(1 + rnd.nextInt(5))
+        .agg(graft.functions.GraftFunctions.topKBy($"s", $"k", k).as("t"))
+        .select(org.apache.spark.sql.functions.explode($"t").as("e"))
+        .select($"e.score", $"e.key").as[(Double, Long)].collect().toSeq
+      assert(got == expect, s"trial $trial (n=$n k=$k): $got vs $expect")
+    }
+  }
 }
