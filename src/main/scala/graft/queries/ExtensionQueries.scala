@@ -3217,6 +3217,102 @@ object ExtensionQueries {
       "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
       Seq("spark", "window", "scan"), 20)))
 
+  /** Classifier evaluation for the language-ID heuristic: per-class
+    * precision / recall / F1 against the labeled lang column, derived
+    * from the exact integer confusion matrix (micro-quantized metrics,
+    * zero-denominator classes NULL). The model-eval companion to
+    * [[x_text_langid]] — a filter heuristic ships with its measured
+    * error profile, not just its predictions. All aggregates
+    * combinable; output bounded by |classes|². */
+  private val x_text_langid_eval = Q(
+    "x_text_langid_eval",
+    (s, d) => {
+      val pred = TextOps.withLangId(
+          Tables.documents(s, d)
+            .filter(col("text").isNotNull && col("lang").isNotNull),
+          col("text"), "lang_pred")
+        .select(col("lang"), col("lang_pred"))
+      val cm = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val byTrue = cm.groupBy(col("lang").as("cls"))
+        .agg(sum(col("n")).as("n_true"))
+      val byPred = cm.groupBy(col("lang_pred").as("cls"))
+        .agg(sum(col("n")).as("n_pred"))
+      val diag = cm.filter(col("lang") === col("lang_pred"))
+        .select(col("lang").as("cls"), col("n").as("n_correct"))
+      val base = byTrue.join(byPred, Seq("cls"), "full_outer")
+        .join(diag, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      base
+        .withColumn("precision_micro", when(col("n_pred") > 0,
+          round(col("n_correct") * lit(1e6) / col("n_pred")).cast("long")))
+        .withColumn("recall_micro", when(col("n_true") > 0,
+          round(col("n_correct") * lit(1e6) / col("n_true")).cast("long")))
+        .withColumn("f1_micro",
+          when(col("precision_micro") + col("recall_micro") > 0,
+            round(lit(2.0) * col("precision_micro") * col("recall_micro") /
+              (col("precision_micro") + col("recall_micro"))).cast("long")))
+    },
+    Some(s"""WITH t AS (
+      SELECT lang, text,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    sc AS (
+      SELECT lang, text,
+        len(list_intersect(toks, ['the','a','of','and','is'])) AS s_en,
+        len(list_intersect(toks, ['der','die','das','und','ist'])) AS s_de,
+        len(list_intersect(toks, ['el','los','y','es','una'])) AS s_es,
+        len(list_intersect(toks, ['le','la','et','les','est'])) AS s_fr
+      FROM t),
+    pred AS (
+      SELECT lang,
+        CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+             WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM sc),
+    cm AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    bt AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+           FROM cm GROUP BY 1),
+    bp AS (SELECT lang_pred AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+           FROM cm GROUP BY 1),
+    dg AS (SELECT lang AS cls, CAST(n AS BIGINT) AS n_correct
+           FROM cm WHERE lang = lang_pred),
+    base AS (
+      SELECT COALESCE(bt.cls, bp.cls) AS cls,
+        COALESCE(n_true, 0) AS n_true,
+        COALESCE(n_pred, 0) AS n_pred,
+        COALESCE(n_correct, 0) AS n_correct
+      FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls
+      LEFT JOIN dg ON COALESCE(bt.cls, bp.cls) = dg.cls)
+    SELECT cls, n_true, n_pred, n_correct,
+      CASE WHEN n_pred > 0
+        THEN CAST(ROUND(n_correct * 1e6 / n_pred) AS BIGINT) END
+        AS precision_micro,
+      CASE WHEN n_true > 0
+        THEN CAST(ROUND(n_correct * 1e6 / n_true) AS BIGINT) END
+        AS recall_micro,
+      CASE WHEN COALESCE(CASE WHEN n_pred > 0
+              THEN CAST(ROUND(n_correct * 1e6 / n_pred) AS BIGINT) END, 0)
+          + COALESCE(CASE WHEN n_true > 0
+              THEN CAST(ROUND(n_correct * 1e6 / n_true) AS BIGINT) END, 0) > 0
+        THEN CAST(ROUND(2.0
+          * (CASE WHEN n_pred > 0
+               THEN CAST(ROUND(n_correct * 1e6 / n_pred) AS BIGINT) END)
+          * (CASE WHEN n_true > 0
+               THEN CAST(ROUND(n_correct * 1e6 / n_true) AS BIGINT) END)
+          / ((CASE WHEN n_pred > 0
+                THEN CAST(ROUND(n_correct * 1e6 / n_pred) AS BIGINT) END)
+            + (CASE WHEN n_true > 0
+                 THEN CAST(ROUND(n_correct * 1e6 / n_true) AS BIGINT) END)))
+          AS BIGINT) END AS f1_micro
+    FROM base"""))
+
   /** Ranking evaluation: nDCG@10 of the BM25 ranking against an
     * INDEPENDENT relevance label (lang = 'en') — the falsifiability
     * gauge a retrieval stack ships next to the ANN recall query. Both
@@ -3320,6 +3416,7 @@ object ExtensionQueries {
     x_sample_negatives,
     x_multimodal_sobel,
     x_dedup_incremental,
+    x_text_langid_eval,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
