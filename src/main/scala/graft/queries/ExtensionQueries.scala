@@ -172,6 +172,55 @@ object ExtensionQueries {
     SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
     FROM reach GROUP BY src"""))
 
+  /** Cluster-size distribution over the near-dup components — the
+    * dedup-QA histogram (a fat tail means a boilerplate family or a
+    * broken blocking key; mass at size 1 means the corpus is mostly
+    * unique): component sizes from [[Dedup.connectedComponents]],
+    * bucketed, with the singleton count derived from documents not in
+    * any pair. Output bounded by the number of DISTINCT sizes. */
+  private val x_dedup_cluster_sizes = Q(
+    "x_dedup_cluster_sizes",
+    (s, d) => {
+      val cc = Dedup.connectedComponents(jaccardPairsDf(s, d), "doc_a", "doc_b")
+      val sized = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      val nDocs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull
+          && col("n_chars").isNotNull
+          && size(split(lower(col("text")), " ")) >= 3)
+        .agg(count(lit(1)).as("n_docs"))
+      val nClustered = cc.agg(count(lit(1)).as("n_in"))
+      val singletons = nDocs.crossJoin(nClustered)
+        .select(lit(1L).as("cluster_size"),
+          (col("n_docs") - col("n_in")).as("n_clusters"))
+        .filter(col("n_clusters") > 0)
+      sized.unionByName(singletons)
+        .groupBy(col("cluster_size"))
+        .agg(sum(col("n_clusters")).cast("long").as("n_clusters"))
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairsSqlCtes,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cc AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+    sized AS (
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM (
+        SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1)
+      GROUP BY 1),
+    singles AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+        (SELECT COUNT(*) FROM docs) - (SELECT COUNT(*) FROM cc) AS n_clusters)
+    SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+    FROM (SELECT * FROM sized
+          UNION ALL SELECT * FROM singles WHERE n_clusters > 0)
+    GROUP BY 1"""))
+
   /** Survivorship: the dedup DECISION the cluster map exists for —
     * every document joins its near-dup cluster (singletons form their
     * own), and each cluster keeps its highest-quality member (quality
@@ -3417,6 +3466,7 @@ object ExtensionQueries {
     x_multimodal_sobel,
     x_dedup_incremental,
     x_text_langid_eval,
+    x_dedup_cluster_sizes,
     x_kmeans_step,
     x_range_band_revenue,
     x_dedup_embedding,
