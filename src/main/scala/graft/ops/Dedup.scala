@@ -1004,4 +1004,121 @@ object Dedup {
       FROM __gn_pg JOIN __gn_freq USING (gd)
       GROUP BY 1)"""
   }
+
+  /** ExactSubstr-style duplicated-span COVERAGE per document — the
+    * per-doc deliverable of suffix-array substring dedup (Lee et al.
+    * 2022 build a corpus suffix array to find every substring of
+    * length ≥ L that occurs more than once, then trim those byte
+    * ranges): for each document, how many of its tokens sit inside a
+    * ≥ `gram`-token span that occurs at least `minOcc` times anywhere
+    * in the corpus (other docs or elsewhere in the same doc)?
+    *
+    * The suffix-array data structure is replaced by the equivalent
+    * relational identity: a token at index i is inside a repeated
+    * substring of length ≥ gram  ⇔  some positional gram-gram covering
+    * i repeats — so the covered set is exactly the INTERVAL UNION of
+    * [p, p+gram) over repeated-gram positions p. Seeds need no
+    * occurrence cap (unlike [[dupPassages]]) because there is no pair
+    * join: a boilerplate gram occurring a million times contributes
+    * one frequency row and its own positions, nothing quadratic.
+    *
+    * Plan: one positional-gram explode (O(total tokens)), one
+    * combinable frequency aggregate, one semi-join back on the digest,
+    * then gaps-and-islands interval union per doc — running
+    * max-of-ends over a PARTITION BY doc_id window (fine-grained
+    * partitions bounded by doc length, no skew magnet), a break flag,
+    * a running sum for the island id, and per-island min/max. Fully
+    * scan-linear however duplicated the corpus is — the property that
+    * makes this shape viable at 100 TB where an actual suffix array
+    * over the concatenated corpus is a single-machine structure.
+    *
+    * Output: one row per non-empty doc — (doc_id, n_tokens,
+    * dup_tokens, n_spans, dup_frac). dup_frac is an integer-derived
+    * double division (bit-stable across engines). Docs shorter than
+    * `gram` tokens have dup_tokens = 0 by construction. */
+  def exactSubstrCoverage(df: DataFrame, id: Column, text: Column,
+                          gram: Int = 8, minOcc: Int = 2): DataFrame = {
+    require(gram >= 2, s"need gram >= 2, got $gram")
+    require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
+    import org.apache.spark.sql.expressions.Window
+    // the gram frame feeds the frequency aggregate AND the join back:
+    // materialize the md5 explode once (multi-consumer rule)
+    val pg = positionalGrams(df, id, text, gram).localCheckpoint(true)
+    val seeds = pg.groupBy(col("gd"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .select(col("gd"))
+    val hits = pg.join(seeds, Seq("gd"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + gram).as("end"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      // positions are unique within a doc (one gram per position), so
+      // the pos order is total and the running max is deterministic
+      .withColumn("pme", max(col("end")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pme").isNull || col("pos") > col("pme"), 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("end")) - min(col("pos"))).as("span_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    df.select(id.as("doc_id"),
+        size(split(lower(text), " ")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** DuckDB CTE chain replaying [[exactSubstrCoverage]] over `srcCte`
+    * (columns doc_id, text); final CTE `__sc_out`. The 1-based DuckDB
+    * gram positions are a uniform +1 shift of Spark's 0-based ones —
+    * interval-union lengths are shift-invariant, so the outputs agree
+    * bit-for-bit. */
+  def exactSubstrCoverageSql(srcCte: String, gram: Int = 8,
+                             minOcc: Int = 2): String = {
+    s"""__sc_tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM $srcCte),
+    __sc_pg AS (
+      SELECT doc_id, u.p AS pos, u.g AS gd FROM (
+        SELECT doc_id,
+          unnest([{'p': i, 'g': md5(array_to_string(t[i:i+${gram - 1}], ' '))}
+                  for i in range(1, len(t) - ${gram - 2})]) AS u
+        FROM __sc_tk WHERE len(t) >= $gram)),
+    __sc_seeds AS (
+      SELECT gd FROM __sc_pg GROUP BY 1 HAVING COUNT(*) >= $minOcc),
+    __sc_hits AS (
+      SELECT doc_id, pos, pos + $gram AS "end"
+      FROM __sc_pg SEMI JOIN __sc_seeds USING (gd)),
+    __sc_isl AS (
+      SELECT doc_id, pos, "end",
+        SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM (
+        SELECT doc_id, pos, "end",
+          MAX("end") OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM __sc_hits)),
+    __sc_spans AS (
+      SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+        COUNT(*) AS n_spans
+      FROM (
+        SELECT doc_id, isl, MAX("end") - MIN(pos) AS span_len
+        FROM __sc_isl GROUP BY 1, 2)
+      GROUP BY 1),
+    __sc_out AS (
+      SELECT s.doc_id, CAST(len(string_split(lower(s.text), ' ')) AS BIGINT)
+          AS n_tokens,
+        COALESCE(p.dup_tokens, 0) AS dup_tokens,
+        COALESCE(p.n_spans, 0) AS n_spans,
+        CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+          / CAST(len(string_split(lower(s.text), ' ')) AS DOUBLE) AS dup_frac
+      FROM $srcCte s LEFT JOIN __sc_spans p ON p.doc_id = s.doc_id)"""
+  }
 }

@@ -560,6 +560,83 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[pqTopK]] with an INDEPENDENT codebook per subspace — the actual
+    * PQ posture (Jégou et al. train one quantizer per subspace; a
+    * shared pick couples the subspaces and wastes codebook entropy
+    * when subspace distributions differ). The deterministic stand-in
+    * for per-subspace training is a per-subspace hash-rank pick:
+    * subspace j's `codebookSize` source vectors are the corpus top-k
+    * under md5(vec_id ":" j) — decorrelated across subspaces by the
+    * key, still fully oracle-replayable.
+    *
+    * Scale shape of the pick: a rank-≤-codebookSize filter over a
+    * PARTITION BY j window. Spark turns that into a partial
+    * WindowGroupLimit BEFORE the exchange (each map task forwards at
+    * most m·codebookSize rows), so the m-partition window input is
+    * bounded by partitions·codebookSize, not by the corpus — the
+    * grouped generalization of the TakeOrderedAndProject the shared
+    * pick uses (asserted in SimilaritySpec). The bounded codebook is
+    * localCheckpointed once: it feeds BOTH the encode join and the
+    * LUT join, and without the materialization each consumer re-runs
+    * the corpus-wide pick (the multi-consumer rule).
+    *
+    * Encode/search are identical to [[pqTopK]]: broadcast-codebook
+    * argmin per (vector, subspace), per-query integer LUT, combinable
+    * ADC sums, per-query WindowGroupLimit ranking. Returns (query_id,
+    * neighbor_id, adc_micro, rank ≤ k); self-matches excluded. */
+  def pqTopKSubspace(queries: DataFrame, corpus: DataFrame, k: Int,
+                     m: Int = 8, codebookSize: Int = 16,
+                     dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(codebookSize > 0 && k > 0, "codebookSize and k must be positive")
+    val sub = dim / m
+    val js = explode(sequence(lit(0), lit(m - 1)))
+    val pickKey = md5(concat(col("vec_id").cast("string"), lit(":"),
+      col("j").cast("string")))
+    val wj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j")).orderBy(pickKey, col("vec_id"))
+    val centSub = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), js.as("j"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+      .withColumn("rk", row_number().over(wj))
+      .filter(col("rk") <= codebookSize)
+      .withColumn("code", col("rk") - 1)
+      .withColumn("csub", slice(col("cv"), col("j") * sub + 1, lit(sub)))
+      .withColumn("cn", dot(col("csub"), col("csub")))
+      .select(col("j"), col("code"), col("csub"), col("cn"))
+      .localCheckpoint(true)
+    def subspaced(df: DataFrame, idAs: String) =
+      df.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as(idAs),
+          transform(col("embedding"), x => x.cast("double")).as("__v"))
+        .select(col(idAs), js.as("j"), col("__v"))
+        .withColumn("vsub", slice(col("__v"), col("j") * sub + 1, lit(sub)))
+        .withColumn("vn", dot(col("vsub"), col("vsub")))
+        .drop("__v")
+    val codes = subspaced(corpus, "neighbor_id")
+      .join(broadcast(centSub), Seq("j"))
+      .withColumn("d2", round(
+        col("vn") + col("cn") - lit(2.0) * dot(col("vsub"), col("csub")), 6))
+      .groupBy(col("neighbor_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("neighbor_id"), col("j"), col("b.code").as("code"))
+    val lut = subspaced(queries, "query_id")
+      .join(broadcast(centSub), Seq("j"))
+      .withColumn("d2m", round(
+        (col("vn") + col("cn") - lit(2.0) * dot(col("vsub"), col("csub")))
+          * lit(1e6)).cast("long"))
+      .select(col("query_id"), col("j"), col("code"), col("d2m"))
+    val scored = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2m")).as("adc_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Top principal direction of the corpus embedding Gram matrix by
     * power iteration — the PCA step corpus analytics reach for first
     * (dominant variance axis for whitening, drift detection, or as the

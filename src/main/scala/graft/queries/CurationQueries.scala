@@ -1109,7 +1109,27 @@ object CurationQueries {
       GROUP BY 1"""
     })
 
+  /** ExactSubstr duplicated-span coverage (Dedup.exactSubstrCoverage)
+    * — the per-document "how much of me is verbatim repeated
+    * somewhere" measure suffix-array dedup trims on, computed
+    * relationally (gram seeds + interval union, scan-linear, no pair
+    * join). gram=5 so the sf0.01 corpus has non-trivial coverage;
+    * minOcc=2 counts self-repeats like the suffix-array does. The
+    * oracle recomputes digests, seed frequencies, and the
+    * gaps-and-islands union bit-for-bit. */
+  private val x_dedup_substr_coverage = Q(
+    "x_dedup_substr_coverage",
+    (s, d) => Dedup.exactSubstrCoverage(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text"), gram = 5, minOcc = 2),
+    Some(s"""WITH src AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ${Dedup.exactSubstrCoverageSql("src", gram = 5, minOcc = 2)}
+    SELECT doc_id, n_tokens, dup_tokens, n_spans, dup_frac
+    FROM __sc_out"""))
+
   def all: Seq[Q] = Seq(
+    x_dedup_substr_coverage,
     x_curation_release,
     x_layout_compaction,
     x_dq_drift,

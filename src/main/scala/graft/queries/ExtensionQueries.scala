@@ -666,6 +666,67 @@ object ExtensionQueries {
     FROM scored
     QUALIFY rank <= 5"""))
 
+  /** PQ ADC top-5 with PER-SUBSPACE codebooks
+    * ([[Similarity.pqTopKSubspace]]) — the real PQ posture: each
+    * subspace quantizes independently (here an independent
+    * md5(vec_id ":" j) hash-rank pick per subspace, the deterministic
+    * stand-in for per-subspace k-means). The oracle replays the per-j
+    * pick (ROW_NUMBER per subspace partition), every argmin code, the
+    * LUT, and the ranked ADC sums. The pick's scale shape — partial
+    * WindowGroupLimit before the exchange, so the window input is
+    * bounded by partitions·codebookSize — is asserted in
+    * SimilaritySpec. */
+  private val x_sim_pq_subspace = Q(
+    "x_sim_pq_subspace",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopKSubspace(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    Some("""WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    js AS (SELECT unnest(range(8)) AS j),
+    pick AS (
+      SELECT j, v AS cv,
+        CAST(ROW_NUMBER() OVER (PARTITION BY j
+          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                   vec_id) AS INTEGER) - 1 AS code
+      FROM v CROSS JOIN js
+      QUALIFY code < 16),
+    centsub AS (
+      SELECT code, j, list_slice(cv, j*8 + 1, j*8 + 8) AS csub,
+        list_inner_product(list_slice(cv, j*8 + 1, j*8 + 8),
+                           list_slice(cv, j*8 + 1, j*8 + 8)) AS cn
+      FROM pick),
+    vsub AS (
+      SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS vs,
+        list_inner_product(list_slice(v, j*8 + 1, j*8 + 8),
+                           list_slice(v, j*8 + 1, j*8 + 8)) AS vn
+      FROM v CROSS JOIN js),
+    codes AS (
+      SELECT vec_id AS neighbor_id, j, code FROM (
+        SELECT a.vec_id, a.j, ct.code,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.j
+            ORDER BY ROUND(a.vn + ct.cn - 2 * list_inner_product(a.vs, ct.csub), 6),
+                     ct.code) AS rn
+        FROM vsub a JOIN centsub ct USING (j))
+      WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.j, ct.code,
+        CAST(ROUND((q.vn + ct.cn - 2 * list_inner_product(q.vs, ct.csub)) * 1e6)
+          AS BIGINT) AS d2m
+      FROM vsub q JOIN centsub ct USING (j) WHERE q.vec_id < 10),
+    scored AS (
+      SELECT query_id, neighbor_id, SUM(d2m) AS adc_micro
+      FROM codes JOIN lut USING (j, code)
+      WHERE query_id <> neighbor_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc_micro, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""))
+
   /** Top principal direction of the embedding corpus by Gram-matrix
     * power iteration ([[Similarity.gramTopDirection]], 3 rounds) — the
     * PCA step. The oracle unrolls the identical fixed-point recursion:
@@ -3451,6 +3512,7 @@ object ExtensionQueries {
     x_sim_ivf_topk,
     x_sim_quantized_topk,
     x_sim_pq_adc,
+    x_sim_pq_subspace,
     x_embed_pca_power,
     x_source_dsv2,
     x_agg_topk_native,

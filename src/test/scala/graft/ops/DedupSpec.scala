@@ -297,4 +297,65 @@ class DedupSpec extends SparkSpec {
     assert(inc.exists { case (a, b) => a >= 100 && b >= 100 },
       "new-new pairs must be found")
   }
+
+  test("exactSubstrCoverage: a copied block covers exactly its token span") {
+    // docs 1 and 2 share a verbatim 12-token block; gram=5 seeds at
+    // positions p..p+7 (8 grams), whose [p, p+5) intervals union to one
+    // 12-token span per doc. Everything else is unique -> uncovered.
+    val block = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, s"one two three four five six $block seven eight nine ten eleven"),
+      (2L, s"uno dos tres cuatro cinco seis $block siete ocho nueve diez once"),
+      (3L, "totally unrelated filler text with enough tokens to gram nicely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrCoverage(d, col("doc_id"), col("text"),
+        gram = 5, minOcc = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((23L, 12L, 1L)))
+    assert(out(2L) == ((23L, 12L, 1L)))
+    assert(out(3L) == ((10L, 0L, 0L)))
+  }
+
+  test("exactSubstrCoverage: identical docs are fully covered; spans merge") {
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val d = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrCoverage(d, col("doc_id"), col("text"),
+        gram = 5, minOcc = 2)
+    val rows = out.collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    rows.foreach { case (_, nTok, dup, spans, frac) =>
+      assert(nTok == 10L && dup == 10L && spans == 1L && frac == 1.0d)
+    }
+  }
+
+  test("exactSubstrCoverage: self-repeat within one doc counts (minOcc on total occurrences)") {
+    // the 5-token phrase repeats inside a single document; separated
+    // occurrences at distance > gram stay two distinct spans
+    val d = Seq(
+      (1L, "alpha bravo charlie delta echo u1 u2 u3 u4 u5 u6 alpha bravo charlie delta echo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrCoverage(d, col("doc_id"), col("text"),
+        gram = 5, minOcc = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((16L, 10L, 2L)))
+  }
+
+  test("exactSubstrCoverage laws on sf0.001 documents: bounds, short docs, monotone in minOcc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val cov = Dedup.exactSubstrCoverage(docs, col("doc_id"), col("text"),
+      gram = 5, minOcc = 2)
+    val bad = cov.filter(col("dup_tokens") > col("n_tokens") ||
+      col("dup_tokens") < 0 || col("dup_frac") > 1.0 || col("dup_frac") < 0.0)
+    assert(bad.count() == 0)
+    // docs shorter than gram can never be covered
+    assert(cov.filter(col("n_tokens") < 5 && col("dup_tokens") > 0).count() == 0)
+    // raising minOcc can only shrink coverage
+    val cov3 = Dedup.exactSubstrCoverage(docs, col("doc_id"), col("text"),
+      gram = 5, minOcc = 3).select(col("doc_id"), col("dup_tokens").as("d3"))
+    val joined = cov.select(col("doc_id"), col("dup_tokens")).join(cov3, "doc_id")
+    assert(joined.filter(col("d3") > col("dup_tokens")).count() == 0)
+  }
 }

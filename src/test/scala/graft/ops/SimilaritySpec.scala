@@ -329,4 +329,46 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(a == b, "direction must not depend on input partitioning")
   }
+
+  test("pqTopKSubspace: codebooks genuinely differ per subspace") {
+    // the shared pick slices the SAME 16 vectors for every subspace;
+    // the per-subspace pick must select different source sets, so at
+    // least one query's ADC ranking should diverge from pqTopK's
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 20)
+    val shared = Similarity.pqTopK(q, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val per = Similarity.pqTopKSubspace(q, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(per != shared, "per-subspace pick collapsed to the shared pick")
+  }
+
+  test("pqTopKSubspace recall vs brute force on real sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopKSubspace(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.1, f"subspace-PQ recall $recall%.2f at the random floor")
+    val perQuery = approx.groupBy(_._1)
+    assert(perQuery.size == 20 && perQuery.values.forall(_.size == 5))
+  }
+
+  test("pqTopKSubspace pick plan: partial WindowGroupLimit bounds the m-partition window") {
+    // positive control first: a rank filter over a corpus-wide window
+    // WITHOUT the limit-pushdown shape would ship the whole corpus into
+    // m partitions; Spark's partial WindowGroupLimitExec before the
+    // exchange is what makes the pick scan-linear. Assert it is present
+    // and runs in Partial mode upstream of the Final one.
+    val emb = Tables.embeddings(spark, sf001)
+    val plan = Similarity.pqTopKSubspace(emb.filter($"vec_id" < 5), emb, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"),
+      "pick window must have a map-side partial group limit")
+  }
 }
