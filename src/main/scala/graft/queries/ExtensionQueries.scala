@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, Tables}
-import graft.ops.{AsofJoin, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Scale, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Graph, Multimodal, Packing, Phonetic, RangeJoin, Sampling, Scale, Similarity, TextOps}
 import graft.streaming.EventStream
 
 /** Extension tier (BASELINE.json north star): the LLM-training-data
@@ -2689,6 +2689,33 @@ object ExtensionQueries {
     * — the kernel was validated byte-for-byte against it (byte-level
     * match window, either-empty → 0, 0.7 boost threshold), so this row
     * set cross-checks two INDEPENDENT implementations of the metric. */
+  /** Soundex phonetic-blocking profile ([[Phonetic.soundex]]) over the
+    * distinct part-name vocabulary: each token's American Soundex code
+    * (with the h/w transparency rule) and the resulting bucket sizes —
+    * the blocking-key audit an ER pipeline runs before choosing
+    * phonetic blocking (bucket counts ≈ candidate-pair volume). The
+    * oracle replays the strip/collapse array pipeline index-for-index
+    * with DuckDB list comprehensions — two independent Soundex
+    * implementations cross-checked on the full vocabulary. Vocabulary-
+    * bounded after the distinct; the encode itself is per-row
+    * codegen'd native functions, no UDF. */
+  private val x_er_soundex = Q(
+    "x_er_soundex",
+    (s, d) => {
+      val toks = Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("w")).distinct()
+      toks.withColumn("sx", Phonetic.soundex(col("w")))
+        .filter(col("sx").isNotNull)
+        .groupBy(col("sx"))
+        .agg(count(lit(1)).as("n_tokens"), min(col("w")).as("first_token"))
+    },
+    Some(s"""WITH tok AS (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part),
+    ${Phonetic.soundexSqlCtes("tok", "w")}
+    SELECT sx, COUNT(*) AS n_tokens, MIN(w) AS first_token
+    FROM __sx_out WHERE sx IS NOT NULL
+    GROUP BY 1"""))
+
   private val x_er_jarowinkler = Q(
     "x_er_jarowinkler",
     (s, d) => {
@@ -3499,6 +3526,7 @@ object ExtensionQueries {
     x_dedup_exact,
     x_dedup_editdist,
     x_er_jarowinkler,
+    x_er_soundex,
     x_scale_salted,
     x_dedup_pipeline,
     x_dedup_jaccard,
