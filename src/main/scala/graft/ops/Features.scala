@@ -89,4 +89,86 @@ object Features {
         size(filter(col("__bounds"), b => value > b)).cast("int"))
       .drop("__bounds")
   }
+
+  /** One ALS user-side half-step (rank 2) — the alternating-least-
+    * squares update collaborative-filtering trainers run per sweep
+    * (Hu/Koren/Volinsky 2008; Spark MLlib's ALS does exactly this,
+    * distributed): with item factors held FIXED, each user's factor
+    * vector has the closed form  p_u = (QᵤᵀQᵤ + λI)⁻¹ Qᵤᵀ rᵤ  over the
+    * items that user rated. At rank 2 the solve is a 2×2 Cramer
+    * inversion — no linear-algebra library, just five per-user sums
+    * and four multiplications.
+    *
+    * Determinism/replayability: item factors are hash-derived
+    * milli-quantized values in [-1, 1] (q = [[Sampling.hashValue]] of
+    * "alsq1:"/"alsq2:" + item, mod 2001, minus 1000 — the fixed-factor
+    * stand-in for the previous item sweep, same discipline as the PQ
+    * codebook picks), so the Gram sums A = ΣqqT and rhs b = Σ r·q are
+    * EXACT integers under any partitioning, and the final Cramer
+    * division is the only float op — identical IEEE arithmetic from
+    * identical integers on any engine. λ enters as an integer in
+    * milli² units. det > 0 always: Cauchy–Schwarz gives A12² ≤
+    * A11·A22 < (A11+λ)(A22+λ) for λ > 0.
+    *
+    * Scale shape: ONE combinable groupBy(user) over the ratings — no
+    * join at all (factors are computed in-row from the item id), no
+    * window, output bounded by |users|. Integer headroom: |num| ≤
+    * n_u²·R·10⁹ must stay under 2⁶³ — fine through ~5k rated items per
+    * user at R ≤ 300; for denser users, drop factor precision to
+    * centi. Ratings must be pre-aggregated to one row per
+    * (user, item). */
+  def alsUserStep(ratings: DataFrame, user: String, item: String,
+                  rating: Column, lambdaMilli2: Long = 100000L): DataFrame = {
+    require(lambdaMilli2 > 0, "ALS needs lambda > 0 (det > 0 proof)")
+    def qm(tag: String) =
+      Sampling.hashValue(concat_ws(":", lit(tag), col(item).cast("string"))) %
+        2001 - 1000
+    val lam = lit(lambdaMilli2)
+    val f = ratings
+      .filter(col(user).isNotNull && col(item).isNotNull && rating.isNotNull)
+      .select(col(user), rating.cast("long").as("__r"),
+        qm("alsq1").as("__q1"), qm("alsq2").as("__q2"))
+    f.groupBy(col(user))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__q1") * col("__q1")).as("a11"),
+        sum(col("__q1") * col("__q2")).as("a12"),
+        sum(col("__q2") * col("__q2")).as("a22"),
+        sum(col("__r") * col("__q1")).as("b1"),
+        sum(col("__r") * col("__q2")).as("b2"))
+      .withColumn("det",
+        (col("a11") + lam) * (col("a22") + lam) - col("a12") * col("a12"))
+      .select(col(user), col("n_items"),
+        (((col("a22") + lam) * col("b1") - col("a12") * col("b2"))
+          .cast("double") / col("det").cast("double") * lit(1000.0)).as("p1"),
+        (((col("a11") + lam) * col("b2") - col("a12") * col("b1"))
+          .cast("double") / col("det").cast("double") * lit(1000.0)).as("p2"))
+  }
+
+  /** DuckDB CTE chain replaying [[alsUserStep]] over `srcCte` (columns
+    * u, it, r — r already integral); final CTE `__als_out` has
+    * (u, n_items, p1, p2). */
+  def alsUserStepSql(srcCte: String, lambdaMilli2: Long = 100000L): String = {
+    def qm(tag: String) =
+      s"${Sampling.hashValueSql(s"'$tag:' || CAST(it AS VARCHAR)")} % 2001 - 1000"
+    val L = lambdaMilli2
+    s"""__als_f AS (
+      SELECT u, CAST(r AS BIGINT) AS r,
+        ${qm("alsq1")} AS q1, ${qm("alsq2")} AS q2
+      FROM $srcCte
+      WHERE u IS NOT NULL AND it IS NOT NULL AND r IS NOT NULL),
+    __als_s AS (
+      SELECT u, COUNT(*) AS n_items,
+        SUM(q1*q1) AS a11, SUM(q1*q2) AS a12, SUM(q2*q2) AS a22,
+        SUM(r*q1) AS b1, SUM(r*q2) AS b2
+      FROM __als_f GROUP BY 1),
+    __als_out AS (
+      SELECT u, n_items,
+        CAST((a22 + $L) * b1 - a12 * b2 AS DOUBLE)
+          / CAST((a11 + $L) * (a22 + $L) - a12 * a12 AS DOUBLE)
+          * CAST(1000 AS DOUBLE) AS p1,
+        CAST((a11 + $L) * b2 - a12 * b1 AS DOUBLE)
+          / CAST((a11 + $L) * (a22 + $L) - a12 * a12 AS DOUBLE)
+          * CAST(1000 AS DOUBLE) AS p2
+      FROM __als_s)"""
+  }
 }

@@ -279,6 +279,32 @@ object EltQueries {
         x -> CAST(o.o_totalprice AS DOUBLE) > x)) AS INTEGER) AS bin
     FROM orders o JOIN b ON o.o_orderpriority = b.prio"""))
 
+  /** One rank-2 ALS user-factor half-step ([[Features.alsUserStep]])
+    * over the customer×part implicit-rating matrix (rating = total
+    * quantity ordered) — the collaborative-filtering sweep a
+    * recommender trainer alternates. Item factors are hash-derived and
+    * fixed (the previous-sweep stand-in), so the per-user 2×2 normal
+    * equations are EXACT integer sums and the Cramer division is the
+    * only float op — the oracle replays factors, Gram sums, and both
+    * divisions bit-for-bit. One combinable groupBy(user); no join for
+    * the factors (computed in-row from the item id). */
+  private val x_ml_als_step = Q(
+    "x_ml_als_step",
+    (s, d) => {
+      val ratings = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("it"))
+        .agg(sum(col("l_quantity").cast("long")).as("r"))
+      Features.alsUserStep(ratings, "u", "it", col("r"))
+    },
+    Some(s"""WITH src AS (
+      SELECT o_custkey AS u, l_partkey AS it,
+        SUM(CAST(l_quantity AS BIGINT)) AS r
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    ${Features.alsUserStepSql("src")}
+    SELECT u, n_items, p1, p2 FROM __als_out"""))
+
   /** POINT-IN-TIME lookup against the SCD2 ledger — the temporal join
     * the Type-2 layout exists to serve: each 1996–1998 order joins the
     * customer-priority VERSION valid at its order date
@@ -359,5 +385,6 @@ object EltQueries {
     x_dq_winsorize,
     x_feat_target_encode,
     x_feat_quantile_bin,
+    x_ml_als_step,
   )
 }

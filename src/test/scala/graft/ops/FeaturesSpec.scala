@@ -85,4 +85,64 @@ class FeaturesSpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(windows.isEmpty, s"window found in:\n${plan.treeString}")
   }
+
+  private def alsRatings = Seq(
+    (1L, 10L, 4L), (1L, 11L, 2L), (1L, 12L, 5L),
+    (2L, 10L, 1L), (2L, 13L, 3L),
+    (3L, 14L, 7L)
+  ).toDF("u", "it", "r")
+
+  test("alsUserStep equals a driver-side re-solve of the same integer normal equations") {
+    val L = 100000L
+    // recompute the hash factors through the SAME operator primitive,
+    // then solve per user in plain Scala — must match bit-for-bit
+    val f = alsRatings.select($"u", $"r",
+        (Sampling.hashValue(concat_ws(":", lit("alsq1"), $"it".cast("string")))
+          % 2001 - 1000).as("q1"),
+        (Sampling.hashValue(concat_ws(":", lit("alsq2"), $"it".cast("string")))
+          % 2001 - 1000).as("q2"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expect = f.groupBy(_._1).map { case (u, rows) =>
+      val a11 = rows.map(t => t._3 * t._3).sum
+      val a12 = rows.map(t => t._3 * t._4).sum
+      val a22 = rows.map(t => t._4 * t._4).sum
+      val b1 = rows.map(t => t._2 * t._3).sum
+      val b2 = rows.map(t => t._2 * t._4).sum
+      val det = (a11 + L) * (a22 + L) - a12 * a12
+      u -> (((a22 + L) * b1 - a12 * b2).toDouble / det.toDouble * 1000.0,
+        ((a11 + L) * b2 - a12 * b1).toDouble / det.toDouble * 1000.0)
+    }
+    val got = Features.alsUserStep(alsRatings, "u", "it", $"r")
+      .select($"u", $"p1", $"p2").as[(Long, Double, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    expect.foreach { case (u, (p1, p2)) =>
+      assert(got(u) == ((p1, p2)), s"user $u: got ${got(u)}, expect ($p1,$p2)")
+    }
+  }
+
+  test("alsUserStep output minimizes the regularized least-squares loss") {
+    val lam = 0.1
+    val f = alsRatings.select($"u", $"r",
+        ((Sampling.hashValue(concat_ws(":", lit("alsq1"), $"it".cast("string")))
+          % 2001 - 1000).cast("double") / 1000.0).as("q1"),
+        ((Sampling.hashValue(concat_ws(":", lit("alsq2"), $"it".cast("string")))
+          % 2001 - 1000).cast("double") / 1000.0).as("q2"))
+      .as[(Long, Long, Double, Double)].collect().groupBy(_._1)
+    def loss(u: Long, p1: Double, p2: Double): Double =
+      f(u).map { case (_, r, q1, q2) =>
+        val e = r - (p1 * q1 + p2 * q2); e * e
+      }.sum + lam * (p1 * p1 + p2 * p2)
+    val got = Features.alsUserStep(alsRatings, "u", "it", $"r")
+      .select($"u", $"p1", $"p2").as[(Long, Double, Double)].collect()
+    got.foreach { case (u, p1, p2) =>
+      val base = loss(u, p1, p2)
+      for (d <- Seq(0.05, -0.05); axis <- Seq(0, 1)) {
+        val (t1, t2) = if (axis == 0) (p1 + d, p2) else (p1, p2 + d)
+        assert(base <= loss(u, t1, t2) + 1e-9,
+          s"user $u: perturbation ($t1,$t2) beats the solve")
+      }
+      assert(base <= loss(u, 0.0, 0.0), s"user $u: zero vector beats the solve")
+    }
+  }
 }
