@@ -405,6 +405,84 @@ object TimeSeriesQueries {
       CAST(COUNT(*) AS INTEGER) AS n_islands
     FROM i GROUP BY 1"""))
 
+  /** Largest-Triangle-One-Bucket downsampling to ≤ 18 points per user
+    * series (16 interior buckets + both endpoints) — the
+    * shape-preserving decimation dashboards run before plotting
+    * (Steinarsson 2013, "Downsampling Time Series for Visual
+    * Representation", public thesis). LTOB is the PARALLEL member of
+    * the largest-triangle family: each point's effective area is the
+    * triangle over its immediate neighbors (one lag/lead window pass),
+    * and the max-area point of each bucket is kept — unlike LTTB,
+    * whose previous-selected-point dependency is inherently sequential
+    * per series and would serialize the scan. Endpoints are always
+    * kept, modeled as their own buckets (-1 and 16) so ONE group-limit
+    * pass selects everything — no filter-per-role UNION re-scanning
+    * the window frame.
+    *
+    * Exactness: x = epoch seconds (integer, UTC session), y =
+    * micro-quantized value, so the cross-product area is an exact
+    * BIGINT on both engines; bucket assignment is integer division
+    * (div / //). Ties break (area desc NULLS LAST, rn) — total order.
+    * Scale shape: two windows, both PARTITION BY user (fine-grained,
+    * no skew magnet); the bucket pick is a WindowGroupLimit. */
+  private val x_ts_lttb = Q(
+    "x_ts_lttb_downsample",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"), col("value"),
+          round(col("value") * 1e6).cast("long").as("ym"))
+        .withColumn("x", unix_timestamp(col("ts_s")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val pts = e
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("xp", lag(col("x"), 1).over(w))
+        .withColumn("yp", lag(col("ym"), 1).over(w))
+        .withColumn("xn", lead(col("x"), 1).over(w))
+        .withColumn("yn", lead(col("ym"), 1).over(w))
+        .withColumn("area",
+          abs((col("x") - col("xp")) * (col("yn") - col("yp"))
+            - (col("xn") - col("xp")) * (col("ym") - col("yp"))))
+        .withColumn("bucket",
+          when(col("rn") === 1, lit(-1L))
+            .when(col("rn") === col("n"), lit(16L))
+            .otherwise(expr("((rn - 1) * 16) div n")))
+      val wb = Window.partitionBy(col("user_id"), col("bucket"))
+        .orderBy(col("area").desc_nulls_last, col("rn"))
+      pts.withColumn("pick", row_number().over(wb))
+        .filter(col("pick") === 1)
+        .select(col("user_id"), col("bucket"), col("event_id"),
+          col("ts_s"), col("value"), col("area"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s, value,
+        CAST(ROUND(value * 1e6) AS BIGINT) AS ym,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    p AS (
+      SELECT user_id, event_id, ts_s, value, x, ym,
+        ROW_NUMBER() OVER w AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS n,
+        LAG(x) OVER w AS xp, LAG(ym) OVER w AS yp,
+        LEAD(x) OVER w AS xn, LEAD(ym) OVER w AS yn
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+    b AS (
+      SELECT user_id, event_id, ts_s, value, rn,
+        ABS((x - xp) * (yn - yp) - (xn - xp) * (ym - yp)) AS area,
+        CAST(CASE WHEN rn = 1 THEN -1
+             WHEN rn = n THEN 16
+             ELSE ((rn - 1) * 16) // n END AS BIGINT) AS bucket
+      FROM p)
+    SELECT user_id, bucket, event_id, ts_s, value, area
+    FROM b
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+      ORDER BY area DESC NULLS LAST, rn) = 1"""))
+
   def all: Seq[Q] = Seq(
     x_ts_locf,
     x_ts_rolling,
@@ -414,5 +492,6 @@ object TimeSeriesQueries {
     x_ts_sliding_window,
     x_ts_ewma,
     x_ts_interval_union,
+    x_ts_lttb,
   )
 }
