@@ -722,10 +722,73 @@ object RelationalQueries {
         AS chi2_cell_micro
     FROM cells JOIN r USING (t) JOIN c USING (cohort) CROSS JOIN n"""))
 
+  /** Benford expected first-digit probabilities log10(1 + 1/d),
+    * computed ONCE in Scala and embedded as the same literals in both
+    * engines — cross-engine log10() calls could differ at ulp level
+    * (JVM vs C math library), identical literals cannot. Scala Double
+    * toString round-trips, and both engines parse decimal literals to
+    * the nearest binary double. */
+  private val benfordP: Seq[(String, Double)] =
+    (1 to 9).map(dd => dd.toString -> math.log10(1.0 + 1.0 / dd))
+
+  /** Benford's-law first-significant-digit audit over order totals —
+    * the fraud/data-entry screen (Nigrini's digit analysis) a finance
+    * DQ suite runs on every monetary column: observed first-digit
+    * shares vs the log10(1+1/d) expectation, with a per-digit χ² term.
+    * The first digit comes from the INTEGER part's string head (floor
+    * → BIGINT → first char) — canonical in both engines, where a
+    * log10-based extraction would ride float rounding. Counts are
+    * exact integers; shares and χ² terms are micro-quantized longs, so
+    * any rollup of the 9 rows is an order-independent integer sum
+    * (the [[x_stat_chi2]] discipline). One combinable groupBy over the
+    * scan; the 9-row expectation broadcasts. */
+  private val x_dq_benford = Q(
+    "x_dq_benford",
+    (s, d) => {
+      import s.implicits._
+      val exp = benfordP.toDF("digit", "p")
+      val obs = Tables.orders(s, d).filter(col("o_totalprice") > 0)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val n = obs.agg(sum(col("n_obs")).as("nn"))
+      obs.join(broadcast(exp), Seq("digit"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("n_obs"),
+          round(col("p") * 1e6).cast("long").as("expected_micro"),
+          round(col("n_obs").cast("double") / col("nn").cast("double") * 1e6)
+            .cast("long").as("observed_micro"),
+          round(pow(col("n_obs").cast("double")
+              - col("nn").cast("double") * col("p"), 2)
+            / (col("nn").cast("double") * col("p")) * 1e6)
+            .cast("long").as("chi2_cell_micro"))
+    },
+    Some {
+      val vals = benfordP
+        .map { case (dd, p) => s"('$dd', CAST($p AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH expd(digit, p) AS (VALUES $vals),
+      obs AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+            AS digit,
+          COUNT(*) AS n_obs
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1),
+      n AS (SELECT SUM(n_obs) AS nn FROM obs)
+      SELECT o.digit, o.n_obs,
+        CAST(ROUND(p * 1e6) AS BIGINT) AS expected_micro,
+        CAST(ROUND(CAST(n_obs AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6) AS BIGINT)
+          AS observed_micro,
+        CAST(ROUND(pow(CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) * p, 2)
+          / (CAST(nn AS DOUBLE) * p) * 1e6) AS BIGINT) AS chi2_cell_micro
+      FROM obs o JOIN expd USING (digit) CROSS JOIN n"""
+    })
+
   def all: Seq[Q] = Seq(
     x_rel_window_distinct,
     x_stat_ols,
     x_stat_chi2,
+    x_dq_benford,
     x_rel_quantiles,
     x_rel_stats_suite,
     x_rel_lateral,
