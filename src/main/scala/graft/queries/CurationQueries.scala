@@ -1128,7 +1128,139 @@ object CurationQueries {
     SELECT doc_id, n_tokens, dup_tokens, n_spans, dup_frac
     FROM __sc_out"""))
 
+  /** Blocking-quality evaluation for entity resolution — the two
+    * numbers (Christen's record-linkage metrics) that decide a
+    * blocking scheme BEFORE paying for the pairwise matcher:
+    * REDUCTION RATIO (1 − candidate pairs / all pairs; candidates are
+    * Σ k(k−1)/2 over block sizes — counted from block cardinalities,
+    * never materialized) and PAIR COMPLETENESS (share of reference
+    * duplicate pairs whose members land in the same block). The
+    * reference pair set is the Jaccard-verified MinHash-LSH output
+    * (the `x_dedup_minhash_lsh` pipeline — silver truth from the
+    * high-recall detector, the standard posture when no labels exist;
+    * exact-text truth would be degenerate: identical text lands in
+    * identical blocks by construction). Two cheap schemes are scored
+    * in one pass — a 2-char text prefix and Soundex of the first
+    * token — via one role-struct explode per frame (no
+    * filter-per-role UNION rescans of the corpus; the truth frame is
+    * pair-bounded, so its two-branch union is cheap). Counts +
+    * integer-derived micro ratios; the oracle replays both schemes
+    * AND the full LSH truth chain. */
+  private val x_er_blocking_eval = Q(
+    "x_er_blocking_eval", {
+      (s, d) => {
+        val raw = Tables.documents(s, d).filter(col("text").isNotNull)
+        val docs = raw
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .withColumn("bk_prefix2", substring(col("t"), 1, 2))
+          .withColumn("bk_soundex",
+            graft.ops.Phonetic.soundex(element_at(split(col("t"), " "), 1)))
+          .withColumn("bk_len",
+            expr("cast((size(split(t, ' ')) div 8) as string)"))
+          .drop("t")
+          .localCheckpoint(true) // feeds blocks, both truth sides, n
+        val schemed = docs.select(col("doc_id"), explode(array(
+            struct(lit("prefix2").as("scheme"), col("bk_prefix2").as("bk")),
+            struct(lit("soundex_first").as("scheme"), col("bk_soundex").as("bk")),
+            struct(lit("len_bucket").as("scheme"), col("bk_len").as("bk"))))
+            .as("r"))
+          .select(col("r.scheme").as("scheme"), col("r.bk").as("bk"))
+        val blocks = schemed.filter(col("bk").isNotNull)
+          .groupBy(col("scheme"), col("bk"))
+          .agg(count(lit(1)).as("k"))
+          .groupBy(col("scheme"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("k") * (col("k") - 1) / 2).cast("long").as("cand_pairs"))
+        val truth = Dedup.minhashLshPairsMd5(
+            Dedup.shingled(raw, col("doc_id"), col("text")))
+          .select(col("doc_a"), col("doc_b"))
+        val a = docs.select(col("doc_id").as("doc_a"),
+          col("bk_prefix2").as("a_p2"), col("bk_soundex").as("a_sx"),
+          col("bk_len").as("a_ln"))
+        val b = docs.select(col("doc_id").as("doc_b"),
+          col("bk_prefix2").as("b_p2"), col("bk_soundex").as("b_sx"),
+          col("bk_len").as("b_ln"))
+        val truePairs = truth.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+          .select(explode(array(
+            struct(lit("prefix2").as("scheme"),
+              (col("a_p2") <=> col("b_p2")).as("cov")),
+            struct(lit("soundex_first").as("scheme"),
+              (col("a_sx") <=> col("b_sx")).as("cov")),
+            struct(lit("len_bucket").as("scheme"),
+              (col("a_ln") <=> col("b_ln")).as("cov")))).as("r"))
+          .select(col("r.scheme").as("scheme"), col("r.cov").as("cov"))
+          .groupBy(col("scheme"))
+          .agg(count(lit(1)).as("true_pairs"),
+            count(when(col("cov"), 1)).as("true_covered"))
+        val n = docs.agg(count(lit(1)).as("nn"))
+        blocks.join(truePairs, Seq("scheme"))
+          .crossJoin(broadcast(n))
+          .select(col("scheme"), col("n_blocks"), col("cand_pairs"),
+            col("true_pairs"), col("true_covered"),
+            round((lit(1.0) - col("cand_pairs").cast("double")
+              / (col("nn").cast("double") * (col("nn").cast("double") - 1) / 2))
+              * 1e6).cast("long").as("reduction_micro"),
+            round(col("true_covered").cast("double")
+              / col("true_pairs").cast("double") * 1e6)
+              .cast("long").as("completeness_micro"))
+      }
+    },
+    Some(s"""WITH docs AS (
+      SELECT doc_id, lower(text) AS t,
+        substr(lower(text), 1, 2) AS bk_prefix2,
+        CAST(len(string_split(lower(text), ' ')) // 8 AS VARCHAR) AS bk_len,
+        string_split(lower(text), ' ')[1] AS w
+      FROM documents WHERE text IS NOT NULL),
+    ${graft.ops.Phonetic.soundexSqlCtes("docs", "w",
+      keyCols = Seq("doc_id", "bk_prefix2", "bk_len"))},
+    dx AS (
+      SELECT doc_id, bk_prefix2, bk_len, sx AS bk_soundex FROM __sx_out),
+    truth AS (
+      WITH ${Dedup.shinglesSqlCte(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
+        "mh_docs")},
+      ${Dedup.minhashLshPairsMd5Sql("mh_docs")}),
+    schemed AS (
+      SELECT doc_id, 'prefix2' AS scheme, bk_prefix2 AS bk FROM dx
+      UNION ALL
+      SELECT doc_id, 'soundex_first' AS scheme, bk_soundex AS bk FROM dx
+      UNION ALL
+      SELECT doc_id, 'len_bucket' AS scheme, bk_len AS bk FROM dx),
+    blocks AS (
+      SELECT scheme, COUNT(*) AS n_blocks,
+        CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS cand_pairs
+      FROM (SELECT scheme, bk, COUNT(*) AS k FROM schemed
+            WHERE bk IS NOT NULL GROUP BY 1, 2)
+      GROUP BY 1),
+    tp AS (
+      SELECT t.doc_a, t.doc_b,
+        a.bk_prefix2 IS NOT DISTINCT FROM b.bk_prefix2 AS cov_p2,
+        a.bk_soundex IS NOT DISTINCT FROM b.bk_soundex AS cov_sx,
+        a.bk_len IS NOT DISTINCT FROM b.bk_len AS cov_ln
+      FROM truth t
+      JOIN dx a ON a.doc_id = t.doc_a
+      JOIN dx b ON b.doc_id = t.doc_b),
+    tpx AS (
+      SELECT 'prefix2' AS scheme, cov_p2 AS cov FROM tp
+      UNION ALL
+      SELECT 'soundex_first' AS scheme, cov_sx AS cov FROM tp
+      UNION ALL
+      SELECT 'len_bucket' AS scheme, cov_ln AS cov FROM tp),
+    truep AS (
+      SELECT scheme, COUNT(*) AS true_pairs,
+        COUNT(CASE WHEN cov THEN 1 END) AS true_covered
+      FROM tpx GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nn FROM docs)
+    SELECT b.scheme, n_blocks, cand_pairs, true_pairs, true_covered,
+      CAST(ROUND((CAST(1 AS DOUBLE) - CAST(cand_pairs AS DOUBLE)
+        / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2)) * 1e6)
+        AS BIGINT) AS reduction_micro,
+      CAST(ROUND(CAST(true_covered AS DOUBLE)
+        / CAST(true_pairs AS DOUBLE) * 1e6) AS BIGINT) AS completeness_micro
+    FROM blocks b JOIN truep USING (scheme) CROSS JOIN n"""))
+
   def all: Seq[Q] = Seq(
+    x_er_blocking_eval,
     x_dedup_substr_coverage,
     x_curation_release,
     x_layout_compaction,
