@@ -637,6 +637,125 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the composition serving stacks
+    * actually deploy (FAISS `IVFx,PQy`; Jégou et al. 2011 §V): a
+    * coarse inverted-file quantizer routes each vector to its nearest
+    * cell, and PQ encodes the RESIDUAL v − c(cell) rather than v
+    * itself — residuals concentrate near the origin, so the same
+    * codebook budget quantizes them far more finely than raw vectors.
+    * Queries probe their `nprobe` nearest cells and scan only those
+    * cells' codes with a per-(query, cell) lookup table, because the
+    * query's residual differs per probed cell.
+    *
+    * Deterministic stand-ins, same discipline as [[pqTopK]]/[[ivfTopK]]:
+    * coarse centroids are a hash-rank top-`nlist` pick
+    * (TakeOrderedAndProject); the residual codebook is an independent
+    * per-subspace hash-rank pick over the residual frame (partial
+    * WindowGroupLimit before the exchange). Cell assignment and code
+    * argmins compare 6-dp-ROUNDED distances with an id/code tiebreak —
+    * total orders both engines agree on; ADC sums are micro-quantized
+    * longs (order-independent).
+    *
+    * Scale shape: assignment is one corpus scan against the broadcast
+    * nlist-row centroid table reduced by a combinable min-struct argmin
+    * (the raw product never reaches a shuffle); the residual frame is
+    * materialized ONCE (it feeds the codebook pick and the encode —
+    * multi-consumer rule); encode joins a broadcast m·codebookSize
+    * codebook; search touches codes × a broadcast
+    * |queries|·nprobe·m·codebookSize LUT keyed by (cell, j, code), so
+    * only probed cells' codes survive the join. Ranking is per-query
+    * WindowGroupLimit. Returns (query_id, neighbor_id, adc_micro,
+    * rank ≤ k); self-matches excluded; probed-cell misses simply don't
+    * appear (the IVF recall trade, spec-checked). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 8, nprobe: Int = 2, m: Int = 8,
+                codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(nlist > 0 && nprobe > 0 && codebookSize > 0 && k > 0,
+      "nlist, nprobe, codebookSize, k must be positive")
+    val sub = dim / m
+    val W = org.apache.spark.sql.expressions.Window
+    val pickKey = Seq(md5(concat(col("vec_id").cast("string"), lit(":ivf"))),
+      col("vec_id"))
+    // bounded frames: the single-partition window ranks only the
+    // already-limited nlist pick
+    val cents = corpus.filter(col("embedding").isNotNull)
+      .orderBy(pickKey: _*).limit(nlist)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+      .withColumn("cell", row_number().over(W.orderBy(pickKey: _*)) - 1)
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .select(col("cell"), col("cv"), col("cn"))
+      .localCheckpoint(true)
+    def prepped(df: DataFrame, idAs: String) =
+      df.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as(idAs),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("vn", dot(col("v"), col("v")))
+    val cvv = prepped(corpus, "vec_id")
+    val asg = cvv.crossJoin(broadcast(cents))
+      .withColumn("d2", round(
+        col("vn") + col("cn") - lit(2.0) * dot(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"))
+    val res = cvv.join(asg, Seq("vec_id")).join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .localCheckpoint(true)
+    val js = explode(sequence(lit(0), lit(m - 1)))
+    val rPickKey = md5(concat(col("vec_id").cast("string"), lit(":rpq:"),
+      col("j").cast("string")))
+    val wrj = W.partitionBy(col("j")).orderBy(rPickKey, col("vec_id"))
+    val rcb = res.select(col("vec_id"), js.as("j"), col("r"))
+      .withColumn("rk", row_number().over(wrj))
+      .filter(col("rk") <= codebookSize)
+      .withColumn("code", col("rk") - 1)
+      .withColumn("crsub", slice(col("r"), col("j") * sub + 1, lit(sub)))
+      .withColumn("crn", dot(col("crsub"), col("crsub")))
+      .select(col("j"), col("code"), col("crsub"), col("crn"))
+      .localCheckpoint(true)
+    val codes = res.select(col("vec_id").as("neighbor_id"), col("cell"),
+        js.as("j"), col("r"))
+      .withColumn("rs", slice(col("r"), col("j") * sub + 1, lit(sub)))
+      .withColumn("rn2", dot(col("rs"), col("rs")))
+      .drop("r")
+      .join(broadcast(rcb), Seq("j"))
+      .withColumn("d2", round(
+        col("rn2") + col("crn") - lit(2.0) * dot(col("rs"), col("crsub")), 6))
+      .groupBy(col("neighbor_id"), col("cell"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("neighbor_id"), col("cell"), col("j"),
+        col("b.code").as("code"))
+    val wq = W.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val qprobe = prepped(queries, "query_id")
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", round(
+        col("vn") + col("cn") - lit(2.0) * dot(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("qres"))
+    val lut = qprobe.select(col("query_id"), col("cell"), js.as("j"),
+        col("qres"))
+      .withColumn("qs", slice(col("qres"), col("j") * sub + 1, lit(sub)))
+      .withColumn("qn2", dot(col("qs"), col("qs")))
+      .drop("qres")
+      .join(broadcast(rcb), Seq("j"))
+      .withColumn("d2m", round(
+        (col("qn2") + col("crn") - lit(2.0) * dot(col("qs"), col("crsub")))
+          * lit(1e6)).cast("long"))
+      .select(col("query_id"), col("cell"), col("j"), col("code"), col("d2m"))
+    val scored = codes.join(broadcast(lut), Seq("cell", "j", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2m")).as("adc_micro"))
+    val wr = W.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Top principal direction of the corpus embedding Gram matrix by
     * power iteration — the PCA step corpus analytics reach for first
     * (dominant variance axis for whitening, drift detection, or as the

@@ -727,6 +727,101 @@ object ExtensionQueries {
     FROM scored
     QUALIFY rank <= 5"""))
 
+  /** IVF-PQ residual-encoded ANN top-5 ([[Similarity.ivfPqTopK]],
+    * nlist=8, nprobe=2) — the composed serving structure (coarse
+    * inverted file routes, PQ quantizes the residual v − c(cell), the
+    * query scans only probed cells' codes with a per-(query, cell)
+    * LUT). The oracle independently replays the whole stack: the
+    * hash-rank coarse pick, every rounded-argmin cell assignment, the
+    * residual arrays, the per-subspace residual codebook pick, every
+    * code, the probe lists, the LUT, and the ranked micro-ADC sums.
+    * Recall vs exact search is the IVF trade, spec-pinned; this query
+    * pins the composition's semantics. */
+  private val x_sim_ivfpq = Q(
+    "x_sim_ivfpq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    Some("""WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vn
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivf'), vec_id)
+               AS INTEGER) - 1 AS cell,
+        v AS cv, list_inner_product(v, v) AS cn
+      FROM (SELECT * FROM v
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivf'), vec_id LIMIT 8)),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY ROUND(a.vn + c.cn - 2 * list_inner_product(a.v, c.cv), 6),
+                     c.cell) AS rn
+        FROM v a CROSS JOIN cents c)
+      WHERE rn = 1),
+    res AS (
+      SELECT a.vec_id, s.cell,
+        [a.v[i] - c.cv[i] for i in range(1, 65)] AS r
+      FROM v a JOIN asg s ON s.vec_id = a.vec_id
+      JOIN cents c ON c.cell = s.cell),
+    js AS (SELECT unnest(range(8)) AS j),
+    rpick AS (
+      SELECT j, r AS rv,
+        CAST(ROW_NUMBER() OVER (PARTITION BY j
+          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':rpq:' || CAST(j AS VARCHAR)),
+                   vec_id) AS INTEGER) - 1 AS code
+      FROM res CROSS JOIN js
+      QUALIFY code < 16),
+    rcb AS (
+      SELECT j, code, list_slice(rv, j*8 + 1, j*8 + 8) AS crsub,
+        list_inner_product(list_slice(rv, j*8 + 1, j*8 + 8),
+                           list_slice(rv, j*8 + 1, j*8 + 8)) AS crn
+      FROM rpick),
+    rsub AS (
+      SELECT vec_id, cell, j, list_slice(r, j*8 + 1, j*8 + 8) AS rs,
+        list_inner_product(list_slice(r, j*8 + 1, j*8 + 8),
+                           list_slice(r, j*8 + 1, j*8 + 8)) AS rn2
+      FROM res CROSS JOIN js),
+    codes AS (
+      SELECT vec_id AS neighbor_id, cell, j, code FROM (
+        SELECT a.vec_id, a.cell, a.j, ct.code,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.j
+            ORDER BY ROUND(a.rn2 + ct.crn - 2 * list_inner_product(a.rs, ct.crsub), 6),
+                     ct.code) AS rn
+        FROM rsub a JOIN rcb ct USING (j))
+      WHERE rn = 1),
+    qprobe AS (
+      SELECT query_id, cell, qres FROM (
+        SELECT a.vec_id AS query_id, c.cell,
+          [a.v[i] - c.cv[i] for i in range(1, 65)] AS qres,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY ROUND(a.vn + c.cn - 2 * list_inner_product(a.v, c.cv), 6),
+                     c.cell) AS rn
+        FROM v a CROSS JOIN cents c WHERE a.vec_id < 10)
+      WHERE rn <= 2),
+    lut AS (
+      SELECT q.query_id, q.cell, ct.j, ct.code,
+        CAST(ROUND((list_inner_product(q.qs, q.qs) + ct.crn
+          - 2 * list_inner_product(q.qs, ct.crsub)) * 1e6) AS BIGINT) AS d2m
+      FROM (SELECT query_id, cell, j,
+              list_slice(qres, j*8 + 1, j*8 + 8) AS qs
+            FROM qprobe CROSS JOIN js) q
+      JOIN rcb ct USING (j)),
+    scored AS (
+      SELECT query_id, neighbor_id, SUM(d2m) AS adc_micro
+      FROM codes JOIN lut USING (cell, j, code)
+      WHERE query_id <> neighbor_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc_micro, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""))
+
   /** Top principal direction of the embedding corpus by Gram-matrix
     * power iteration ([[Similarity.gramTopDirection]], 3 rounds) — the
     * PCA step. The oracle unrolls the identical fixed-point recursion:
@@ -3541,6 +3636,7 @@ object ExtensionQueries {
     x_sim_quantized_topk,
     x_sim_pq_adc,
     x_sim_pq_subspace,
+    x_sim_ivfpq,
     x_embed_pca_power,
     x_source_dsv2,
     x_agg_topk_native,
