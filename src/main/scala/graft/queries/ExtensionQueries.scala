@@ -1611,6 +1611,25 @@ object ExtensionQueries {
     FROM range(0, 200000) t(id)
     WHERE id >= 1000 AND id < 51000 AND CAST(id % 97 AS INTEGER) = 7"""))
 
+  /** COMPLETE aggregate pushdown through the DSv2 connector
+    * ([[graft.sources.GenAggScan]]): ungrouped COUNT(*)/MIN/MAX over a
+    * filtered id range are answered by the SOURCE as an O(1) closed
+    * form of the pushed interval — one partition, one row, zero rows
+    * generated (the DSv2 analogue of a parquet footer count;
+    * GenSourceSpec asserts the GenAggScan node and the single
+    * partition). The oracle computes the same aggregates the honest
+    * way, over the materialized range. */
+  private val x_source_dsv2_agg = Q(
+    "x_source_dsv2_agg",
+    (s, d) => s.read.format("graftgen")
+      .option("rows", "5000000").option("parts", "32").load()
+      .filter(col("id") >= 12345 && col("id") < 987654)
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id")),
+    Some("""SELECT COUNT(*) AS n_rows, MIN(id) AS min_id, MAX(id) AS max_id
+    FROM range(0, 5000000) t(id)
+    WHERE id >= 12345 AND id < 987654"""))
+
   /** Native bounded top-k aggregate ([[graft.functions.TopKByScore]],
     * a TypedImperativeAggregate): top-3 orders by value per priority
     * class. The window formulation shuffles every order to its group's
@@ -3639,6 +3658,7 @@ object ExtensionQueries {
     x_sim_ivfpq,
     x_embed_pca_power,
     x_source_dsv2,
+    x_source_dsv2_agg,
     x_agg_topk_native,
     x_er_golden,
     x_stream_static_join,

@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,11 +67,41 @@ final class GenTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 final class GenScanBuilder(rows: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = GenSource.schema
+  private var pushedAgg: Option[Aggregation] = None
+
+  // ----- aggregate pushdown (COMPLETE): on an interval source,
+  // ungrouped COUNT(*)/COUNT(id)/MIN(id)/MAX(id) are O(1) closed forms
+  // of the (already filter-narrowed) [lo, hi) range — the scan answers
+  // the query without generating a single row. Spark only attempts
+  // aggregate pushdown when every filter was consumed, so the interval
+  // is exact by the time this runs.
+  private def isId(e: Expression): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+  private def acceptable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isId(c.column)
+        case m: Min => isId(m.column)
+        case m: Max => isId(m.column)
+        case _ => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    acceptable(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = acceptable(agg)
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def bound(v: Any): Option[Long] = v match {
@@ -91,7 +122,52 @@ final class GenScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GenScan(rows, parts, lo, hi, required)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new GenAggScan(lo, hi, agg.aggregateExpressions)
+    case None => new GenScan(rows, parts, lo, hi, required)
+  }
+}
+
+/** Completely-pushed aggregate scan: one partition, one row, values
+  * computed on the DRIVER from the filtered interval — the 100 TB
+  * payoff of a source that participates in planning (a metadata-only
+  * answer, the DSv2 analogue of parquet footer count(*)). Empty
+  * interval → count 0, MIN/MAX NULL (SQL semantics). */
+final class GenAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc])
+    extends Scan with Batch {
+  private val n = math.max(0L, hi - lo)
+  private val values: Array[Any] = funcs.map {
+    case _: CountStar => n
+    case _: Count => n // non-distinct count of the non-null id column
+    case _: Min => if (n > 0) lo else null
+    case _: Max => if (n > 0) hi - 1 else null
+    case other => throw new IllegalArgumentException(
+      s"unsupported pushed aggregate $other")
+  }
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg$i", LongType, nullable = false)
+    case (_: Count, i)     => StructField(s"agg$i", LongType, nullable = false)
+    case (_, i)            => StructField(s"agg$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftGenAgg pushedIdRange=[$lo,$hi) " +
+      s"aggPushed=${funcs.map(_.toString).mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenAggReaderFactory(values)
+}
+
+final class GenAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 final class GenScan(rows: Long, parts: Int, lo: Long, hi: Long,

@@ -84,4 +84,45 @@ class GenSourceSpec extends SparkSpec {
       case b: BatchScanExec => b }.head.scan.asInstanceOf[GenScan]
     assert(scan.planInputPartitions().isEmpty)
   }
+
+  test("ungrouped count/min/max push COMPLETELY into the source (no rows generated)") {
+    val df = gen(1000000).filter($"id" >= 100L && $"id" < 900000L)
+      .agg(count(lit(1)).as("c"), min($"id").as("mn"), max($"id").as("mx"))
+    val row = df.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((899900L, 100L, 899999L)))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan }
+    assert(scans.nonEmpty)
+    val agg = scans.collect { case a: GenAggScan => a }
+    assert(agg.nonEmpty,
+      s"aggregate not pushed; scans were ${scans.map(_.description()).mkString}")
+    // the pushed scan plans exactly one O(1) partition — a metadata
+    // answer, not a 900k-row generate-and-count
+    assert(agg.head.planInputPartitions().length == 1)
+    assert(agg.head.description().contains("aggPushed="))
+  }
+
+  test("pushed aggregate over an empty interval: count 0, null min/max") {
+    val df = gen(1000).filter($"id" >= 5000L)
+      .agg(count(lit(1)).as("c"), min($"id").as("mn"), max($"id").as("mx"))
+    val row = df.collect().head
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(1) && row.isNullAt(2))
+    assert(df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan }.collectFirst {
+      case a: GenAggScan => a }.nonEmpty)
+  }
+
+  test("grouped or non-id aggregates are NOT pushed and stay correct") {
+    // group-by defeats the complete pushdown -> ordinary GenScan path
+    val g = gen(1000).groupBy($"bucket").agg(count(lit(1)).as("c"))
+    assert(g.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan }.collectFirst {
+      case a: GenAggScan => a }.isEmpty)
+    assert(g.count() == 97)
+    // count(distinct) likewise falls back and computes correctly
+    val dAgg = gen(1000).agg(countDistinct($"bucket").as("d")).collect().head
+    assert(dAgg.getLong(0) == 97L)
+  }
 }
