@@ -96,6 +96,64 @@ object Sketches {
       .agg(min(col("ip")).as("cms_join_size"))
   }
 
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    * KMV/theta-sketch family) — the MERGEABLE distinct-count summary
+    * that, unlike HLL, also supports SET OPERATIONS (union by merging
+    * k-smallest lists, intersection via the Jaccard of sketch
+    * members), and unlike Spark's HLL is built from the
+    * engine-portable 56-bit MD5 hash — so another engine replays the
+    * sketch CONTENT bit-exactly, not just bound-checks an estimate.
+    *
+    * Per group: the k smallest hashes of the DISTINCT keys (a sorted
+    * long array), `n_kept = min(k, distinct)`, and the estimator
+    *   D̂ = (k−1) · 2⁵⁶ / u_k   (u_k = k-th smallest hash)
+    * — exact (= n_kept) below saturation. The double division is the
+    * only float op, from exact integers.
+    *
+    * Scale shape: one distinct-shuffle on (group, key), then a
+    * rank-≤-k filter whose partial WindowGroupLimit forwards at most
+    * k rows per group per map task; the sketch table is |groups|-sized.
+    * Merging sketches (union) is an ARRAY op on two bounded lists —
+    * see `x_sketch_kmv_setops`. */
+  def kmvSketch(df: DataFrame, group: Column, key: Column,
+                k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dk = df.select(group.as("grp"), key.as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+      .select(col("grp"), Sampling.hashValue(col("__k")).as("h"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    dk.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+      .withColumn("n_kept", size(col("kmv")).cast("long"))
+      .withColumn("est_distinct", round(
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 56))
+            / element_at(col("kmv"), k).cast("double")), 6))
+  }
+
+  /** DuckDB CTE chain replaying [[kmvSketch]] over `srcCte` (columns
+    * grp, k0 = the raw key); final CTE `__kmv_out` has
+    * (grp, kmv, n_kept, est_distinct). */
+  def kmvSketchSql(srcCte: String, k: Int): String = {
+    s"""__kmv_h AS (
+      SELECT grp, ${Sampling.hashValueSql("k0")} AS h
+      FROM (SELECT DISTINCT grp, k0 FROM $srcCte WHERE k0 IS NOT NULL)),
+    __kmv_k AS (
+      SELECT grp, h FROM __kmv_h
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) <= $k),
+    __kmv_out AS (
+      SELECT grp, kmv, n_kept,
+        ROUND(CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+          ELSE CAST(${k - 1} AS DOUBLE) * CAST(72057594037927936 AS DOUBLE)
+            / CAST(kmv[$k] AS DOUBLE) END, 6) AS est_distinct
+      FROM (
+        SELECT grp, list(h ORDER BY h) AS kmv,
+          CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM __kmv_k GROUP BY 1))"""
+  }
+
   /** DuckDB CTE chain replaying [[countMinCells]] + [[countMinEstimate]]
     * over `srcCte` (one column `$keyCol`) and probe CTE `probesCte`
     * (columns incl. `$keyCol`); final relation `$out` = probes columns +

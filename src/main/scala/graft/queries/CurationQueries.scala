@@ -1259,7 +1259,101 @@ object CurationQueries {
         / CAST(true_pairs AS DOUBLE) * 1e6) AS BIGINT) AS completeness_micro
     FROM blocks b JOIN truep USING (scheme) CROSS JOIN n"""))
 
+  /** KMV distinct sketch per event type ([[Sketches.kmvSketch]],
+    * k = 64) with the exact count alongside — the mergeable
+    * distinct-count summary whose CONTENT (the k smallest 56-bit
+    * hashes, emitted as a csv string) the oracle replays bit-exactly,
+    * where HLL could only be bound-checked. Types below saturation
+    * return the exact count by construction. */
+  private val x_sketch_kmv = Q(
+    "x_sketch_kmv",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
+      val sk = Sketches.kmvSketch(ev, col("event_type"), col("user_id"), 64)
+      val exact = ev.groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      sk.join(exact, Seq("grp"))
+        .select(col("grp").as("event_type"), col("n_kept"),
+          col("est_distinct"), col("exact_distinct"),
+          concat_ws(",", col("kmv")).as("kmv_csv"))
+    },
+    Some(s"""WITH src AS (
+      SELECT event_type AS grp, user_id AS k0 FROM events
+      WHERE event_type IS NOT NULL),
+    ${Sketches.kmvSketchSql("src", 64)},
+    exact AS (
+      SELECT grp, COUNT(DISTINCT k0) AS exact_distinct FROM src GROUP BY 1)
+    SELECT s.grp AS event_type, n_kept, est_distinct, exact_distinct,
+      array_to_string(kmv, ',') AS kmv_csv
+    FROM __kmv_out s JOIN exact USING (grp)"""))
+
+  /** KMV set operations across event-type pairs — the property HLL
+    * lacks and the reason theta/KMV sketches run analytics stacks'
+    * distinct arithmetic: the UNION sketch is the k smallest of two
+    * merged k-lists (a bounded array op — sketches compose without
+    * touching the corpus again), and the INTERSECTION estimate is
+    * Jaccard-over-sketch-members × the union estimate. All from the
+    * materialized per-type sketches; the pair join is a broadcast
+    * nested loop over the |types|-row sketch table, nothing
+    * corpus-sized. The oracle rebuilds sketches AND replays every
+    * merge, membership count, and estimate. */
+  private val x_sketch_kmv_setops = Q(
+    "x_sketch_kmv_setops",
+    (s, d) => {
+      val k = 64
+      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
+      val sk = Sketches.kmvSketch(ev, col("event_type"), col("user_id"), k)
+        .select(col("grp"), col("kmv")).localCheckpoint(true)
+      val a = sk.select(col("grp").as("grp_a"), col("kmv").as("kmv_a"))
+      val b = sk.select(col("grp").as("grp_b"), col("kmv").as("kmv_b"))
+      a.join(broadcast(b), col("grp_a") < col("grp_b"))
+        .withColumn("merged",
+          slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
+        .withColumn("n_union_kept", size(col("merged")).cast("long"))
+        .withColumn("est_union", round(
+          when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 56))
+              / element_at(col("merged"), k).cast("double")), 6))
+        .withColumn("n_both", size(filter(col("merged"),
+          h => array_contains(col("kmv_a"), h) &&
+            array_contains(col("kmv_b"), h))).cast("long"))
+        .withColumn("est_intersection", round(
+          col("n_both").cast("double") * col("est_union")
+            / col("n_union_kept").cast("double"), 6))
+        .select(col("grp_a"), col("grp_b"), col("n_union_kept"),
+          col("est_union"), col("n_both"), col("est_intersection"))
+    },
+    Some(s"""WITH src AS (
+      SELECT event_type AS grp, user_id AS k0 FROM events
+      WHERE event_type IS NOT NULL),
+    ${Sketches.kmvSketchSql("src", 64)},
+    p AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, a.kmv AS ka, b.kmv AS kb
+      FROM __kmv_out a JOIN __kmv_out b ON a.grp < b.grp),
+    m AS (
+      SELECT grp_a, grp_b, ka, kb,
+        list_sort(list_distinct(ka || kb))[1:64] AS merged
+      FROM p),
+    e AS (
+      SELECT grp_a, grp_b, merged, ka, kb,
+        CAST(len(merged) AS BIGINT) AS n_union_kept,
+        ROUND(CASE WHEN len(merged) < 64 THEN CAST(len(merged) AS DOUBLE)
+          ELSE CAST(63 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE)
+            / CAST(merged[64] AS DOUBLE) END, 6) AS est_union
+      FROM m)
+    SELECT grp_a, grp_b, n_union_kept, est_union,
+      CAST(len([h for h in merged
+                if list_contains(ka, h) AND list_contains(kb, h)])
+        AS BIGINT) AS n_both,
+      ROUND(CAST(len([h for h in merged
+                      if list_contains(ka, h) AND list_contains(kb, h)])
+          AS DOUBLE) * est_union / CAST(n_union_kept AS DOUBLE), 6)
+        AS est_intersection
+    FROM e"""))
+
   def all: Seq[Q] = Seq(
+    x_sketch_kmv,
+    x_sketch_kmv_setops,
     x_er_blocking_eval,
     x_dedup_substr_coverage,
     x_curation_release,

@@ -59,4 +59,46 @@ class SketchesSpec extends SparkSpec {
     assert(cells.forall(c => c._2 >= 0 && c._2 < 8))
     assert(cells.map(_._3).sum == 2 * 820) // every row lands in every depth row
   }
+
+  test("KMV below saturation is exact; above it estimates within the k-bound") {
+    import spark.implicits._
+    // group "small": 10 distinct keys < k=16 -> exact.
+    // group "big": 2000 distinct keys -> estimate within ~4/sqrt(k-1)
+    val rows = (0 until 10).map(i => ("small", i.toLong)) ++
+      (0 until 2000).map(i => ("big", 100000L + i))
+    val out = Sketches.kmvSketch(rows.toDF("g", "k"), $"g", $"k", 16)
+      .select($"grp", $"n_kept", $"est_distinct")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("small") == ((10L, 10.0)))
+    val (nk, est) = out("big")
+    assert(nk == 16L)
+    val rel = math.abs(est - 2000.0) / 2000.0
+    assert(rel < 1.1, f"KMV rel err $rel%.2f vs the ~0.26 sigma bound at k=16")
+  }
+
+  test("KMV sketches MERGE: k-smallest of two sketches equals sketch of the union") {
+    import spark.implicits._
+    val k = 32
+    val a = (0 until 500).map(i => ("a", i.toLong))
+    val b = (300 until 900).map(i => ("b", i.toLong))
+    def sketchOf(rows: Seq[(String, Long)]): Seq[Long] =
+      Sketches.kmvSketch(rows.toDF("g", "k"), $"g", $"k", k)
+        .select($"kmv").as[Seq[Long]].head()
+    val ska = sketchOf(a)
+    val skb = sketchOf(b)
+    val merged = (ska ++ skb).distinct.sorted.take(k)
+    val direct = sketchOf((a ++ b).map { case (_, v) => ("u", v) })
+    assert(merged == direct,
+      "merging bounded sketches must equal sketching the union corpus")
+  }
+
+  test("KMV sketch content is independent of input partitioning") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => ("g", (i * 7919).toLong)).toDF("g", "k")
+    val s1 = Sketches.kmvSketch(rows, $"g", $"k", 64)
+      .select($"kmv").as[Seq[Long]].head()
+    val s2 = Sketches.kmvSketch(rows.repartition(13), $"g", $"k", 64)
+      .select($"kmv").as[Seq[Long]].head()
+    assert(s1 == s2)
+  }
 }
