@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge-list DataFrames — extension tier.
@@ -410,5 +410,39 @@ object Graph {
       round += 1
     }
     alive.withColumn("in_core", col("deg") >= k)
+  }
+
+  /** One GraphSAGE MEAN-aggregator round (Hamilton et al. 2017) — the
+    * message-passing step GNN feature pipelines run over a relational
+    * graph before any model sees it: each node's layer-1 representation
+    * is its own feature vector concatenated with the MEAN of its
+    * neighbors' vectors. Output is long-form, one row per (node, dim):
+    * (node, d, n_neighbors, self_milli, neigh_mean_milli).
+    *
+    * Node features are hash-derived milli-quantized values (the
+    * deterministic stand-in for an upstream embedding table — a real
+    * one drops in as a join), computed IN-ROW from the neighbor id on
+    * each (edge, dim) message — so the aggregation needs NO feature
+    * join at all: one explode (edges × dims) and one combinable
+    * groupBy(node, dim) whose sums are exact integers. The mean's
+    * double division is integer-derived (engine-bit-stable). Scale
+    * shape: shuffle O(edges · dims) combinable rows, output O(nodes ·
+    * dims); a hot node is just a big combinable group, not a window
+    * partition. `edges` is directed (src ← messages from dst);
+    * symmetrize for undirected semantics. */
+  def sageMeanStep(edges: DataFrame, dims: Int = 4): DataFrame = {
+    require(dims >= 1 && dims <= 16, s"need 1 <= dims <= 16, got $dims")
+    def feat(node: Column, dIdx: Column): Column =
+      Sampling.hashValue(concat_ws(":", lit("sage"), dIdx.cast("string"),
+        node.cast("string"))) % 2001 - 1000
+    val js = explode(sequence(lit(0), lit(dims - 1)))
+    edges.select(col("src"), js.as("d"), col("dst"))
+      .withColumn("f", feat(col("dst"), col("d")))
+      .groupBy(col("src"), col("d"))
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("f")).as("s"))
+      .select(col("src").as("node"), col("d"), col("n_neighbors"),
+        feat(col("src"), col("d")).as("self_milli"),
+        round(col("s").cast("double") / col("n_neighbors").cast("double"), 6)
+          .as("neigh_mean_milli"))
   }
 }

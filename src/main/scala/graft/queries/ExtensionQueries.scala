@@ -1363,6 +1363,49 @@ object ExtensionQueries {
       SELECT node, deg, r AS rank_fp FROM r3"""
     })
 
+  /** One GraphSAGE mean-aggregation round ([[Graph.sageMeanStep]]) over
+    * the symmetric customer–supplier graph — the GNN feature-pipeline
+    * step run before any model sees the graph: per (node, dim), the
+    * node's own hash-derived feature and the EXACT mean of its
+    * neighbors' features, with NO feature join (features computed
+    * in-row from the neighbor id on each message; a real embedding
+    * table drops in as a join). One combinable groupBy over the
+    * edge×dim explode — a hot node is a big combinable group, not a
+    * window partition. The oracle recomputes every feature, integer
+    * sum, and division. */
+  private val x_graph_sage = Q(
+    "x_graph_sage_step",
+    (s, d) => {
+      val eraw = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+      Graph.sageMeanStep(edges, dims = 4)
+    },
+    Some(s"""WITH eraw AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT a AS src, b AS dst FROM eraw
+      UNION ALL SELECT b, a FROM eraw),
+    msgs AS (
+      SELECT src, dd.d,
+        ${Sampling.hashValueSql(
+          "'sage:' || CAST(dd.d AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}
+          % 2001 - 1000 AS f
+      FROM edges CROSS JOIN (SELECT unnest(range(4)) AS d) dd)
+    SELECT src AS node, CAST(d AS INTEGER) AS d, COUNT(*) AS n_neighbors,
+      ${Sampling.hashValueSql(
+        "'sage:' || CAST(d AS VARCHAR) || ':' || CAST(src AS VARCHAR)")}
+        % 2001 - 1000 AS self_milli,
+      ROUND(CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        AS neigh_mean_milli
+    FROM msgs
+    GROUP BY src, d"""))
+
   /** DIRECTED PageRank (Graph.pageRankConverged) over the asymmetric
     * customer→supplier trade graph: suppliers never link out, so every
     * supplier node is a SINK and the dangling-mass redistribution path
@@ -3710,6 +3753,7 @@ object ExtensionQueries {
     x_text_unigram_logprob,
     x_text_gopher_quality,
     x_graph_pagerank,
+    x_graph_sage,
     x_graph_pagerank_directed,
     x_shard_plan,
     x_source_jsonl,

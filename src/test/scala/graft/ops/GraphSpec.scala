@@ -271,4 +271,30 @@ class GraphSpec extends SparkSpec {
     assert(out(4L) == 2)
     assert(out == Map(1L -> 0, 2L -> 1, 30L -> 1, 4L -> 2, 31L -> 2))
   }
+
+  test("sageMeanStep: neighbor mean equals the hand-computed feature average") {
+    import spark.implicits._
+    // node 1 receives from {2, 3}; node 2 from {1}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    // recompute the hash features through the same primitive
+    def f(node: Long, d: Int): Long =
+      Seq(node).toDF("n")
+        .select((Sampling.hashValue(
+          concat_ws(":", lit("sage"), lit(d.toString), $"n".cast("string")))
+          % 2001 - 1000).as("f"))
+        .as[Long].head()
+    val out = Graph.sageMeanStep(edges, dims = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set((1L, 0), (1L, 1), (2L, 0), (2L, 1)))
+    for (d <- 0 to 1) {
+      val (n1, self1, mean1) = out((1L, d))
+      assert(n1 == 2L && self1 == f(1L, d))
+      assert(mean1 == math.rint((f(2L, d) + f(3L, d)).toDouble / 2.0 * 1e6) / 1e6
+        || mean1 == (f(2L, d) + f(3L, d)).toDouble / 2.0,
+        s"dim $d: mean $mean1 vs avg of ${f(2L, d)} and ${f(3L, d)}")
+      val (n2, self2, mean2) = out((2L, d))
+      assert(n2 == 1L && self2 == f(2L, d) && mean2 == f(1L, d).toDouble)
+    }
+  }
 }
