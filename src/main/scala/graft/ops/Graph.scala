@@ -412,6 +412,54 @@ object Graph {
     alive.withColumn("in_core", col("deg") >= k)
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) as an integer
+    * fixed-point iteration — the OTHER classic link-analysis score:
+    * where PageRank measures global importance, HITS separates
+    * POINTERS-TO-GOOD-THINGS (hubs) from POINTED-AT-BY-GOOD-POINTERS
+    * (authorities) by mutual recursion h = E·a, a = Eᵀ·h. On a
+    * bipartite trade graph the split is the natural reading: customer
+    * hub weight = breadth of strong suppliers bought from, supplier
+    * authority = endorsement by strong buyers.
+    *
+    * Replayability discipline = [[pageRankFixedPoint]] +
+    * [[Similarity.gramTopDirection]]'s max-norm: scores live as micro
+    * longs, each half-round is one equi-join + one combinable integer
+    * SUM, and renormalization divides by the round's MAX (a 1-row
+    * broadcast) before micro re-quantization — a fixed point both
+    * engines agree on bit-for-bit, unrollable in SQL. Per round: two
+    * joins, two aggregates, two 1-row maxes; every frame
+    * localCheckpointed (multi-consumer + iteration lineage rules).
+    * Output: (node, role 'hub'|'authority', score_micro). */
+  def hitsFixedPoint(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"need 1 <= rounds <= 8, got $rounds")
+    val edges = edgesIn.localCheckpoint(true)
+    var auth = edges.select(col("dst").as("node")).distinct()
+      .withColumn("a", lit(1000000L))
+      .localCheckpoint(true)
+    var hub: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val hraw = edges.join(auth, auth("node") === edges("dst"))
+        .groupBy(edges("src").as("hnode")).agg(sum(col("a")).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("hnode").as("node"),
+          round(col("hr").cast("double") / col("hm").cast("double") * lit(1e6))
+            .cast("long").as("h"))
+        .localCheckpoint(true)
+      val araw = edges.join(hub, hub("node") === edges("src"))
+        .groupBy(edges("dst").as("anode")).agg(sum(col("h")).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("anode").as("node"),
+          round(col("ar").cast("double") / col("am").cast("double") * lit(1e6))
+            .cast("long").as("a"))
+        .localCheckpoint(true)
+    }
+    hub.select(col("node"), lit("hub").as("role"), col("h").as("score_micro"))
+      .unionByName(auth.select(col("node"), lit("authority").as("role"),
+        col("a").as("score_micro")))
+  }
+
   /** One GraphSAGE MEAN-aggregator round (Hamilton et al. 2017) — the
     * message-passing step GNN feature pipelines run over a relational
     * graph before any model sees it: each node's layer-1 representation

@@ -130,6 +130,35 @@ object Quality {
         round(lit(1e6) / col("class_size")).cast("long"))
   }
 
+  /** l-diversity violations (Machanavajjhala et al. 2007) — the audit
+    * k-anonymity is NOT sufficient for: a QI class can be large yet
+    * carry a single sensitive value, so membership alone discloses it
+    * (the homogeneity attack). Flags QI classes with fewer than `l`
+    * distinct sensitive values, with the class size and the dominant
+    * value's share (the disclosure probability an attacker gets by
+    * guessing the mode) in integer micro-units.
+    *
+    * NULL sensitive values form their own diversity class on both
+    * engines (GROUP BY semantics), deliberately: "value missing" is
+    * itself disclosable. Scale shape: two combinable aggregates —
+    * (QI, sensitive) cells, then per-class rollup — output bounded by
+    * the violating-class count, never a window. */
+  def lDiversityViolations(df: DataFrame, qis: Seq[String],
+                           sensitive: Column, l: Int): DataFrame = {
+    require(l >= 2, s"l-diversity needs l >= 2, got $l")
+    val cells = df.groupBy(qis.map(col) :+ sensitive.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(qis.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("class_size"),
+        count(lit(1)).as("distinct_sensitive"),
+        max(col("__c")).as("__mx"))
+      .withColumn("max_share_micro",
+        round(col("__mx").cast("double") / col("class_size").cast("double")
+          * 1e6).cast("long"))
+      .drop("__mx")
+      .filter(col("distinct_sensitive") < l)
+  }
+
   /** Order-independent grouped table checksum — migration/replication
     * validation (the per-partition check a 100 TB copy job runs instead
     * of comparing rows): md5-56 of the caller's canonical row rendering,

@@ -144,6 +144,34 @@ object Snapshot {
     * full-outer equi-join on `id` carries (id, 32-byte digest) — never
     * the payloads; no window, no collect. At 100 TB, both sides prune
     * to two thin columns at the scan. */
+  /** CDC merge-apply — the lakehouse `MERGE INTO` / Debezium-sink
+    * semantics: apply a change log of (key, seq, op ∈ I|U|D, payload)
+    * rows to a snapshot, keeping only each key's LATEST change
+    * (seq desc, op asc tiebreak — a total order when (key, seq) is
+    * unique, deterministic either way): latest I/U replaces (or
+    * inserts) the row, latest D removes it, untouched keys pass
+    * through. `changes` must carry the snapshot's columns plus
+    * `seqCol`/`opCol`; output has exactly the snapshot schema.
+    *
+    * Scale shape: latest-per-key is a WindowGroupLimit (≤ 1 row per
+    * key leaves each map task); the snapshot side is ONE left-anti
+    * join on the key against the (bounded, change-sized) latest frame
+    * plus a unionByName — no full-outer, no payload-wide shuffle of
+    * the untouched majority beyond the join's key hashing. The
+    * change-log grain is the DELTA, so cost follows churn. */
+  def cdcApply(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val latest = Qualify.rowNumber(changes, keyCols.map(col),
+      Seq(col(seqCol).desc, col(opCol).asc), n = 1)
+      .localCheckpoint(true) // feeds the anti join AND the upsert side
+    val survivors = snapshot.join(
+      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val upserts = latest.filter(col(opCol).isin("I", "U"))
+      .select(snapshot.columns.map(col).toSeq: _*)
+    survivors.unionByName(upserts)
+  }
+
   def contentDiff(oldSnap: DataFrame, newSnap: DataFrame,
                   id: Column, payload: Column): DataFrame = {
     val o = oldSnap.select(id.as("id"), md5(payload).as("old_digest"))

@@ -68,6 +68,37 @@ object CurationQueries {
     GROUP BY 1, 2, 3
     HAVING COUNT(*) < 5"""))
 
+  /** l-diversity audit ([[Quality.lDiversityViolations]], l = 3) over
+    * the same QI space as the k-anonymity check but against the
+    * SENSITIVE attribute (market segment) — the homogeneity-attack
+    * screen k-anonymity misses: a big class whose members all share
+    * one segment discloses it to anyone who can place a person in the
+    * class. Emits the dominant value's share as the attacker's
+    * mode-guess success probability. Two combinable aggregates; the
+    * oracle replays cells, rollups, and shares. */
+  private val x_dq_l_diversity = Q(
+    "x_dq_l_diversity",
+    (s, d) => Quality.lDiversityViolations(
+      Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 5000.0d).cast("long").as("bal_band"),
+          col("c_mktsegment")),
+      Seq("c_nationkey", "bal_band"), col("c_mktsegment"), l = 3),
+    Some("""WITH cells AS (
+      SELECT c_nationkey, CAST(FLOOR(c_acctbal / 5000.0) AS BIGINT) AS bal_band,
+        c_mktsegment AS s, COUNT(*) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    cls AS (
+      SELECT c_nationkey, bal_band,
+        CAST(SUM(c) AS BIGINT) AS class_size,
+        COUNT(*) AS distinct_sensitive,
+        CAST(ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 1e6)
+          AS BIGINT) AS max_share_micro
+      FROM cells GROUP BY 1, 2)
+    SELECT c_nationkey, bal_band, class_size, distinct_sensitive,
+      max_share_micro
+    FROM cls WHERE distinct_sensitive < 3"""))
+
   /** Tokenizer-cost profile with a real pre-tokenizer: documents get a
     * deterministic punctuation/contraction/number suffix (the corpus is
     * bare lowercase words, same trick as `x_text_redact`), are split by
@@ -1354,6 +1385,7 @@ object CurationQueries {
   def all: Seq[Q] = Seq(
     x_sketch_kmv,
     x_sketch_kmv_setops,
+    x_dq_l_diversity,
     x_er_blocking_eval,
     x_dedup_substr_coverage,
     x_curation_release,

@@ -305,6 +305,50 @@ object EltQueries {
     ${Features.alsUserStepSql("src")}
     SELECT u, n_items, p1, p2 FROM __als_out"""))
 
+  /** CDC merge-apply ([[Snapshot.cdcApply]]) — lakehouse MERGE INTO /
+    * Debezium-sink semantics on a deterministic change log: updates
+    * (every 5th key, seq 2), deletes (every 11th, seq 3 — so keys
+    * divisible by 55 carry BOTH and the later delete must win),
+    * inserts (every 13th, shifted key space, seq 1). Latest-per-key is
+    * a WindowGroupLimit; untouched rows pass through one left-anti
+    * join. The oracle rebuilds the same log and replays the
+    * latest-change case analysis. */
+  private val x_elt_cdc_apply = Q(
+    "x_elt_cdc_apply",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      val upd = base.filter(col("k") % 5 === 0)
+        .select(col("k"), col("name"), (col("bal") + 1000.0d).as("bal"),
+          lit(2L).as("seq"), lit("U").as("op"))
+      val del = base.filter(col("k") % 11 === 0)
+        .select(col("k"), col("name"), col("bal"),
+          lit(3L).as("seq"), lit("D").as("op"))
+      val ins = base.filter(col("k") % 13 === 0)
+        .select((col("k") + 1000000L).as("k"),
+          concat(lit("new "), col("name")).as("name"),
+          lit(0.0d).as("bal"), lit(1L).as("seq"), lit("I").as("op"))
+      val changes = upd.unionByName(del).unionByName(ins)
+      Snapshot.cdcApply(base, changes, Seq("k"), "seq", "op")
+    },
+    Some("""WITH base AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
+    changes AS (
+      SELECT k, name, bal + CAST(1000 AS DOUBLE) AS bal, 2 AS seq, 'U' AS op
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT k, name, bal, 3, 'D' FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT k + 1000000, 'new ' || name, CAST(0 AS DOUBLE), 1, 'I'
+      FROM base WHERE k % 13 = 0),
+    latest AS (
+      SELECT * FROM changes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op ASC) = 1)
+    SELECT b.k, b.name, b.bal FROM base b ANTI JOIN latest l ON b.k = l.k
+    UNION ALL
+    SELECT k, name, bal FROM latest WHERE op IN ('I', 'U')"""))
+
   /** POINT-IN-TIME lookup against the SCD2 ledger — the temporal join
     * the Type-2 layout exists to serve: each 1996–1998 order joins the
     * customer-priority VERSION valid at its order date
@@ -386,5 +430,6 @@ object EltQueries {
     x_feat_target_encode,
     x_feat_quantile_bin,
     x_ml_als_step,
+    x_elt_cdc_apply,
   )
 }

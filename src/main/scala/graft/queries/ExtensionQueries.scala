@@ -1406,6 +1406,47 @@ object ExtensionQueries {
     FROM msgs
     GROUP BY src, d"""))
 
+  /** HITS hubs/authorities ([[Graph.hitsFixedPoint]], 2 rounds) over
+    * the directed customer→supplier graph — the link-analysis
+    * complement to PageRank: hub scores for buyers, authority scores
+    * for suppliers, mutually recursive, max-normalized to micro longs
+    * each half-round so the oracle unrolls both rounds bit-exactly
+    * (the pagerank/gram-power fixed-point discipline). */
+  private val x_graph_hits = Q(
+    "x_graph_hits",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.hitsFixedPoint(edges, rounds = 2)
+    },
+    Some {
+      def half(inRel: String, inCol: String, joinOn: String, outCol: String,
+               grpCol: String, rawRel: String, outRel: String) =
+        s"""$rawRel AS (
+          SELECT $grpCol AS node, CAST(SUM($inCol) AS BIGINT) AS r
+          FROM e JOIN $inRel x ON x.node = e.$joinOn GROUP BY 1),
+        $outRel AS (
+          SELECT node, CAST(ROUND(CAST(r AS DOUBLE)
+            / CAST((SELECT MAX(r) FROM $rawRel) AS DOUBLE) * 1e6) AS BIGINT)
+            AS $outCol
+          FROM $rawRel)"""
+      s"""WITH e AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      a0 AS (
+        SELECT DISTINCT dst AS node, CAST(1000000 AS BIGINT) AS a FROM e),
+      ${half("a0", "a", "dst", "h", "e.src", "h1r", "h1")},
+      ${half("h1", "h", "src", "a", "e.dst", "a1r", "a1")},
+      ${half("a1", "a", "dst", "h", "e.src", "h2r", "h2")},
+      ${half("h2", "h", "src", "a", "e.dst", "a2r", "a2")}
+      SELECT node, 'hub' AS role, h AS score_micro FROM h2
+      UNION ALL
+      SELECT node, 'authority' AS role, a AS score_micro FROM a2"""
+    })
+
   /** DIRECTED PageRank (Graph.pageRankConverged) over the asymmetric
     * customer→supplier trade graph: suppliers never link out, so every
     * supplier node is a SINK and the dangling-mass redistribution path
@@ -3754,6 +3795,7 @@ object ExtensionQueries {
     x_text_gopher_quality,
     x_graph_pagerank,
     x_graph_sage,
+    x_graph_hits,
     x_graph_pagerank_directed,
     x_shard_plan,
     x_source_jsonl,

@@ -80,4 +80,32 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(3L) == ((false, true)) && rows(4L) == ((true, false))
       && rows(2L) == ((false, false)))
   }
+
+  test("cdcApply: latest change wins per key — update, delete, insert, conflict, passthrough") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", 1L, "U"),  // update
+      (3L, "c", 5L, "D"),   // delete
+      (4L, "d1", 1L, "U"),  // conflict: later delete must win...
+      (4L, "dX", 2L, "D"),
+      (5L, "e", 1L, "I"),   // insert new key
+      (6L, "f1", 1L, "I"),  // insert then update: update wins
+      (6L, "f2", 2L, "U")
+    ).toDF("k", "v", "seq", "op")
+    val out = Snapshot.cdcApply(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 5L -> "e", 6L -> "f2"),
+      s"got $out")
+  }
+
+  test("cdcApply: empty change log is the identity; output schema equals snapshot") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val none = Seq.empty[(Long, String, Long, String)].toDF("k", "v", "seq", "op")
+    val out = Snapshot.cdcApply(base, none, Seq("k"), "seq", "op")
+    assert(out.columns.toSeq == base.columns.toSeq)
+    assert(out.as[(Long, String)].collect().toMap == Map(1L -> "a", 2L -> "b"))
+  }
 }
