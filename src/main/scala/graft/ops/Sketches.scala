@@ -154,6 +154,137 @@ object Sketches {
         FROM __kmv_k GROUP BY 1))"""
   }
 
+  /** HyperLogLog register file (Flajolet, Fusy, Gandouet & Meunier
+    * 2007) as a DataFrame program — the industry-standard mergeable
+    * distinct-count sketch, built (like [[kmvSketch]]) from the
+    * engine-portable 56-bit MD5 hash so another engine replays the
+    * ENTIRE sketch bit-exactly: every register value, the zero-register
+    * count, the harmonic-sum integer, and the estimate itself are
+    * hash-matchable — where Spark's own `approx_count_distinct` (also
+    * HLL) exposes only an engine-specific estimate that can merely be
+    * bound-checked (`x_sketch_suite` does that; this one proves the
+    * full construction).
+    *
+    * Construction (m = 64 registers, b = 6):
+    *   bucket = h mod 64,  w = h >> 6  (50 bits),
+    *   rho(w) = leading zeros of the 50-bit w plus 1
+    *          = 51 − bitlength(w)   (= 51 when w = 0),
+    *   register_j = max rho over keys in bucket j.
+    * Exactness discipline: the harmonic sum Σ 2^−register is kept as
+    * the INTEGER Z = Σ 2^(51−register) + 2^51·(empty registers) — at
+    * most 64·2^51 < 2^58, exact in a long — because the float sum of
+    * mixed-magnitude dyadics needs 57 mantissa bits and would not be
+    * reproducible. The estimate α·m²·2^51 / Z is then ONE double
+    * division of engine-shared literals ([[java.lang.Double.toString]]
+    * round-trips, per the cross-engine constant convention), and the
+    * small-range linear-counting branch m·ln(m/V) has only 64 possible
+    * values, precomputed once in Scala and embedded as the SAME
+    * literal table in both engines — ln is never evaluated per-engine.
+    *
+    * Scale shape: one map-side-combinable MAX aggregation into at most
+    * |groups|·64 register rows — each partition's partial is itself a
+    * valid sketch (max is idempotent/commutative), which is exactly
+    * why HLL survives distribution; the register table is tiny and the
+    * merge of two corpora's sketches is a further groupBy-max (see
+    * `x_sketch_hll_union`). Nothing corpus-sized ever shuffles. */
+  val HllM = 64
+  private val HllShift = 51 // rho ∈ [1, 51]; 2^(51-rho) keeps Z integral
+  /** α₆₄·m²·2⁵¹ — the estimator numerator, one shared literal. */
+  val HllNumerator: Double = 0.709 * HllM * HllM * math.pow(2, HllShift).toLong
+  /** Linear-counting table: index V (zero registers) → m·ln(m/V);
+    * index 0 unused (V = 0 never takes this branch). */
+  val HllLinearTable: IndexedSeq[Double] =
+    (0 to HllM).map(v => if (v == 0) 0.0 else HllM * math.log(HllM.toDouble / v))
+  /** Small-range threshold 2.5·m of the 2007 paper. */
+  val HllSmallRange: Double = 2.5 * HllM
+
+  def hllSketch(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val h = df.select(group.as("grp"), key.as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("grp"), Sampling.hashValue(col("__k")).as("h"))
+    val regs = h
+      .select(col("grp"), (col("h") % HllM).as("bucket"),
+        shiftright(col("h"), 6).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(HllShift))
+          .otherwise(lit(HllShift) - length(bin(col("w")))))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    hllEstimate(regs)
+  }
+
+  /** Estimator + content columns from a register file
+    * `(grp, bucket, reg)` — split out so merged sketches
+    * (groupBy-max of register UNIONs) reuse it. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val linear = array(HllLinearTable.map(lit): _*)
+    regs
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).cast("long").as("n_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllShift - reg AS INT))"))
+          .as("z_partial"),
+        concat_ws(",",
+          transform(sort_array(collect_list(struct(col("bucket"), col("reg")))),
+            s => concat(s("bucket"), lit(":"), s("reg")))).as("registers_csv"))
+      .withColumn("v_zero", (lit(HllM) - col("n_hit")).cast("long"))
+      .withColumn("z_int",
+        col("z_partial") + col("v_zero") * lit(1L << HllShift))
+      .withColumn("est_raw",
+        lit(HllNumerator) / col("z_int").cast("double"))
+      .withColumn("est_hll", round(
+        when(col("v_zero") > 0 && col("est_raw") <= lit(HllSmallRange),
+          element_at(linear, col("v_zero").cast("int") + 1))
+          .otherwise(col("est_raw")), 6))
+      .select(col("grp"), col("n_hit"), col("v_zero"), col("z_int"),
+        col("est_hll"), col("registers_csv"))
+  }
+
+  private def dlit(x: Double): String =
+    s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+
+  /** DuckDB CTE chain replaying [[hllSketch]] over `srcCte` (columns
+    * grp, k0); final CTE `__hll_out` mirrors the output schema. The
+    * register CTE `__hll_regs` is exposed for merge replays. */
+  def hllSketchSql(srcCte: String): String =
+    s"""__hll_h AS (
+      SELECT grp, ${Sampling.hashValueSql("k0")} AS h
+      FROM $srcCte WHERE k0 IS NOT NULL),
+    __hll_regs AS (
+      SELECT grp, h % $HllM AS bucket,
+        CAST(MAX(CASE WHEN h >> 6 = 0 THEN $HllShift
+          ELSE $HllShift - length(bin(h >> 6)) END) AS INTEGER) AS reg
+      FROM __hll_h GROUP BY 1, 2),
+    ${hllEstimateSql("__hll_regs", "__hll_out")}"""
+
+  /** DuckDB replay of [[hllEstimate]] over a register CTE
+    * `(grp, bucket, reg)`. */
+  def hllEstimateSql(regsCte: String, out: String): String = {
+    val linearList = HllLinearTable.map(dlit).mkString("[", ", ", "]")
+    s"""__hll_agg_$out AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hit,
+        CAST(SUM(CAST(1 AS BIGINT) << ($HllShift - reg)) AS BIGINT)
+          AS z_partial,
+        array_to_string(
+          list(bucket || ':' || reg ORDER BY bucket), ',') AS registers_csv
+      FROM $regsCte GROUP BY 1),
+    $out AS (
+      SELECT grp, n_hit, v_zero, z_int,
+        ROUND(CASE WHEN v_zero > 0
+            AND ${dlit(HllNumerator)} / CAST(z_int AS DOUBLE)
+              <= ${dlit(HllSmallRange)}
+          THEN ($linearList)[CAST(v_zero AS INTEGER) + 1]
+          ELSE ${dlit(HllNumerator)} / CAST(z_int AS DOUBLE) END, 6)
+          AS est_hll,
+        registers_csv
+      FROM (
+        SELECT grp, n_hit, z_partial, registers_csv,
+          CAST($HllM - n_hit AS BIGINT) AS v_zero,
+          z_partial + CAST($HllM - n_hit AS BIGINT)
+            * (CAST(1 AS BIGINT) << $HllShift) AS z_int
+        FROM __hll_agg_$out))"""
+  }
+
   /** DuckDB CTE chain replaying [[countMinCells]] + [[countMinEstimate]]
     * over `srcCte` (one column `$keyCol`) and probe CTE `probesCte`
     * (columns incl. `$keyCol`); final relation `$out` = probes columns +

@@ -1382,7 +1382,103 @@ object CurationQueries {
         AS est_intersection
     FROM e"""))
 
+  /** HyperLogLog distinct sketch per event type
+    * ([[Sketches.hllSketch]], m = 64 registers) with the exact count
+    * alongside — the register file itself is in the output
+    * (`registers_csv`), so the oracle hash pins every register value,
+    * the exact-integer harmonic sum, and both estimator branches
+    * (linear counting fires for the small types, the raw harmonic
+    * estimator for the saturated ones), not just a tolerance band
+    * around an engine-private estimate. */
+  private val x_sketch_hll = Q(
+    "x_sketch_hll",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
+      val sk = Sketches.hllSketch(ev, col("event_type"), col("user_id"))
+      val exact = ev.groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      sk.join(exact, Seq("grp"))
+        .select(col("grp").as("event_type"), col("n_hit"), col("v_zero"),
+          col("z_int"), col("est_hll"), col("exact_distinct"),
+          col("registers_csv"))
+    },
+    Some(s"""WITH src AS (
+      SELECT event_type AS grp, user_id AS k0 FROM events
+      WHERE event_type IS NOT NULL),
+    ${Sketches.hllSketchSql("src")},
+    exact AS (
+      SELECT grp, COUNT(DISTINCT k0) AS exact_distinct FROM src GROUP BY 1)
+    SELECT s.grp AS event_type, n_hit, v_zero, z_int, est_hll,
+      exact_distinct, registers_csv
+    FROM __hll_out s JOIN exact USING (grp)"""))
+
+  /** HLL merge identity — the property the register file exists for:
+    * the UNION of two corpora's sketches (per-bucket register MAX, a
+    * bounded array-table op that never re-touches either corpus) must
+    * equal the sketch built over the concatenated corpus REGISTER BY
+    * REGISTER, because max is associative/commutative/idempotent.
+    * Splits the event stream by user-id parity, merges the two
+    * sketches, and emits the merged AND whole-corpus register files
+    * plus both estimates — the oracle replays the split, the merge,
+    * and the identity (`registers_match` is computed, not asserted, so
+    * a violation would surface as a hash mismatch AND a false in the
+    * row). */
+  private val x_sketch_hll_union = Q(
+    "x_sketch_hll_union",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
+        .select(lit("all").as("grp"), col("user_id"),
+          (col("user_id") % 2).as("half"))
+      // per-half register files, then merged: max per bucket
+      val regsByHalf = ev
+        .select(concat(lit("h"), col("half")).as("grp"),
+          Sampling.hashValue(col("user_id")).as("h"))
+        .select(col("grp"), (col("h") % Sketches.HllM).as("bucket"),
+          shiftright(col("h"), 6).as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(51))
+          .otherwise(lit(51) - length(bin(col("w")))))
+        .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("reg"))
+      val merged = Sketches.hllEstimate(
+        regsByHalf.groupBy(col("bucket"))
+          .agg(max(col("reg")).as("reg"))
+          .select(lit("merged").as("grp"), col("bucket"), col("reg")))
+      val whole = Sketches.hllSketch(ev, col("grp"), col("user_id"))
+      merged.select(col("est_hll").as("est_merged"),
+          col("registers_csv").as("regs_merged"))
+        .crossJoin(whole.select(col("est_hll").as("est_whole"),
+          col("registers_csv").as("regs_whole"),
+          col("n_hit"), col("v_zero"), col("z_int")))
+        .withColumn("registers_match",
+          col("regs_merged") === col("regs_whole"))
+        .select(col("est_merged"), col("est_whole"), col("registers_match"),
+          col("n_hit"), col("v_zero"), col("z_int"), col("regs_whole"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT 'h' || CAST(user_id % 2 AS VARCHAR) AS grp, user_id
+      FROM events WHERE event_type IS NOT NULL),
+    hsrc AS (
+      SELECT grp, ${Sampling.hashValueSql("user_id")} AS h FROM ev),
+    regs_half AS (
+      SELECT grp, h % ${Sketches.HllM} AS bucket,
+        CAST(MAX(CASE WHEN h >> 6 = 0 THEN 51
+          ELSE 51 - length(bin(h >> 6)) END) AS INTEGER) AS reg
+      FROM hsrc GROUP BY 1, 2),
+    regs_merged AS (
+      SELECT 'merged' AS grp, bucket, CAST(MAX(reg) AS INTEGER) AS reg
+      FROM regs_half GROUP BY 2),
+    ${Sketches.hllEstimateSql("regs_merged", "__hll_m")},
+    regs_whole AS (
+      SELECT 'all' AS grp, bucket, CAST(MAX(reg) AS INTEGER) AS reg
+      FROM regs_half GROUP BY 2),
+    ${Sketches.hllEstimateSql("regs_whole", "__hll_w")}
+    SELECT m.est_hll AS est_merged, w.est_hll AS est_whole,
+      m.registers_csv = w.registers_csv AS registers_match,
+      w.n_hit, w.v_zero, w.z_int, w.registers_csv AS regs_whole
+    FROM __hll_m m CROSS JOIN __hll_w w"""))
+
   def all: Seq[Q] = Seq(
+    x_sketch_hll,
+    x_sketch_hll_union,
     x_sketch_kmv,
     x_sketch_kmv_setops,
     x_dq_l_diversity,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, Tables}
 import graft.ops.{Features, Quality, Qualify, Snapshot}
+import graft.streaming.EventStream
 
 /** ELT-hardening tier: the warehouse-maintenance operators a team
   * migrating the reference pipeline asks for next — a true SCD Type-2
@@ -313,26 +314,31 @@ object EltQueries {
     * a WindowGroupLimit; untouched rows pass through one left-anti
     * join. The oracle rebuilds the same log and replays the
     * latest-change case analysis. */
-  private val x_elt_cdc_apply = Q(
-    "x_elt_cdc_apply",
-    (s, d) => {
-      val base = Tables.customer(s, d)
-        .select(col("c_custkey").as("k"), col("c_name").as("name"),
-          col("c_acctbal").as("bal"))
-      val upd = base.filter(col("k") % 5 === 0)
-        .select(col("k"), col("name"), (col("bal") + 1000.0d).as("bal"),
-          lit(2L).as("seq"), lit("U").as("op"))
-      val del = base.filter(col("k") % 11 === 0)
-        .select(col("k"), col("name"), col("bal"),
-          lit(3L).as("seq"), lit("D").as("op"))
-      val ins = base.filter(col("k") % 13 === 0)
-        .select((col("k") + 1000000L).as("k"),
-          concat(lit("new "), col("name")).as("name"),
-          lit(0.0d).as("bal"), lit(1L).as("seq"), lit("I").as("op"))
-      val changes = upd.unionByName(del).unionByName(ins)
-      Snapshot.cdcApply(base, changes, Seq("k"), "seq", "op")
-    },
-    Some("""WITH base AS (
+  /** The deterministic CDC fixture shared by the batch apply and its
+    * streaming parity twin: base snapshot plus the three change
+    * classes, each returned SEPARATELY so the streaming query can land
+    * them as distinct files/micro-batches. */
+  private def cdcFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val upd = base.filter(col("k") % 5 === 0)
+      .select(col("k"), col("name"), (col("bal") + 1000.0d).as("bal"),
+        lit(2L).as("seq"), lit("U").as("op"))
+    val del = base.filter(col("k") % 11 === 0)
+      .select(col("k"), col("name"), col("bal"),
+        lit(3L).as("seq"), lit("D").as("op"))
+    val ins = base.filter(col("k") % 13 === 0)
+      .select((col("k") + 1000000L).as("k"),
+        concat(lit("new "), col("name")).as("name"),
+        lit(0.0d).as("bal"), lit(1L).as("seq"), lit("I").as("op"))
+    (base, upd, del, ins)
+  }
+
+  /** Oracle for BOTH the batch CDC apply and its streaming parity twin
+    * — the contract is the same final table. */
+  private val cdcOracleSql: String = """WITH base AS (
       SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
     changes AS (
       SELECT k, name, bal + CAST(1000 AS DOUBLE) AS bal, 2 AS seq, 'U' AS op
@@ -347,7 +353,58 @@ object EltQueries {
       QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op ASC) = 1)
     SELECT b.k, b.name, b.bal FROM base b ANTI JOIN latest l ON b.k = l.k
     UNION ALL
-    SELECT k, name, bal FROM latest WHERE op IN ('I', 'U')"""))
+    SELECT k, name, bal FROM latest WHERE op IN ('I', 'U')"""
+
+  private val x_elt_cdc_apply = Q(
+    "x_elt_cdc_apply",
+    (s, d) => {
+      val (base, upd, del, ins) = cdcFixture(s, d)
+      val changes = upd.unionByName(del).unionByName(ins)
+      Snapshot.cdcApply(base, changes, Seq("k"), "seq", "op")
+    },
+    Some(cdcOracleSql))
+
+  /** STREAMING parity of the CDC apply ([[EventStream.cdcLatest]]):
+    * the same change log, landed as THREE separate parquet files and
+    * re-read one file per micro-batch — so a key carrying both an
+    * update and a later delete (every k % 55 = 0) has its changes
+    * arrive in DIFFERENT batches, and only the streaming state store
+    * can pick the right winner; the order files arrive in is
+    * irrelevant because the winner fold is a commutative max. The
+    * final winner table then applies to the base snapshot exactly as
+    * the batch path does, and the ORACLE IS SHARED with
+    * `x_elt_cdc_apply` — streaming and batch must land the identical
+    * final table. */
+  private val streamCdcFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x_stream_cdc_parity = Q(
+    "x_stream_cdc_parity",
+    (s, d) => {
+      val (base, upd, del, ins) = cdcFixture(s, d)
+      val tmp = streamCdcFixtureDirs.getOrElseUpdate(d, {
+        val t = ExtensionQueries.fixtureTempDir("graft_stream_cdc")
+        upd.coalesce(1).write.mode("overwrite").parquet(t)
+        del.coalesce(1).write.mode("append").parquet(t)
+        ins.coalesce(1).write.mode("append").parquet(t)
+        t
+      })
+      val src = s.readStream
+        .schema("k BIGINT, name STRING, bal DOUBLE, seq BIGINT, op STRING")
+        .option("maxFilesPerTrigger", "1") // force the cross-batch path
+        .parquet(tmp)
+      val sink = "x_stream_cdc_parity_sink"
+      val sq = EventStream.cdcLatest(src, Seq("k"), "seq", "op")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val latest = s.table(sink).localCheckpoint(true)
+      val survivors = base.join(latest.select(col("k")), Seq("k"), "left_anti")
+      survivors.unionByName(latest.filter(col("op").isin("I", "U"))
+        .select(base.columns.map(col).toSeq: _*))
+    },
+    Some(cdcOracleSql))
 
   /** POINT-IN-TIME lookup against the SCD2 ledger — the temporal join
     * the Type-2 layout exists to serve: each 1996–1998 order joins the
@@ -431,5 +488,6 @@ object EltQueries {
     x_feat_quantile_bin,
     x_ml_als_step,
     x_elt_cdc_apply,
+    x_stream_cdc_parity,
   )
 }

@@ -71,6 +71,35 @@ object EventStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming CDC winner fold — the Debezium-sink state table: for
+    * every key, the LATEST change seen so far across all micro-batches,
+    * under the same total order as the batch
+    * [[graft.ops.Snapshot.cdcApply]] (`seqCol` desc, `opCol` asc
+    * tiebreak — a total order when (key, seq) is unique). A streaming
+    * groupBy aggregation, so the winner state is keyed by `keyCols` and
+    * partitions across executors; each micro-batch folds only its delta
+    * into the state store, and because max is commutative/associative
+    * the result is independent of how the change log is batched — the
+    * property the parity query proves by force-splitting the log one
+    * file per trigger. Complete output mode re-emits the winner table.
+    *
+    * "op asc at equal seq" is encoded as max over `(seq, opInv)` with
+    * opInv mapping D→2, I→1, U→0 (reverse alphabetical), so a same-seq
+    * delete beats an insert/update exactly as the batch path's
+    * `ORDER BY seq DESC, op ASC` does. */
+  def cdcLatest(changes: DataFrame, keyCols: Seq[String],
+                seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val payloadCols = changes.columns.filterNot(keyCols.contains).toSeq
+    val opInv = when(col(opCol) === "D", 2)
+      .when(col(opCol) === "I", 1).otherwise(0)
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*),
+        struct(col(seqCol), opInv.as("__op_inv"))).as("__w"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__w.$c").as(c)): _*)
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * views from the preceding `horizon` — attribution while both sides
     * are still flowing. The three conditions Structured Streaming needs

@@ -101,4 +101,74 @@ class SketchesSpec extends SparkSpec {
       .select($"kmv").as[Seq[Long]].head()
     assert(s1 == s2)
   }
+
+  // ---- HyperLogLog ----
+
+  private def hllOf(rows: Seq[(String, Long)]) =
+    Sketches.hllSketch(rows.toDF("g", "k"), $"g", $"k")
+
+  test("HLL small range takes the linear-counting branch and lands near truth") {
+    // 30 distinct keys: far below 2.5*m = 160, V > 0 certain
+    val out = hllOf((0 until 30).map(i => ("g", i.toLong)))
+      .select($"v_zero", $"est_hll").as[(Long, Double)].head()
+    val (vZero, est) = out
+    assert(vZero > 0)
+    // the estimate must be EXACTLY a value of the shared linear table
+    assert(Sketches.HllLinearTable.exists(v =>
+      math.abs(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble - est) == 0.0),
+      s"estimate $est is not a linear-counting table value")
+    assert(math.abs(est - 30.0) / 30.0 < 0.35, s"linear count $est vs 30")
+  }
+
+  test("HLL raw estimator on a saturated sketch is within the ~13% sigma band") {
+    // 20k distinct: every register hit, raw harmonic branch,
+    // sigma = 1.04/sqrt(64) = 13% — allow 3 sigma
+    val n = 20000
+    val out = hllOf((0 until n).map(i => ("g", (i * 2654435761L) % 1000000007L)))
+      .select($"v_zero", $"est_hll").as[(Long, Double)].head()
+    val (vZero, est) = out
+    assert(vZero == 0, "20k keys into 64 buckets must hit every register")
+    val rel = math.abs(est - n.toDouble) / n
+    assert(rel < 0.39, f"HLL rel err $rel%.3f vs 3-sigma 0.39")
+  }
+
+  test("HLL merge identity: per-bucket max of halves equals sketch of the whole") {
+    val rows = (0 until 5000).map(i => ("w", (i * 7919L) % 100000L))
+    val whole = hllOf(rows).select($"registers_csv", $"z_int", $"est_hll")
+      .as[(String, Long, Double)].head()
+    val halves = rows.zipWithIndex.map { case ((_, k), i) => (s"h${i % 2}", k) }
+    val mergedRegs = Sketches.hllSketch(halves.toDF("g", "k"), $"g", $"k")
+    // re-derive the register file from csv, merge by max, re-estimate
+    val regs = mergedRegs.select($"registers_csv").as[String].collect()
+      .flatMap(_.split(",")).map { s =>
+        val Array(b, r) = s.split(":"); (b.toLong, r.toInt)
+      }.groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }.toSeq
+    val mergedDf = regs.toDF("bucket", "reg").select(lit("m").as("grp"),
+      $"bucket", $"reg")
+    val merged = Sketches.hllEstimate(mergedDf)
+      .select($"registers_csv", $"z_int", $"est_hll")
+      .as[(String, Long, Double)].head()
+    assert(merged == whole, "HLL merge must be register-identical to the whole")
+  }
+
+  test("HLL sketch content is independent of input partitioning") {
+    val rows = (0 until 3000).map(i => ("g", (i * 104729L) % 65536L)).toDF("g", "k")
+    val s1 = Sketches.hllSketch(rows, $"g", $"k")
+      .select($"registers_csv").as[String].head()
+    val s2 = Sketches.hllSketch(rows.repartition(17), $"g", $"k")
+      .select($"registers_csv").as[String].head()
+    assert(s1 == s2)
+  }
+
+  test("HLL exactness plumbing: z_int reconstructs from the register csv") {
+    val out = hllOf((0 until 500).map(i => ("g", i.toLong)))
+      .select($"registers_csv", $"z_int", $"v_zero").as[(String, Long, Long)]
+      .head()
+    val (csv, zInt, vZero) = out
+    val regs = csv.split(",").map(_.split(":")(1).toInt)
+    val zRebuilt = regs.map(r => 1L << (51 - r)).sum + vZero * (1L << 51)
+    assert(zRebuilt == zInt)
+    assert(regs.forall(r => r >= 1 && r <= 51))
+  }
 }

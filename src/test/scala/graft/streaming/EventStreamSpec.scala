@@ -311,4 +311,30 @@ class EventStreamSpec extends SparkSpec {
     assert(v2.filter($"user_id" === 1 && $"plan" === "enterprise" && $"is_current")
       .count() == 1)
   }
+
+  test("cdcLatest picks the batch-order-independent winner across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // (k, name, bal, seq, op)
+    val input = MemoryStream[(Long, String, Double, Long, String)]
+    val changes = input.toDF().toDF("k", "name", "bal", "seq", "op")
+    val q = EventStream.cdcLatest(changes, Seq("k"), "seq", "op").writeStream
+      .format("memory").queryName("cdc_latest_test")
+      .outputMode("complete").start()
+    // batch 1: k=1 updated, k=2 inserted, k=3 same-seq I+D tie
+    input.addData((1L, "a", 10.0, 2L, "U"), (2L, "b", 5.0, 1L, "I"),
+      (3L, "c1", 1.0, 4L, "I"), (3L, "c2", 1.0, 4L, "D"))
+    q.processAllAvailable()
+    // batch 2: k=1 LATER delete arrives in a different batch; k=2 older
+    // duplicate redelivered (must lose to the seq-1 original on tiebreak)
+    input.addData((1L, "a", 10.0, 3L, "D"), (2L, "b-old", 4.0, 0L, "U"))
+    q.processAllAvailable()
+    val got = spark.table("cdc_latest_test")
+      .select($"k", $"op", $"seq", $"name")
+      .as[(Long, String, Long, String)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      (1L, "D", 3L, "a"),    // cross-batch: the later delete wins
+      (2L, "I", 1L, "b"),    // higher seq wins over the redelivered 0
+      (3L, "D", 4L, "c2"))) // same-seq tie: op asc => D beats I
+  }
 }
