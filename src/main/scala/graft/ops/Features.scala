@@ -117,6 +117,72 @@ object Features {
     * user at R ≤ 300; for denser users, drop factor precision to
     * centi. Ratings must be pre-aggregated to one row per
     * (user, item). */
+  /** The hashing trick (Weinberger et al. 2009, "Feature Hashing for
+    * Large Scale Multitask Learning") — fixed-width feature projection
+    * without a vocabulary: each (feature-name, value) pair lands in
+    * slot `hash(name) mod dim` with a ± sign from a second hash bit
+    * (the signed variant, which makes collision noise zero-mean), and
+    * slots sum colliding features. This is how linear/FM models train
+    * over unbounded categorical spaces (clerk ids, URLs, n-grams) with
+    * NO dictionary build, no fit step, and a schema that never changes
+    * as the vocabulary grows — the property that matters at 100 TB,
+    * where a stateful string-indexer would itself be a corpus-wide
+    * shuffle and a trained artifact to version.
+    *
+    * Exactness: values are integers, so slot sums are exact longs; the
+    * two MD5-56 hashes per feature (bucket + sign bit) are the
+    * engine-portable [[Sampling]] family, so the oracle replays every
+    * slot bit-for-bit. Scale shape: entirely ROW-LOCAL — two digests
+    * per feature, `dim` conditional sums, zero shuffles, zero state;
+    * the widest whole-stage-codegen-friendly shape there is.
+    *
+    * `features` maps feature-name column → integer value column
+    * (categoricals encode as `name=value` with value 1 — one-hot under
+    * hashing; numerics keep their magnitude). NULL names contribute
+    * nothing to any slot. */
+  def hashedFeatures(df: DataFrame, key: Column,
+                     features: Seq[(Column, Column)], dim: Int): DataFrame = {
+    require(dim >= 2 && features.nonEmpty, s"need dim >= 2 and features")
+    // bucket + signed value computed ONCE per feature per row
+    val cols = features.zipWithIndex.map { case ((n, v), i) =>
+      val bucket = when(n.isNotNull, Sampling.hashBucket(n, dim))
+      val signed = when(
+        Sampling.hashValue(concat(n, lit("#s"))) % 2 === 0,
+        v.cast("long")).otherwise(-v.cast("long"))
+      (bucket.as(s"__b$i"), signed.as(s"__sv$i"))
+    }
+    val staged = df.select(
+      key +: cols.flatMap { case (b, sv) => Seq(b, sv) }: _*)
+    val slots = (0 until dim).map { j =>
+      features.indices.map { i =>
+        when(col(s"__b$i") === j, col(s"__sv$i")).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"f$j")
+    }
+    staged.select(key +: slots: _*)
+  }
+
+  /** DuckDB replay of [[hashedFeatures]]: `features` maps name-expr →
+    * integer value-expr over `srcCte` (which must expose `keyCol`);
+    * final CTE `__fh_out` has keyCol, f0..f{dim-1}. */
+  def hashedFeaturesSql(srcCte: String, keyCol: String,
+                        features: Seq[(String, String)], dim: Int): String = {
+    val staged = features.zipWithIndex.map { case ((n, v), i) =>
+      s"""CASE WHEN ($n) IS NOT NULL
+        THEN ${Sampling.hashBucketSql(n, dim)} END AS __b$i,
+      CASE WHEN ${Sampling.hashValueSql(s"($n) || '#s'")} % 2 = 0
+        THEN CAST($v AS BIGINT) ELSE -CAST($v AS BIGINT) END AS __sv$i"""
+    }.mkString(",\n      ")
+    val slots = (0 until dim).map { j =>
+      features.indices
+        .map(i => s"CASE WHEN __b$i = $j THEN __sv$i ELSE 0 END")
+        .mkString(" + ") + s" AS f$j"
+    }.mkString(",\n      ")
+    s"""__fh_staged AS (
+      SELECT $keyCol, $staged FROM $srcCte),
+    __fh_out AS (
+      SELECT $keyCol, $slots FROM __fh_staged)"""
+  }
+
   def alsUserStep(ratings: DataFrame, user: String, item: String,
                   rating: Column, lambdaMilli2: Long = 100000L): DataFrame = {
     require(lambdaMilli2 > 0, "ALS needs lambda > 0 (det > 0 proof)")

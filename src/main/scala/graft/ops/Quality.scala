@@ -159,6 +159,71 @@ object Quality {
       .filter(col("distinct_sensitive") < l)
   }
 
+  /** MAD robust outlier audit — the outlier detector that survives its
+    * own outliers: mean/stddev z-scores are dragged by the very points
+    * they should flag (masking), while median and MAD
+    * (median absolute deviation, Hampel 1974) have a 50% breakdown
+    * point. Per group: med = median(x), MAD = median(|x − med|),
+    * robust z = |x − med| / (1.4826·MAD) (1.4826 ≈ 1/Φ⁻¹(¾) scales MAD
+    * to σ under normality — the standard consistency constant, embedded
+    * as the same literal in the oracle), outlier ⇔ z > `cut` (Hampel's
+    * 3.5 default). Emits a per-group summary: size, med, MAD, outlier
+    * count, and the worst z — bounded by |groups|, not rows.
+    * A zero MAD (over half the group identical) yields NULL z — no
+    * spread to scale by, mirroring the winsorize IQR=0 contract.
+    *
+    * Scale shape: two exact per-group medians (each materializes the
+    * group's values once — the documented exact-percentile trade; the
+    * KLL `approx_percentile` is the drop-in for high-cardinality
+    * groups), then the stats broadcast back onto the row stream so the
+    * flagging pass is map-side. */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  cut: Double = 3.5): DataFrame = {
+    val rows = df.select(group.as("grp"), value.cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val meds = rows.groupBy(col("grp"))
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val withDev = rows.join(broadcast(meds), Seq("grp"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mads = withDev.groupBy(col("grp"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"), first(col("med")).as("med"))
+    withDev.drop("med").join(broadcast(mads), Seq("grp"))
+      .withColumn("z", when(col("mad") > 0,
+        col("dev") / (lit(1.4826) * col("mad"))))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        count(when(col("z") > cut, lit(1))).as("n_outliers"),
+        round(max(col("z")), 6).as("max_z"))
+  }
+
+  /** DuckDB replay of [[madOutliers]] over `srcCte` (columns grp, x). */
+  def madOutliersSql(srcCte: String, cut: Double = 3.5): String =
+    s"""__mad_rows AS (
+      SELECT grp, CAST(x AS DOUBLE) AS x FROM $srcCte WHERE x IS NOT NULL),
+    __mad_med AS (
+      SELECT grp, percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS med
+      FROM __mad_rows GROUP BY 1),
+    __mad_dev AS (
+      SELECT r.grp, r.x, m.med, abs(r.x - m.med) AS dev
+      FROM __mad_rows r JOIN __mad_med m USING (grp)),
+    __mad_mad AS (
+      SELECT grp, percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      FROM __mad_dev GROUP BY 1),
+    __mad_out AS (
+      SELECT d.grp, CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(ANY_VALUE(d.med), 6) AS med, ROUND(ANY_VALUE(s.mad), 6) AS mad,
+        CAST(COUNT(CASE WHEN
+          CASE WHEN s.mad > 0
+            THEN d.dev / (CAST('1.4826' AS DOUBLE) * s.mad) END
+          > CAST('${java.lang.Double.toString(cut)}' AS DOUBLE)
+          THEN 1 END) AS BIGINT) AS n_outliers,
+        ROUND(MAX(CASE WHEN s.mad > 0
+          THEN d.dev / (CAST('1.4826' AS DOUBLE) * s.mad) END), 6) AS max_z
+      FROM __mad_dev d JOIN __mad_mad s USING (grp)
+      GROUP BY 1)"""
+
   /** Order-independent grouped table checksum — migration/replication
     * validation (the per-partition check a 100 TB copy job runs instead
     * of comparing rows): md5-56 of the caller's canonical row rendering,

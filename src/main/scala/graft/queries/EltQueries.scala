@@ -225,6 +225,49 @@ object EltQueries {
         THEN ROUND((p.p_retailprice - s.med) / (s.q3 - s.q1), 6) END AS z_robust
     FROM part p JOIN stx s USING (p_brand)"""))
 
+  /** MAD robust outlier audit ([[Quality.madOutliers]]) per order
+    * priority — median/MAD have a 50% breakdown point, so unlike the
+    * mean/stddev z-score the detector is not dragged by the outliers
+    * it should flag. Summary bounded by |groups|; the consistency
+    * constant 1.4826 and the Hampel cut 3.5 are engine-shared
+    * literals; a zero-MAD group yields NULL z by contract. */
+  private val x_dq_mad = Q(
+    "x_dq_mad_outliers",
+    (s, d) => Quality.madOutliers(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_totalprice"))
+      .withColumnRenamed("grp", "priority"),
+    Some(s"""WITH src AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders),
+    ${Quality.madOutliersSql("src")}
+    SELECT grp AS priority, n, med, mad, n_outliers, max_z
+    FROM __mad_out"""))
+
+  /** Hashing-trick feature projection ([[Features.hashedFeatures]],
+    * dim = 8): three categoricals (order status, priority, and the
+    * UNBOUNDED-cardinality customer key — the case the trick exists
+    * for) one-hot under signed hashing plus the price in integer
+    * cents, all summed into 8 fixed slots. Row-local (two portable
+    * digests per feature, zero shuffle, exact long sums) — the oracle
+    * replays every slot bit-for-bit. */
+  private val x_feat_hashing = Q(
+    "x_feat_hashing",
+    (s, d) => Features.hashedFeatures(Tables.orders(s, d),
+      col("o_orderkey"),
+      Seq(
+        concat(lit("stat="), col("o_orderstatus")) -> lit(1L),
+        concat(lit("prio="), col("o_orderpriority")) -> lit(1L),
+        concat(lit("cust="), col("o_custkey")) -> lit(1L),
+        lit("price").as("pn") -> round(col("o_totalprice") * 100, 0)),
+      dim = 8),
+    Some(s"""WITH ${Features.hashedFeaturesSql("orders", "o_orderkey",
+        Seq(
+          "'stat=' || o_orderstatus" -> "1",
+          "'prio=' || o_orderpriority" -> "1",
+          "'cust=' || CAST(o_custkey AS VARCHAR)" -> "1",
+          "'price'" -> "ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0)"),
+        dim = 8)}
+    SELECT * FROM __fh_out"""))
+
   /** Leave-one-out target encoding of the customer's nation against
     * order value ([[Features.targetEncodeLoo]]): each order's feature is
     * the mean o_totalprice of the OTHER orders from the same nation,
@@ -489,5 +532,7 @@ object EltQueries {
     x_ml_als_step,
     x_elt_cdc_apply,
     x_stream_cdc_parity,
+    x_dq_mad,
+    x_feat_hashing,
   )
 }

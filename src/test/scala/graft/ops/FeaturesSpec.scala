@@ -145,4 +145,39 @@ class FeaturesSpec extends SparkSpec {
       assert(base <= loss(u, 0.0, 0.0), s"user $u: zero vector beats the solve")
     }
   }
+
+  test("hashedFeatures: slots sum signed contributions exactly and row-locally") {
+    val df = Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L))
+      .toDF("id", "cat", "v")
+    val out = Features.hashedFeatures(df, $"id",
+      Seq(concat(lit("cat="), $"cat") -> lit(1L), lit("num") -> $"v"), dim = 4)
+    assert(out.columns.toSeq == Seq("id", "f0", "f1", "f2", "f3"))
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (1 to 4).map(r.getLong(_)).toSeq).toMap
+    // every row's slot L1 mass equals |sign*1| + |sign*v| unless the two
+    // features collide into one slot with opposite signs
+    val r1 = rows(1L)
+    assert(r1.map(math.abs).sum == 11L || r1.map(math.abs).sum == 9L)
+    // same cat contributes identically (same bucket, same sign): rows 1
+    // and 3 differ only in the numeric feature's contribution
+    val diff = rows(1L).zip(rows(3L)).map { case (a, b) => b - a }
+    assert(diff.map(math.abs).sum == 20L, s"num delta must be 30-10, got $diff")
+  }
+
+  test("hashedFeatures: NULL feature names contribute to no slot") {
+    val df = Seq((1L, Some("x"), 5L), (2L, None, 5L)).toDF("id", "cat", "v")
+    val out = Features.hashedFeatures(df, $"id",
+      Seq($"cat" -> lit(1L)), dim = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong(_)).sum).toMap
+    assert(math.abs(out(1L)) == 1L)
+    assert(out(2L) == 0L)
+  }
+
+  test("hashedFeatures plans no shuffle (row-local projection)") {
+    val df = Seq((1L, "A", 10L)).toDF("id", "cat", "v")
+    val out = Features.hashedFeatures(df, $"id",
+      Seq($"cat" -> lit(1L), lit("num") -> $"v"), dim = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashing trick must not shuffle:\n$plan")
+  }
 }

@@ -116,4 +116,35 @@ class QualitySpec extends SparkSpec {
       ("AU", "AUTO") -> ((2L, 500000L)),
       ("NZ", "AUTO") -> ((1L, 1000000L))))
   }
+
+  test("madOutliers flags a planted spike and survives a zero-MAD group") {
+    // group "g": 99 values at 100 +- small jitter, one spike at 10000
+    val normal = (0 until 99).map(i => ("g", 100.0 + (i % 7)))
+    val spike = Seq(("g", 10000.0))
+    // group "flat": all identical -> MAD 0 -> NULL z, no outliers
+    val flat = (0 until 20).map(_ => ("flat", 5.0))
+    val out = Quality.madOutliers(
+      (normal ++ spike ++ flat).toDF("k", "x"), $"k", $"x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), Option(r.get(5))))).toMap
+    val (nG, outG, maxZ) = out("g")
+    assert(nG == 100 && outG == 1, s"exactly the spike flags: $outG")
+    assert(maxZ.exists(_.asInstanceOf[Double] > 1000), s"spike z huge: $maxZ")
+    val (nF, outF, zF) = out("flat")
+    assert(nF == 20 && outF == 0 && zF.isEmpty, "zero-MAD group yields NULL z")
+  }
+
+  test("madOutliers is robust where mean/stddev z-scores mask") {
+    // two spikes drag stddev so much that a CLASSICAL z misses them both
+    val vals = (0 until 50).map(_.toDouble % 5) ++ Seq(1e6, 1e6)
+    val df = vals.map(("g", _)).toDF("k", "x")
+    val mad = Quality.madOutliers(df, $"k", $"x").select($"n_outliers")
+      .as[Long].head()
+    assert(mad == 2, s"MAD must flag both planted spikes, got $mad")
+    // classical z < 3.5 for the spikes (stddev ~ 1.96e5 under masking)
+    val stats = df.agg(avg($"x").as("m"), stddev($"x").as("s"))
+      .as[(Double, Double)].head()
+    val zClassic = (1e6 - stats._1) / stats._2
+    assert(zClassic < 5.5, f"fixture must exhibit masking, z=$zClassic%.1f")
+  }
 }
