@@ -243,6 +243,200 @@ object Sketches {
   private def dlit(x: Double): String =
     s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
 
+  /** Q-digest (Shrivastava, Buragohain, Agrawal & Suri 2004) — the
+    * DETERMINISTIC mergeable quantile summary, in contrast to the
+    * engine-private KLL behind `approx_percentile`: the construction is
+    * pure integer arithmetic over the dyadic tree of the value domain,
+    * so the entire digest — every (level, prefix, count) node — and
+    * every quantile estimate replays bit-exactly in another engine,
+    * and the q-digest rank-error GUARANTEE (≤ n·log₂(u)/k) can be
+    * hash-checked rather than merely trusted.
+    *
+    * Construction over a `bits`-bit integer domain (u = 2^bits):
+    * count per leaf value, then for level l = bits … 1, any parent
+    * whose subtree-so-far weight (both children + itself) is ≤
+    * ⌊n/k⌋ absorbs its children. Quantile query: walk nodes in
+    * (hi, lo) order accumulating counts; the first node reaching rank
+    * r = ⌈q·n⌉ answers with its `hi` (an upper-bound estimate —
+    * rank(est) ≥ r always; the guarantee bounds the overshoot).
+    *
+    * Scale shape: the ONLY corpus-sized op is the leaf-count groupBy
+    * (map-side combinable; its output is bounded by the 2^bits domain,
+    * NOT the row count — the sketch's reason to exist). The `bits`
+    * compression rounds then each run one aggregate + one broadcast
+    * anti-join over a ≤ 2^bits-row frame that only shrinks, with an
+    * eager localCheckpoint per round to keep the unrolled plan
+    * bounded. Digest size is O(k·log u) regardless of data. Merging
+    * two digests = UNION ALL + per-node count sum + recompress with
+    * the combined n — same rounds, never re-touching either corpus. */
+  def qdigestBuild(df: DataFrame, value: Column, bits: Int, k: Int): DataFrame = {
+    require(bits >= 2 && bits <= 32, s"bits in [2,32], got $bits")
+    require(k >= 2, s"compression factor k >= 2, got $k")
+    val leaves = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0 && col("v") < (1L << bits))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .select(lit(bits).as("level"), col("v").as("prefix"), col("cnt"))
+    val stats = leaves.agg(sum(col("cnt")).cast("long").as("n"))
+      .select(col("n"), expr(s"n div $k").as("thr"))
+    var nodes = leaves.crossJoin(broadcast(stats)).localCheckpoint(true)
+    for (l <- bits to 1 by -1) {
+      val parents = nodes.filter(col("level") === l - 1)
+        .select(col("prefix").as("pp"), col("cnt").as("pcnt"))
+      val merged = nodes.filter(col("level") === l)
+        .groupBy(shiftright(col("prefix"), 1).as("pp"),
+          col("thr"), col("n"))
+        .agg(sum(col("cnt")).as("csum"))
+        .join(parents, Seq("pp"), "left")
+        .withColumn("tot", col("csum") + coalesce(col("pcnt"), lit(0L)))
+        .filter(col("tot") <= col("thr"))
+        .select(lit(l - 1).as("level"), col("pp").as("prefix"),
+          col("tot").as("cnt"), col("n"), col("thr"))
+      // a node is displaced iff it is a child of a merged parent, or
+      // the merged parent's own prior incarnation
+      val affectedKey = when(col("level") === l, shiftright(col("prefix"), 1))
+        .when(col("level") === l - 1, col("prefix"))
+      val survivors = nodes.withColumn("__aff", affectedKey)
+        .join(broadcast(merged.select(col("prefix").as("__mp"))),
+          col("__aff") === col("__mp"), "left_anti")
+        .drop("__aff")
+      nodes = survivors.unionByName(merged).localCheckpoint(true)
+    }
+    val span = s"shiftleft(CAST(1 AS BIGINT), CAST($bits - level AS INT))"
+    nodes.select(col("level"), col("prefix"), col("cnt"),
+      expr(s"prefix * $span").as("lo"),
+      expr(s"(prefix + 1) * $span - 1").as("hi"),
+      col("n"), col("thr"))
+  }
+
+  /** Quantile estimates from a built digest: for each q, the first
+    * node in (hi, lo) order whose running count reaches r = ⌈q·n⌉
+    * answers with `hi`; alongside, the TRUE rank of that answer and
+    * the q-digest guarantee check `rank_err ≤ n·bits/k` computed from
+    * exact leaf counts (`exact` must be the pre-digest rows of the
+    * same value domain). Windows here order a ≤ O(k·log u)-row digest
+    * and the ≤ 2^bits-row leaf table — bounded frames, not the
+    * corpus. */
+  def qdigestQuantiles(digest: DataFrame, exact: DataFrame, value: Column,
+                       qs: Seq[Double], bits: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = digest.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("hi"), col("lo"))))
+      .select(col("hi"), col("lo"), col("cnt"), col("cum"))
+    val qdf = qs.foldLeft(Option.empty[DataFrame]) { (acc, q) =>
+      val one = digest.select(col("n")).limit(1)
+        .select(lit(q).as("q"),
+          ceil(lit(q) * col("n")).cast("long").as("r"), col("n"))
+      Some(acc.fold(one)(_.unionByName(one)))
+    }.get
+    val est = cum.join(broadcast(qdf), col("cum") >= col("r"))
+      .groupBy(col("q"), col("r"), col("n"))
+      .agg(min(col("hi")).as("est"))
+    val leafCum = exact.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0 && col("v") < (1L << bits))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("lcum", sum(col("c")).over(Window.orderBy(col("v"))))
+    // true rank of the estimate = #values <= est; true quantile = min v
+    // with cumulative count >= r
+    val trueRank = est.join(leafCum, col("v") <= col("est"))
+      .groupBy(col("q"), col("r"), col("n"), col("est"))
+      .agg(max(col("lcum")).as("est_rank"))
+    val exactQ = est.join(leafCum, col("lcum") >= col("r"))
+      .groupBy(col("q")).agg(min(col("v")).as("exact_q"))
+    trueRank.join(exactQ, Seq("q"))
+      .withColumn("rank_err", col("est_rank") - col("r"))
+      .withColumn("within_bound",
+        col("rank_err") * k <= col("n") * bits)
+      .select(col("q"), col("n"), col("r"), col("est"), col("est_rank"),
+        col("exact_q"), col("rank_err"), col("within_bound"))
+  }
+
+  /** DuckDB CTE chain replaying [[qdigestBuild]] over `srcCte` (one
+    * column `v`, pre-cast integral); final CTE `__qd_out` mirrors the
+    * digest schema. One CTE trio per compression round, emitted by the
+    * same loop the DataFrame build runs. */
+  def qdigestBuildSql(srcCte: String, bits: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""__qd_leaves AS (
+      SELECT $bits AS level, v AS prefix, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM $srcCte
+      WHERE v IS NOT NULL AND v >= 0 AND v < ${1L << bits}
+      GROUP BY 2),
+    __qd_stats AS (
+      SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n,
+        CAST(COALESCE(SUM(cnt), 0) // $k AS BIGINT) AS thr
+      FROM __qd_leaves),
+    __qd_n$bits AS MATERIALIZED (
+      SELECT level, prefix, cnt, n, thr
+      FROM __qd_leaves CROSS JOIN __qd_stats)""")
+    for (l <- bits to 1 by -1) {
+      sb.append(s""",
+    __qd_m$l AS MATERIALIZED (
+      SELECT ${l - 1} AS level, c.pp AS prefix,
+        c.csum + COALESCE(p.cnt, 0) AS cnt, c.n, c.thr
+      FROM (
+        SELECT prefix >> 1 AS pp, SUM(cnt) AS csum, ANY_VALUE(n) AS n,
+          ANY_VALUE(thr) AS thr
+        FROM __qd_n$l WHERE level = $l GROUP BY 1) c
+      LEFT JOIN (SELECT prefix, cnt FROM __qd_n$l WHERE level = ${l - 1}) p
+        ON c.pp = p.prefix
+      WHERE c.csum + COALESCE(p.cnt, 0) <= c.thr),
+    __qd_n${l - 1} AS MATERIALIZED (
+      SELECT x.level, x.prefix, x.cnt, x.n, x.thr FROM __qd_n$l x
+      WHERE (CASE WHEN x.level = $l THEN x.prefix >> 1
+                  WHEN x.level = ${l - 1} THEN x.prefix END)
+        NOT IN (SELECT prefix FROM __qd_m$l)
+         OR x.level NOT IN ($l, ${l - 1})
+      UNION ALL
+      SELECT level, prefix, cnt, n, thr FROM __qd_m$l)""")
+    }
+    sb.append(s""",
+    __qd_out AS (
+      SELECT level, prefix, cnt,
+        prefix * (CAST(1 AS BIGINT) << ($bits - level)) AS lo,
+        (prefix + 1) * (CAST(1 AS BIGINT) << ($bits - level)) - 1 AS hi,
+        n, thr
+      FROM __qd_n0)""")
+    sb.toString
+  }
+
+  /** DuckDB replay of [[qdigestQuantiles]] over `__qd_out` (from
+    * [[qdigestBuildSql]]) and the same `srcCte`. Final CTE
+    * `__qdq_out`. */
+  def qdigestQuantilesSql(srcCte: String, qs: Seq[Double],
+                          bits: Int, k: Int): String = {
+    val qList = qs.map(q => s"(${dlit(q)})").mkString(", ")
+    s"""__qdq_cum AS (
+      SELECT hi, lo, cnt,
+        SUM(cnt) OVER (ORDER BY hi, lo) AS cum
+      FROM __qd_out),
+    __qdq_qs AS (
+      SELECT q, CAST(ceil(q * n) AS BIGINT) AS r, n
+      FROM (SELECT unnest([$qList]) AS q) CROSS JOIN __qd_stats),
+    __qdq_est AS (
+      SELECT q, r, n, MIN(hi) AS est
+      FROM __qdq_cum JOIN __qdq_qs ON cum >= r
+      GROUP BY 1, 2, 3),
+    __qdq_leafcum AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS lcum
+      FROM (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM $srcCte
+        WHERE v IS NOT NULL AND v >= 0 AND v < ${1L << bits}
+        GROUP BY 1)),
+    __qdq_rank AS (
+      SELECT e.q, e.r, e.n, e.est, MAX(l.lcum) AS est_rank
+      FROM __qdq_est e JOIN __qdq_leafcum l ON l.v <= e.est
+      GROUP BY 1, 2, 3, 4),
+    __qdq_exact AS (
+      SELECT e.q, MIN(l.v) AS exact_q
+      FROM __qdq_est e JOIN __qdq_leafcum l ON l.lcum >= e.r
+      GROUP BY 1),
+    __qdq_out AS (
+      SELECT r.q, r.n, r.r, r.est, r.est_rank, x.exact_q,
+        r.est_rank - r.r AS rank_err,
+        (r.est_rank - r.r) * $k <= r.n * $bits AS within_bound
+      FROM __qdq_rank r JOIN __qdq_exact x USING (q))"""
+  }
+
   /** DuckDB CTE chain replaying [[hllSketch]] over `srcCte` (columns
     * grp, k0); final CTE `__hll_out` mirrors the output schema. The
     * register CTE `__hll_regs` is exposed for merge replays. */

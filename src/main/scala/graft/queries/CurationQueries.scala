@@ -1476,9 +1476,48 @@ object CurationQueries {
       w.n_hit, w.v_zero, w.z_int, w.registers_csv AS regs_whole
     FROM __hll_m m CROSS JOIN __hll_w w"""))
 
+  /** Q-digest quantile sketch over the order-price distribution
+    * ([[Sketches.qdigestBuild]]: domain = price/10 in a 16-bit dyadic
+    * tree, k = 800) — the output IS the digest: every surviving
+    * (level, prefix, count) node, so the oracle hash pins all 16
+    * integer compression rounds node-for-node, where an
+    * `approx_percentile` KLL could only be bound-checked. */
+  private val x_sketch_qdigest = Q(
+    "x_sketch_qdigest",
+    (s, d) => Sketches.qdigestBuild(Tables.orders(s, d),
+      floor(col("o_totalprice") / 10).cast("long"), bits = 16, k = 800),
+    Some(s"""WITH src AS (
+      SELECT CAST(floor(o_totalprice / 10) AS BIGINT) AS v FROM orders),
+    ${Sketches.qdigestBuildSql("src", bits = 16, k = 800)}
+    SELECT level, prefix, cnt, lo, hi, n, thr FROM __qd_out"""))
+
+  /** Quantile answers from the q-digest with the guarantee CHECKED:
+    * each q's estimate, its true rank from exact leaf counts, the
+    * rank overshoot, and `within_bound` = rank_err ≤ n·log₂(u)/k —
+    * the deterministic error contract of the 2004 paper, computed (not
+    * asserted) on both engines. */
+  private val x_sketch_qdigest_q = Q(
+    "x_sketch_qdigest_quantiles",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val v = floor(col("o_totalprice") / 10).cast("long")
+      val digest = Sketches.qdigestBuild(orders, v, bits = 16, k = 800)
+      Sketches.qdigestQuantiles(digest, orders, v,
+        qs = Seq(0.25, 0.5, 0.9, 0.99), bits = 16, k = 800)
+    },
+    Some(s"""WITH src AS (
+      SELECT CAST(floor(o_totalprice / 10) AS BIGINT) AS v FROM orders),
+    ${Sketches.qdigestBuildSql("src", bits = 16, k = 800)},
+    ${Sketches.qdigestQuantilesSql("src", Seq(0.25, 0.5, 0.9, 0.99),
+        bits = 16, k = 800)}
+    SELECT q, n, r, est, est_rank, exact_q, rank_err, within_bound
+    FROM __qdq_out"""))
+
   def all: Seq[Q] = Seq(
     x_sketch_hll,
     x_sketch_hll_union,
+    x_sketch_qdigest,
+    x_sketch_qdigest_q,
     x_sketch_kmv,
     x_sketch_kmv_setops,
     x_dq_l_diversity,
