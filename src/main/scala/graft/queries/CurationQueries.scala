@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Graph, Multimodal, Quality, Sampling, Scale, Similarity, Sketches, TextOps}
+import graft.ops.{Dedup, Graph, Multimodal, Quality, Sampling, Scale, Similarity, Sketches, TextOps, Urls}
 
 /** Round-5 curation/profiling additions: an exactly-replayable
   * Count–Min sketch, a k-anonymity privacy audit, a GPT-2-style regex
@@ -1513,11 +1513,151 @@ object CurationQueries {
     SELECT q, n, r, est, est_rank, exact_q, rank_err, within_bound
     FROM __qdq_out"""))
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    * two retrieval modalities every RAG/hybrid-search stack runs: the
+    * BM25 lexical top-20 ([[TextOps.bm25TopK]]) and the dense cosine
+    * top-20 for a query embedding ([[Similarity.bruteForceTopK]];
+    * doc_id ≡ vec_id in the testdata), fused by
+    * Σ 1/(60 + rank) — RANK-space fusion, which is what makes RRF the
+    * default hybrid combiner: no score normalization across
+    * incomparable scales, a missing arm contributes 0, and the fused
+    * order depends only on the arms' integer ranks, so it is exactly
+    * engine-replayable (two double divisions per row, rounded before
+    * the fused ranking's total order).
+    *
+    * Scale shape: both arms end bounded (top-k); the fusion is a
+    * full-outer join of two ≤ k-row frames plus a ≤ 2k-row ranking
+    * window — nothing corpus-sized after the arms themselves, and each
+    * arm keeps its own scale path (term-pruned explode; brute-force
+    * swappable for the LSH/IVF serving path with no fusion change). */
+  private val x_text_rrf = Q(
+    "x_text_rrf_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val lex = TextOps.bm25TopK(docs, "doc_id", col("text"),
+          terms = Seq("spark", "window", "scan"), k = 20)
+        .select(col("doc_id"), col("rank").as("rank_lex"))
+      val emb = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_dense"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)), 6))
+        .withColumn("fused_rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+    },
+    Some(s"""WITH lex AS (
+      SELECT doc_id, rank AS rank_lex FROM (
+        ${TextOps.bm25TopKSql(
+          "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
+          Seq("spark", "window", "scan"), 20)})),
+    dense AS (
+      SELECT neighbor_id AS doc_id, rank AS rank_dense FROM (
+        WITH q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+        c AS (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+            ROUND(list_inner_product(qv, cv)
+              / (sqrt(list_inner_product(qv, qv))
+                 * sqrt(list_inner_product(cv, cv))), 6) AS cosine
+          FROM c, q WHERE query_id <> neighbor_id)
+        SELECT neighbor_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored QUALIFY rank <= 20)),
+    f AS (
+      SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id, rank_lex, rank_dense,
+        ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + rank_lex), 0)
+          + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_dense), 0), 6) AS rrf
+      FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+    SELECT doc_id, rank_lex, rank_dense, rrf,
+      CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+        AS fused_rank
+    FROM f"""))
+
+  /** URL-canonicalization dedup ([[Urls.canonicalizeUrl]]) — the
+    * alias-collapse pass crawl curation runs before exact dedup. The
+    * dirty corpus is generated deterministically from the event stream
+    * (same proof shape as the media tables: both engines build
+    * IDENTICAL inputs, so the only way the hashes match is if the
+    * canonicalization itself agrees), exercising every rule at once:
+    * case-shuffled scheme/host, default port 443 dropped vs non-default
+    * 8443 kept, utm params stripped, param order shuffled then sorted,
+    * fragments and trailing slashes dropped. Canonicalization is
+    * row-local; the dedup is ONE combinable groupBy on the canonical
+    * string — output bounded by distinct resources, not crawl size. */
+  private val x_dedup_url = Q(
+    "x_dedup_url_canon",
+    (s, d) => {
+      val e = col("event_id")
+      val scheme = when(e % 3 === 0, lit("https"))
+        .when(e % 3 === 1, lit("HTTPS")).otherwise(lit("Https"))
+      val host = when(e % 2 === 0,
+          concat(lit("shop-"), e % 7, lit(".example.com")))
+        .otherwise(concat(lit("SHOP-"), e % 7, lit(".Example.COM")))
+      val port = when(e % 5 <= 1, lit(":443"))
+        .when(e % 5 === 2, lit(":8443")).otherwise(lit(""))
+      val path = concat(lit("/p/"), col("event_type"), lit("/"), e % 40,
+        when(e % 5 === 0, lit("/")).otherwise(lit("")))
+      val utm = concat(lit("utm_source=m"), e % 11)
+      val refp = concat(lit("ref="), e % 3)
+      val qstr = when(e % 2 === 0, concat(utm, lit("&"), refp))
+        .otherwise(concat(refp, lit("&"), utm))
+      val frag = when(e % 7 === 0, lit("#sec")).otherwise(lit(""))
+      val urls = Tables.events(s, d).filter(col("event_type").isNotNull)
+        .select(e.as("event_id"),
+          concat(scheme, lit("://"), host, port, path, lit("?"), qstr, frag)
+            .as("url"))
+      urls.withColumn("canonical", Urls.canonicalizeUrl(col("url")))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_raw_variants"),
+          min(col("event_id")).as("first_event"))
+    },
+    Some(s"""WITH urls AS (
+      SELECT event_id,
+        (CASE event_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+          ELSE 'Https' END)
+        || '://'
+        || (CASE WHEN event_id % 2 = 0
+            THEN 'shop-' || CAST(event_id % 7 AS VARCHAR) || '.example.com'
+            ELSE 'SHOP-' || CAST(event_id % 7 AS VARCHAR) || '.Example.COM'
+            END)
+        || (CASE WHEN event_id % 5 <= 1 THEN ':443'
+            WHEN event_id % 5 = 2 THEN ':8443' ELSE '' END)
+        || '/p/' || event_type || '/' || CAST(event_id % 40 AS VARCHAR)
+        || (CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END)
+        || '?'
+        || (CASE WHEN event_id % 2 = 0
+            THEN 'utm_source=m' || CAST(event_id % 11 AS VARCHAR)
+              || '&ref=' || CAST(event_id % 3 AS VARCHAR)
+            ELSE 'ref=' || CAST(event_id % 3 AS VARCHAR)
+              || '&utm_source=m' || CAST(event_id % 11 AS VARCHAR) END)
+        || (CASE WHEN event_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM events WHERE event_type IS NOT NULL)
+    SELECT ${Urls.canonicalizeUrlSql("url")} AS canonical,
+      CAST(COUNT(*) AS BIGINT) AS n_urls,
+      CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+      MIN(event_id) AS first_event
+    FROM urls
+    GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     x_sketch_hll,
     x_sketch_hll_union,
     x_sketch_qdigest,
     x_sketch_qdigest_q,
+    x_text_rrf,
+    x_dedup_url,
     x_sketch_kmv,
     x_sketch_kmv_setops,
     x_dq_l_diversity,

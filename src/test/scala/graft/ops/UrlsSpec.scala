@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url")
+      .select(Urls.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalizeUrl applies each rule in isolation") {
+    val cases = Seq(
+      // scheme + host case-folded
+      "HTTPS://Shop.Example.COM/a?x=1" -> "https://shop.example.com/a?x=1",
+      // default port dropped per scheme
+      "https://h.com:443/a" -> "https://h.com/a",
+      "http://h.com:80/a" -> "http://h.com/a",
+      // non-default port KEPT
+      "https://h.com:8443/a" -> "https://h.com:8443/a",
+      "http://h.com:443/a" -> "http://h.com:443/a", // 443 not http default
+      // fragment dropped
+      "https://h.com/a#sec" -> "https://h.com/a",
+      // utm_* stripped, remaining params sorted
+      "https://h.com/a?utm_source=x&ref=2&b=1" -> "https://h.com/a?b=1&ref=2",
+      "https://h.com/a?ref=2&b=1" -> "https://h.com/a?b=1&ref=2",
+      // all params stripped -> no '?'
+      "https://h.com/a?utm_campaign=z" -> "https://h.com/a",
+      // trailing slash dropped, root slash kept
+      "https://h.com/a/b/" -> "https://h.com/a/b",
+      "https://h.com/" -> "https://h.com/")
+    val got = canon(cases.map(_._1): _*)
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((want, actual), in) =>
+        assert(actual == want, s"canon($in) = $actual, want $want")
+    }
+  }
+
+  test("alias family collapses to ONE canonical form") {
+    val aliases = Seq(
+      "https://shop.example.com/p/1?a=1&ref=2",
+      "HTTPS://SHOP.EXAMPLE.COM/p/1?ref=2&a=1",
+      "https://shop.example.com:443/p/1/?a=1&ref=2#frag",
+      "Https://Shop.Example.Com/p/1?utm_source=m&a=1&ref=2")
+    assert(canon(aliases: _*).toSet.size == 1,
+      "all aliases must canonicalize identically")
+    // and a genuinely different resource must NOT collapse
+    val other = canon("https://shop.example.com:8443/p/1?a=1&ref=2").head
+    assert(other != canon(aliases.head).head)
+  }
+
+  test("canonicalization plans no shuffle (row-local expression)") {
+    val df = Seq("https://h.com/a?x=1").toDF("url")
+      .select(Urls.canonicalizeUrl($"url"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
