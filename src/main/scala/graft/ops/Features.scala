@@ -183,6 +183,77 @@ object Features {
       SELECT $keyCol, $slots FROM __fh_staged)"""
   }
 
+  /** Exact ROC-AUC via the Mann–Whitney U statistic — the
+    * threshold-free classifier metric every model-quality gate reports,
+    * computed WITHOUT the textbook global ranking window (which would
+    * shuffle the whole corpus into one task): group rows by DISTINCT
+    * score with per-group positive/negative counts, one cumulative
+    * window over that score-bounded frame, then
+    *   AUC = (concordant + ½·tied) / (n₁·n₀)
+    * with concordant = Σ_s c₁(s)·C₀(<s) and tied = Σ_s c₁(s)·c₀(s).
+    * The numerator is kept as the INTEGER 2·concordant + tied, so the
+    * only float op is one final division (rounded 6 dp) — bit-equal
+    * across engines and partitionings, ties handled exactly (average
+    * ranks), no sampling.
+    *
+    * Scale shape: one combinable groupBy(score), a window over the
+    * DISTINCT-SCORE frame (bounded by score quantization, not rows),
+    * and a 1-row reduce. Degenerate single-class inputs yield NULL.
+    * Returns one row: n_pos, n_neg, tied_pairs, auc, gini. */
+  def binaryAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(score.as("s"), label.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy(col("s"))
+      .agg(count(when(col("y"), lit(1))).as("c1"),
+        count(when(!col("y"), lit(1))).as("c0"))
+    val cum = cells.withColumn("c0_below",
+      coalesce(sum(col("c0")).over(
+        Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    cum.agg(
+        sum(col("c1")).cast("long").as("n_pos"),
+        sum(col("c0")).cast("long").as("n_neg"),
+        sum(col("c1") * col("c0")).cast("long").as("tied_pairs"),
+        sum(col("c1") * col("c0_below")).cast("long").as("conc"))
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((lit(2L) * col("conc") + col("tied_pairs")).cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)))
+      .withColumn("gini", when(col("auc").isNotNull,
+        round(lit(2.0) * col("auc") - lit(1.0), 6)))
+      .select(col("n_pos"), col("n_neg"), col("tied_pairs"),
+        col("auc"), col("gini"))
+  }
+
+  /** DuckDB replay of [[binaryAuc]] over `srcCte` (columns s, y). */
+  def binaryAucSql(srcCte: String): String =
+    s"""__auc_cells AS (
+      SELECT s, CAST(COUNT(CASE WHEN y THEN 1 END) AS BIGINT) AS c1,
+        CAST(COUNT(CASE WHEN NOT y THEN 1 END) AS BIGINT) AS c0
+      FROM $srcCte WHERE s IS NOT NULL AND y IS NOT NULL
+      GROUP BY 1),
+    __auc_cum AS (
+      SELECT s, c1, c0,
+        COALESCE(SUM(c0) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0_below
+      FROM __auc_cells),
+    __auc_out AS (
+      SELECT n_pos, n_neg, tied_pairs, auc,
+        CASE WHEN auc IS NOT NULL
+          THEN ROUND(CAST('2.0' AS DOUBLE) * auc - CAST('1.0' AS DOUBLE), 6)
+        END AS gini
+      FROM (
+        SELECT n_pos, n_neg, tied_pairs,
+          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            ROUND(CAST(2 * conc + tied_pairs AS DOUBLE)
+              / CAST(2 * n_pos * n_neg AS DOUBLE), 6) END AS auc
+        FROM (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+            CAST(SUM(c0) AS BIGINT) AS n_neg,
+            CAST(SUM(c1 * c0) AS BIGINT) AS tied_pairs,
+            CAST(SUM(c1 * c0_below) AS BIGINT) AS conc
+          FROM __auc_cum)))"""
+
   def alsUserStep(ratings: DataFrame, user: String, item: String,
                   rating: Column, lambdaMilli2: Long = 100000L): DataFrame = {
     require(lambdaMilli2 > 0, "ALS needs lambda > 0 (det > 0 proof)")

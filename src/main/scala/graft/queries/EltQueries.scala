@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, Tables}
-import graft.ops.{Features, Quality, Qualify, Snapshot}
+import graft.ops.{Features, Quality, Qualify, Snapshot, TextOps}
 import graft.streaming.EventStream
 
 /** ELT-hardening tier: the warehouse-maintenance operators a team
@@ -267,6 +267,27 @@ object EltQueries {
           "'price'" -> "ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0)"),
         dim = 8)}
     SELECT * FROM __fh_out"""))
+
+  /** Exact ROC-AUC ([[Features.binaryAuc]]) of the hashed-classifier
+    * quality score against the is-English label — the threshold-free
+    * metric a filter-model gate reports next to the per-class
+    * precision/recall of `x_text_langid_eval`. Mann–Whitney with exact
+    * tie handling, integer numerator, ONE final division; no global
+    * ranking window — the cumulative pass runs over the distinct-score
+    * frame. (The hash score carries no real signal, so the value lands
+    * near 0.5 — the metric plumbing, tie correction included, is what
+    * the oracle pins.) */
+  private val x_ml_auc = Q(
+    "x_ml_auc",
+    (s, d) => Features.binaryAuc(
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull),
+      TextOps.hashClfScore(col("text")), col("lang") === "en"),
+    Some(s"""WITH src AS (
+      SELECT ${TextOps.hashClfScoreSql("text")} AS s, lang = 'en' AS y
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    ${Features.binaryAucSql("src")}
+    SELECT n_pos, n_neg, tied_pairs, auc, gini FROM __auc_out"""))
 
   /** Leave-one-out target encoding of the customer's nation against
     * order value ([[Features.targetEncodeLoo]]): each order's feature is
@@ -534,5 +555,6 @@ object EltQueries {
     x_stream_cdc_parity,
     x_dq_mad,
     x_feat_hashing,
+    x_ml_auc,
   )
 }

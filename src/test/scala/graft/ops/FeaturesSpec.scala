@@ -180,4 +180,40 @@ class FeaturesSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"hashing trick must not shuffle:\n$plan")
   }
+
+  test("binaryAuc: perfect separation = 1, reversed = 0, hand AUC with ties exact") {
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val r = Features.binaryAuc(rows.toDF("s", "y"), $"s", $"y")
+        .select($"auc").collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val pos = Seq(10.0 -> true, 9.0 -> true)
+    val neg = Seq(1.0 -> false, 2.0 -> false)
+    assert(auc(pos ++ neg).contains(1.0))
+    assert(auc(pos.map { case (s, _) => (s, false) } ++
+      neg.map { case (s, _) => (s, true) }).contains(0.0))
+    // hand case with a tie: scores pos {3, 2}, neg {2, 1}
+    // pairs: (3>2),(3>1),(2>1) conc=3; (2,2) tie=1 -> (3 + 0.5)/4 = 0.875
+    assert(auc(Seq(3.0 -> true, 2.0 -> true, 2.0 -> false, 1.0 -> false))
+      .contains(0.875))
+    // all ties -> 0.5 exactly
+    assert(auc(Seq(5.0 -> true, 5.0 -> false, 5.0 -> true, 5.0 -> false))
+      .contains(0.5))
+    // degenerate single-class -> NULL
+    assert(auc(Seq(1.0 -> true, 2.0 -> true)).isEmpty)
+  }
+
+  test("binaryAuc equals the naive all-pairs computation on random data") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 300).map { _ =>
+      (math.floor(rng.nextDouble() * 20) / 20.0, rng.nextBoolean()) }
+    val got = Features.binaryAuc(rows.toDF("s", "y"), $"s", $"y")
+      .select($"auc").as[Double].head()
+    val ps = rows.filter(_._2).map(_._1); val ns = rows.filterNot(_._2).map(_._1)
+    val num = (for (p <- ps; n <- ns)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want = BigDecimal(num / (ps.size.toDouble * ns.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == want, s"grouped AUC $got != all-pairs $want")
+  }
 }
