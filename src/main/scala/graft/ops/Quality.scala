@@ -224,6 +224,95 @@ object Quality {
       FROM __mad_dev d JOIN __mad_mad s USING (grp)
       GROUP BY 1)"""
 
+  /** Population Stability Index — THE model-monitoring drift metric
+    * (credit-risk lineage, now standard for feature/score drift):
+    * PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref), with the usual
+    * reading (<0.1 stable, 0.1–0.25 shifting, >0.25 drifted). Extends
+    * the delta-based `x_dq_drift` with the information-theoretic form
+    * (symmetrized KL) that weights a bin's shift by its log-ratio.
+    *
+    * Exactness discipline: bin shares come from exact integer counts;
+    * each bin's term is micro-quantized — round(term·1e6) — the same
+    * libm-pinning as BM25's idf, so the integer SUM is
+    * order-independent and engine-replayable. A bin empty on either
+    * side has no defined log-ratio: its term is NULL (excluded from
+    * the sum) and the bin is flagged, rather than the epsilon-fudge
+    * that makes PSI silently depend on a chosen epsilon.
+    *
+    * Scale shape: two combinable histogram aggregates (one per
+    * period, map-side collapsed), a |bins|-row full-outer join, and a
+    * 1-row reduce broadcast back — nothing corpus-sized after the
+    * scans. Output: one row per bin (counts, term) plus the total
+    * `psi_micro` and degenerate-bin count on every row. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, value: Column,
+               lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"bad psi shape [$lo,$hi) x $nBins")
+    val width = (hi - lo) / nBins
+    def binned(df: DataFrame, cnt: String) =
+      df.select(value.cast("double").as("x")).filter(col("x").isNotNull)
+        .withColumn("bin", least(greatest(
+          floor((col("x") - lit(lo)) / lit(width)).cast("long"), lit(0L)),
+          lit(nBins - 1L)))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    val joined = binned(ref, "c_ref").join(binned(cur, "c_cur"), Seq("bin"),
+        "full_outer")
+      .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = joined.agg(sum(col("c_ref")).cast("long").as("n_ref"),
+      sum(col("c_cur")).cast("long").as("n_cur"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .withColumn("term_micro",
+        when(col("c_ref") > 0 && col("c_cur") > 0, round(
+          (col("c_cur").cast("double") / col("n_cur").cast("double")
+            - col("c_ref").cast("double") / col("n_ref").cast("double"))
+            * log((col("c_cur").cast("double") * col("n_ref").cast("double"))
+              / (col("c_ref").cast("double") * col("n_cur").cast("double")))
+            * lit(1e6)).cast("long")))
+      .localCheckpoint(true) // feeds both the total reduce and the output
+    val total = terms.agg(sum(col("term_micro")).as("psi_micro"),
+      count(when(col("term_micro").isNull, lit(1))).as("n_degenerate_bins"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("c_ref"), col("c_cur"), col("term_micro"),
+        col("psi_micro"), col("n_degenerate_bins"))
+  }
+
+  /** DuckDB replay of [[psiDrift]] over `refCte`/`curCte` (one column
+    * x each); final CTE `__psi_out`. */
+  def psiDriftSql(refCte: String, curCte: String,
+                  lo: Double, hi: Double, nBins: Int): String = {
+    val width = (hi - lo) / nBins
+    def wlit(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    def binned(src: String, cnt: String) =
+      s"""(SELECT LEAST(GREATEST(CAST(floor((CAST(x AS DOUBLE) - ${wlit(lo)})
+            / ${wlit(width)}) AS BIGINT), 0), ${nBins - 1}) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS $cnt
+        FROM $src WHERE x IS NOT NULL GROUP BY 1)"""
+    s"""__psi_j AS (
+      SELECT COALESCE(r.bin, c.bin) AS bin,
+        COALESCE(r.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+      FROM ${binned(refCte, "c_ref")} r
+      FULL OUTER JOIN ${binned(curCte, "c_cur")} c ON r.bin = c.bin),
+    __psi_tot AS (
+      SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+        CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM __psi_j),
+    __psi_terms AS (
+      SELECT bin, c_ref, c_cur,
+        CASE WHEN c_ref > 0 AND c_cur > 0 THEN
+          CAST(ROUND((CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+            - CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))
+            * ln((CAST(c_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))
+              / (CAST(c_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
+            * 1000000) AS BIGINT) END AS term_micro
+      FROM __psi_j CROSS JOIN __psi_tot),
+    __psi_out AS (
+      SELECT bin, c_ref, c_cur, term_micro,
+        (SELECT CAST(SUM(term_micro) AS BIGINT) FROM __psi_terms)
+          AS psi_micro,
+        (SELECT CAST(COUNT(CASE WHEN term_micro IS NULL THEN 1 END)
+          AS BIGINT) FROM __psi_terms) AS n_degenerate_bins
+      FROM __psi_terms)"""
+  }
+
   /** Order-independent grouped table checksum — migration/replication
     * validation (the per-partition check a 100 TB copy job runs instead
     * of comparing rows): md5-56 of the caller's canonical row rendering,

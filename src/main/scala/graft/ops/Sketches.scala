@@ -299,7 +299,14 @@ object Sketches {
         .join(broadcast(merged.select(col("prefix").as("__mp"))),
           col("__aff") === col("__mp"), "left_anti")
         .drop("__aff")
-      nodes = survivors.unionByName(merged).localCheckpoint(true)
+      nodes = survivors.unionByName(merged)
+      // checkpoint every other round: each round consumes `nodes` three
+      // times (parents, children, survivors), so an unchecked chain
+      // re-executes the prior round's plan a bounded number of times on
+      // a domain-bounded frame — while halving the per-round fixed job
+      // cost that dominates this sketch's wall time (the data never
+      // does; see the 1.2× ratio at 100×)
+      if (l % 2 == 1) nodes = nodes.localCheckpoint(true)
     }
     val span = s"shiftleft(CAST(1 AS BIGINT), CAST($bits - level AS INT))"
     nodes.select(col("level"), col("prefix"), col("cnt"),

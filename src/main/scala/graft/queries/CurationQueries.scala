@@ -1412,6 +1412,66 @@ object CurationQueries {
       exact_distinct, registers_csv
     FROM __hll_out s JOIN exact USING (grp)"""))
 
+  /** STREAMING parity of the HLL sketch: the register fold is a
+    * streaming groupBy(grp, bucket) MAX over micro-batches — the
+    * commutative/idempotent max is exactly what lets the sketch absorb
+    * an unbounded stream in bounded state (≤ |groups|·64 registers in
+    * the store, however many events arrive). The corpus is landed as
+    * TWO files read one per trigger, so registers must merge across
+    * the state store, and the final register file + estimate must
+    * equal the batch sketch — the ORACLE IS SHARED with
+    * `x_sketch_hll`. */
+  private val streamHllFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x_stream_hll_parity = Q(
+    "x_stream_hll_parity",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
+        .select(col("event_type"), col("user_id"))
+      val tmp = streamHllFixtureDirs.getOrElseUpdate(d, {
+        val t = ExtensionQueries.fixtureTempDir("graft_stream_hll")
+        ev.filter(col("user_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(t)
+        ev.filter(col("user_id") % 2 =!= 0).coalesce(1)
+          .write.mode("append").parquet(t)
+        t
+      })
+      val src = s.readStream
+        .schema("event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1") // registers must cross batches
+        .parquet(tmp)
+      val regs = src
+        .select(col("event_type").as("grp"),
+          Sampling.hashValue(col("user_id")).as("h"))
+        .select(col("grp"), (col("h") % Sketches.HllM).as("bucket"),
+          shiftright(col("h"), 6).as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(51))
+          .otherwise(lit(51) - length(bin(col("w")))))
+        .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("reg"))
+      val sink = "x_stream_hll_parity_sink"
+      val sq = regs.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val sk = Sketches.hllEstimate(s.table(sink).localCheckpoint(true))
+      val exact = ev.groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      sk.join(exact, Seq("grp"))
+        .select(col("grp").as("event_type"), col("n_hit"), col("v_zero"),
+          col("z_int"), col("est_hll"), col("exact_distinct"),
+          col("registers_csv"))
+    },
+    Some(s"""WITH src AS (
+      SELECT event_type AS grp, user_id AS k0 FROM events
+      WHERE event_type IS NOT NULL),
+    ${Sketches.hllSketchSql("src")},
+    exact AS (
+      SELECT grp, COUNT(DISTINCT k0) AS exact_distinct FROM src GROUP BY 1)
+    SELECT s.grp AS event_type, n_hit, v_zero, z_int, est_hll,
+      exact_distinct, registers_csv
+    FROM __hll_out s JOIN exact USING (grp)"""))
+
   /** HLL merge identity — the property the register file exists for:
     * the UNION of two corpora's sketches (per-bucket register MAX, a
     * bounded array-table op that never re-touches either corpus) must
@@ -1654,6 +1714,7 @@ object CurationQueries {
   def all: Seq[Q] = Seq(
     x_sketch_hll,
     x_sketch_hll_union,
+    x_stream_hll_parity,
     x_sketch_qdigest,
     x_sketch_qdigest_q,
     x_text_rrf,

@@ -268,6 +268,32 @@ object EltQueries {
         dim = 8)}
     SELECT * FROM __fh_out"""))
 
+  /** Population Stability Index ([[Quality.psiDrift]]) between the
+    * pre-1996 and 1996+ order-value distributions — the
+    * information-theoretic drift gauge (symmetrized KL over shared
+    * bins) next to `x_dq_drift`'s raw deltas. Per-bin micro-quantized
+    * terms, empty-on-either-side bins NULLed and flagged instead of
+    * epsilon-fudged. */
+  private val x_dq_psi = Q(
+    "x_dq_psi",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderdate").isNotNull)
+      Quality.psiDrift(
+        o.filter(col("o_orderdate") < lit("1996-01-01").cast("date")),
+        o.filter(col("o_orderdate") >= lit("1996-01-01").cast("date")),
+        col("o_totalprice"), lo = 0.0, hi = 600000.0, nBins = 10)
+    },
+    Some(s"""WITH refsrc AS (
+      SELECT o_totalprice AS x FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderdate < DATE '1996-01-01'),
+    cursrc AS (
+      SELECT o_totalprice AS x FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderdate >= DATE '1996-01-01'),
+    ${Quality.psiDriftSql("refsrc", "cursrc",
+        lo = 0.0, hi = 600000.0, nBins = 10)}
+    SELECT bin, c_ref, c_cur, term_micro, psi_micro, n_degenerate_bins
+    FROM __psi_out"""))
+
   /** Exact ROC-AUC ([[Features.binaryAuc]]) of the hashed-classifier
     * quality score against the is-English label — the threshold-free
     * metric a filter-model gate reports next to the per-class
@@ -556,5 +582,6 @@ object EltQueries {
     x_dq_mad,
     x_feat_hashing,
     x_ml_auc,
+    x_dq_psi,
   )
 }

@@ -147,4 +147,30 @@ class QualitySpec extends SparkSpec {
     val zClassic = (1e6 - stats._1) / stats._2
     assert(zClassic < 5.5, f"fixture must exhibit masking, z=$zClassic%.1f")
   }
+
+  test("psiDrift: identical distributions give PSI 0; a planted shift is flagged") {
+    val ref = (0 until 1000).map(i => ("r", (i % 10) * 10.0 + 5.0))
+    // identical shape -> every term 0
+    val same = Quality.psiDrift(ref.toDF("g", "x"), ref.toDF("g", "x"),
+      $"x", lo = 0.0, hi = 100.0, nBins = 10)
+      .select($"psi_micro").as[Long].head()
+    assert(same == 0L)
+    // shove 30% of mass from the low bins into the top bin
+    val cur = ref.map { case (g, x) => (g, if (x < 30) 95.0 else x) }
+    val out = Quality.psiDrift(ref.toDF("g", "x"), cur.toDF("g", "x"),
+      $"x", lo = 0.0, hi = 100.0, nBins = 10)
+    val psi = out.select($"psi_micro").as[Long].head()
+    assert(psi > 250000L, s"a 30% mass move must exceed the 0.25 drift bar, got $psi")
+    // the emptied bins are degenerate (cur side 0), flagged not fudged
+    val degen = out.select($"n_degenerate_bins").as[Long].head()
+    assert(degen == 3L, s"three emptied bins must be flagged, got $degen")
+  }
+
+  test("psiDrift clamps out-of-range values into the edge bins") {
+    val ref = Seq(("g", -50.0), ("g", 500.0), ("g", 50.0))
+    val out = Quality.psiDrift(ref.toDF("g", "x"), ref.toDF("g", "x"),
+      $"x", lo = 0.0, hi = 100.0, nBins = 10)
+      .select($"bin", $"c_ref").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
 }
