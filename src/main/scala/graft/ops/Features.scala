@@ -225,6 +225,75 @@ object Features {
         col("auc"), col("gini"))
   }
 
+  /** Reliability diagram + Expected Calibration Error — the companion
+    * to [[binaryAuc]]: AUC measures ranking, calibration measures
+    * whether the score's VALUE means what it claims (a 0.8 bucket
+    * should be ~80% positive). Scores in [-1, 1] map to predicted
+    * probability p = (s+1)/2, bucketed into `nBins` equal-width
+    * confidence bins; per bin the empirical positive rate, mean
+    * confidence, and gap, all micro-quantized from exact integer
+    * counts and micro-sums;
+    *   ECE = Σ_b (n_b/N)·|emp_b − conf_b|
+    * is emitted (micro) on every row. One combinable groupBy + a
+    * 1-row reduce broadcast back — nothing corpus-sized after the
+    * scan. Bin = floor(p·nBins) clamped to the top bin (p = 1). */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val rows = df.select(score.as("s"), label.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .withColumn("p_micro",
+        round((col("s") + lit(1.0)) / lit(2.0) * lit(1e6)).cast("long"))
+      .withColumn("bin", least(
+        floor(col("p_micro") * nBins / lit(1000000L)).cast("long"),
+        lit(nBins - 1L)))
+    val bins = rows.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("y"), lit(1))).as("n_pos"),
+        sum(col("p_micro")).as("conf_sum_micro"))
+      .withColumn("emp_micro",
+        round(col("n_pos").cast("double") / col("n").cast("double") * lit(1e6))
+          .cast("long"))
+      .withColumn("conf_micro",
+        round(col("conf_sum_micro").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .withColumn("gap_micro", abs(col("emp_micro") - col("conf_micro")))
+      .localCheckpoint(true) // feeds the ECE reduce AND the output
+    val ece = bins.agg(floor(sum(col("n") * col("gap_micro"))
+        / sum(col("n"))).cast("long").as("ece_micro"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"), col("emp_micro"),
+        col("conf_micro"), col("gap_micro"), col("ece_micro"))
+  }
+
+  /** DuckDB replay of [[calibrationBins]] over `srcCte` (columns s, y);
+    * final CTE `__cal_out`. */
+  def calibrationBinsSql(srcCte: String, nBins: Int = 10): String =
+    s"""__cal_rows AS (
+      SELECT CAST(ROUND((s + CAST('1.0' AS DOUBLE)) / CAST('2.0' AS DOUBLE)
+          * 1000000) AS BIGINT) AS p_micro, y
+      FROM $srcCte WHERE s IS NOT NULL AND y IS NOT NULL),
+    __cal_bins AS (
+      SELECT bin, n, n_pos,
+        CAST(ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+          AS BIGINT) AS emp_micro,
+        CAST(ROUND(CAST(conf_sum_micro AS DOUBLE) / CAST(n AS DOUBLE))
+          AS BIGINT) AS conf_micro
+      FROM (
+        SELECT LEAST(CAST(floor(p_micro * $nBins / 1000000) AS BIGINT),
+            ${nBins - 1}) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+          CAST(SUM(p_micro) AS BIGINT) AS conf_sum_micro
+        FROM __cal_rows GROUP BY 1)),
+    __cal_out AS (
+      SELECT bin, n, n_pos, emp_micro, conf_micro,
+        abs(emp_micro - conf_micro) AS gap_micro,
+        (SELECT CAST(floor(CAST(SUM(n * abs(emp_micro - conf_micro)) AS DOUBLE)
+            / CAST(SUM(n) AS DOUBLE)) AS BIGINT)
+         FROM __cal_bins) AS ece_micro
+      FROM __cal_bins)"""
+
   /** DuckDB replay of [[binaryAuc]] over `srcCte` (columns s, y). */
   def binaryAucSql(srcCte: String): String =
     s"""__auc_cells AS (

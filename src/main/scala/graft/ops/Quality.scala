@@ -313,6 +313,80 @@ object Quality {
       FROM __psi_terms)"""
   }
 
+  /** Differentially-private counts under the (truncated) GEOMETRIC
+    * mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the discrete
+    * analogue of Laplace, and the utility-optimal mechanism for count
+    * queries): per group, count + K where
+    * P(K = k) ∝ α^|k|, α = e^−ε, truncated to [−B, B].
+    *
+    * The noise draw is by INVERSE CDF over the engine-portable hash:
+    * u = hash56(seed ‖ group) ∈ [0, 2⁵⁶) compared against the CDF
+    * thresholds t_k = ⌊CDF(k)·2⁵⁶⌋, which are computed ONCE in Scala
+    * and embedded as long literals in both engines — so the sampling
+    * is pure integer comparison, no transcendental is ever evaluated
+    * per-engine, and the entire mechanism replays bit-exactly (the
+    * point here: DP pipelines need replayable unit tests of the
+    * mechanism; a DEPLOYMENT swaps the public seed for a secret one
+    * and drops the diagnostic columns, changing no plan shape).
+    * Released counts are clamped at 0 (post-processing, ε-free).
+    *
+    * Scale shape: one combinable count keyed by the group, then
+    * row-local noise arithmetic on the |groups|-bounded frame. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[Column], eps: Double,
+                    b: Int = 16, seed: String = "dp"): DataFrame = {
+    val (thresholds, _) = dpGeomThresholds(eps, b)
+    // materialize the group exprs under their output names first, so the
+    // per-group noise key is built from the POST-aggregation columns
+    val named = df.select(groupCols: _*)
+    val names = named.columns.toSeq
+    val key = concat_ws("|",
+      (lit(seed) +: names.map(col(_).cast("string"))): _*)
+    val u = Sampling.hashValue(key)
+    // ascending CASE chain over the 2B precomputed thresholds
+    val noise = thresholds.foldRight(lit(b)) {
+      case ((t, k), acc) => when(u < t, lit(k)).otherwise(acc)
+    }
+    named.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", noise)
+      .withColumn("n_noisy", greatest(col("n_true") + col("noise"), lit(0L)))
+  }
+
+  /** CDF thresholds of the two-sided geometric in 2⁵⁶-integer u-space:
+    * pairs (t_k, k) for k = −B..B−1, ascending; u ≥ last ⇒ k = B. */
+  def dpGeomThresholds(eps: Double, b: Int): (Seq[(Long, Int)], Double) = {
+    require(eps > 0 && b >= 1, s"need eps > 0, B >= 1; got $eps, $b")
+    val alpha = math.exp(-eps)
+    def cdf(k: Int): Double =
+      if (k < 0) math.pow(alpha, -k) / (1 + alpha)
+      else 1 - math.pow(alpha, k + 1) / (1 + alpha)
+    val two56 = math.pow(2, 56)
+    ((-b until b).map(k => (math.floor(cdf(k) * two56).toLong, k)), alpha)
+  }
+
+  /** DuckDB replay of [[dpNoisyCounts]] over `srcCte`, grouping by
+    * `groupExprs` (select-list exprs, also used for GROUP BY); final
+    * CTE `__dp_out` = groups + n_true, noise, n_noisy. */
+  def dpNoisyCountsSql(srcCte: String, groupExprs: Seq[String], eps: Double,
+                       b: Int = 16, seed: String = "dp"): String = {
+    val (thresholds, _) = dpGeomThresholds(eps, b)
+    val key = (s"'$seed'" +: groupExprs.map(g => s"CAST($g AS VARCHAR)"))
+      .mkString(" || '|' || ")
+    val cases = thresholds
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("\n        ")
+    val gs = groupExprs.mkString(", ")
+    s"""__dp_cnt AS (
+      SELECT $gs, CAST(COUNT(*) AS BIGINT) AS n_true,
+        ${Sampling.hashValueSql(key)} AS u
+      FROM $srcCte GROUP BY ${(1 to groupExprs.size).mkString(", ")}),
+    __dp_out AS (
+      SELECT $gs, n_true,
+        (CASE $cases ELSE $b END) AS noise,
+        GREATEST(n_true + (CASE $cases ELSE $b END), 0) AS n_noisy
+      FROM __dp_cnt)"""
+  }
+
   /** Order-independent grouped table checksum — migration/replication
     * validation (the per-partition check a 100 TB copy job runs instead
     * of comparing rows): md5-56 of the caller's canonical row rendering,

@@ -268,6 +268,28 @@ object EltQueries {
         dim = 8)}
     SELECT * FROM __fh_out"""))
 
+  /** Differentially-private release of order counts per (priority,
+    * year) under the truncated geometric mechanism
+    * ([[Quality.dpNoisyCounts]], ε = 0.5, B = 16) — noise drawn by
+    * integer inverse-CDF against thresholds precomputed once and
+    * embedded in BOTH engines, so the whole mechanism replays
+    * bit-exactly (a deployment swaps the public seed for a secret one
+    * and drops the diagnostic columns). */
+  private val x_dq_dp = Q(
+    "x_dq_dp_counts",
+    (s, d) => Quality.dpNoisyCounts(
+        Tables.orders(s, d).filter(col("o_orderdate").isNotNull),
+        Seq(col("o_orderpriority"), year(col("o_orderdate")).as("yr")),
+        eps = 0.5)
+      .select(col("o_orderpriority"), col("yr"), col("n_true"),
+        col("noise"), col("n_noisy")),
+    Some(s"""WITH src AS (
+      SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr
+      FROM orders WHERE o_orderdate IS NOT NULL),
+    ${Quality.dpNoisyCountsSql("src", Seq("o_orderpriority", "yr"),
+        eps = 0.5)}
+    SELECT o_orderpriority, yr, n_true, noise, n_noisy FROM __dp_out"""))
+
   /** Population Stability Index ([[Quality.psiDrift]]) between the
     * pre-1996 and 1996+ order-value distributions — the
     * information-theoretic drift gauge (symmetrized KL over shared
@@ -314,6 +336,24 @@ object EltQueries {
       FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
     ${Features.binaryAucSql("src")}
     SELECT n_pos, n_neg, tied_pairs, auc, gini FROM __auc_out"""))
+
+  /** Reliability diagram + ECE ([[Features.calibrationBins]]) for the
+    * hashed-classifier score against the is-English label — the
+    * calibration half of the model gate (`x_ml_auc` is the ranking
+    * half): per-confidence-bin empirical rate vs mean confidence, and
+    * the weighted gap summary, all micro-exact. */
+  private val x_ml_calibration = Q(
+    "x_ml_calibration",
+    (s, d) => Features.calibrationBins(
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull),
+      TextOps.hashClfScore(col("text")), col("lang") === "en"),
+    Some(s"""WITH src AS (
+      SELECT ${TextOps.hashClfScoreSql("text")} AS s, lang = 'en' AS y
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    ${Features.calibrationBinsSql("src")}
+    SELECT bin, n, n_pos, emp_micro, conf_micro, gap_micro, ece_micro
+    FROM __cal_out"""))
 
   /** Leave-one-out target encoding of the customer's nation against
     * order value ([[Features.targetEncodeLoo]]): each order's feature is
@@ -583,5 +623,7 @@ object EltQueries {
     x_feat_hashing,
     x_ml_auc,
     x_dq_psi,
+    x_ml_calibration,
+    x_dq_dp,
   )
 }

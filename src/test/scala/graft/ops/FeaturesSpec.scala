@@ -216,4 +216,34 @@ class FeaturesSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got == want, s"grouped AUC $got != all-pairs $want")
   }
+
+  test("calibrationBins: a perfectly calibrated score has zero gaps and ECE") {
+    // score s -> p=(s+1)/2; build bins where the empirical rate equals
+    // the bin's constant confidence exactly
+    val rows = Seq.tabulate(10) { b =>
+      val p = b / 10.0 + 0.05               // bin-center confidence
+      val s = 2 * p - 1
+      val n = 20
+      val pos = (p * n).round.toInt
+      Seq.fill(pos)((s, true)) ++ Seq.fill(n - pos)((s, false))
+    }.flatten
+    val out = Features.calibrationBins(rows.toDF("s", "y"), $"s", $"y")
+      .select($"bin", $"gap_micro", $"ece_micro").collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(2) == 0L), "ECE must be 0 when calibrated")
+    assert(out.forall(_.getLong(1) == 0L), "every bin gap must be 0")
+  }
+
+  test("calibrationBins: a systematically overconfident score shows the gap") {
+    // claims 90% but delivers 50%
+    val rows = Seq.fill(50)((0.8, true)) ++ Seq.fill(50)((0.8, false))
+    val out = Features.calibrationBins(rows.toDF("s", "y"), $"s", $"y")
+      .select($"bin", $"emp_micro", $"conf_micro", $"gap_micro", $"ece_micro")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 9L)              // p = 0.9 -> top bin
+    assert(r.getLong(1) == 500000L && r.getLong(2) == 900000L)
+    assert(r.getLong(3) == 400000L && r.getLong(4) == 400000L)
+  }
 }

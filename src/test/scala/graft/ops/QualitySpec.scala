@@ -173,4 +173,36 @@ class QualitySpec extends SparkSpec {
       .select($"bin", $"c_ref").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(0L -> 1L, 5L -> 1L, 9L -> 1L))
   }
+
+  test("dpNoisyCounts: noise is bounded, deterministic, and distribution-shaped") {
+    val df = (0 until 2000).map(i => (s"g${i % 200}", i)).toDF("g", "v")
+    val out = Quality.dpNoisyCounts(df, Seq($"g"), eps = 0.5)
+      .select($"g", $"n_true", $"noise", $"n_noisy").collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      assert(math.abs(r.getInt(2)) <= 16, "noise must be truncated to [-B, B]")
+      assert(r.getLong(3) == math.max(r.getLong(1) + r.getInt(2), 0L))
+    }
+    // deterministic under re-run and re-partitioning
+    val again = Quality.dpNoisyCounts(df.repartition(7), Seq($"g"), eps = 0.5)
+      .select($"g", $"noise").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    out.foreach(r => assert(again(r.getString(0)) == r.getInt(2)))
+    // shape: mean |noise| for eps=0.5 is ~2alpha/(1-alpha^2)/... ~ 1.9;
+    // across 200 groups demand SOME spread and near-zero mean
+    val noises = out.map(_.getInt(2))
+    assert(noises.distinct.length > 5, "noise must actually vary")
+    assert(math.abs(noises.sum.toDouble / noises.length) < 1.0,
+      "two-sided noise must be near-zero-mean across many groups")
+  }
+
+  test("dpGeomThresholds: CDF thresholds are strictly increasing and cover u-space") {
+    val (ts, alpha) = Quality.dpGeomThresholds(0.5, 16)
+    assert(ts.length == 32)
+    assert(ts.map(_._1) == ts.map(_._1).sorted)
+    assert(ts.map(_._2) == (-16 until 16))
+    assert(alpha > 0.60 && alpha < 0.61)
+    // P(K <= -1) + P(K = 0) = CDF(0): sanity of the closed forms
+    val c0 = ts.find(_._2 == 0).get._1.toDouble / math.pow(2, 56)
+    assert(math.abs(c0 - (1 - alpha / (1 + alpha))) < 1e-12)
+  }
 }
