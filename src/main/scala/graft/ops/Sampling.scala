@@ -344,4 +344,96 @@ object Sampling {
     * limit are left to the caller's QUALIFY/ORDER BY). */
   def prioritySql(keyExpr: String, weightExpr: String): String =
     s"CAST($weightExpr AS DOUBLE) / CAST(${hashValueSql(keyExpr)} + 1 AS DOUBLE)"
+
+  /** Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams" — Google's resampling scheme for data
+    * too large to permute): classical bootstrap resampling needs n
+    * draws WITH replacement from n rows — impossible row-local — but
+    * each row's multiplicity in a resample is asymptotically
+    * Poisson(1), which CAN be drawn row-locally. Each of `replicas`
+    * resamples weights every row by an independent Poisson(1) draw;
+    * replica means then give the sampling distribution, and the
+    * [2.5%, 97.5%] replica quantiles the 95% CI of the mean.
+    *
+    * Determinism: the draw is integer inverse-CDF over the portable
+    * hash of (replica, row id) against CDF thresholds computed ONCE
+    * and embedded in both engines (same discipline as the DP geometric
+    * mechanism); truncation at k = 6 drops 1e-4 of mass. Values are
+    * integer (cents-style) so replica sums are exact longs; each
+    * replica mean is ONE double division.
+    *
+    * Scale shape: the explode is ×replicas map volume, but the
+    * groupBy(replica) partial-aggregates to `replicas` rows per
+    * partition before the shuffle — the statistic ships, the data
+    * never does. The quantile runs over the `replicas`-row frame.
+    * Returns one row: n, point, ci_lo, ci_hi (value units, 6 dp),
+    * n_replicas. */
+  val PoissonThresholds: Seq[(Long, Int)] = {
+    val eInv = math.exp(-1.0)
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L)
+    val cdf = fact.indices.map(k =>
+      (0 to k).map(j => eInv / fact(j)).sum)
+    val two56 = math.pow(2, 56)
+    cdf.zipWithIndex.map { case (c, k) => (math.floor(c * two56).toLong, k) }
+  }
+
+  def poissonWeight(u: Column): Column =
+    PoissonThresholds.foldRight(lit(6)) {
+      case ((t, k), acc) => when(u < t, lit(k)).otherwise(acc)
+    }
+
+  def bootstrapMeanCi(df: org.apache.spark.sql.DataFrame, id: Column,
+                      value: Column, replicas: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    require(replicas >= 8, s"need >= 8 replicas for quantiles, got $replicas")
+    val rows = df.select(id.cast("string").as("__id"),
+        value.cast("long").as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull)
+      .localCheckpoint(true) // feeds the point estimate AND the explode
+    val reps = rows
+      .select(col("__id"), col("__v"),
+        explode(array((0 until replicas).map(lit(_)): _*)).as("r"))
+      .withColumn("w", poissonWeight(hashValue(
+        concat_ws(":", lit("boot"), col("r"), col("__id")))))
+      .groupBy(col("r"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("__v")).as("swv"))
+      .filter(col("sw") > 0)
+      .select((col("swv").cast("double") / col("sw").cast("double")).as("m"))
+    val ci = reps.agg(
+      round(percentile(col("m"), lit(0.025)), 6).as("ci_lo"),
+      round(percentile(col("m"), lit(0.975)), 6).as("ci_hi"),
+      count(lit(1)).as("n_replicas"))
+    rows.agg(count(lit(1)).as("n"),
+        round(sum(col("__v")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("point"))
+      .crossJoin(ci)
+  }
+
+  /** DuckDB replay of [[bootstrapMeanCi]] over `srcCte` (columns id0,
+    * v0); final CTE `__boot_out`. */
+  def bootstrapMeanCiSql(srcCte: String, replicas: Int = 32): String = {
+    val cases = PoissonThresholds
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""__boot_rows AS (
+      SELECT CAST(id0 AS VARCHAR) AS id, CAST(v0 AS BIGINT) AS v
+      FROM $srcCte WHERE id0 IS NOT NULL AND v0 IS NOT NULL),
+    __boot_w AS (
+      SELECT rr.r, v, (CASE $cases ELSE 6 END) AS w
+      FROM __boot_rows CROSS JOIN (
+        SELECT unnest(range($replicas)) AS r) rr
+      CROSS JOIN LATERAL (SELECT ${hashValueSql(
+        "'boot' || ':' || CAST(rr.r AS VARCHAR) || ':' || id")} AS u) h),
+    __boot_reps AS (
+      SELECT CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+      FROM __boot_w GROUP BY r HAVING SUM(w) > 0),
+    __boot_out AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM __boot_rows) AS n,
+        (SELECT ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         FROM __boot_rows) AS point,
+        ROUND(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 6) AS ci_lo,
+        ROUND(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 6) AS ci_hi,
+        CAST(COUNT(*) AS BIGINT) AS n_replicas
+      FROM __boot_reps)"""
+  }
 }

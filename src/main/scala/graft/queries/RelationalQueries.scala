@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{Exact, Tables}
+import graft.ops.Sampling
 
 /** Relational-completeness extensions: SQL surface the reference never
   * reaches for (SURVEY §2.3 "no semi/anti joins", §2.4 "no grouping
@@ -622,6 +623,27 @@ object RelationalQueries {
     * corpus scale. Spark's builtin regr_* run float accumulation;
     * these sums are order-independent, so the oracle replays them
     * bit-for-bit. */
+  /** Poisson-bootstrap 95% CI for the mean order value
+    * ([[Sampling.bootstrapMeanCi]], 32 replicas) — uncertainty
+    * quantification at corpus scale: with-replacement resampling is
+    * impossible row-local, but Poisson(1) multiplicities are not, so
+    * every replica is a weighted pass whose exact-integer sums
+    * partial-aggregate to 32 rows per partition. The inverse-CDF draw
+    * shares the DP mechanism's embedded-thresholds discipline, so the
+    * oracle replays every weight, replica mean, and quantile. Value
+    * unit: integer cents. */
+  private val x_stat_bootstrap = Q(
+    "x_stat_bootstrap",
+    (s, d) => Sampling.bootstrapMeanCi(
+      Tables.orders(s, d), col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0)),
+    Some(s"""WITH src AS (
+      SELECT o_orderkey AS id0,
+        CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS v0
+      FROM orders),
+    ${Sampling.bootstrapMeanCiSql("src")}
+    SELECT n, point, ci_lo, ci_hi, n_replicas FROM __boot_out"""))
+
   private val x_stat_ols = Q(
     "x_stat_ols",
     (s, d) => {
@@ -788,6 +810,7 @@ object RelationalQueries {
     x_rel_window_distinct,
     x_stat_ols,
     x_stat_chi2,
+    x_stat_bootstrap,
     x_dq_benford,
     x_rel_quantiles,
     x_rel_stats_suite,

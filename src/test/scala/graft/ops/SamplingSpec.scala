@@ -265,4 +265,41 @@ class SamplingSpec extends SparkSpec {
       .filter($"k" >= 1000L).count()
     assert(heavy >= 25, s"heavy rows under-sampled: $heavy of 50")
   }
+
+  test("bootstrapMeanCi: CI brackets the true mean and weights are Poisson-shaped") {
+    val rows = (0 until 2000).map(i => (i.toLong, (i % 100).toLong * 100))
+    val out = Sampling.bootstrapMeanCi(rows.toDF("id", "v"), $"id", $"v")
+      .select($"n", $"point", $"ci_lo", $"ci_hi", $"n_replicas")
+      .collect().head
+    assert(out.getLong(0) == 2000 && out.getLong(4) == 32L)
+    val (point, lo, hi) = (out.getDouble(1), out.getDouble(2), out.getDouble(3))
+    assert(point == 4950.0)
+    assert(lo < point && point < hi, s"CI [$lo, $hi] must bracket $point")
+    // CI half-width should be in the vicinity of sigma/sqrt(n) ~ 64.5
+    assert(hi - lo > 50 && hi - lo < 600, s"CI width ${hi - lo} implausible")
+  }
+
+  test("poissonWeight matches Poisson(1) masses on a fine uniform grid") {
+    val n = 200000
+    val us = spark.range(n)
+      .select((col("id") * lit(72057594037927936L / n)).as("u"))
+    val counts = us.select(Sampling.poissonWeight($"u").as("w"))
+      .groupBy($"w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val eInv = math.exp(-1.0)
+    val expect = Seq(1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24).map(_ * eInv)
+    expect.zipWithIndex.foreach { case (p, k) =>
+      val got = counts.getOrElse(k, 0L).toDouble / n
+      assert(math.abs(got - p) < 0.005, f"P(K=$k) = $got%.4f want $p%.4f")
+    }
+    assert(counts.keys.max <= 6, "truncation cap")
+  }
+
+  test("bootstrap replica means are deterministic under repartitioning") {
+    val rows = (0 until 500).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val a = Sampling.bootstrapMeanCi(rows, $"id", $"v").collect().head.toSeq
+    val b = Sampling.bootstrapMeanCi(rows.repartition(13), $"id", $"v")
+      .collect().head.toSeq
+    assert(a == b)
+  }
 }
