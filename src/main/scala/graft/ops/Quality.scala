@@ -313,6 +313,66 @@ object Quality {
       FROM __psi_terms)"""
   }
 
+  /** Train/test split leakage audit — the hygiene check a temporal (or
+    * any) split runs before training: entity overlap between the
+    * splits. Random row-level splits leak ENTITIES across the boundary
+    * (the same user's behavior in both train and test inflates every
+    * user-level metric); this measures it instead of assuming it away:
+    * distinct keys per split, overlapping keys, the share of test keys
+    * already seen in train, and the count of test ROWS carrying a
+    * leaked key (micro-quantized shares from exact counts).
+    *
+    * Scale shape: two distinct aggregates + one semi-join keyed by the
+    * entity — all combinable, output is one row. */
+  def splitLeakage(train: DataFrame, test: DataFrame, key: Column): DataFrame = {
+    val tr = train.select(key.as("k")).filter(col("k").isNotNull)
+      .distinct().localCheckpoint(true) // feeds the count and both joins
+    val te = test.select(key.as("k")).filter(col("k").isNotNull)
+      .localCheckpoint(true)
+    val teKeys = te.distinct()
+    val overlap = teKeys.join(tr, Seq("k"), "left_semi")
+    val leakedRows = te.join(tr, Seq("k"), "left_semi")
+    tr.agg(count(lit(1)).as("n_train_keys"))
+      .crossJoin(teKeys.agg(count(lit(1)).as("n_test_keys")))
+      .crossJoin(overlap.agg(count(lit(1)).as("n_overlap_keys")))
+      .crossJoin(te.agg(count(lit(1)).as("n_test_rows")))
+      .crossJoin(leakedRows.agg(count(lit(1)).as("n_test_rows_leaked")))
+      .withColumn("overlap_micro",
+        when(col("n_test_keys") > 0, round(
+          col("n_overlap_keys").cast("double")
+            / col("n_test_keys").cast("double") * lit(1e6)).cast("long")))
+      .withColumn("leaked_rows_micro",
+        when(col("n_test_rows") > 0, round(
+          col("n_test_rows_leaked").cast("double")
+            / col("n_test_rows").cast("double") * lit(1e6)).cast("long")))
+  }
+
+  /** DuckDB replay of [[splitLeakage]] over `trainCte`/`testCte` (one
+    * column k each); final CTE `__leak_out`. */
+  def splitLeakageSql(trainCte: String, testCte: String): String =
+    s"""__leak_tr AS (
+      SELECT DISTINCT k FROM $trainCte WHERE k IS NOT NULL),
+    __leak_te AS (SELECT k FROM $testCte WHERE k IS NOT NULL),
+    __leak_out AS (
+      SELECT n_train_keys, n_test_keys, n_overlap_keys, n_test_rows,
+        n_test_rows_leaked,
+        CASE WHEN n_test_keys > 0 THEN CAST(ROUND(
+          CAST(n_overlap_keys AS DOUBLE) / CAST(n_test_keys AS DOUBLE)
+            * 1000000) AS BIGINT) END AS overlap_micro,
+        CASE WHEN n_test_rows > 0 THEN CAST(ROUND(
+          CAST(n_test_rows_leaked AS DOUBLE) / CAST(n_test_rows AS DOUBLE)
+            * 1000000) AS BIGINT) END AS leaked_rows_micro
+      FROM (
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM __leak_tr) AS n_train_keys,
+          (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM __leak_te)
+            AS n_test_keys,
+          (SELECT CAST(COUNT(DISTINCT t.k) AS BIGINT) FROM __leak_te t
+            SEMI JOIN __leak_tr r ON t.k = r.k) AS n_overlap_keys,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM __leak_te) AS n_test_rows,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM __leak_te t
+            SEMI JOIN __leak_tr r ON t.k = r.k) AS n_test_rows_leaked))"""
+
   /** Differentially-private counts under the (truncated) GEOMETRIC
     * mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the discrete
     * analogue of Laplace, and the utility-optimal mechanism for count

@@ -290,6 +290,32 @@ object EltQueries {
         eps = 0.5)}
     SELECT o_orderpriority, yr, n_true, noise, n_noisy FROM __dp_out"""))
 
+  /** Temporal split + entity-leakage audit ([[Quality.splitLeakage]]):
+    * events before/after Jan 24 2024 as train/test, overlap measured
+    * by user — the hygiene check that quantifies how much of the test
+    * split's entities the model has already seen, instead of assuming
+    * a row-level split is leak-free. One row out; everything
+    * combinable. */
+  private val x_split_temporal = Q(
+    "x_split_temporal",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      Quality.splitLeakage(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        col("user_id"))
+    },
+    Some(s"""WITH trsrc AS (
+      SELECT user_id AS k FROM events
+      WHERE ts IS NOT NULL AND ts < TIMESTAMP '2024-01-24 00:00:00'),
+    tesrc AS (
+      SELECT user_id AS k FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2024-01-24 00:00:00'),
+    ${Quality.splitLeakageSql("trsrc", "tesrc")}
+    SELECT n_train_keys, n_test_keys, n_overlap_keys, n_test_rows,
+      n_test_rows_leaked, overlap_micro, leaked_rows_micro
+    FROM __leak_out"""))
+
   /** Population Stability Index ([[Quality.psiDrift]]) between the
     * pre-1996 and 1996+ order-value distributions — the
     * information-theoretic drift gauge (symmetrized KL over shared
@@ -625,5 +651,6 @@ object EltQueries {
     x_dq_psi,
     x_ml_calibration,
     x_dq_dp,
+    x_split_temporal,
   )
 }

@@ -644,6 +644,75 @@ object RelationalQueries {
     ${Sampling.bootstrapMeanCiSql("src")}
     SELECT n, point, ci_lo, ci_hi, n_replicas FROM __boot_out"""))
 
+  /** Welch's unequal-variance t-test between two customer segments'
+    * order values — the A/B significance test that, like the OLS
+    * below, ships only SUFFICIENT STATISTICS: exact decimal Σy/Σy²
+    * per segment (order-independent, combinable), then the t statistic
+    * and Welch–Satterthwaite df finalized in double. Every float op is
+    * +,−,×,÷,√ — all correctly rounded under IEEE 754 (no libm
+    * transcendental), so t and df are bit-deterministic cross-engine
+    * with NO micro-quantization needed; both rounded 6 dp for the
+    * emit. `significant` = |t| > 1.96 (the asymptotic 5% bar; df here
+    * is in the thousands where t ≈ z). */
+  private val x_stat_ttest = Q(
+    "x_stat_ttest",
+    (s, d) => {
+      val pts = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("y"))
+      val stats = pts.groupBy(col("seg")).agg(
+        count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+        .select(col("seg"), col("n"),
+          (col("sy").cast("double") / col("n").cast("double")).as("m"),
+          ((col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")
+              / col("n").cast("double"))
+            / (col("n") - 1).cast("double")).as("v"))
+      val a = stats.filter(col("seg") === "BUILDING")
+        .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+      val b = stats.filter(col("seg") === "MACHINERY")
+        .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+      a.crossJoin(b)
+        .withColumn("se2", col("v1") / col("n1").cast("double")
+          + col("v2") / col("n2").cast("double"))
+        .select(col("n1"), col("n2"),
+          round(col("m1") - col("m2"), 6).as("mean_diff"),
+          round((col("m1") - col("m2")) / sqrt(col("se2")), 6).as("t"),
+          round(col("se2") * col("se2") /
+            ((col("v1") / col("n1")) * (col("v1") / col("n1"))
+              / (col("n1") - 1).cast("double")
+              + (col("v2") / col("n2")) * (col("v2") / col("n2"))
+                / (col("n2") - 1).cast("double")), 6).as("df_welch"),
+          (abs((col("m1") - col("m2")) / sqrt(col("se2")))
+            > lit(1.96)).as("significant"))
+    },
+    Some("""WITH pts AS (
+      SELECT c_mktsegment AS seg, CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    stx AS (
+      SELECT seg, COUNT(*) AS n,
+        CAST(SUM(y) AS DOUBLE) / COUNT(*) AS m,
+        (CAST(SUM(y * y) AS DOUBLE)
+          - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+          / (COUNT(*) - 1) AS v
+      FROM pts GROUP BY 1),
+    ab AS (
+      SELECT a.n AS n1, a.m AS m1, a.v AS v1,
+             b.n AS n2, b.m AS m2, b.v AS v2,
+             a.v / a.n + b.v / b.n AS se2
+      FROM (SELECT * FROM stx WHERE seg = 'BUILDING') a
+      CROSS JOIN (SELECT * FROM stx WHERE seg = 'MACHINERY') b)
+    SELECT n1, n2, ROUND(m1 - m2, 6) AS mean_diff,
+      ROUND((m1 - m2) / sqrt(se2), 6) AS t,
+      ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch,
+      abs((m1 - m2) / sqrt(se2)) > CAST('1.96' AS DOUBLE) AS significant
+    FROM ab"""))
+
   private val x_stat_ols = Q(
     "x_stat_ols",
     (s, d) => {
@@ -811,6 +880,7 @@ object RelationalQueries {
     x_stat_ols,
     x_stat_chi2,
     x_stat_bootstrap,
+    x_stat_ttest,
     x_dq_benford,
     x_rel_quantiles,
     x_rel_stats_suite,

@@ -205,4 +205,26 @@ class QualitySpec extends SparkSpec {
     val c0 = ts.find(_._2 == 0).get._1.toDouble / math.pow(2, 56)
     assert(math.abs(c0 - (1 - alpha / (1 + alpha))) < 1e-12)
   }
+
+  test("splitLeakage counts overlap keys and leaked rows exactly") {
+    // train users {1,2,3}; test rows: u2 x2, u3 x1, u4 x3 -> overlap {2,3}
+    val train = Seq(1L, 2L, 3L, 2L).toDF("u")
+    val test = Seq(2L, 2L, 3L, 4L, 4L, 4L).toDF("u")
+    val r = Quality.splitLeakage(train, test, $"u").collect().head
+    val m = r.getValuesMap[Any](Seq("n_train_keys", "n_test_keys",
+      "n_overlap_keys", "n_test_rows", "n_test_rows_leaked",
+      "overlap_micro", "leaked_rows_micro"))
+    assert(m("n_train_keys") == 3L && m("n_test_keys") == 3L)
+    assert(m("n_overlap_keys") == 2L)
+    assert(m("n_test_rows") == 6L && m("n_test_rows_leaked") == 3L)
+    assert(m("overlap_micro") == 666667L) // round(2/3 * 1e6)
+    assert(m("leaked_rows_micro") == 500000L)
+  }
+
+  test("splitLeakage: a clean entity-level split reports zero leakage") {
+    val r = Quality.splitLeakage(
+      Seq(1L, 2L).toDF("u"), Seq(3L, 4L).toDF("u"), $"u").collect().head
+    assert(r.getAs[Long]("n_overlap_keys") == 0L)
+    assert(r.getAs[Long]("overlap_micro") == 0L)
+  }
 }
