@@ -460,6 +460,41 @@ object Graph {
         col("a").as("score_micro")))
   }
 
+  /** Degree assortativity (Newman 2002) — ONE number summarizing a
+    * graph's mixing pattern: the Pearson correlation of endpoint
+    * degrees over all (symmetrized) edges. Positive = hubs link hubs
+    * (social-graph shape); negative = hubs link leaves (bipartite-ish,
+    * hub-and-spoke). The pre-flight statistic that tells a pipeline
+    * whether degree-based partitioning/salting will face correlated
+    * hotspots.
+    *
+    * Sufficient-statistics shape (the OLS/t-test discipline): exact
+    * integer Σx, Σxx, Σxy over the 2m directed endpoint pairs — one
+    * degree aggregate, two decorate joins, one 1-row reduce; the final
+    * correlation is +,−,×,÷,√ on exact longs, IEEE-deterministic
+    * cross-engine. Symmetry makes Σx = Σy exactly, so only three sums
+    * are carried. Returns one row: (m_edges, assortativity). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dec = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    // symmetrize: each undirected edge contributes (da,db) and (db,da)
+    val pairs = dec.select(col("da").as("x"), col("db").as("y"))
+      .unionByName(dec.select(col("db").as("x"), col("da").as("y")))
+    pairs.agg(count(lit(1)).as("m2"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select((col("m2") / 2).cast("long").as("m_edges"),
+        when(col("m2") * col("sxx") - col("sx") * col("sx") > 0, round(
+          (col("m2") * col("sxy") - col("sx") * col("sx")).cast("double")
+            / (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6)).as("assortativity"))
+  }
+
   /** One GraphSAGE MEAN-aggregator round (Hamilton et al. 2017) — the
     * message-passing step GNN feature pipelines run over a relational
     * graph before any model sees it: each node's layer-1 representation

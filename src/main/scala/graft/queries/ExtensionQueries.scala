@@ -3189,6 +3189,109 @@ object ExtensionQueries {
     SELECT d.node, d.deg, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
     FROM deg d LEFT JOIN cnt c ON c.node = d.node"""))
 
+  /** Local clustering coefficient over the co-purchase graph —
+    * Watts–Strogatz per-node cohesion: lcc = 2·triangles/(deg·(deg−1)),
+    * from the SAME skew-safe oriented triangle count as
+    * `x_graph_triangles`, plus the network average (over deg ≥ 2
+    * nodes) cross-joined onto every row. The per-community-density
+    * signal boilerplate/cluster triage reads next to raw triangle
+    * counts. Singleton-degree nodes have no defined lcc → NULL. */
+  private val x_graph_lcc = Q(
+    "x_graph_lcc",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val edges = l1.join(l2, Seq("ok")).filter(col("pa") < col("pb"))
+        .select(col("pa").as("a"), col("pb").as("b")).distinct()
+      val tri = Graph.triangleCounts(edges)
+        .withColumn("lcc_micro", when(col("deg") >= 2, round(
+          col("n_tri").cast("double") * lit(2e6)
+            / (col("deg") * (col("deg") - 1)).cast("double")).cast("long")))
+        .localCheckpoint(true) // feeds the global mean AND the output
+      val avg = tri.filter(col("deg") >= 2)
+        .agg(round(sum(col("lcc_micro")).cast("double")
+          / count(lit(1)).cast("double")).cast("long").as("global_cc_micro"))
+      tri.crossJoin(broadcast(avg))
+    },
+    Some("""WITH qi AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_quantity >= 45),
+    edges AS (
+      SELECT DISTINCT x.pk AS a, y.pk AS b
+      FROM qi x JOIN qi y ON x.ok = y.ok AND x.pk < y.pk),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY 1),
+    o AS (
+      SELECT
+        CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+        CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
+        CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dd
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b),
+    wg AS (
+      SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst)),
+    tri AS (SELECT u, v, w FROM wg JOIN o ON o.src = wg.v AND o.dst = wg.w),
+    corners AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri),
+    cnt AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY 1),
+    pernode AS (
+      SELECT d.node, d.deg, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+        CASE WHEN d.deg >= 2 THEN CAST(ROUND(
+          CAST(COALESCE(c.n_tri, 0) AS DOUBLE) * 2000000
+            / CAST(d.deg * (d.deg - 1) AS DOUBLE)) AS BIGINT) END AS lcc_micro
+      FROM deg d LEFT JOIN cnt c ON c.node = d.node)
+    SELECT node, deg, n_tri, lcc_micro,
+      (SELECT CAST(ROUND(CAST(SUM(lcc_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+       FROM pernode WHERE deg >= 2) AS global_cc_micro
+    FROM pernode"""))
+
+  /** Degree assortativity ([[Graph.degreeAssortativity]]) of the same
+    * co-purchase graph — Newman's one-number mixing summary (hubs with
+    * hubs vs hubs with leaves) from exact integer sufficient
+    * statistics over the symmetrized endpoint-degree pairs; symmetry
+    * makes Var(x) = Var(y), so the Pearson denominator collapses to
+    * one division, no sqrt. */
+  private val x_graph_assort = Q(
+    "x_graph_assortativity",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val edges = l1.join(l2, Seq("ok")).filter(col("pa") < col("pb"))
+        .select(col("pa").as("a"), col("pb").as("b")).distinct()
+      Graph.degreeAssortativity(edges)
+    },
+    Some("""WITH qi AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_quantity >= 45),
+    edges AS (
+      SELECT DISTINCT x.pk AS a, y.pk AS b
+      FROM qi x JOIN qi y ON x.ok = y.ok AND x.pk < y.pk),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY 1),
+    pairs AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM edges e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+      UNION ALL
+      SELECT db.deg, da.deg
+      FROM edges e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b)
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m_edges,
+      CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) > 0 THEN
+        ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(x) AS DOUBLE)
+          / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6)
+      END AS assortativity
+    FROM pairs"""))
+
   /** Link prediction over the same co-purchase graph as
     * [[x_graph_triangles]]: [[Graph.commonNeighborTopK]] scores every
     * non-adjacent pair sharing ≥2 neighbors by neighborhood Jaccard and
@@ -3709,6 +3812,8 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(
     x_graph_triangles,
+    x_graph_lcc,
+    x_graph_assort,
     x_text_ndcg,
     x_graph_linkpred,
     x_graph_bfs,

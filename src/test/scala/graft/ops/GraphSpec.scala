@@ -297,4 +297,36 @@ class GraphSpec extends SparkSpec {
       assert(n2 == 1L && self2 == f(2L, d) && mean2 == f(1L, d).toDouble)
     }
   }
+
+  test("degreeAssortativity: star graph is maximally disassortative (-1)") {
+    // star: hub 0 connected to leaves 1..5 — hubs link ONLY leaves
+    val edges = (1L to 5L).map(l => (0L, l)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(edges).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == -1.0, s"star must give -1, got ${r.getDouble(1)}")
+  }
+
+  test("degreeAssortativity: regular graph has zero variance -> NULL") {
+    // 4-cycle: every degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(edges).collect().head
+    assert(r.getLong(0) == 4L && r.isNullAt(1))
+  }
+
+  test("degreeAssortativity matches a hand Pearson on a mixed graph") {
+    // path 1-2-3 plus triangle 4-5-6: degrees 1,2,1,2,2,2
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("a", "b")
+    val got = Graph.degreeAssortativity(edges).collect().head.getDouble(1)
+    // symmetrized pairs (x, y): (1,2)x2,(2,1)x2,(2,2)x6 -> hand Pearson
+    val xs = Seq(1, 2, 2, 1, 2, 2, 2, 2, 2, 2).map(_.toDouble)
+    val ys = Seq(2, 1, 1, 2, 2, 2, 2, 2, 2, 2).map(_.toDouble)
+    val n = xs.size
+    val mx = xs.sum / n
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - mx) }.sum
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum
+    val want = BigDecimal(cov / vx)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == want, s"assortativity $got != hand $want")
+  }
 }
