@@ -333,10 +333,10 @@ object Quality {
     val overlap = teKeys.join(tr, Seq("k"), "left_semi")
     val leakedRows = te.join(tr, Seq("k"), "left_semi")
     tr.agg(count(lit(1)).as("n_train_keys"))
-      .crossJoin(teKeys.agg(count(lit(1)).as("n_test_keys")))
-      .crossJoin(overlap.agg(count(lit(1)).as("n_overlap_keys")))
-      .crossJoin(te.agg(count(lit(1)).as("n_test_rows")))
-      .crossJoin(leakedRows.agg(count(lit(1)).as("n_test_rows_leaked")))
+      .crossJoin(broadcast(teKeys.agg(count(lit(1)).as("n_test_keys"))))
+      .crossJoin(broadcast(overlap.agg(count(lit(1)).as("n_overlap_keys"))))
+      .crossJoin(broadcast(te.agg(count(lit(1)).as("n_test_rows"))))
+      .crossJoin(broadcast(leakedRows.agg(count(lit(1)).as("n_test_rows_leaked"))))
       .withColumn("overlap_micro",
         when(col("n_test_keys") > 0, round(
           col("n_overlap_keys").cast("double")

@@ -406,7 +406,7 @@ object Sampling {
     rows.agg(count(lit(1)).as("n"),
         round(sum(col("__v")).cast("double") / count(lit(1)).cast("double"), 6)
           .as("point"))
-      .crossJoin(ci)
+      .crossJoin(broadcast(ci))
   }
 
   /** DuckDB replay of [[bootstrapMeanCi]] over `srcCte` (columns id0,

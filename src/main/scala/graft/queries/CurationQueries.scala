@@ -1505,9 +1505,9 @@ object CurationQueries {
       val whole = Sketches.hllSketch(ev, col("grp"), col("user_id"))
       merged.select(col("est_hll").as("est_merged"),
           col("registers_csv").as("regs_merged"))
-        .crossJoin(whole.select(col("est_hll").as("est_whole"),
+        .crossJoin(broadcast(whole.select(col("est_hll").as("est_whole"),
           col("registers_csv").as("regs_whole"),
-          col("n_hit"), col("v_zero"), col("z_int")))
+          col("n_hit"), col("v_zero"), col("z_int"))))
         .withColumn("registers_match",
           col("regs_merged") === col("regs_whole"))
         .select(col("est_merged"), col("est_whole"), col("registers_match"),

@@ -1714,6 +1714,26 @@ object ExtensionQueries {
     FROM range(0, 5000000) t(id)
     WHERE id >= 12345 AND id < 987654"""))
 
+  /** DSv2 TOP-N pushdown (`SupportsPushDownTopN`): ORDER BY id DESC
+    * LIMIT 7 over a 5M-row source truncates the scan to the 7-row
+    * interval TAIL at planning time — the scan generates 7 rows, not
+    * 5M (GenSourceSpec asserts the plan's pushed range and row count).
+    * Reported partially-pushed, so Spark re-sorts the 7 survivors
+    * rather than trusting scan order — the semantically-safe contract
+    * for a multi-partition source whose readers emit ascending. */
+  private val x_source_dsv2_topn = Q(
+    "x_source_dsv2_topn",
+    (s, d) => s.read.format("graftgen")
+      .option("rows", "5000000").option("parts", "32").load()
+      .filter(col("id") >= 1000 && col("id") < 4000000)
+      .select(col("id"), col("bucket"))
+      .orderBy(col("id").desc)
+      .limit(7),
+    Some("""SELECT id, CAST(id % 97 AS INTEGER) AS bucket
+    FROM range(0, 5000000) t(id)
+    WHERE id >= 1000 AND id < 4000000
+    ORDER BY id DESC LIMIT 7"""))
+
   /** Native bounded top-k aggregate ([[graft.functions.TopKByScore]],
     * a TypedImperativeAggregate): top-3 orders by value per priority
     * class. The window formulation shuffles every order to its group's
@@ -3848,6 +3868,7 @@ object ExtensionQueries {
     x_embed_pca_power,
     x_source_dsv2,
     x_source_dsv2_agg,
+    x_source_dsv2_topn,
     x_agg_topk_native,
     x_er_golden,
     x_stream_static_join,

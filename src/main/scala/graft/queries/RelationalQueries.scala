@@ -675,7 +675,7 @@ object RelationalQueries {
         .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
       val b = stats.filter(col("seg") === "MACHINERY")
         .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
-      a.crossJoin(b)
+      a.crossJoin(broadcast(b))
         .withColumn("se2", col("v1") / col("n1").cast("double")
           + col("v2") / col("n2").cast("double"))
         .select(col("n1"), col("n2"),

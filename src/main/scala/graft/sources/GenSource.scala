@@ -2,9 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,12 +68,15 @@ final class GenTable(rows: Long, parts: Int) extends Table with SupportsRead {
 
 final class GenScanBuilder(rows: Long, parts: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = GenSource.schema
   private var pushedAgg: Option[Aggregation] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopNDesc: Option[Boolean] = None
 
   // ----- aggregate pushdown (COMPLETE): on an interval source,
   // ungrouped COUNT(*)/COUNT(id)/MIN(id)/MAX(id) are O(1) closed forms
@@ -122,9 +125,39 @@ final class GenScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  // ----- limit / top-N pushdown: on an interval source both are
+  // interval TRUNCATIONS. LIMIT has no order contract, so returning
+  // the interval HEAD is a complete implementation (isPartiallyPushed
+  // = false -> Spark drops its own Limit; this source behaves like a
+  // sorted file, making even unordered LIMIT deterministic). Top-N is
+  // only accepted when the sort is exactly `id` (non-null), where the
+  // top N ARE the interval head (asc) or tail (desc); it is reported
+  // PARTIALLY pushed because readers always emit ascending ids, so
+  // Spark keeps its Sort+Limit over the <= N surviving rows (a
+  // trivially small re-sort) rather than trusting scan order.
+  override def pushLimit(l: Int): Boolean = {
+    pushedLimit = Some(l); true
+  }
+  override def isPartiallyPushed(): Boolean = pushedTopNDesc.isDefined
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val ok = orders.length == 1 && isId(orders(0).expression())
+    if (ok) {
+      pushedLimit = Some(l)
+      pushedTopNDesc =
+        Some(orders(0).direction() == SortDirection.DESCENDING)
+    }
+    ok
+  }
+
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new GenAggScan(lo, hi, agg.aggregateExpressions)
-    case None => new GenScan(rows, parts, lo, hi, required)
+    case None =>
+      val (lo2, hi2) = (pushedLimit, pushedTopNDesc) match {
+        case (Some(l), Some(true)) => (math.max(lo, hi - l), hi)
+        case (Some(l), _) => (lo, math.min(hi, lo + l))
+        case _ => (lo, hi)
+      }
+      new GenScan(rows, parts, lo2, hi2, required)
   }
 }
 

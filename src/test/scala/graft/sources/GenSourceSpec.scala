@@ -125,4 +125,41 @@ class GenSourceSpec extends SparkSpec {
     val dAgg = gen(1000).agg(countDistinct($"bucket").as("d")).collect().head
     assert(dAgg.getLong(0) == 97L)
   }
+
+  test("LIMIT pushes completely: the scan generates exactly N head rows") {
+    val df = spark.read.format("graftgen")
+      .option("rows", "100000").option("parts", "8").load()
+      .filter($"id" >= 500)
+      .limit(5)
+    val rows = df.collect()
+    // complete pushdown contract: the interval HEAD, deterministically
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (500L to 504L))
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pushedIdRange=[500,505)"),
+      s"limit must truncate the pushed interval:\n$scanDesc")
+  }
+
+  test("ORDER BY id DESC LIMIT N pushes as top-N: scan reads the interval tail") {
+    val df = spark.read.format("graftgen")
+      .option("rows", "100000").option("parts", "8").load()
+      .filter($"id" < 90000)
+      .orderBy($"id".desc).limit(4)
+    val got = df.select($"id").as[Long].collect().toSeq
+    assert(got == Seq(89999L, 89998L, 89997L, 89996L),
+      "partial topN keeps Spark's sort, so output order is exact")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pushedIdRange=[89996,90000)"),
+      s"topN desc must truncate to the interval tail:\n$scanDesc")
+  }
+
+  test("top-N on a non-id sort is refused and stays correct") {
+    val df = spark.read.format("graftgen")
+      .option("rows", "1000").option("parts", "4").load()
+      .orderBy($"bucket".desc, $"id").limit(3)
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pushedIdRange=[0,1000)"),
+      s"non-id sort must scan the full interval:\n$scanDesc")
+    // correctness: bucket = id % 97, max bucket 96 first at id 96
+    assert(df.select($"id").as[Long].collect().toSeq == Seq(96L, 193L, 290L))
+  }
 }
