@@ -100,6 +100,27 @@ case class Md5SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** The 56-bit engine-portable hash behind [[graft.ops.Sampling.hashValue]]
+  * as ONE codegen'd kernel call (see Kernels.md5Low56) instead of the
+  * md5-hex → substring×7 → concat → conv string pipeline — bit-identical
+  * values, so every oracle stays valid, at a fraction of the per-row
+  * cost on the ~50 hash-based registry paths. */
+case class Md5Low56(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string child, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_low56"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.md5Low56(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5Low56($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Low56 =
+    copy(child = newChild)
+}
+
 /** Karp–Rabin rolling-hash winnowing fingerprints over char k-grams
   * (oracle-checkable; see Kernels.winnowRoll). */
 case class WinnowRoll(child: Expression, k: Int, w: Int)

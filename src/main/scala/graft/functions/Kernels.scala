@@ -221,6 +221,23 @@ object Kernels {
     v >>> 4
   }
 
+  /** The engine-portable 56-bit hash of [[graft.ops.Sampling.hashValue]]
+    * computed directly from digest bytes: the little-endian low 7 bytes
+    * of md5 (digest bytes 8..14, byte 14 most significant) — numerically
+    * equal to DuckDB's `md5_number_lower(s) % 2^56` and to the original
+    * hex-string formulation (md5 → 7 substrings → concat → conv), but
+    * one static call instead of a 10-node string pipeline; measured
+    * ~4 µs/row → sub-µs on the hash-heavy suite paths. */
+  def md5Low56(s: UTF8String): Long = {
+    val md = md5Tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 14
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v
+  }
+
   /** Seed-i member of the rotate-xor family over a 60-bit base hash:
     * rotate right by `rot(i)` within 60 bits, then xor a 60-bit constant
     * derived from md5("graft-minhash-seed-i"). A bijection per seed —

@@ -112,4 +112,20 @@ class Md5FamilySpec extends SparkSpec {
     assert(inter02 / fps(0L).size > 0.8)
     assert(fps(3L).toSet.intersect(fps(4L).toSet).isEmpty)
   }
+
+  test("md5Low56 kernel is bit-identical to the original hex pipeline") {
+    // random-ish strings incl. unicode, empties, long keys
+    val keys = (0 until 2000).map(i => s"key-$i-${"x" * (i % 50)}") ++
+      Seq("", "caf\u00e9 \u65e5\u672c", "a|b|c", "-1", "0")
+    val df = keys.toDF("k")
+    val mismatches = df.select(
+        Sampling.hashValue($"k").as("fast"),
+        Sampling.hashValueViaHex($"k").as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(mismatches == 0L)
+    // null-in null-out, like the pipeline form
+    val nulls = Seq[Option[String]](None).toDF("k")
+      .select(Sampling.hashValue($"k")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
 }
