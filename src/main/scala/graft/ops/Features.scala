@@ -225,6 +225,116 @@ object Features {
         col("auc"), col("gini"))
   }
 
+  /** Histogram-based best-split search — the inner loop of every
+    * gradient-boosted-tree trainer (XGBoost/LightGBM "hist" mode): bin
+    * the feature, ship per-bin sufficient statistics (n, Σy), and pick
+    * the threshold maximizing the SSE reduction
+    *   gain(b) = Σy_L²/n_L + Σy_R²/n_R − Σy²/N
+    * (the Σy² terms cancel out of the reduction, so only counts and
+    * sums ship — the identity that makes distributed tree training a
+    * statistics problem, not a data-movement problem). Candidate b
+    * puts bins ≤ b left; empty-side candidates are skipped.
+    *
+    * Exactness: bin sums are exact DECIMAL, gains are micro-quantized
+    * before the argmax (bin-ascending tiebreak), so the chosen split
+    * is engine-stable. Scale shape: ONE combinable histogram aggregate
+    * (the only corpus-sized op), prefix sums over the |bins|-row
+    * frame, a 1-row winner. Returns one row: split_bin, threshold,
+    * n_left, n_right, gain_micro, sse_parent_micro. */
+  def bestSplit(df: DataFrame, x: Column, y: Column,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"bad split shape [$lo,$hi) x $nBins")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val width = (hi - lo) / nBins
+    val binned = df.select(x.cast("double").as("__x"),
+        y.cast(DecimalType(18, 2)).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("bin", least(greatest(
+        floor((col("__x") - lit(lo)) / lit(width)).cast("long"), lit(0L)),
+        lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sy"),
+        sum(col("__y") * col("__y")).as("syy"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("syl", sum(col("sy")).over(w))
+    val tot = binned.agg(sum(col("n")).cast("long").as("nt"),
+      sum(col("sy")).as("syt"), sum(col("syy")).as("syyt"))
+    val gains = cum.crossJoin(broadcast(tot))
+      .filter(col("nl") > 0 && col("nl") < col("nt")) // non-empty sides
+      .withColumn("gain_micro", round((
+        col("syl").cast("double") * col("syl").cast("double")
+          / col("nl").cast("double")
+          + (col("syt") - col("syl")).cast("double")
+            * (col("syt") - col("syl")).cast("double")
+            / (col("nt") - col("nl")).cast("double")
+          - col("syt").cast("double") * col("syt").cast("double")
+            / col("nt").cast("double")) * lit(1e6)).cast("long"))
+    gains
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gain_micro").desc, col("bin"))))
+      .filter(col("rk") === 1)
+      .select(col("bin").as("split_bin"),
+        round(lit(lo) + (col("bin") + 1).cast("double") * lit(width), 6)
+          .as("threshold"),
+        col("nl").cast("long").as("n_left"),
+        (col("nt") - col("nl")).cast("long").as("n_right"),
+        col("gain_micro"),
+        round(col("syyt").cast("double")
+          - col("syt").cast("double") * col("syt").cast("double")
+            / col("nt").cast("double"), 6)
+          .as("sse_parent"))
+  }
+
+  /** DuckDB replay of [[bestSplit]] over `srcCte` (columns x, y);
+    * final CTE `__split_out`. */
+  def bestSplitSql(srcCte: String, lo: Double, hi: Double,
+                   nBins: Int): String = {
+    val width = (hi - lo) / nBins
+    def wlit(v: Double) = s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)"
+    s"""__split_bins AS (
+      SELECT LEAST(GREATEST(CAST(floor((CAST(x AS DOUBLE) - ${wlit(lo)})
+            / ${wlit(width)}) AS BIGINT), 0), ${nBins - 1}) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(y AS DECIMAL(18,2))) AS sy,
+        SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS syy
+      FROM $srcCte WHERE x IS NOT NULL AND y IS NOT NULL
+      GROUP BY 1),
+    __split_cum AS (
+      SELECT bin, n, sy,
+        SUM(n) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+        SUM(sy) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS syl
+      FROM __split_bins),
+    __split_tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sy) AS syt, SUM(syy) AS syyt
+      FROM __split_bins),
+    __split_gains AS (
+      SELECT bin, nl, nt, syt, syyt,
+        CAST(ROUND((CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)
+            / CAST(nl AS DOUBLE)
+          + CAST(syt - syl AS DOUBLE) * CAST(syt - syl AS DOUBLE)
+            / CAST(nt - nl AS DOUBLE)
+          - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE)
+            / CAST(nt AS DOUBLE)) * 1000000) AS BIGINT) AS gain_micro
+      FROM __split_cum CROSS JOIN __split_tot
+      WHERE nl > 0 AND nl < nt),
+    __split_out AS (
+      SELECT bin AS split_bin,
+        ROUND(${wlit(lo)} + CAST(bin + 1 AS DOUBLE) * ${wlit(width)}, 6)
+          AS threshold,
+        CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+        gain_micro,
+        ROUND(CAST(syyt AS DOUBLE) - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE)
+          / CAST(nt AS DOUBLE), 6) AS sse_parent
+      FROM __split_gains
+      QUALIFY ROW_NUMBER() OVER (ORDER BY gain_micro DESC, bin) = 1)"""
+  }
+
   /** Reliability diagram + Expected Calibration Error — the companion
     * to [[binaryAuc]]: AUC measures ranking, calibration measures
     * whether the score's VALUE means what it claims (a 0.8 bucket

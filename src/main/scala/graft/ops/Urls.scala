@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   *    collide)
   *  - trailing path slash dropped except for the root path
   *
-  * Contract: input must be well-formed `scheme://host[:port]/path
-  * [?query][#fragment]` (the shape a crawler's frontier emits); the
-  * expression is total on such strings. Entirely ROW-LOCAL — pure
+  * Contract: well-formed inputs are `scheme://host[:port]/path
+  * [?query][#fragment]` (the shape a crawler's frontier emits); a
+  * string missing the `://` or the path slash canonicalizes to NULL —
+  * loudly excluded from the dedup groupBy rather than silently
+  * garbled. Entirely ROW-LOCAL — pure
   * string ops, no shuffle, codegen-friendly — so at 100 TB it rides
   * the scan; the dedup after it is one combinable groupBy on the
   * canonical string.
@@ -53,8 +55,10 @@ object Urls {
     val params = filter(split(query, "&"),
       p => length(p) > 0 && !p.startsWith("utm_"))
     val qSorted = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host, portKeep, path,
-      when(qSorted =!= "", concat(lit("?"), qSorted)).otherwise(lit("")))
+    val wellFormed = instr(noFrag, "://") > 0 && instr(rest, "/") > 0
+    when(wellFormed,
+      concat(scheme, lit("://"), host, portKeep, path,
+        when(qSorted =!= "", concat(lit("?"), qSorted)).otherwise(lit(""))))
   }
 
   /** DuckDB expression replaying [[canonicalizeUrl]] of `u` (a column
@@ -83,7 +87,9 @@ object Urls {
     val qSorted = "COALESCE(array_to_string(list_sort(" +
       s"[p FOR p IN string_split($query, '&')" +
       " IF len(p) > 0 AND NOT starts_with(p, 'utm_')]), '&'), '')"
-    s"($scheme || '://' || $host || $portKeep || $path" +
-      s" || (CASE WHEN $qSorted <> '' THEN '?' || $qSorted ELSE '' END))"
+    s"(CASE WHEN strpos($noFrag, '://') > 0 AND strpos($rest, '/') > 0" +
+      s" THEN $scheme || '://' || $host || $portKeep || $path" +
+      s" || (CASE WHEN $qSorted <> '' THEN '?' || $qSorted ELSE '' END)" +
+      " END)"
   }
 }

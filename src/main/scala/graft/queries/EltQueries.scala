@@ -290,6 +290,23 @@ object EltQueries {
         eps = 0.5)}
     SELECT o_orderpriority, yr, n_true, noise, n_noisy FROM __dp_out"""))
 
+  /** Histogram best-split search ([[Features.bestSplit]]) — the GBDT
+    * inner loop as a statistics problem: quantity bins vs extended
+    * price (strongly predictive by construction: price ≈ qty × unit
+    * price), one combinable histogram aggregate, gain argmax over the
+    * 50-bin frame. The Σy² cancellation means only counts and sums
+    * ever ship. */
+  private val x_ml_split = Q(
+    "x_ml_split_finder",
+    (s, d) => Features.bestSplit(Tables.lineitem(s, d),
+      col("l_quantity"), col("l_extendedprice"),
+      lo = 0.0, hi = 50.0, nBins = 50),
+    Some(s"""WITH src AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    ${Features.bestSplitSql("src", lo = 0.0, hi = 50.0, nBins = 50)}
+    SELECT split_bin, threshold, n_left, n_right, gain_micro, sse_parent
+    FROM __split_out"""))
+
   /** Temporal split + entity-leakage audit ([[Quality.splitLeakage]]):
     * events before/after Jan 24 2024 as train/test, overlap measured
     * by user — the hygiene check that quantifies how much of the test
@@ -652,5 +669,6 @@ object EltQueries {
     x_ml_calibration,
     x_dq_dp,
     x_split_temporal,
+    x_ml_split,
   )
 }

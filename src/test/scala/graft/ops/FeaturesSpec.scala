@@ -246,4 +246,49 @@ class FeaturesSpec extends SparkSpec {
     assert(r.getLong(1) == 500000L && r.getLong(2) == 900000L)
     assert(r.getLong(3) == 400000L && r.getLong(4) == 400000L)
   }
+
+  test("bestSplit finds the planted step boundary with the exact gain") {
+    // y = 0 for x < 30, y = 100 for x >= 30: perfect split at 30
+    val rows = (0 until 600).map { i =>
+      val x = i % 60
+      (x.toDouble, if (x < 30) 0.0 else 100.0)
+    }
+    val r = Features.bestSplit(rows.toDF("x", "y"), $"x", $"y",
+      lo = 0.0, hi = 60.0, nBins = 60).collect().head
+    assert(r.getLong(0) == 29L, s"split bin ${r.getLong(0)} != 29")
+    assert(r.getDouble(1) == 30.0)
+    assert(r.getLong(2) == 300L && r.getLong(3) == 300L)
+    // gain = SSE_parent (children are pure): N * p(1-p) * d^2 = 600*0.25*1e4
+    assert(r.getLong(4) == 1500000L * 1000000L,
+      s"gain_micro ${r.getLong(4)} != full parent SSE")
+    assert(r.getDouble(5) == 1500000.0)
+  }
+
+  test("bestSplit matches a brute-force gain scan on random data") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 500).map(_ =>
+      (rng.nextInt(20).toDouble, (rng.nextInt(1000) / 100.0)))
+    val r = Features.bestSplit(rows.toDF("x", "y"), $"x", $"y",
+      lo = 0.0, hi = 20.0, nBins = 20).collect().head
+    // brute force over candidates — sums in exact decimal like the op,
+    // differences taken in decimal BEFORE the double conversion
+    def dec(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def stats(p: Double => Boolean) = {
+      val ys = rows.filter(t => p(t._1)).map(t => dec(t._2))
+      (ys.size, ys.foldLeft(BigDecimal(0))(_ + _))
+    }
+    val (nt, sytD) = (rows.size, rows.map(t => dec(t._2))
+      .foldLeft(BigDecimal(0))(_ + _))
+    val best = (0 until 19).flatMap { b =>
+      val (nl, sylD) = stats(_ < b + 1)
+      if (nl == 0 || nl == nt) None
+      else {
+        val syl = sylD.toDouble; val syt = sytD.toDouble
+        val syr = (sytD - sylD).toDouble
+        Some((b, math.round((syl * syl / nl
+          + syr * syr / (nt - nl) - syt * syt / nt) * 1e6)))
+      }
+    }.maxBy(t => (t._2, -t._1))
+    assert(r.getLong(0) == best._1.toLong && r.getLong(4) == best._2)
+  }
 }

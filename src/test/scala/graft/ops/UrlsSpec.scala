@@ -55,4 +55,12 @@ class UrlsSpec extends SparkSpec {
       .select(Urls.canonicalizeUrl($"url"))
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("malformed URLs canonicalize to NULL, not garbage") {
+    val out = Seq("no-scheme.com/a", "https://hostonly-no-path",
+        "https://ok.com/a")
+      .toDF("url").select(Urls.canonicalizeUrl($"url").as("c")).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(out(2).getString(0) == "https://ok.com/a")
+  }
 }
