@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -263,6 +263,112 @@ case class TopKByScore(
     copy(scoreExpr = newChildren(0), keyExpr = newChildren(1))
 }
 
+/** Per-row fixed-point Gram contribution (see [[Kernels.gramUpperTriQ]]):
+  * array<float> vector → array<long> of the d(d+1)/2 quantized
+  * upper-triangle products. */
+case class GramUpperTriQ(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_upper_q expects array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_upper_q"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.gramUpperTriQ(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.gramUpperTriQ($c)")
+  override protected def withNewChildInternal(newChild: Expression): GramUpperTriQ =
+    copy(child = newChild)
+}
+
+/** Elementwise sum of array<long> — the missing vector-accumulator
+  * aggregate (Spark has no built-in elementwise array sum; the explode/
+  * groupBy formulation shuffles d rows per input row). Partial-
+  * aggregable: each task keeps ONE d-long buffer, the shuffle moves one
+  * buffer per task per group, and because long addition is exact and
+  * associative the result is bit-identical under any partitioning —
+  * the backbone of the fixed-point Gram/gradient queries.
+  *
+  * All non-null inputs must share one length (the first array seen
+  * fixes it; a mismatch throws — vector corpora with ragged dims are a
+  * data bug, not something to silently zero-extend). NULL inputs are
+  * skipped; an all-NULL (or empty) group yields an empty array. */
+case class SumLongArray(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sum_long_array expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_sum_long_array"
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def addInto(buf: Array[Long], arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val target = if (buf.length == 0) new Array[Long](n) else buf
+    if (target.length != n)
+      throw new IllegalArgumentException(
+        s"graft_sum_long_array: array length $n != accumulated ${target.length}")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) target(i) += arr.getLong(i)
+      i += 1
+    }
+    target
+  }
+
+  override def update(buf: Array[Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf else addInto(buf, v.asInstanceOf[ArrayData])
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.length == 0) return buf
+    if (buf.length == 0) return other
+    if (buf.length != other.length)
+      throw new IllegalArgumentException(
+        s"graft_sum_long_array: merge lengths differ (${buf.length} vs ${other.length})")
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bb.getInt)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SumLongArray =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SumLongArray =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SumLongArray =
+    copy(child = newChildren(0))
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -397,6 +503,17 @@ object GraftFunctions {
       TopKByScore(ColumnBridge.expression(score),
         ColumnBridge.expression(key), k).toAggregateExpression())
 
+  /** Per-row fixed-point Gram contribution Column (array<float> →
+    * array<long>, see [[GramUpperTriQ]]). */
+  def gramUpperQ(vec: Column): Column =
+    ColumnBridge.column(GramUpperTriQ(ColumnBridge.expression(vec)))
+
+  /** Elementwise exact array<long> sum aggregate Column (see
+    * [[SumLongArray]]). */
+  def sumLongArray(arr: Column): Column =
+    ColumnBridge.column(
+      SumLongArray(ColumnBridge.expression(arr)).toAggregateExpression())
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -447,7 +564,13 @@ object GraftFunctions {
           WinnowRoll(e, intLit(k, "k"), intLit(w, "w")) }),
       (FunctionIdentifier("graft_jaro_winkler"), info("graft_jaro_winkler"),
         builder("graft_jaro_winkler", "(a, b)") { case Seq(a, b) =>
-          JaroWinkler(a, b) }))
+          JaroWinkler(a, b) }),
+      (FunctionIdentifier("graft_gram_upper_q"), info("graft_gram_upper_q"),
+        builder("graft_gram_upper_q", "(vec)") { case Seq(e) =>
+          GramUpperTriQ(e) }),
+      (FunctionIdentifier("graft_sum_long_array"), info("graft_sum_long_array"),
+        builder("graft_sum_long_array", "(arr)") { case Seq(e) =>
+          SumLongArray(e).toAggregateExpression() }))
   }
 
   /** Register `graft_*` as session SQL functions so `spark.sql` users get

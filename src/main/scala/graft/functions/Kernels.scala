@@ -452,4 +452,33 @@ object Kernels {
     }
     c
   }
+
+  /** Fixed-point upper-triangle outer product of a float vector:
+    * out[k] = floor(x[i]·x[j]·10^6) for 0 ≤ i ≤ j < d, flat index
+    * k = i·d − i·(i−1)/2 + (j − i). Each product is float→double cast
+    * (exact) then two IEEE double multiplies — bit-identical in any
+    * engine — and `floor` (not round) avoids the half-way tie
+    * conventions engines disagree on. Null elements count as 0. The
+    * d(d+1)/2 longs feed [[SumLongArray]]: the Gram matrix XᵀX as one
+    * combinable aggregate whose addition is exact-integer and therefore
+    * order-independent — the distributed-sum form a covariance/PCA
+    * pipeline needs (per-task partial buffers, no per-pair shuffle). */
+  def gramUpperTriQ(vec: ArrayData): ArrayData = {
+    val d = vec.numElements()
+    val out = new Array[Long](d * (d + 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < d) {
+      val xi = if (vec.isNullAt(i)) 0.0 else vec.getFloat(i).toDouble
+      var j = i
+      while (j < d) {
+        val xj = if (vec.isNullAt(j)) 0.0 else vec.getFloat(j).toDouble
+        out(k) = math.floor(xi * xj * 1e6).toLong
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -1711,7 +1711,58 @@ object CurationQueries {
     FROM urls
     GROUP BY 1"""))
 
+  /** Curriculum ordering for training: score each document's
+    * difficulty (mean chars per token — ratio of exact ints, one
+    * rounded division), quartile it with NTILE over the total order
+    * (difficulty, doc_id), then interleave tiers round-robin:
+    * position = (rank_in_tier − 1)·4 + tier. The training order that
+    * results starts every 4-doc stride with one document from each
+    * difficulty quartile — the standard easy-to-hard mixing schedule,
+    * computed with two windows over one shuffle and no driver-side
+    * ordering. At 100 TB the NTILE (a global sort) is the scale cost;
+    * production swaps it for approx-quantile tier edges (the
+    * `x_feat_quantile_bin` discipline) — registered here in the exact
+    * form so the oracle can replay positions bit-for-bit. */
+  private val x_curation_curriculum = Q(
+    "x_curation_curriculum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(lower(col("text")), " ")).as("n_words"),
+        length(col("text")).as("n_chars"))
+        .withColumn("difficulty",
+          round(col("n_chars").cast("double") / col("n_words"), 6))
+      val byDifficulty = Window.orderBy(col("difficulty"), col("doc_id"))
+      val tiered = docs.withColumn("tier", ntile(4).over(byDifficulty))
+      val inTier = Window.partitionBy(col("tier"))
+        .orderBy(col("difficulty"), col("doc_id"))
+      tiered
+        .withColumn("rank_in_tier", row_number().over(inTier))
+        .select(col("doc_id"), col("n_words"), col("difficulty"), col("tier"),
+          ((col("rank_in_tier") - 1) * 4 + col("tier")).cast("int").as("pos"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words,
+          CAST(length(text) AS INTEGER) AS n_chars
+        FROM documents),
+      scored AS (
+        SELECT doc_id, n_words,
+          ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS difficulty
+        FROM d),
+      tiered AS (
+        SELECT doc_id, n_words, difficulty,
+          CAST(NTILE(4) OVER (ORDER BY difficulty, doc_id) AS INTEGER) AS tier
+        FROM scored)
+      SELECT doc_id, n_words, difficulty, tier,
+        CAST((ROW_NUMBER() OVER (
+            PARTITION BY tier ORDER BY difficulty, doc_id) - 1) * 4 + tier
+          AS INTEGER) AS pos
+      FROM tiered"""))
+
   def all: Seq[Q] = Seq(
+    x_curation_curriculum,
     x_sketch_hll,
     x_sketch_hll_union,
     x_stream_hll_parity,

@@ -307,6 +307,120 @@ object EltQueries {
     SELECT split_bin, threshold, n_left, n_right, gain_micro, sse_parent
     FROM __split_out"""))
 
+  /** One logistic-regression gradient-descent step over lineitem
+    * features — the linear-probe trainer as a pure aggregation. With
+    * fixed weights w₀, the batch gradient Σ(σ(w·x) − y)·x is one
+    * combinable SUM per feature: per-row contributions are quantized
+    * to exact micro-unit BIGINTs (the lp_micro discipline — sums
+    * become order-independent; the ≤1-ulp exp() difference between
+    * engines sits ten decades below the rounding quantum), so the
+    * whole step is a single map-side-combined aggregate producing one
+    * 4-number gradient — no per-feature shuffle, no driver math beyond
+    * the final 4-row stack. That shape IS minibatch SGD at 100 TB:
+    * each step one scan, gradient size = model size. */
+  private val x_ml_logreg = Q(
+    "x_ml_logreg_step",
+    (s, d) => {
+      val f = Tables.lineitem(s, d).select(
+        (col("l_quantity") / 50.0).as("x1"),
+        col("l_discount").as("x2"),
+        col("l_tax").as("x3"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val p = f.withColumn("p",
+        lit(1.0) / (lit(1.0) + exp(-(lit(0.8) * col("x1")
+          + lit(-1.5) * col("x2") + lit(2.0) * col("x3") + lit(-0.3)))))
+      def gq(x: org.apache.spark.sql.Column) =
+        sum(round((col("p") - col("y")) * x * 1e6).cast("long"))
+      val agg = p.agg(
+        gq(col("x1")).as("g1"), gq(col("x2")).as("g2"),
+        gq(col("x3")).as("g3"),
+        sum(round((col("p") - col("y")) * 1e6).cast("long")).as("g4"),
+        count(lit(1)).as("n"))
+      agg.select(expr(
+        """stack(4,
+             'w_qty',  0.8D,  g1,
+             'w_disc', -1.5D, g2,
+             'w_tax',  2.0D,  g3,
+             'w_bias', -0.3D, g4) as (feature, w_old, grad_micro)"""),
+        col("n"))
+        .select(col("feature"), col("w_old"), col("grad_micro"),
+          round(col("w_old") - lit(0.1)
+            * (col("grad_micro").cast("double") / 1e6 / col("n")), 6)
+            .as("w_new"))
+    },
+    Some("""WITH f AS (
+        SELECT l_quantity / 50.0 AS x1, l_discount AS x2, l_tax AS x3,
+          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem),
+      s AS (
+        SELECT x1, x2, x3, y,
+          1.0 / (1.0 + exp(-(0.8 * x1 + -1.5 * x2 + 2.0 * x3 + -0.3))) AS p
+        FROM f),
+      g AS (
+        SELECT
+          CAST(SUM(CAST(ROUND((p - y) * x1 * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+          CAST(SUM(CAST(ROUND((p - y) * x2 * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
+          CAST(SUM(CAST(ROUND((p - y) * x3 * 1000000.0) AS BIGINT)) AS BIGINT) AS g3,
+          CAST(SUM(CAST(ROUND((p - y) * 1000000.0) AS BIGINT)) AS BIGINT) AS g4,
+          COUNT(*) AS n
+        FROM s),
+      w AS (
+        SELECT 'w_qty' AS feature, 0.8 AS w_old, g1 AS grad_micro, n FROM g
+        UNION ALL SELECT 'w_disc', -1.5, g2, n FROM g
+        UNION ALL SELECT 'w_tax', 2.0, g3, n FROM g
+        UNION ALL SELECT 'w_bias', -0.3, g4, n FROM g)
+      SELECT feature, w_old, grad_micro,
+        ROUND(w_old - 0.1 * (CAST(grad_micro AS DOUBLE) / 1000000.0 / n), 6)
+          AS w_new
+      FROM w"""))
+
+  /** Distributed Gram matrix XᵀX over the embedding corpus — the
+    * covariance/PCA front half as ONE combinable aggregate. Each row
+    * contributes its d(d+1)/2 upper-triangle products as exact
+    * fixed-point longs (native [[graft.functions.Kernels.gramUpperTriQ]]
+    * kernel), elementwise-summed by the [[graft.functions.SumLongArray]]
+    * aggregate: per-task state is a single 2080-long buffer, the
+    * shuffle moves one buffer per task, and integer addition makes the
+    * result bit-identical under any partitioning — versus the explode/
+    * groupBy formulation, which shuffles d²/2 rows PER INPUT ROW. The
+    * (i,j) labels come from a generator expression over range(d) (no
+    * join against the corpus; the only join is the 2080-row flat-index
+    * map against the ONE aggregated row). */
+  private val x_embed_gram = Q(
+    "x_embed_gram",
+    (s, d) => {
+      import graft.functions.GraftFunctions
+      val dim = 64
+      val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      val gram = emb.agg(GraftFunctions.sumLongArray(
+        GraftFunctions.gramUpperQ(col("embedding"))).as("gram"))
+      val flat = gram.select(
+        posexplode(col("gram")).as(Seq("k", "gram_micro")))
+      val pairs = s.range(dim.toLong).select(col("id").cast("int").as("i"))
+        .select(col("i"),
+          explode(sequence(col("i"), lit(dim - 1))).as("j"))
+        .select(col("i"), col("j"),
+          (col("i") * dim - col("i") * (col("i") - 1) / 2
+            + (col("j") - col("i"))).as("k"))
+      flat.join(broadcast(pairs), "k")
+        .select(col("i"), col("j"), col("gram_micro"),
+          round(col("gram_micro").cast("double") / 1e6, 6).as("gram"))
+    },
+    Some("""WITH v AS (
+        SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+      e AS (
+        SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS val
+        FROM v, (SELECT unnest(range(1, 65)) AS i) i),
+      pair AS (
+        SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+          CAST(FLOOR(a.val * b.val * 1000000.0) AS BIGINT) AS c
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i)
+      SELECT i, j,
+        CAST(SUM(c) AS BIGINT) AS gram_micro,
+        ROUND(CAST(SUM(c) AS DOUBLE) / 1000000.0, 6) AS gram
+      FROM pair
+      GROUP BY i, j"""))
+
   /** Temporal split + entity-leakage audit ([[Quality.splitLeakage]]):
     * events before/after Jan 24 2024 as train/test, overlap measured
     * by user — the hygiene check that quantifies how much of the test
@@ -670,5 +784,7 @@ object EltQueries {
     x_dq_dp,
     x_split_temporal,
     x_ml_split,
+    x_ml_logreg,
+    x_embed_gram,
   )
 }

@@ -212,4 +212,39 @@ class GraftFunctionsSpec extends SparkSpec {
          FROM VALUES (1L, 3), (2L, 1) AS t(id, v)""").head().getSeq[Any](0)
     assert(out.size == 2)
   }
+
+  test("gramUpperQ matches a naive per-pair computation") {
+    val vec = Array(0.5f, -1.25f, 2.0f)
+    val got = Seq(Tuple1(vec)).toDF("v")
+      .select(GraftFunctions.gramUpperQ(col("v"))).head().getSeq[Long](0)
+    val d = vec.length
+    val want = for { i <- 0 until d; j <- i until d } yield
+      math.floor(vec(i).toDouble * vec(j).toDouble * 1e6).toLong
+    assert(got == want)
+    assert(got.size == d * (d + 1) / 2)
+  }
+
+  test("sumLongArray is exact and partitioning-independent; nulls skipped") {
+    val rows = (1L to 300L).map(i => Array(i, -i * 2, i % 7))
+    val df = rows.toDF("a")
+      .union(Seq(Tuple1(null.asInstanceOf[Array[Long]])).toDF("a"))
+    val a = df.agg(GraftFunctions.sumLongArray(col("a"))).head().getSeq[Long](0)
+    val b = df.repartition(13)
+      .agg(GraftFunctions.sumLongArray(col("a"))).head().getSeq[Long](0)
+    val n = 300L
+    val want = Seq(n * (n + 1) / 2, -n * (n + 1), rows.map(_(2)).sum)
+    assert(a == want)
+    assert(b == want)
+  }
+
+  test("sumLongArray rejects ragged lengths; empty input yields empty array") {
+    val ragged = Seq(Array(1L, 2L), Array(1L, 2L, 3L)).toDF("a")
+    val e = intercept[org.apache.spark.SparkException] {
+      ragged.agg(GraftFunctions.sumLongArray(col("a"))).head()
+    }
+    assert(e.getMessage != null)
+    val empty = Seq.empty[Tuple1[Array[Long]]].toDF("a")
+      .agg(GraftFunctions.sumLongArray(col("a"))).head().getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
 }
