@@ -1761,8 +1761,153 @@ object CurationQueries {
           AS INTEGER) AS pos
       FROM tiered"""))
 
+  /** Inverted-index build — the search-index half of a retrieval
+    * pipeline as two combinable aggregates. Per-document DISTINCT terms
+    * come from a per-row `array_distinct` (no extra shuffle), document
+    * frequency is a plain count, and the stored posting-list prefix is
+    * the bounded top-k aggregate keyed by −doc_id (k smallest doc ids,
+    * ascending) — so per-term aggregation state is CONSTANT even for
+    * stopword-grade terms whose full posting list is corpus-sized. The
+    * full-list variant (collect_list) is exactly the anti-pattern this
+    * formulation replaces: at 100 TB a hot term's list IS the corpus.
+    * df keeps the true total, so downstream ranking (see x_text_bm25)
+    * loses nothing. */
+  private val x_text_inverted_index = Q(
+    "x_text_inverted_index",
+    (s, d) => {
+      import graft.functions.GraftFunctions
+      val terms = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+      terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          GraftFunctions.topKBy(
+            -col("doc_id").cast("double"), col("doc_id"), 16).as("nn"))
+        .select(col("term"), col("df"),
+          expr("transform(nn, x -> x.key)").as("postings"))
+    },
+    Some("""WITH t0 AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      t AS (SELECT DISTINCT doc_id, term FROM t0),
+      g AS (
+        SELECT term, COUNT(*) AS df,
+          list(doc_id ORDER BY doc_id) AS all_p
+        FROM t GROUP BY 1)
+      SELECT term, df, all_p[1:16] AS postings FROM g"""))
+
+  /** Pointwise-mutual-information collocation mining: adjacent-word
+    * bigrams scored by ln((c_ab/B) / ((c_a/N)(c_b/N))) — the standard
+    * phrase-detection signal for tokenizer/vocab construction. Unigram
+    * and bigram counts are two combinable aggregates; the score join is
+    * bigram→unigram equi-joins (never a cross product); the min-count
+    * ≥ 5 filter bounds the scored set the way every collocation system
+    * does. PMI is fixed-pointed to micro-nats (exact-integer ratio
+    * arithmetic, one ln, round·10⁶ — the lp_micro discipline), so the
+    * oracle replays it bit-exactly. */
+  private val x_text_pmi = Q(
+    "x_text_pmi_collocations",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val totals = uni.agg(sum(col("cw")).as("n_uni")).crossJoin(
+        toks.filter(size(col("t")) >= 2)
+          .agg(sum(size(col("t")) - 1).as("n_big")))
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      big
+        .join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
+        .join(uni.select(col("w").as("b"), col("cw").as("cb")), "b")
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("cab"),
+          round(log(
+            (col("cab").cast("double") / col("n_big"))
+              / ((col("ca").cast("double") / col("n_uni"))
+                * (col("cb").cast("double") / col("n_uni")))) * 1e6)
+            .cast("long").as("pmi_micro"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      tok AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+        FROM toks),
+      uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+      totals AS (
+        SELECT
+          (SELECT CAST(SUM(cw) AS BIGINT) FROM uni) AS n_uni,
+          (SELECT CAST(SUM(len(t) - 1) AS BIGINT) FROM toks
+            WHERE len(t) >= 2) AS n_big),
+      big AS (
+        SELECT x.w AS a, y.w AS b, COUNT(*) AS cab
+        FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5)
+      SELECT big.a, big.b, big.cab,
+        CAST(ROUND(ln(
+          (CAST(big.cab AS DOUBLE) / t.n_big)
+            / ((CAST(ua.cw AS DOUBLE) / t.n_uni)
+              * (CAST(ub.cw AS DOUBLE) / t.n_uni))) * 1000000.0) AS BIGINT)
+          AS pmi_micro
+      FROM big
+      JOIN uni ua ON big.a = ua.w
+      JOIN uni ub ON big.b = ub.w
+      CROSS JOIN totals t"""))
+
+  /** Rendezvous (highest-random-weight) sharding and its minimal-
+    * movement property, measured: each document's shard is the argmax
+    * over shards of the engine-portable 56-bit hash of (doc, shard) —
+    * computed at 16 and at 17 shards in ONE pass (one ×17 explode, two
+    * conditional argmax aggregates riding the same groupBy; the argmax
+    * key packs (hash, shard) into a single total-order BIGINT). Where
+    * modulo sharding (x_shard_plan) moves ~16/17 of all documents when
+    * a shard is added, rendezvous moves only those whose new-shard hash
+    * wins — E[moved] = 1/17 — which is why stateful systems (shuffle-
+    * less reshards, cache rings) use it. Output: per-shard document
+    * count and how many leave when shard 17 appears. */
+  private val x_shard_rendezvous = Q(
+    "x_shard_rendezvous",
+    (s, d) => {
+      val e = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("s", explode(array((0 until 17).map(i => lit(i)): _*)))
+        .withColumn("h", Sampling.hashValue(
+          concat_ws(":", col("doc_id"), col("s"))))
+        .withColumn("key", col("h") * 32 + col("s"))
+      e.groupBy(col("doc_id"))
+        .agg(
+          max_by(col("s"), when(col("s") < 16, col("key"))).as("shard16"),
+          max_by(col("s"), col("key")).as("shard17"))
+        .groupBy(col("shard16"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("shard17") =!= col("shard16"), 1)).as("n_moved"))
+    },
+    Some(s"""WITH e AS (
+        SELECT doc_id, sh.s AS s,
+          ${Sampling.hashValueSql(
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(sh.s AS VARCHAR)")} AS h
+        FROM documents, (SELECT unnest(range(0, 17)) AS s) sh),
+      k AS (SELECT doc_id, s, h * 32 + s AS key FROM e),
+      a AS (
+        SELECT doc_id,
+          arg_max(CASE WHEN s < 16 THEN s END,
+            CASE WHEN s < 16 THEN key END) AS shard16,
+          arg_max(s, key) AS shard17
+        FROM k GROUP BY doc_id)
+      SELECT CAST(shard16 AS INTEGER) AS shard16,
+        COUNT(*) AS n_docs,
+        COUNT(CASE WHEN shard17 <> shard16 THEN 1 END) AS n_moved
+      FROM a GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     x_curation_curriculum,
+    x_text_inverted_index,
+    x_text_pmi,
+    x_shard_rendezvous,
     x_sketch_hll,
     x_sketch_hll_union,
     x_stream_hll_parity,
