@@ -80,6 +80,24 @@ object Geo {
   def synthLonSql(id: String): String =
     s"(141.0 + (($id * 69621) % 99991) / 99991.0 * 12.0)"
 
+  /** Density-adaptive cell size: pick the cell so the expected index-
+    * side population per cell stays ~`perCell` REGARDLESS of corpus
+    * size — cells per axis grow as √n, so [[gridKnnJoin]] candidate
+    * work stays |left|·9·perCell = scan-linear at any density (a FIXED
+    * cell degrades quadratically as both sides densify: the
+    * x_kmeans_step lesson applied to space). Every op is IEEE-exact
+    * (sqrt is correctly rounded, unlike the libm trig) so the oracle
+    * recomputes the identical double from the same count. */
+  def adaptiveCellDeg(nIndexSide: Long, spanDeg: Double = 9.0,
+                      perCell: Double = 8.0): Double =
+    spanDeg / math.max(1.0, math.floor(math.sqrt(nIndexSide / perCell)))
+
+  /** SQL twin of [[adaptiveCellDeg]] over `COUNT(*)` of the index-side
+    * relation (embed inside a 1-row CTE). */
+  def adaptiveCellDegSql(countExpr: String, spanDeg: Double = 9.0,
+                         perCell: Double = 8.0): String =
+    s"($spanDeg / GREATEST(1.0, FLOOR(SQRT($countExpr / $perCell))))"
+
   // ---------------------------------------------------------------------
   // Grid-blocked nearest-neighbour join
   // ---------------------------------------------------------------------

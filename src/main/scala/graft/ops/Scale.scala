@@ -93,13 +93,19 @@ object Scale {
     * `key` must be a total order (unique) for a deterministic result —
     * ties across a partition boundary would otherwise split
     * arbitrarily. Appends `global_rn`. */
-  def globalRowNumber(df: DataFrame, key: String, parts: Int = 32): DataFrame = {
+  def globalRowNumber(df: DataFrame, key: String, parts: Int = 32): DataFrame =
+    globalRowNumberBy(df, Seq(col(key)), parts)
+
+  /** Multi-key form of [[globalRowNumber]]: `keys` together must be a
+    * total order. */
+  def globalRowNumberBy(df: DataFrame, keys: Seq[Column],
+                        parts: Int = 32): DataFrame = {
     require(parts > 0, s"need parts > 0, got $parts")
-    val ranged = df.repartitionByRange(parts, col(key))
+    val ranged = df.repartitionByRange(parts, keys: _*)
       .localCheckpoint(true)
       .withColumn("__pid", spark_partition_id())
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col(key))
+      .partitionBy(col("__pid")).orderBy(keys: _*)
     val local = ranged.withColumn("__lrn", row_number().over(w))
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy(col("__pid"))

@@ -1713,32 +1713,38 @@ object CurationQueries {
 
   /** Curriculum ordering for training: score each document's
     * difficulty (mean chars per token — ratio of exact ints, one
-    * rounded division), quartile it with NTILE over the total order
-    * (difficulty, doc_id), then interleave tiers round-robin:
-    * position = (rank_in_tier − 1)·4 + tier. The training order that
-    * results starts every 4-doc stride with one document from each
-    * difficulty quartile — the standard easy-to-hard mixing schedule,
-    * computed with two windows over one shuffle and no driver-side
-    * ordering. At 100 TB the NTILE (a global sort) is the scale cost;
-    * production swaps it for approx-quantile tier edges (the
-    * `x_feat_quantile_bin` discipline) — registered here in the exact
-    * form so the oracle can replay positions bit-for-bit. */
+    * rounded division), quartile it over the total order (difficulty,
+    * doc_id), then interleave tiers round-robin — position
+    * (rank_in_tier − 1)·4 + tier starts every 4-doc stride with one
+    * document from each difficulty quartile, the standard easy-to-hard
+    * mixing schedule.
+    *
+    * Scale shape: the global rank comes from
+    * [[graft.ops.Scale.globalRowNumberBy]] (range-repartition + local
+    * windows + a #partitions-row prefix sum — NO single-task NTILE
+    * window), and everything downstream is pure integer arithmetic on
+    * that rank: tier = (r−1)·4 div N + 1, tier start
+    * b(t) = (t·N+3) div 4, rank_in_tier = r − b(tier−1). Exact
+    * quartiles (sizes within ±1, identical to the windowed
+    * formulation) at range-shuffle cost, and the oracle replays the
+    * same arithmetic off DuckDB's ROW_NUMBER. */
   private val x_curation_curriculum = Q(
     "x_curation_curriculum",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select(
         col("doc_id"),
         size(split(lower(col("text")), " ")).as("n_words"),
         length(col("text")).as("n_chars"))
         .withColumn("difficulty",
           round(col("n_chars").cast("double") / col("n_words"), 6))
-      val byDifficulty = Window.orderBy(col("difficulty"), col("doc_id"))
-      val tiered = docs.withColumn("tier", ntile(4).over(byDifficulty))
-      val inTier = Window.partitionBy(col("tier"))
-        .orderBy(col("difficulty"), col("doc_id"))
-      tiered
-        .withColumn("rank_in_tier", row_number().over(inTier))
+      val ranked = Scale.globalRowNumberBy(
+        docs, Seq(col("difficulty"), col("doc_id")))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("tier",
+          expr("CAST((global_rn - 1) * 4 DIV n_total + 1 AS INT)"))
+        .withColumn("rank_in_tier",
+          expr("global_rn - (CAST(tier - 1 AS BIGINT) * n_total + 3) DIV 4"))
         .select(col("doc_id"), col("n_words"), col("difficulty"), col("tier"),
           ((col("rank_in_tier") - 1) * 4 + col("tier")).cast("int").as("pos"))
     },
@@ -1751,13 +1757,17 @@ object CurationQueries {
         SELECT doc_id, n_words,
           ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS difficulty
         FROM d),
-      tiered AS (
+      ranked AS (
         SELECT doc_id, n_words, difficulty,
-          CAST(NTILE(4) OVER (ORDER BY difficulty, doc_id) AS INTEGER) AS tier
-        FROM scored)
+          ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS r,
+          COUNT(*) OVER () AS n_total
+        FROM scored),
+      tiered AS (
+        SELECT doc_id, n_words, difficulty, r, n_total,
+          CAST((r - 1) * 4 // n_total + 1 AS INTEGER) AS tier
+        FROM ranked)
       SELECT doc_id, n_words, difficulty, tier,
-        CAST((ROW_NUMBER() OVER (
-            PARTITION BY tier ORDER BY difficulty, doc_id) - 1) * 4 + tier
+        CAST((r - (CAST(tier - 1 AS BIGINT) * n_total + 3) // 4 - 1) * 4 + tier
           AS INTEGER) AS pos
       FROM tiered"""))
 

@@ -22,15 +22,21 @@ object GeoQueries {
   private def suppPointId = col("s_suppkey") * 131L + 17L
   private val suppPointIdSql = "(s_suppkey * 131 + 17)"
 
-  /** 3 nearest suppliers per customer, 1°-grid-blocked haversine kNN
+  /** 3 nearest suppliers per customer, grid-blocked haversine kNN
     * ([[Geo.gridKnnJoin]]): candidates come from ONE equi-join on grid
     * cells (supplier side replicated ×9 into its cell neighbourhood —
     * the bounded/static index side), ranked by (meters, suppkey) via
-    * the partial-aggregable bounded top-k aggregate. The oracle replays
-    * the same blocking, meter quantization, and tie order. */
+    * the partial-aggregable bounded top-k aggregate. The cell size is
+    * DENSITY-ADAPTIVE ([[Geo.adaptiveCellDeg]] from one count of the
+    * index side): per-customer candidate work stays ~9·8 at every SF,
+    * so the whole join is scan-linear at 100× where a fixed cell would
+    * go quadratic as both sides densify. The oracle recomputes the
+    * identical cell from the same COUNT(*) and replays the blocking,
+    * meter quantization, and tie order. */
   private val x_geo_grid_knn = Q(
     "x_geo_grid_knn",
     (s, d) => {
+      val cell = Geo.adaptiveCellDeg(Tables.supplier(s, d).count())
       val cust = Tables.customer(s, d).select(
         col("c_custkey"),
         Geo.synthLat(col("c_custkey")).as("lat"),
@@ -40,9 +46,11 @@ object GeoQueries {
         Geo.synthLat(suppPointId).as("lat"),
         Geo.synthLon(suppPointId).as("lon"))
       Geo.gridKnnJoin(cust, "c_custkey", supp, "s_suppkey",
-        cellDeg = 1.0, k = 3)
+        cellDeg = cell, k = 3)
     },
-    Some(s"""WITH l AS (
+    Some(s"""WITH c AS (
+        SELECT ${Geo.adaptiveCellDegSql("COUNT(*)")} AS cell FROM supplier),
+      l AS (
         SELECT c_custkey,
           ${Geo.synthLatSql("c_custkey")} AS lat,
           ${Geo.synthLonSql("c_custkey")} AS lon
@@ -54,17 +62,17 @@ object GeoQueries {
         FROM supplier),
       r9 AS (
         SELECT s_suppkey, r_lat, r_lon,
-          CAST(FLOOR(r_lat / 1.0) AS BIGINT) + dy.dy AS cell_y,
-          CAST(FLOOR(r_lon / 1.0) AS BIGINT) + dx.dx AS cell_x
-        FROM r,
+          CAST(FLOOR(r_lat / c.cell) AS BIGINT) + dy.dy AS cell_y,
+          CAST(FLOOR(r_lon / c.cell) AS BIGINT) + dx.dx AS cell_x
+        FROM r, c,
           (SELECT unnest([-1, 0, 1]) AS dy) dy,
           (SELECT unnest([-1, 0, 1]) AS dx) dx),
       cand AS (
         SELECT l.c_custkey, r9.s_suppkey,
           ${Geo.haversineMSql("l.lat", "l.lon", "r9.r_lat", "r9.r_lon")} AS dist_m
-        FROM l JOIN r9
-          ON CAST(FLOOR(l.lat / 1.0) AS BIGINT) = r9.cell_y
-         AND CAST(FLOOR(l.lon / 1.0) AS BIGINT) = r9.cell_x)
+        FROM l CROSS JOIN c JOIN r9
+          ON CAST(FLOOR(l.lat / c.cell) AS BIGINT) = r9.cell_y
+         AND CAST(FLOOR(l.lon / c.cell) AS BIGINT) = r9.cell_x)
       SELECT c_custkey, s_suppkey, dist_m,
         CAST(ROW_NUMBER() OVER (
           PARTITION BY c_custkey ORDER BY dist_m, s_suppkey) AS INTEGER) AS rank
