@@ -528,4 +528,42 @@ object Graph {
         round(col("s").cast("double") / col("n_neighbors").cast("double"), 6)
           .as("neigh_mean_milli"))
   }
+
+  /** Synchronous label propagation — community detection by modal
+    * neighbor label (Raghavan et al. 2007), made deterministic (and
+    * therefore oracle-replayable) by the total tie order
+    * (count DESC, label ASC). Each node starts as its own label; each
+    * round every node adopts the most frequent label among its
+    * neighbors, all updates reading the PREVIOUS round (synchronous —
+    * the asynchronous variant is order-dependent and untestable).
+    *
+    * Per round: one equi-join of the symmetrized edge list to the
+    * current labels, one combinable (node, label) count, and a
+    * row_number top-1 whose window partition holds at most
+    * |distinct neighbor labels| rows — never a corpus-wide partition.
+    * Labels are localCheckpointed per round (lineage stays flat; the
+    * iterative-loop rule). `edges` is directed input; symmetrized
+    * internally, so communities are over the undirected structure.
+    * Returns (node, label) after `rounds` rounds. */
+  def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"need 1 <= rounds <= 16 (each round is unrolled in plans/oracles), got $rounds")
+    val sym = edgesIn.select(col("src"), col("dst"))
+      .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // consumed once per round
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val counted = sym
+        .join(labels, sym("src") === labels("node"))
+        .select(sym("dst").as("node"), col("label"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      labels = Qualify.rowNumber(counted,
+        Seq(col("node")), Seq(col("c").desc, col("label").asc), n = 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

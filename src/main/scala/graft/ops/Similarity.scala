@@ -361,6 +361,29 @@ object Similarity {
     * local optimum on well-separated clusters). Costs k-1 assignment
     * passes — intended for small k; capped so nobody schedules 10k
     * passes by accident. */
+  /** k-center coreset summary: greedy farthest-point seeds
+    * ([[farthestSeeds]] — the 2-approximation of the k-center
+    * objective) plus the assignment of every vector to its nearest
+    * seed, reduced to per-seed (membership count, coverage radius).
+    * The standard diversity-sampling primitive for embedding corpora
+    * (pick k maximally-spread exemplars; radius = how far the worst
+    * member sits). Costs k corpus passes over a localCheckpointed
+    * base — intended for small k; every pass is a broadcast-centroid
+    * assignment, never a corpus×corpus product. Fully deterministic
+    * (lowest-id start, rounded-d2 + id tie order), so an unrolled
+    * oracle replays seed picks, assignment, and radii bit-exactly. */
+  def kCenterCoreset(corpus: DataFrame, id: String, vec: String,
+                     k: Int): DataFrame = {
+    require(k >= 2 && k <= 16, s"coreset wants small k (2..16), got $k")
+    val base = corpus.filter(col(vec).isNotNull)
+      .select(col(id), transform(col(vec), x => x.cast("double")).as("__bv"))
+      .localCheckpoint(true) // consumed by k-1 seed passes + the final assign
+    val seeds = farthestSeeds(base, id, k)
+    kmeansAssign(base, seeds, id, "__bv")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), max(col("d2")).as("radius_d2"))
+  }
+
   private def farthestSeeds(base: DataFrame, id: String, k: Int): DataFrame = {
     require(k <= 64, s"farthest-point init runs k-1 corpus passes; k=$k " +
       "is past sensible — use spread init for large nlist")

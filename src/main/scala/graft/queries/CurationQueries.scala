@@ -1913,11 +1913,97 @@ object CurationQueries {
         COUNT(CASE WHEN shard17 <> shard16 THEN 1 END) AS n_moved
       FROM a GROUP BY 1"""))
 
+  /** Synchronous label-propagation communities
+    * ([[Graph.labelPropagation]], 3 rounds) over the bipartite
+    * customer–supplier order graph, reduced to community sizes. The
+    * oracle unrolls all three rounds — join, modal count, (count DESC,
+    * label ASC) top-1 — exactly as the engine executes them; the
+    * deterministic tie order is what makes an otherwise
+    * heuristic-looking algorithm hash-checkable. */
+  private val x_graph_labelprop = Q(
+    "x_graph_labelprop",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.labelPropagation(edges, rounds = 3)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+    }, {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+          SELECT node, label FROM (
+            SELECT e.dst AS node, l.label, COUNT(*) AS c,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM sym e JOIN $prev l ON e.src = l.node
+            GROUP BY e.dst, l.label)
+          WHERE rn = 1)"""
+      Some(s"""WITH raw AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        sym AS (
+          SELECT src, dst FROM raw
+          UNION SELECT dst AS src, src AS dst FROM raw),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        ${round("l0", "l1")},
+        ${round("l1", "l2")},
+        ${round("l2", "l3")}
+        SELECT label, COUNT(*) AS n_members, MIN(node) AS min_node
+        FROM l3 GROUP BY label""")
+    })
+
+  /** k-center coreset ([[Similarity.kCenterCoreset]], k = 4): greedy
+    * farthest-point exemplars over the embedding corpus + per-exemplar
+    * membership count and coverage radius. The oracle unrolls the three
+    * greedy picks (min rounded-d2 to the seed set, argmax with id
+    * tiebreak) and the final argmin assignment — the same squared-L2
+    * phrasing the kmeans oracle replays. */
+  private val x_embed_coreset = Q(
+    "x_embed_coreset",
+    (s, d) => Similarity.kCenterCoreset(
+      Tables.embeddings(s, d), id = "vec_id", vec = "embedding", k = 4), {
+      val d2 = (v: String, cv: String) =>
+        s"""ROUND(list_inner_product($v, $v) + list_inner_product($cv, $cv)
+            - 2 * list_inner_product($v, $cv), 6)"""
+      val pick = (seeds: String, dcte: String, fcte: String, next: String) =>
+        s"""$dcte AS (
+          SELECT b.id, MIN(${d2("b.v", "s.cv")}) AS dmin
+          FROM base b CROSS JOIN $seeds s GROUP BY b.id),
+        $fcte AS (SELECT id FROM $dcte ORDER BY dmin DESC, id LIMIT 1),
+        $next AS (
+          SELECT * FROM $seeds
+          UNION ALL
+          SELECT b.id AS cid, b.v AS cv FROM base b JOIN $fcte USING (id))"""
+      Some(s"""WITH base AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        seeds1 AS (
+          SELECT id AS cid, v AS cv FROM base ORDER BY id LIMIT 1),
+        ${pick("seeds1", "d1", "f1", "seeds2")},
+        ${pick("seeds2", "d2c", "f2", "seeds3")},
+        ${pick("seeds3", "d3", "f3", "seeds4")},
+        asg AS (
+          SELECT id, cid, dd AS d2 FROM (
+            SELECT b.id, s.cid, ${d2("b.v", "s.cv")} AS dd,
+              ROW_NUMBER() OVER (PARTITION BY b.id
+                ORDER BY ${d2("b.v", "s.cv")}, s.cid) AS rn
+            FROM base b CROSS JOIN seeds4 s)
+          WHERE rn = 1)
+        SELECT cid, COUNT(*) AS n_members, MAX(d2) AS radius_d2
+        FROM asg GROUP BY cid""")
+    })
+
   def all: Seq[Q] = Seq(
     x_curation_curriculum,
     x_text_inverted_index,
     x_text_pmi,
     x_shard_rendezvous,
+    x_graph_labelprop,
+    x_embed_coreset,
     x_sketch_hll,
     x_sketch_hll_union,
     x_stream_hll_parity,

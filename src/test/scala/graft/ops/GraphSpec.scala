@@ -329,4 +329,32 @@ class GraphSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got == want, s"assortativity $got != hand $want")
   }
+
+  test("labelPropagation: two planted cliques converge to two communities") {
+    // cliques {1,2,3,4} and {10,11,12,13} joined by the single bridge 4-10
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L))
+      ++ Seq((4L, 10L))).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // within each clique all labels agree; across cliques they differ
+    assert(Seq(1L, 2L, 3L).map(out).distinct.size == 1)
+    assert(Seq(11L, 12L, 13L).map(out).distinct.size == 1)
+    assert(out(1L) != out(11L), s"cliques merged: $out")
+  }
+
+  test("labelPropagation is synchronous and tie-deterministic") {
+    // a 4-cycle: every node has two neighbors with distinct labels each
+    // round; (count DESC, label ASC) must pick the SMALLER neighbor label
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r1 = Graph.labelPropagation(edges, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // neighbors of 1 are {2,4} -> min label 2; of 2 are {1,3} -> 1;
+    // of 3 are {2,4} -> 2; of 4 are {1,3} -> 1
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L), s"$r1")
+    val again = Graph.labelPropagation(edges, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == r1)
+  }
 }

@@ -428,4 +428,31 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Partial"),
       "pick window must have a map-side partial group limit")
   }
+
+  test("kCenterCoreset: one exemplar per planted cluster, every member covered") {
+    // four tight clusters far apart: greedy farthest-point with k = 4
+    // must land one seed in each, and each cluster's radius stays tiny
+    // next to the inter-cluster spacing
+    val pts = (0 until 40).map { i =>
+      val center = i % 4 * 1000.0
+      (i.toLong, Seq(center + (i / 4) * 0.1, center - (i / 4) * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(df, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 4, s"expected 4 exemplars, got ${out.toSeq}")
+    // seeds sit in distinct planted clusters -> each holds exactly 10
+    assert(out.forall(_._2 == 10L), s"uneven coverage: ${out.toSeq}")
+    // within-cluster squared radius << cluster spacing (1000^2)
+    assert(out.forall(_._3 < 100.0), s"radius blew up: ${out.toSeq}")
+  }
+
+  test("kCenterCoreset is deterministic across partitionings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val a = Similarity.kCenterCoreset(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.kCenterCoreset(emb.repartition(7), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }
