@@ -66,6 +66,33 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         o, s = norm(odf), norm(sdf)
+        # --- driver-strictness pre-checks -------------------------------
+        # The driver hashes canonicalized values with raw pandas: a DuckDB
+        # HUGEINT (from an uncast integer SUM) comes back float64 and
+        # hash-mismatches Spark's int64 ("420.0" vs "420"); an array/struct
+        # Spark column crashes the driver's row sort ("unhashable type").
+        # Catch both here so they can't pass the local gate again.
+        strict_bad = []
+        for c in o.columns:
+            if c in s.columns and pd.api.types.is_float_dtype(o[c]) \
+                    and pd.api.types.is_integer_dtype(s[c]):
+                strict_bad.append(
+                    f"{c}: oracle float64 vs spark int (HUGEINT tell — "
+                    f"CAST the oracle SUM to BIGINT)")
+        for c in s.columns:
+            col = s[c]
+            if col.dtype == object:
+                nn = col.dropna()
+                if len(nn) and isinstance(
+                        nn.iloc[0], (np.ndarray, list, dict)):
+                    strict_bad.append(
+                        f"{c}: spark output is array/struct-typed "
+                        f"(driver row-sort crashes — emit a CSV string)")
+        if strict_bad:
+            print(f"FAIL {name}: driver-strictness: {'; '.join(strict_bad)}")
+            failures += 1
+            continue
+        # ----------------------------------------------------------------
         if list(o.columns) != list(s.columns):
             print(f"FAIL {name}: columns oracle={list(o.columns)} spark={list(s.columns)}")
             failures += 1

@@ -381,7 +381,7 @@ object Sketches {
       SELECT ${l - 1} AS level, c.pp AS prefix,
         c.csum + COALESCE(p.cnt, 0) AS cnt, c.n, c.thr
       FROM (
-        SELECT prefix >> 1 AS pp, SUM(cnt) AS csum, ANY_VALUE(n) AS n,
+        SELECT prefix >> 1 AS pp, CAST(SUM(cnt) AS BIGINT) AS csum, ANY_VALUE(n) AS n,
           ANY_VALUE(thr) AS thr
         FROM __qd_n$l WHERE level = $l GROUP BY 1) c
       LEFT JOIN (SELECT prefix, cnt FROM __qd_n$l WHERE level = ${l - 1}) p
@@ -414,7 +414,7 @@ object Sketches {
     val qList = qs.map(q => s"(${dlit(q)})").mkString(", ")
     s"""__qdq_cum AS (
       SELECT hi, lo, cnt,
-        SUM(cnt) OVER (ORDER BY hi, lo) AS cum
+        CAST(SUM(cnt) OVER (ORDER BY hi, lo) AS BIGINT) AS cum
       FROM __qd_out),
     __qdq_qs AS (
       SELECT q, CAST(ceil(q * n) AS BIGINT) AS r, n
@@ -424,7 +424,7 @@ object Sketches {
       FROM __qdq_cum JOIN __qdq_qs ON cum >= r
       GROUP BY 1, 2, 3),
     __qdq_leafcum AS (
-      SELECT v, c, SUM(c) OVER (ORDER BY v) AS lcum
+      SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS lcum
       FROM (
         SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM $srcCte
         WHERE v IS NOT NULL AND v >= 0 AND v < ${1L << bits}

@@ -1068,9 +1068,10 @@ object CurationQueries {
         FROM survivors WHERE $split = 'train')
       SELECT doc_id, lang, n_tokens, cum_tokens FROM (
         SELECT doc_id, lang, n_tokens,
-          SUM(n_tokens) OVER (PARTITION BY lang
+          CAST(SUM(n_tokens) OVER (PARTITION BY lang
             ORDER BY ${Sampling.hashValueSql("doc_id")}, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
         FROM train)
       WHERE cum_tokens <= 2000""")
     })
@@ -1731,10 +1732,15 @@ object CurationQueries {
   private val x_curation_curriculum = Q(
     "x_curation_curriculum",
     (s, d) => {
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"),
-        size(split(lower(col("text")), " ")).as("n_words"),
-        length(col("text")).as("n_chars"))
+      // text is nullable in the documents schema: rank only non-null
+      // texts so Spark's NULLS FIRST vs DuckDB's NULLS LAST window
+      // defaults can never shift the global order.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          size(split(lower(col("text")), " ")).as("n_words"),
+          length(col("text")).as("n_chars"))
         .withColumn("difficulty",
           round(col("n_chars").cast("double") / col("n_words"), 6))
       val ranked = Scale.globalRowNumberBy(
@@ -1752,7 +1758,7 @@ object CurationQueries {
         SELECT doc_id,
           CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words,
           CAST(length(text) AS INTEGER) AS n_chars
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       scored AS (
         SELECT doc_id, n_words,
           ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS difficulty
@@ -1793,7 +1799,8 @@ object CurationQueries {
           GraftFunctions.topKBy(
             -col("doc_id").cast("double"), col("doc_id"), 16).as("nn"))
         .select(col("term"), col("df"),
-          expr("transform(nn, x -> x.key)").as("postings"))
+          expr("array_join(transform(nn, x -> cast(x.key as bigint)), ',')")
+            .as("postings_csv"))
     },
     Some("""WITH t0 AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -1801,9 +1808,10 @@ object CurationQueries {
       t AS (SELECT DISTINCT doc_id, term FROM t0),
       g AS (
         SELECT term, COUNT(*) AS df,
-          list(doc_id ORDER BY doc_id) AS all_p
+          list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS all_p
         FROM t GROUP BY 1)
-      SELECT term, df, all_p[1:16] AS postings FROM g"""))
+      SELECT term, df,
+        array_to_string(all_p[1:16], ',') AS postings_csv FROM g"""))
 
   /** Pointwise-mutual-information collocation mining: adjacent-word
     * bigrams scored by ln((c_ab/B) / ((c_a/N)(c_b/N))) — the standard

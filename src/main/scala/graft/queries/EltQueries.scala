@@ -394,14 +394,21 @@ object EltQueries {
       val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
       val gram = emb.agg(GraftFunctions.sumLongArray(
         GraftFunctions.gramUpperQ(col("embedding"))).as("gram"))
-      val flat = gram.select(
-        posexplode(col("gram")).as(Seq("k", "gram_micro")))
+      // Guard: the flat buffer length must be exactly d(d+1)/2, so a
+      // dim change on one side errors loudly instead of silently
+      // dropping Gram cells through the inner join below.
+      val flat = gram
+        .select(col("gram"), expr(
+          s"assert_true(size(gram) = ${dim * (dim + 1) / 2}, " +
+            "'x_embed_gram: gram length != dim*(dim+1)/2')").as("__chk"))
+        .select(posexplode(col("gram")).as(Seq("k", "gram_micro")))
       val pairs = s.range(dim.toLong).select(col("id").cast("int").as("i"))
         .select(col("i"),
           explode(sequence(col("i"), lit(dim - 1))).as("j"))
         .select(col("i"), col("j"),
-          (col("i") * dim - col("i") * (col("i") - 1) / 2
-            + (col("j") - col("i"))).as("k"))
+          // integer DIV, not Column `/` (true division to double):
+          // the join key k must be integral to match posexplode's pos.
+          expr(s"i * $dim - (i * (i - 1)) DIV 2 + (j - i)").as("k"))
       flat.join(broadcast(pairs), "k")
         .select(col("i"), col("j"), col("gram_micro"),
           round(col("gram_micro").cast("double") / 1e6, 6).as("gram"))

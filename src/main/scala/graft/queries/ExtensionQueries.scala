@@ -656,7 +656,7 @@ object ExtensionQueries {
           AS BIGINT) AS d2m
       FROM vsub q JOIN centsub ct USING (j) WHERE q.vec_id < 10),
     scored AS (
-      SELECT query_id, neighbor_id, SUM(d2m) AS adc_micro
+      SELECT query_id, neighbor_id, CAST(SUM(d2m) AS BIGINT) AS adc_micro
       FROM codes JOIN lut USING (j, code)
       WHERE query_id <> neighbor_id
       GROUP BY 1, 2)
@@ -717,7 +717,7 @@ object ExtensionQueries {
           AS BIGINT) AS d2m
       FROM vsub q JOIN centsub ct USING (j) WHERE q.vec_id < 10),
     scored AS (
-      SELECT query_id, neighbor_id, SUM(d2m) AS adc_micro
+      SELECT query_id, neighbor_id, CAST(SUM(d2m) AS BIGINT) AS adc_micro
       FROM codes JOIN lut USING (j, code)
       WHERE query_id <> neighbor_id
       GROUP BY 1, 2)
@@ -812,7 +812,7 @@ object ExtensionQueries {
             FROM qprobe CROSS JOIN js) q
       JOIN rcb ct USING (j)),
     scored AS (
-      SELECT query_id, neighbor_id, SUM(d2m) AS adc_micro
+      SELECT query_id, neighbor_id, CAST(SUM(d2m) AS BIGINT) AS adc_micro
       FROM codes JOIN lut USING (cell, j, code)
       WHERE query_id <> neighbor_id
       GROUP BY 1, 2)
@@ -3823,7 +3823,7 @@ object ExtensionQueries {
       FROM labeled),
     agg AS (
       SELECT COUNT(*) AS n_ranked, CAST(SUM(rel) AS BIGINT) AS n_rel,
-        SUM(gain_micro) AS dcg_micro, SUM(ideal_micro) AS idcg_micro
+        CAST(SUM(gain_micro) AS BIGINT) AS dcg_micro, CAST(SUM(ideal_micro) AS BIGINT) AS idcg_micro
       FROM terms)
     SELECT n_ranked, n_rel, dcg_micro, idcg_micro,
       CASE WHEN idcg_micro > 0
