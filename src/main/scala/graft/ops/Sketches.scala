@@ -272,44 +272,56 @@ object Sketches {
   def qdigestBuild(df: DataFrame, value: Column, bits: Int, k: Int): DataFrame = {
     require(bits >= 2 && bits <= 32, s"bits in [2,32], got $bits")
     require(k >= 2, s"compression factor k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // The ONLY corpus-sized op: a map-side-combinable leaf count whose
+    // output is bounded by the 2^bits domain, not the row count.
     val leaves = df.select(value.cast("long").as("v"))
       .filter(col("v").isNotNull && col("v") >= 0 && col("v") < (1L << bits))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .select(lit(bits).as("level"), col("v").as("prefix"), col("cnt"))
-    val stats = leaves.agg(sum(col("cnt")).cast("long").as("n"))
-      .select(col("n"), expr(s"n div $k").as("thr"))
-    var nodes = leaves.crossJoin(broadcast(stats)).localCheckpoint(true)
-    for (l <- bits to 1 by -1) {
-      val parents = nodes.filter(col("level") === l - 1)
-        .select(col("prefix").as("pp"), col("cnt").as("pcnt"))
-      val merged = nodes.filter(col("level") === l)
-        .groupBy(shiftright(col("prefix"), 1).as("pp"),
-          col("thr"), col("n"))
-        .agg(sum(col("cnt")).as("csum"))
-        .join(parents, Seq("pp"), "left")
-        .withColumn("tot", col("csum") + coalesce(col("pcnt"), lit(0L)))
-        .filter(col("tot") <= col("thr"))
-        .select(lit(l - 1).as("level"), col("pp").as("prefix"),
-          col("tot").as("cnt"), col("n"), col("thr"))
-      // a node is displaced iff it is a child of a merged parent, or
-      // the merged parent's own prior incarnation
-      val affectedKey = when(col("level") === l, shiftright(col("prefix"), 1))
-        .when(col("level") === l - 1, col("prefix"))
-      val survivors = nodes.withColumn("__aff", affectedKey)
-        .join(broadcast(merged.select(col("prefix").as("__mp"))),
-          col("__aff") === col("__mp"), "left_anti")
-        .drop("__aff")
-      nodes = survivors.unionByName(merged)
-      // checkpoint every other round: each round consumes `nodes` three
-      // times (parents, children, survivors), so an unchecked chain
-      // re-executes the prior round's plan a bounded number of times on
-      // a domain-bounded frame — while halving the per-round fixed job
-      // cost that dominates this sketch's wall time (the data never
-      // does; see the 1.2× ratio at 100×)
-      if (l % 2 == 1) nodes = nodes.localCheckpoint(true)
-    }
+      .as[(Long, Long)]
+    // The compression recursion is O(2^bits · bits) integer work over a
+    // DOMAIN-bounded frame that only shrinks — never corpus-sized — so
+    // it runs as ONE gated single-task pass (the repo's union-find
+    // precedent) instead of `bits` scheduler rounds of
+    // aggregate+join+anti-join: the earlier round-based form spent its
+    // entire 8 s wall on per-round job floors (measured 1.2× at 100×
+    // rows — pure fixed cost). coalesce(1) folds the final aggregation
+    // into the same single task without a second exchange.
+    val compressed = leaves.coalesce(1).mapPartitions { it =>
+      val levels =
+        Array.fill(bits + 1)(scala.collection.mutable.LongMap.empty[Long])
+      var n = 0L
+      it.foreach { case (v, c) => levels(bits).update(v, c); n += c }
+      val thr = n / k
+      var l = bits
+      while (l >= 1) {
+        val children = levels(l)
+        val parents = levels(l - 1)
+        val grouped = scala.collection.mutable.LongMap.empty[Long]
+        children.foreach { case (p, c) =>
+          val pp = p >>> 1
+          grouped.update(pp, grouped.getOrElse(pp, 0L) + c)
+        }
+        // merges at one level are independent (each group key touches
+        // only its own two children and parent), so map order is
+        // immaterial and the result is bit-identical to the unrolled
+        // per-round DataFrame recursion the oracle SQL replays
+        grouped.foreach { case (pp, csum) =>
+          val tot = csum + parents.getOrElse(pp, 0L)
+          if (tot <= thr) {
+            children.remove(pp << 1)
+            children.remove((pp << 1) | 1L)
+            parents.update(pp, tot)
+          }
+        }
+        l -= 1
+      }
+      (0 to bits).iterator.flatMap(lev =>
+        levels(lev).iterator.map { case (p, c) => (lev, p, c, n, thr) })
+    }.toDF("level", "prefix", "cnt", "n", "thr")
     val span = s"shiftleft(CAST(1 AS BIGINT), CAST($bits - level AS INT))"
-    nodes.select(col("level"), col("prefix"), col("cnt"),
+    compressed.select(col("level"), col("prefix"), col("cnt"),
       expr(s"prefix * $span").as("lo"),
       expr(s"(prefix + 1) * $span - 1").as("hi"),
       col("n"), col("thr"))
