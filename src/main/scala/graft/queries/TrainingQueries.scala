@@ -1,0 +1,595 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.ops.{Sampling, Scale}
+
+/** Round-6 training-data-pipeline registry entries: duplicated-span
+  * detection (the suffix-dedup output shape of Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better"),
+  * DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling"), Matryoshka-style
+  * prefix-dimension retrieve-then-rerank (Kusupati et al. 2022),
+  * per-dimension embedding whitening, Hilbert-curve layout locality
+  * vs Z-order (the liquid-clustering argument, measured), and
+  * zone-map file pruning (the min/max-statistics story every
+  * table format tells — measured on a sorted vs hashed layout).
+  *
+  * Same disciplines as the rest of the extension tier: every compared
+  * float is fixed-point-quantized from exact integers or produced by
+  * an identical IEEE expression tree on both engines; every integer
+  * SUM in the oracle SQL is CAST to BIGINT (README: driver-compare
+  * contract); no array/struct output columns.
+  */
+object TrainingQueries {
+
+  // ---------------------------------------------------------------
+  // x_dedup_dup_spans
+  // ---------------------------------------------------------------
+
+  /** Duplicated 16-token spans merged into maximal per-document
+    * islands — the *output shape* of suffix-array training-data dedup
+    * (Lee et al. 2021): not "is this doc a dup" but "which exact span
+    * of this doc also occurs elsewhere", the unit a span-removal pass
+    * consumes.
+    *
+    * Scale shape: the 16-gram enumeration is a per-row kernel over the
+    * token array (zero shuffle, byte-linear); grams travel as 56-bit
+    * digests (bounded shuffle bytes, the suite hash kernel — the
+    * oracle replays the same digest, so hash collisions, if any,
+    * affect both sides identically); the dup filter is one combinable
+    * count; island-merging windows partition BY DOCUMENT, so window
+    * state is bounded by document length at any corpus size. */
+  private val x_dedup_dup_spans = Q(
+    "x_dedup_dup_spans",
+    (s, d) => {
+      val L = 16
+      val toks = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= L)
+      val grams = toks
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $L)," +
+            s" i -> array_join(slice(t, i + 1, $L), ' '))"))
+          .as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          Sampling.hashValue(col("g")).as("h"))
+      val dupH = grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .select(col("h"))
+      val hits = grams.join(dupH, "h").select(col("doc_id"), col("pos"))
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hits
+        .withColumn("prev_end", max(col("pos") + lit(L - 1)).over(wPrev))
+        .withColumn("brk",
+          when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(wRun))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+          max(col("pos")).as("max_pos"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("island"), col("span_start"),
+          (col("max_pos") + (L - 1)).as("span_end"),
+          (col("max_pos") + (L - 1) - col("span_start") + 1).as("span_tokens"),
+          col("n_grams"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 16),
+      g AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+          ${Sampling.hashValueSql("array_to_string(t[u.i + 1: u.i + 16], ' ')")} AS h
+        FROM d, unnest(range(0, len(t) - 15)) AS u(i)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+      hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+      marked AS (
+        SELECT doc_id, pos,
+          MAX(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM hits),
+      islands AS (
+        SELECT doc_id, pos,
+          CAST(SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+            THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS island
+        FROM marked)
+      SELECT doc_id, island, MIN(pos) AS span_start,
+        MAX(pos) + 15 AS span_end,
+        MAX(pos) + 15 - MIN(pos) + 1 AS span_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM islands GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------
+  // x_curation_dsir
+  // ---------------------------------------------------------------
+
+  /** DSIR importance weights (Xie et al. 2023): score every document
+    * by how target-like its hashed-unigram distribution is —
+    * weight(doc) = Σ_tokens ln(p̂_target(bucket)/p̂_raw(bucket)) with
+    * add-1-smoothed bucket LMs — then keep the top slice. Target here
+    * is the English sub-corpus; features are md5 buckets (B = 1024),
+    * the paper's hashed n-gram trick that makes the feature space
+    * constant-size at any corpus scale.
+    *
+    * Scale shape: token explode is byte-linear; bucket counts are one
+    * combinable aggregate bounded by B; the per-token score join
+    * broadcasts the ≤B-row LM-ratio table (zero shuffle); the per-doc
+    * sum is combinable; top-50 is TakeOrdered, not a global sort. The
+    * ln is the PMI fixed-point discipline: exact-integer ratio
+    * arguments (< 2^53, exact in double), ONE ln, round to micro. */
+  private val x_curation_dsir = Q(
+    "x_curation_dsir",
+    (s, d) => {
+      val B = 1024
+      val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .withColumn("b", Sampling.hashBucket(col("tok"), B))
+      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val totals = toks.agg(count(lit(1)).as("nr"),
+        count(when(col("lang") === "en", 1)).as("nt"))
+      val lp = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"), expr(
+          s"""CAST(ROUND(LN(
+             |  (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(nr + $B AS DOUBLE))
+             |  / (CAST(cr + 1 AS DOUBLE) * CAST(nt + $B AS DOUBLE))
+             |) * 1000000) AS BIGINT)""".stripMargin).as("lp_micro"))
+      val dw = toks.join(broadcast(lp), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lp_micro")).as("weight_micro"))
+      val top = dw.orderBy(col("weight_micro").desc, col("doc_id")).limit(50)
+      val w = Window.orderBy(col("weight_micro").desc, col("doc_id"))
+      // rank window runs on the 50-row TakeOrdered result — bounded
+      top.withColumn("rank", row_number().over(w).cast("int"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("weight_micro"), col("rank"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      tb AS (SELECT doc_id, lang, ${Sampling.hashBucketSql("tok", 1024)} AS b
+        FROM toks),
+      raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tb GROUP BY 1),
+      tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tb
+        WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+        CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS nt
+        FROM tb),
+      lp AS (
+        SELECT b, CAST(ROUND(LN(
+            (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(nr + 1024 AS DOUBLE))
+            / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE))
+          ) * 1000000) AS BIGINT) AS lp_micro
+        FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+      dw AS (
+        SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(lp_micro) AS BIGINT) AS weight_micro
+        FROM tb JOIN lp USING (b)
+        GROUP BY 1, 2)
+      SELECT doc_id, lang, n_tokens, weight_micro,
+        CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id)
+          AS INTEGER) AS rank
+      FROM dw
+      QUALIFY rank <= 50"""))
+
+  // ---------------------------------------------------------------
+  // x_sim_prefix_rerank
+  // ---------------------------------------------------------------
+
+  /** Matryoshka-style two-stage retrieval (Kusupati et al. 2022):
+    * stage 1 scores the corpus by cosine over the FIRST 16 dimensions
+    * only and keeps the top 100 candidates per query (the cheap
+    * prefix pass — in an MRL layout the prefix is a separate, 4×
+    * smaller column, so this stage reads a quarter of the bytes);
+    * stage 2 reranks just those candidates with the full 64-dim
+    * cosine. The oracle replays both stages; recall vs exact top-5 is
+    * the MRL trade and is spec-pinned, while this query pins the
+    * two-stage semantics bit-exactly.
+    *
+    * Scale shape: stage 1 is the broadcast-query corpus scan with the
+    * bounded partial-aggregable top-k aggregate (no global sort, no
+    * full window); stage 2 touches 10×100 rows — the candidate set is
+    * broadcast back against the corpus (one more scan-linear pass in
+    * this storage layout; a real serving layout point-reads them). */
+  private val x_sim_prefix_rerank = Q(
+    "x_sim_prefix_rerank",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("p", expr("slice(v, 1, 16)"))
+        .withColumn("n", sqrt(GraftFunctions.dot(col("v"), col("v"))))
+        .withColumn("pn", sqrt(GraftFunctions.dot(col("p"), col("p"))))
+        .filter(col("n") > 0 && col("pn") > 0)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("p").as("qp"), col("n").as("qn"), col("pn").as("qpn"))
+      val cands = base.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(GraftFunctions.dot(col("qp"), col("p"))
+            / (col("qpn") * col("pn")), 6).as("pc"))
+        .groupBy(col("query_id"))
+        .agg(GraftFunctions.topKBy(col("pc"), col("vec_id"), 100).as("ck"))
+        .select(col("query_id"),
+          explode(expr("transform(ck, c -> c.key)")).as("neighbor_id"))
+      val rescored = base
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("n").as("cn"))
+        .join(broadcast(cands), "neighbor_id")
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+          "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(GraftFunctions.dot(col("qv"), col("cv"))
+            / (col("qn") * col("cn")), 6).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      rescored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+    },
+    Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      nz AS (
+        SELECT vec_id, v, list_slice(v, 1, 16) AS p,
+          sqrt(list_inner_product(v, v)) AS n,
+          sqrt(list_inner_product(list_slice(v, 1, 16),
+                                  list_slice(v, 1, 16))) AS pn
+        FROM v),
+      base AS (SELECT * FROM nz WHERE n > 0 AND pn > 0),
+      qs AS (SELECT vec_id AS query_id, v AS qv, p AS qp, n AS qn, pn AS qpn
+        FROM base WHERE vec_id < 10),
+      s1 AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+          ROUND(list_inner_product(qp, c.p) / (qpn * c.pn), 6) AS pc
+        FROM base c, qs WHERE query_id <> c.vec_id),
+      cand AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY pc DESC, neighbor_id) AS rn
+          FROM s1) WHERE rn <= 100),
+      scored AS (
+        SELECT cand.query_id, c.vec_id AS neighbor_id,
+          ROUND(list_inner_product(q.qv, c.v) / (q.qn * c.n), 6) AS cosine
+        FROM base c JOIN cand ON cand.neighbor_id = c.vec_id
+        JOIN qs q ON q.query_id = cand.query_id)
+      SELECT query_id, neighbor_id, cosine,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 5"""))
+
+  // ---------------------------------------------------------------
+  // x_embed_whitening
+  // ---------------------------------------------------------------
+
+  /** Shared IEEE expression fragments for the whitening query — the
+    * SAME text runs in Spark (expr) and DuckDB, so both engines build
+    * the identical expression tree over identical exact-integer
+    * inputs: division/multiplication/sqrt are correctly-rounded IEEE
+    * ops, so identical trees give bit-identical doubles. */
+  private val meanRaw =
+    "(CAST(sum_milli AS DOUBLE) / CAST(1000 AS DOUBLE) / n)"
+  private val varRaw =
+    "(CAST(sumsq_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) / n" +
+      s" - $meanRaw * $meanRaw)"
+  private val z0Raw =
+    s"((CAST(x0_milli AS DOUBLE) / CAST(1000 AS DOUBLE) - $meanRaw)" +
+      s" / SQRT($varRaw))"
+
+  /** Per-dimension embedding whitening stats — the feature-scaling
+    * pass before any distance-based curation (k-means, SemDeDup,
+    * ANN): per-dim mean/variance from milli/micro fixed-point sums,
+    * plus vector 0's z-scored components as the applied transform.
+    *
+    * Scale shape: components are quantized per row (two array
+    * kernels), summed elementwise by the SumLongArray aggregate — the
+    * shuffle moves ONE 64-long buffer per task, not 64 rows per
+    * vector (the posexplode/groupBy form shuffles 64× the corpus).
+    * Integer sums are order-independent, so the stats are
+    * bit-identical under any partitioning. */
+  private val x_embed_whitening = Q(
+    "x_embed_whitening",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val q = emb.select(
+        expr("transform(embedding," +
+          " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("m"),
+        expr("transform(embedding," +
+          " x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)" +
+          " * 1000000) AS BIGINT))").as("sq"))
+      val agg = q.agg(
+        GraftFunctions.sumLongArray(col("m")).as("sm"),
+        GraftFunctions.sumLongArray(col("sq")).as("ssq"),
+        count(lit(1)).as("n"))
+      val dims = agg
+        .select(col("n"), posexplode(arrays_zip(col("sm"), col("ssq")))
+          .as(Seq("i", "z")))
+        .select((col("i") + 1).cast("int").as("dim"), col("n"),
+          col("z.sm").as("sum_milli"), col("z.ssq").as("sumsq_micro"))
+      val v0 = emb.filter(col("vec_id") === 0)
+        .select(posexplode(expr("transform(embedding," +
+          " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          .as(Seq("i0", "x0_milli")))
+        .select((col("i0") + 1).cast("int").as("dim"), col("x0_milli"))
+      dims.join(broadcast(v0), "dim")
+        .select(col("dim"), col("n"), col("sum_milli"), col("sumsq_micro"),
+          expr(s"ROUND($meanRaw, 6)").as("mean"),
+          expr(s"ROUND($varRaw, 6)").as("variance"),
+          expr(s"CASE WHEN $varRaw <= 0 THEN NULL" +
+            s" ELSE ROUND($z0Raw, 6) END").as("z0"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      comp AS (
+        SELECT vec_id, i.i AS dim,
+          CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * 1000) AS BIGINT) AS m,
+          CAST(ROUND(CAST(embedding[i.i] AS DOUBLE)
+            * CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS sq
+        FROM e, (SELECT unnest(range(1, 65)) AS i) i),
+      agg AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(m) AS BIGINT) AS sum_milli,
+          CAST(SUM(sq) AS BIGINT) AS sumsq_micro
+        FROM comp GROUP BY 1),
+      v0 AS (SELECT dim, m AS x0_milli FROM comp WHERE vec_id = 0)
+      SELECT CAST(a.dim AS INTEGER) AS dim, n, sum_milli, sumsq_micro,
+        ROUND($meanRaw, 6) AS mean,
+        ROUND($varRaw, 6) AS variance,
+        CASE WHEN $varRaw <= 0 THEN NULL
+          ELSE ROUND($z0Raw, 6) END AS z0
+      FROM agg a JOIN v0 USING (dim)"""))
+
+  // ---------------------------------------------------------------
+  // x_scale_zonemap_pruning
+  // ---------------------------------------------------------------
+
+  /** Zone-map (min/max per file) pruning, measured on two physical
+    * layouts of the same fact table — the statistics-based file
+    * skipping every table format (Iceberg/Delta/Hudi manifests,
+    * parquet row-group stats) lives on. 64 shards each way: `hash`
+    * (the layout an unclustered ingest produces) and `range`
+    * (shipdate-clustered, what Z-order/liquid clustering buys you);
+    * zone = per-shard min/max shipdate-day; the probe is a 61-day
+    * window. The output quantifies the story: the range layout prunes
+    * ~94% of shards for this predicate, the hash layout prunes none —
+    * identical bytes, 16× less scanned.
+    *
+    * Scale shape: shard assignment is a per-row hash / a
+    * range-partitioned global row number (no single-task window);
+    * zones and the per-layout rollup are two combinable aggregates.
+    * At 100 TB the zone table IS the manifest: thousands of rows,
+    * consulted before any scan. */
+  private val x_scale_zonemap = Q(
+    "x_scale_zonemap_pruning",
+    (s, d) => {
+      val (lo, hi) = (9600L, 9660L)
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+        .filter(col("day").isNotNull)
+      val hashed = li.select(lit("hash").as("layout"),
+        Sampling.hashBucket(col("l_orderkey") * 100 + col("l_linenumber"), 64)
+          .as("shard"),
+        col("day"))
+      val tot = li.agg(count(lit(1)).as("n_total"))
+      val ranged = Scale.globalRowNumberBy(li,
+          Seq(col("day"), col("l_orderkey"), col("l_linenumber")))
+        .crossJoin(broadcast(tot))
+        .select(lit("range").as("layout"),
+          expr("CAST((global_rn - 1) * 64 DIV n_total AS BIGINT)").as("shard"),
+          col("day"))
+      val zones = hashed.unionByName(ranged)
+        .groupBy(col("layout"), col("shard"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"),
+          count(lit(1)).as("n_rows"),
+          count(when(col("day").between(lo, hi), 1)).as("n_match"))
+      val pruned = col("mx") < lo || col("mn") > hi
+      zones.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_shards"),
+          count(when(pruned, 1)).as("n_pruned"),
+          sum(col("n_rows")).as("rows_total"),
+          coalesce(sum(when(!pruned, col("n_rows"))), lit(0L))
+            .as("rows_scanned"),
+          sum(col("n_match")).as("rows_match"))
+        .withColumn("scan_frac",
+          round(col("rows_scanned").cast("double") / col("rows_total"), 6))
+    },
+    Some(s"""WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+            AS BIGINT) AS day
+        FROM lineitem WHERE l_shipdate IS NOT NULL),
+      h AS (SELECT 'hash' AS layout,
+        ${Sampling.hashBucketSql("l_orderkey * 100 + l_linenumber", 64)}
+          AS shard, day FROM li),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM li),
+      r AS (
+        SELECT 'range' AS layout,
+          CAST((ROW_NUMBER() OVER (ORDER BY day, l_orderkey, l_linenumber)
+            - 1) * 64 // n_total AS BIGINT) AS shard,
+          day
+        FROM li CROSS JOIN tot),
+      zones AS (
+        SELECT layout, shard, MIN(day) AS mn, MAX(day) AS mx,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(CASE WHEN day BETWEEN 9600 AND 9660 THEN 1 END)
+            AS BIGINT) AS n_match
+        FROM (SELECT * FROM h UNION ALL SELECT * FROM r)
+        GROUP BY 1, 2),
+      per AS (
+        SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_shards,
+          CAST(COUNT(CASE WHEN mx < 9600 OR mn > 9660 THEN 1 END)
+            AS BIGINT) AS n_pruned,
+          CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+          CAST(COALESCE(SUM(CASE WHEN NOT (mx < 9600 OR mn > 9660)
+            THEN n_rows END), 0) AS BIGINT) AS rows_scanned,
+          CAST(SUM(n_match) AS BIGINT) AS rows_match
+        FROM zones GROUP BY 1)
+      SELECT layout, n_shards, n_pruned, rows_total, rows_scanned,
+        rows_match,
+        ROUND(CAST(rows_scanned AS DOUBLE) / rows_total, 6) AS scan_frac
+      FROM per"""))
+
+  // ---------------------------------------------------------------
+  // x_layout_hilbert
+  // ---------------------------------------------------------------
+
+  /** One Hilbert xy→d round at mask `s` (order-8 curve, 256×256 grid):
+    * quadrant digit into d, then the classic reflect+swap rotation of
+    * (x, y) for the next round. Emitted as (dExpr, xExpr, yExpr) over
+    * in-scope columns x/y/d — flat integer CASE/div/mod terms that
+    * parse identically in Spark SQL (`intDiv` = "div") and DuckDB
+    * (`intDiv` = "//"), the zorderExprSql discipline. */
+  private def hilbertRound(s: Int, intDiv: String): (String, String, String) = {
+    val rx = s"((x $intDiv $s) % 2)"
+    val ry = s"((y $intDiv $s) % 2)"
+    val quad = s"(CASE WHEN $rx = 1 THEN (CASE WHEN $ry = 1 THEN 2 ELSE 3 END)" +
+      s" ELSE (CASE WHEN $ry = 1 THEN 1 ELSE 0 END) END)"
+    val dE = s"d + ${s.toLong * s} * $quad"
+    val xE = s"CASE WHEN $ry = 1 THEN x WHEN $rx = 1 THEN 255 - y ELSE y END"
+    val yE = s"CASE WHEN $ry = 1 THEN y WHEN $rx = 1 THEN 255 - x ELSE x END"
+    (dE, xE, yE)
+  }
+
+  private val hilbertMasks = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+
+  /** 8-bit × 2 Morton interleave over local x/y columns (same flat
+    * term list as LayoutQueries.zorderExprSql, narrowed to 8 bits). */
+  private def zorder8Sql(intDiv: String): String =
+    (0 until 8).map { i =>
+      s"((x $intDiv ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((y $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Hilbert-curve layout locality, measured against Z-order and
+    * row-major on the same point set — the argument for
+    * Hilbert-based clustering (what replaced Z-order in liquid
+    * clustering): sort the table by each curve's index and sum the
+    * Manhattan distance between CONSECUTIVE rows. Hilbert's defining
+    * property is that consecutive indices are grid neighbours, so its
+    * average step stays near 1 while Z-order pays its diagonal jumps
+    * and row-major pays a full row width per wrap. `sum_idx` pins the
+    * whole 65536-cell mapping (any drift in any round breaks it);
+    * bijectivity and the unit-step property are spec-pinned over the
+    * full grid in TrainingQueriesSpec.
+    *
+    * Scale shape: the curve index is a flat per-row integer
+    * expression (codegen, zero shuffle) — exactly how a writer
+    * computes cluster keys at ingest; the consecutive-pair walk uses
+    * the range-partitioned global row number (no single-task window)
+    * and one equi-join on rn; per-curve rollups are combinable. */
+  private val x_layout_hilbert = Q(
+    "x_layout_hilbert",
+    (s, d) => {
+      val pts = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"),
+        Sampling.hashBucket(col("c_custkey"), 256).as("x"),
+        Sampling.hashBucket(col("c_custkey") * 7 + 3, 256).as("y"))
+      val hilbert = hilbertMasks.foldLeft(
+        pts.withColumn("d", lit(0L))
+          .withColumn("x0", col("x")).withColumn("y0", col("y"))) {
+        case (df, m) =>
+          val (dE, xE, yE) = hilbertRound(m, "div")
+          df.selectExpr("custkey", "x0", "y0",
+            s"$dE AS d", s"$xE AS x", s"$yE AS y")
+      }
+      val curves = hilbert
+        .select(lit("hilbert").as("curve"), col("custkey"),
+          col("d").as("idx"), col("x0").as("x"), col("y0").as("y"))
+        .unionByName(pts.select(lit("zorder").as("curve"), col("custkey"),
+          expr(zorder8Sql("div")).as("idx"), col("x"), col("y")))
+        .unionByName(pts.select(lit("rowmajor").as("curve"), col("custkey"),
+          (col("x") * 256 + col("y")).as("idx"), col("x"), col("y")))
+      val ranked = Scale.globalRowNumberBy(curves,
+        Seq(col("curve"), col("idx"), col("custkey")))
+      // prefix-rename both sides: self-joined lineage (README gotcha)
+      val a = ranked.select(col("curve").as("a_curve"), col("global_rn").as("a_rn"),
+        col("x").as("ax"), col("y").as("ay"))
+      val b = ranked.select(col("curve").as("b_curve"), col("global_rn").as("b_rn"),
+        col("x").as("bx"), col("y").as("by"))
+      val steps = a.join(b,
+          col("a_curve") === col("b_curve") && col("b_rn") === col("a_rn") + 1)
+        .select(col("a_curve").as("curve"),
+          (abs(col("bx") - col("ax")) + abs(col("by") - col("ay"))).as("step"))
+      val perCurve = steps.groupBy(col("curve"))
+        .agg(sum(col("step")).as("sum_steps"), max(col("step")).as("max_step"))
+      val totals = curves.groupBy(col("curve"))
+        .agg(count(lit(1)).as("n_points"), sum(col("idx")).as("sum_idx"))
+      totals.join(perCurve, "curve")
+        .select(col("curve"), col("n_points"), col("sum_idx"),
+          col("sum_steps"), col("max_step"),
+          round(col("sum_steps").cast("double") / (col("n_points") - 1), 6)
+            .as("avg_step"))
+    },
+    Some {
+      val rounds = hilbertMasks.zipWithIndex.map { case (m, i) =>
+        val (dE, xE, yE) = hilbertRound(m, "//")
+        s"""h${i + 1} AS (SELECT custkey, $dE AS d, $xE AS x, $yE AS y
+           |  FROM h$i)""".stripMargin
+      }.mkString(",\n      ")
+      s"""WITH pts AS (
+        SELECT c_custkey AS custkey,
+          ${Sampling.hashBucketSql("c_custkey", 256)} AS x,
+          ${Sampling.hashBucketSql("c_custkey * 7 + 3", 256)} AS y
+        FROM customer),
+      h0 AS (SELECT custkey, CAST(0 AS BIGINT) AS d, x, y FROM pts),
+      $rounds,
+      curves AS (
+        SELECT 'hilbert' AS curve, custkey, d AS idx FROM h8
+        UNION ALL
+        SELECT 'zorder', custkey, ${zorder8Sql("//")} AS idx
+        FROM pts
+        UNION ALL
+        SELECT 'rowmajor', custkey, x * 256 + y AS idx FROM pts),
+      ranked AS (
+        SELECT curve, custkey, idx,
+          ROW_NUMBER() OVER (PARTITION BY curve ORDER BY idx, custkey) AS rn
+        FROM curves),
+      pairs AS (
+        SELECT a.curve,
+          abs(pb.x - pa.x) + abs(pb.y - pa.y) AS step
+        FROM ranked a JOIN ranked b
+          ON a.curve = b.curve AND b.rn = a.rn + 1
+        JOIN pts pa ON pa.custkey = a.custkey
+        JOIN pts pb ON pb.custkey = b.custkey),
+      ps AS (
+        SELECT curve, CAST(SUM(step) AS BIGINT) AS sum_steps,
+          CAST(MAX(step) AS BIGINT) AS max_step
+        FROM pairs GROUP BY 1),
+      tot AS (
+        SELECT curve, CAST(COUNT(*) AS BIGINT) AS n_points,
+          CAST(SUM(idx) AS BIGINT) AS sum_idx
+        FROM curves GROUP BY 1)
+      SELECT curve, n_points, sum_idx, sum_steps, max_step,
+        ROUND(CAST(sum_steps AS DOUBLE) / (n_points - 1), 6) AS avg_step
+      FROM tot JOIN ps USING (curve)"""
+    })
+
+  val all: Seq[Q] = Seq(
+    x_dedup_dup_spans,
+    x_curation_dsir,
+    x_sim_prefix_rerank,
+    x_embed_whitening,
+    x_scale_zonemap,
+    x_layout_hilbert)
+}

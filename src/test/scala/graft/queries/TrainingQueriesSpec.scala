@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic pins for the round-6 training-data batch — properties the
+  * oracle hash can't see: the Hilbert mapping really IS a Hilbert
+  * curve (bijective, unit-step), span islands really merge, the
+  * prefix rerank really retrieves, pruning asymmetry really favors
+  * the sorted layout. */
+class TrainingQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    Registry.queries(name)(spark, sfDir)
+
+  test("hilbert order-8 is a bijection with unit steps over the full grid") {
+    // replay the query's exact round expressions over ALL 65536 cells
+    val grid = spark.range(65536L).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val masks = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+    val mapped = masks.foldLeft(
+      grid.withColumn("d", lit(0L))
+        .withColumn("x0", col("x")).withColumn("y0", col("y"))) {
+      case (df, s) =>
+        val rx = s"((x div $s) % 2)"
+        val ry = s"((y div $s) % 2)"
+        val quad = s"(CASE WHEN $rx = 1 THEN (CASE WHEN $ry = 1 THEN 2 ELSE 3 END)" +
+          s" ELSE (CASE WHEN $ry = 1 THEN 1 ELSE 0 END) END)"
+        df.selectExpr("x0", "y0",
+          s"d + ${s.toLong * s} * $quad AS d",
+          s"CASE WHEN $ry = 1 THEN x WHEN $rx = 1 THEN 255 - y ELSE y END AS x",
+          s"CASE WHEN $ry = 1 THEN y WHEN $rx = 1 THEN 255 - x ELSE x END AS y")
+    }.select(col("x0"), col("y0"), col("d"))
+    assert(mapped.select(col("d")).distinct().count() == 65536L,
+      "hilbert index must be a bijection on the 256x256 grid")
+    assert(mapped.agg(min(col("d")), max(col("d"))).as[(Long, Long)].head()
+      == ((0L, 65535L)))
+    // THE Hilbert property: consecutive indices are grid neighbours
+    val byD = mapped.select(col("d"), col("x0"), col("y0"))
+    val a = byD.select(col("d").as("ad"), col("x0").as("ax"), col("y0").as("ay"))
+    val b = byD.select((col("d") - 1).as("ad"), col("x0").as("bx"), col("y0").as("by"))
+    val steps = a.join(b, "ad")
+      .select((abs(col("bx") - col("ax")) + abs(col("by") - col("ay"))).as("step"))
+    assert(steps.filter(col("step") =!= 1).count() == 0,
+      "every consecutive Hilbert pair must be Manhattan distance 1")
+  }
+
+  test("hilbert locality beats zorder beats nothing on avg step") {
+    val rows = run("x_layout_hilbert")
+      .select(col("curve"), col("avg_step")).as[(String, Double)]
+      .collect().toMap
+    assert(rows.keySet == Set("hilbert", "zorder", "rowmajor"))
+    assert(rows("hilbert") < rows("zorder"),
+      s"hilbert ${rows("hilbert")} should beat zorder ${rows("zorder")}")
+  }
+
+  test("dup spans: planted shared passage comes back as one merged island") {
+    import graft.ops.Sampling
+    // doc A and doc B share tokens 10..29 of A (a 20-token passage):
+    // 5 duplicated 16-grams, overlapping -> ONE island of 20 tokens each
+    val shared = (0 until 20).map(i => s"shared$i").mkString(" ")
+    val a = (0 until 10).map(i => s"a$i").mkString(" ") + " " + shared +
+      " " + (0 until 10).map(i => s"atail$i").mkString(" ")
+    val b = (0 until 4).map(i => s"b$i").mkString(" ") + " " + shared +
+      " " + (0 until 6).map(i => s"btail$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val L = 16
+    val toks = docs.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= L)
+    val grams = toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $L)," +
+          s" i -> array_join(slice(t, i + 1, $L), ' '))")).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Sampling.hashValue(col("g")).as("h"))
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val hits = grams.join(dupH, "h")
+    val spans = hits.groupBy(col("doc_id"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, st, en, n) => id -> ((st, en, n)) }.toMap
+    // doc 1: the 20-token passage at positions 10..29 -> 16-gram
+    // starts 10..14 (5 overlapping grams, one island); doc 2: at 4..23
+    assert(spans(1L) == ((10L, 14L, 5L)), s"doc 1 spans: ${spans(1L)}")
+    assert(spans(2L) == ((4L, 8L, 5L)), s"doc 2 spans: ${spans(2L)}")
+  }
+
+  test("x_dedup_dup_spans islands cover only the planted overlap on testdata") {
+    val out = run("x_dedup_dup_spans")
+    val n = out.count()
+    assert(n > 0, "testdata corpus has near-dup docs; spans must exist")
+    // islands are well-formed: start <= end, n_grams >= 1, tokens = e-s+1
+    assert(out.filter(col("span_end") < col("span_start")).count() == 0)
+    assert(out.filter(
+      col("span_tokens") =!= col("span_end") - col("span_start") + 1)
+      .count() == 0)
+  }
+
+  test("prefix rerank retrieves a majority of the exact top-5") {
+    import graft.core.Tables
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir).filter(col("embedding").isNotNull)
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val reranked = run("x_sim_prefix_rerank")
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    // The testdata embeddings are random — MRL's worst case (nothing
+    // concentrates energy in the prefix the way a trained Matryoshka
+    // model does), so a 16/64 prefix carries ~25% of the signal.
+    // Majority recall here means the mechanism works; a trained
+    // embedding space pushes this toward 1.0.
+    val recall = exact.intersect(reranked).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"prefix-16 stage-1 at 100 candidates should recall >= 0.5, got $recall")
+    // rank-5-per-query structure
+    assert(reranked.size == exact.size)
+  }
+
+  test("zonemap pruning: sorted layout prunes, hashed layout cannot") {
+    val rows = run("x_scale_zonemap_pruning")
+      .select(col("layout"), col("n_pruned"), col("rows_match"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows("range")._2 > 40,
+      s"range layout should prune most of 64 shards, pruned ${rows("range")._2}")
+    assert(rows("hash")._2 == 0,
+      s"hash layout should prune nothing, pruned ${rows("hash")._2}")
+    // both layouts agree on the true match count (pruning is lossless)
+    assert(rows("range")._3 == rows("hash")._3)
+  }
+
+  test("dsir separates distinct vocabularies (planted corpus)") {
+    import graft.ops.Sampling
+    // The testdata languages share ONE token pool, so lang carries no
+    // distributional signal there (the registered query is pinned
+    // structurally below). Plant the signal DSIR is built for: target
+    // docs draw from vocab A, others from vocab B.
+    val docs = ((0 until 20).map(i =>
+        (i.toLong, "en", (0 until 30).map(j => s"alpha${(i + j) % 40}").mkString(" "))) ++
+      (20 until 40).map(i =>
+        (i.toLong, "de", (0 until 30).map(j => s"beta${(i + j) % 40}").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val B = 1024
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("b", Sampling.hashBucket(col("tok"), B))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(count(lit(1)).as("nr"),
+      count(when(col("lang") === "en", 1)).as("nt"))
+    val lp = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"""CAST(ROUND(LN(
+           |  (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(nr + $B AS DOUBLE))
+           |  / (CAST(cr + 1 AS DOUBLE) * CAST(nt + $B AS DOUBLE))
+           |) * 1000000) AS BIGINT)""".stripMargin).as("lp_micro"))
+    val dw = toks.join(broadcast(lp), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp_micro")).as("w"))
+      .select(col("lang"), col("w")).as[(String, Long)].collect()
+    val minEn = dw.filter(_._1 == "en").map(_._2).min
+    val maxDe = dw.filter(_._1 == "de").map(_._2).max
+    assert(minEn > maxDe,
+      s"every target-vocab doc must outweigh every other ($minEn vs $maxDe)")
+  }
+
+  test("dsir registered query is a well-formed top-50") {
+    val top = run("x_curation_dsir")
+      .select(col("rank"), col("weight_micro"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(top.length == 50)
+    assert(top.map(_._1).toSeq == (1 to 50))
+    // weights non-increasing down the ranking
+    top.sliding(2).foreach { case Array((_, w1), (_, w2)) =>
+      assert(w1 >= w2, s"weights must be non-increasing: $w1 then $w2")
+    }
+  }
+
+  test("whitening stats are sane and z-scores standardize") {
+    val out = run("x_embed_whitening")
+    assert(out.count() == 64)
+    assert(out.filter(col("variance") < 0).count() == 0)
+    assert(out.filter(col("n") =!= out.agg(max(col("n"))).head().getLong(0))
+      .count() == 0, "every dim sees every vector")
+  }
+}
