@@ -803,4 +803,138 @@ object TextOps {
           t -> ${Sampling.hashBucketSql("t", k)} - ${k / 2})) AS DOUBLE)
         / (${k / 2}.0 * len(string_split(lower($textExpr), ' '))), 6) END"""
   }
+
+  /** Multi-merge BPE TRAINING (Sennrich et al. 2016) — `rounds`
+    * successive merges, each the full algorithm: count adjacent token
+    * pairs weighted by word frequency, pick the argmax pair (count
+    * desc, pair lexicographic — a total tiebreak, so ties are
+    * deterministic), merge every non-overlapping occurrence
+    * greedy-leftmost, re-segment, repeat. Extends the single-step pair
+    * statistics (`bpePairStats`) to the real training loop.
+    *
+    * Output: one row per merge — (merge_round, a, b, weight,
+    * vocab_tokens, corpus_tokens) — the learned merge table plus the
+    * compression trajectory (corpus_tokens = Σ freq·|segmentation|,
+    * the corpus token count under the tokenizer-so-far, WITHOUT
+    * touching the corpus again).
+    *
+    * Scale shape: the ONLY corpus-sized op is the word-frequency
+    * groupBy. All per-round work — the pair count, the argmax, the
+    * island-parity merge (overlapping matches like "aaaa" merge 1st,
+    * 3rd, ... — greedy-leftmost as one window pass, no sequential
+    * scan), the renumber — runs on the segmentation table of the
+    * DISTINCT vocabulary, bounded by Σ word lengths regardless of
+    * corpus size; windows partition by word, so state is bounded by
+    * word length. Each round localCheckpoints the vocab-sized frame
+    * (multi-consumer + iterative lineage). */
+  def bpeTrain(df: DataFrame, text: Column, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds in [1,16], got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val wWin = Window.partitionBy(col("w")).orderBy(col("idx"))
+    val vocab = df.select(explode(tokens(text)).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var toks = vocab
+      .select(col("w"), col("freq"), posexplode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as(Seq("i0", "tok")))
+      .select(col("w"), col("freq"), (col("i0") + 1).cast("long").as("idx"),
+        col("tok"))
+      .localCheckpoint(true)
+    var outs = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(wWin))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("a"), col("b")).limit(1)
+      val m = withNext.crossJoin(broadcast(best))
+        .withColumn("matched",
+          (col("tok") === col("a") && col("nxt") === col("b")).cast("int"))
+      val g = m
+        .withColumn("mrn", sum(col("matched"))
+          .over(wWin.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("grp", col("idx") - col("mrn"))
+      val h = g
+        .withColumn("minm", min(when(col("matched") === 1, col("idx")))
+          .over(Window.partitionBy(col("w"), col("grp"))))
+        .withColumn("head",
+          (col("matched") === 1 && (col("idx") - col("minm")) % 2 === 0)
+            .cast("int"))
+      val merged = h
+        .withColumn("prev_head", coalesce(lag(col("head"), 1).over(wWin), lit(0)))
+        .filter(col("prev_head") === 0)
+        .select(col("w"), col("freq"),
+          row_number().over(wWin).cast("long").as("idx"),
+          when(col("head") === 1, concat(col("tok"), col("b")))
+            .otherwise(col("tok")).as("tok"))
+      toks = merged.localCheckpoint(true)
+      val stats = toks.agg(count(lit(1)).as("vocab_tokens"),
+        sum(col("freq")).as("corpus_tokens"))
+      outs = outs :+ best.crossJoin(broadcast(stats))
+        .select(lit(r).as("merge_round"), col("a"), col("b"), col("weight"),
+          col("vocab_tokens"), col("corpus_tokens"))
+    }
+    outs.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB replay of [[bpeTrain]]; `srcCte` is a parenthesized
+    * relation with a `text` column. Per-round CTE blocks mirror the
+    * DataFrame loop op-for-op; multi-referenced CTEs are MATERIALIZED
+    * so the 8-round chain doesn't re-derive. */
+  def bpeTrainSql(srcCte: String, rounds: Int = 8): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM $srcCte)
+      WHERE len(w) >= 1 GROUP BY 1),
+    t1 AS MATERIALIZED (
+      SELECT w, freq, CAST(u.i AS BIGINT) AS idx, substr(w, u.i, 1) AS tok
+      FROM vocab, unnest(range(1, len(w) + 1)) AS u(i))""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+    p$r AS MATERIALIZED (
+      SELECT a, b, weight FROM (
+        SELECT tok AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS weight
+        FROM (SELECT w, freq, tok,
+                LEAD(tok) OVER (PARTITION BY w ORDER BY idx) AS nxt
+              FROM t$r)
+        WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      ORDER BY weight DESC, a, b LIMIT 1),
+    m$r AS (
+      SELECT x.w, x.freq, x.idx, x.tok,
+        CASE WHEN x.tok = p.a
+          AND LEAD(x.tok) OVER (PARTITION BY x.w ORDER BY x.idx) = p.b
+          THEN 1 ELSE 0 END AS matched,
+        p.b AS mb
+      FROM t$r x CROSS JOIN p$r p),
+    g$r AS (
+      SELECT *, idx - SUM(matched) OVER (PARTITION BY w ORDER BY idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM m$r),
+    h$r AS (
+      SELECT *, CASE WHEN matched = 1
+          AND (idx - MIN(CASE WHEN matched = 1 THEN idx END)
+            OVER (PARTITION BY w, grp)) % 2 = 0
+        THEN 1 ELSE 0 END AS head
+      FROM g$r),
+    d$r AS (
+      SELECT *, COALESCE(LAG(head) OVER (PARTITION BY w ORDER BY idx), 0)
+        AS prev_head
+      FROM h$r),
+    t${r + 1} AS MATERIALIZED (
+      SELECT w, freq,
+        CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY idx) AS BIGINT) AS idx,
+        CASE WHEN head = 1 THEN tok || mb ELSE tok END AS tok
+      FROM d$r WHERE prev_head = 0),
+    out$r AS (
+      SELECT $r AS merge_round, a, b, weight,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM t${r + 1}) AS vocab_tokens,
+        (SELECT CAST(SUM(freq) AS BIGINT) FROM t${r + 1}) AS corpus_tokens
+      FROM p$r)""")
+    }
+    sb.append("\n    " + (1 to rounds).map(r => s"SELECT * FROM out$r")
+      .mkString("\n    UNION ALL "))
+    sb.toString
+  }
 }

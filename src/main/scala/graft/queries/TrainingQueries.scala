@@ -585,11 +585,92 @@ object TrainingQueries {
       FROM tot JOIN ps USING (curve)"""
     })
 
+  // ---------------------------------------------------------------
+  // x_ts_ewma
+  // ---------------------------------------------------------------
+
+  /** Exponentially-weighted moving average over monthly order series —
+    * the RECURSIVE smoothing class the time-series tier lacked (LOCF /
+    * rolling / session windows are all frame-expressible; EWMA's
+    * e_t = f(e_{t-1}) is not). α = 1/2 in exact integer micro-units:
+    * e_1 = n_1·10⁶, e_t = (e_{t-1} + n_t·10⁶) div 2 — truncating
+    * integer recursion, so the oracle (a DuckDB RECURSIVE CTE walking
+    * t = 1..T per key) replays it bit-exactly; no float accumulates.
+    *
+    * Scale shape: the corpus-sized op is one combinable (key, month)
+    * count; the recursion folds WITHIN each key's collected series —
+    * bounded by the calendar (≤ ~84 months here), never by rows. This
+    * is the general pattern for per-key sequential state at scale:
+    * aggregate the corpus to the bounded series first, then fold. */
+  private val x_ts_ewma = Q(
+    "x_ts_ewma",
+    (s, d) => {
+      val series = Tables.orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("int").as("ym"))
+        .groupBy(col("priority"), col("ym"))
+        .agg(count(lit(1)).as("n"))
+      series.groupBy(col("priority"))
+        .agg(sort_array(collect_list(struct(col("ym"), col("n")))).as("ser"))
+        .select(col("priority"), explode(expr(
+          """aggregate(ser,
+            |  CAST(array() AS array<struct<ym:int,n:bigint,e:bigint>>),
+            |  (acc, s) -> concat(acc, array(named_struct(
+            |    'ym', s.ym, 'n', s.n,
+            |    'e', CASE WHEN size(acc) = 0 THEN s.n * 1000000
+            |         ELSE CAST((element_at(acc, -1).e + s.n * 1000000)
+            |                DIV 2 AS BIGINT) END))))""".stripMargin))
+          .as("p"))
+        .select(col("priority"), col("p.ym").as("ym"), col("p.n").as("n"),
+          col("p.e").as("ewma_micro"))
+    },
+    Some("""WITH RECURSIVE series AS (
+        SELECT o_orderpriority AS priority,
+          CAST(year(CAST(o_orderdate AS DATE)) * 100
+            + month(CAST(o_orderdate AS DATE)) AS INTEGER) AS ym,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2),
+      s AS (
+        SELECT priority, ym, n,
+          ROW_NUMBER() OVER (PARTITION BY priority ORDER BY ym) AS t
+        FROM series),
+      r AS (
+        SELECT priority, ym, n, t, CAST(n * 1000000 AS BIGINT) AS e
+        FROM s WHERE t = 1
+        UNION ALL
+        SELECT s.priority, s.ym, s.n, s.t,
+          CAST((r.e + s.n * 1000000) // 2 AS BIGINT) AS e
+        FROM r JOIN s ON s.priority = r.priority AND s.t = r.t + 1)
+      SELECT priority, ym, n, e AS ewma_micro FROM r"""))
+
+  // ---------------------------------------------------------------
+  // x_text_bpe_train
+  // ---------------------------------------------------------------
+
+  /** The real BPE training loop — 8 successive merges over the
+    * documents corpus ([[graft.ops.TextOps.bpeTrain]]): the learned
+    * merge table plus the compression trajectory. The oracle replays
+    * all 8 rounds (pair counts, argmax with total tiebreak,
+    * greedy-leftmost island-parity merging, re-segmentation)
+    * CTE-block-for-loop-round. */
+  private val x_text_bpe_train = Q(
+    "x_text_bpe_train",
+    (s, d) => graft.ops.TextOps.bpeTrain(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("text"), rounds = 8),
+    Some(graft.ops.TextOps.bpeTrainSql(
+      "(SELECT text FROM documents WHERE text IS NOT NULL)", rounds = 8)))
+
   val all: Seq[Q] = Seq(
     x_dedup_dup_spans,
     x_curation_dsir,
     x_sim_prefix_rerank,
     x_embed_whitening,
     x_scale_zonemap,
-    x_layout_hilbert)
+    x_layout_hilbert,
+    x_ts_ewma,
+    x_text_bpe_train)
 }

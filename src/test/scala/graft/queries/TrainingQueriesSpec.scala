@@ -183,6 +183,37 @@ class TrainingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bpe train learns the hand-traced merges on a planted corpus") {
+    import graft.ops.TextOps
+    // corpus: "aaab" x2, "ab" x1. Hand trace:
+    //   round 1: (a,a) weight 4 (two overlapping occurrences per "aaab",
+    //     greedy-leftmost merges only the first) -> aaab = [aa, a, b]
+    //   round 2: (a,b) weight 3 -> aaab = [aa, ab], ab = [ab]
+    //   round 3: (aa, ab) weight 2 -> aaab = [aaab]
+    //   round 4+: no pairs left -> no further merge rows
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val out = TextOps.bpeTrain(docs, col("text"), rounds = 5)
+      .select(col("merge_round"), col("a"), col("b"), col("weight"),
+        col("corpus_tokens"))
+      .as[(Int, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)),
+      s"unexpected merge table: ${out.mkString(", ")}")
+    // compression trajectory: 10 chars -> 8 -> 5 -> 3 corpus tokens
+    assert(out.map(_._5).toSeq == Seq(8L, 5L, 3L))
+  }
+
+  test("bpe train: overlapping runs merge greedy-leftmost") {
+    import graft.ops.TextOps
+    // "aaaa": matched at idx 1,2,3 (one island) -> heads at 1 and 3
+    // -> [aa, aa]; round 2 merges (aa, aa) -> [aaaa]
+    val docs = Seq("aaaa").toDF("text")
+    val out = TextOps.bpeTrain(docs, col("text"), rounds = 2)
+      .select(col("merge_round"), col("a"), col("b"), col("vocab_tokens"))
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "aa", 1L)))
+  }
+
   test("whitening stats are sane and z-scores standardize") {
     val out = run("x_embed_whitening")
     assert(out.count() == 64)
