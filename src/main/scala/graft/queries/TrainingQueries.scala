@@ -664,6 +664,169 @@ object TrainingQueries {
     Some(graft.ops.TextOps.bpeTrainSql(
       "(SELECT text FROM documents WHERE text IS NOT NULL)", rounds = 8)))
 
+  // ---------------------------------------------------------------
+  // x_text_textrank
+  // ---------------------------------------------------------------
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    * over the word co-occurrence graph: nodes are vocabulary words,
+    * edges are distinct adjacent pairs (symmetric), ranks are
+    * [[graft.ops.Graph.pageRankFixedPoint]]'s exact integer fixed
+    * point (3 iterations), top-20 by (rank, word). A pure composition
+    * of existing operators — the corpus appears in ONE byte-linear
+    * bigram pass; everything after runs on the vocabulary-bounded
+    * graph. The oracle replays edges and all three unrolled
+    * iterations. */
+  private val x_text_textrank = Q(
+    "x_text_textrank",
+    (s, d) => {
+      import graft.ops.Graph
+      val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks.select(explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> struct(element_at(t, i + 1) AS a," +
+            " element_at(t, i + 2) AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val ranked = Graph.pageRankFixedPoint(edges, iters = 3)
+      val top = ranked.orderBy(col("rank_fp").desc, col("node")).limit(20)
+      val w = Window.orderBy(col("rank_fp").desc, col("node"))
+      top.withColumn("rank", row_number().over(w).cast("int"))
+        .select(col("node").as("word"), col("deg"), col("rank_fp"),
+          col("rank"))
+    },
+    Some {
+      val fp = graft.ops.Graph.RankFp
+      def step(i: Int) =
+        s"""c$i AS (
+          SELECT e.dst AS node, CAST(SUM(r.r // r.deg) AS BIGINT) AS s
+          FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
+        r$i AS (
+          SELECT d.node, d.deg,
+            (($fp // n_nodes) * 15) // 100 + (COALESCE(c.s, 0) * 85) // 100 AS r
+          FROM deg d CROSS JOIN n LEFT JOIN c$i c ON c.node = d.node)"""
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 2),
+      bi AS (
+        SELECT t[u.i + 1] AS a, t[u.i + 2] AS b
+        FROM toks, unnest(range(0, len(t) - 1)) AS u(i)),
+      pairs AS (SELECT a, b FROM bi WHERE a <> b),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+      r0 AS (SELECT node, deg, $fp // n_nodes AS r FROM deg CROSS JOIN n),
+      ${step(1)},
+      ${step(2)},
+      ${step(3)}
+      SELECT node AS word, CAST(deg AS BIGINT) AS deg,
+        CAST(r AS BIGINT) AS rank_fp,
+        CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INTEGER) AS rank
+      FROM r3
+      QUALIFY rank <= 20"""
+    })
+
+  // ---------------------------------------------------------------
+  // x_graph_boruvka_step
+  // ---------------------------------------------------------------
+
+  /** One Borůvka MST round over the co-purchase graph — the
+    * minimum-spanning-forest class missing from the graph tier (MST
+    * over a similarity graph is the classic single-linkage clustering
+    * step). Edge weights are the portable 56-bit hash of the edge key
+    * (deterministic, distinct whp — the random-weight MST posture);
+    * each node picks its minimum incident edge by (weight, neighbor) —
+    * ONE combinable min-struct aggregate, the textbook Borůvka kernel
+    * that makes MST log-round parallelizable; picked edges are
+    * canonicalized, deduped, and their components resolved by the
+    * existing pointer-jumping [[graft.ops.Dedup.connectedComponents]].
+    * Output: per-component size, picked-edge count, and total weight —
+    * plus the round's global invariant n_components ≤ n_nodes/2,
+    * spec-pinned.
+    *
+    * Scale shape: argmin is map-side combinable (a hot node is a big
+    * combinable group); components run on the picked FOREST (≤ n
+    * edges, diameter-collapsed by pointer jumping), never on the full
+    * edge list. */
+  private val x_graph_boruvka = Q(
+    "x_graph_boruvka_step",
+    (s, d) => {
+      import graft.ops.Dedup
+      val eraw = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .withColumn("wgt", Sampling.hashValue(
+          concat(col("a").cast("string"), lit(":"), col("b").cast("string"))))
+      val sym = eraw.select(col("a").as("node"), col("b").as("other"), col("wgt"))
+        .unionByName(eraw.select(col("b").as("node"), col("a").as("other"),
+          col("wgt")))
+      val picked = sym.groupBy(col("node"))
+        .agg(min(struct(col("wgt"), col("other"))).as("m"))
+        .select(least(col("node"), col("m.other")).as("pa"),
+          greatest(col("node"), col("m.other")).as("pb"),
+          col("m.wgt").as("wgt"))
+        .distinct()
+      val cc = Dedup.connectedComponents(
+        picked.select(col("pa"), col("pb")), "pa", "pb")
+      val compOfA = cc.select(col("node").as("pa"), col("cluster_id"))
+      val perComp = picked.join(compOfA, "pa")
+        .groupBy(col("cluster_id").as("component"))
+        .agg(count(lit(1)).as("n_edges_picked"),
+          sum(col("wgt")).as("weight_sum"))
+      val sizes = cc.groupBy(col("cluster_id").as("component"))
+        .agg(count(lit(1)).as("n_members"))
+      sizes.join(perComp, "component")
+    },
+    Some(s"""WITH RECURSIVE eraw AS (
+        SELECT a, b, ${Sampling.hashValueSql(
+          "CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)")} AS wgt
+        FROM (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey)),
+      sym AS (
+        SELECT a AS node, b AS other, wgt FROM eraw
+        UNION ALL SELECT b, a, wgt FROM eraw),
+      pick AS (
+        SELECT node, other, wgt FROM (
+          SELECT node, other, wgt,
+            ROW_NUMBER() OVER (PARTITION BY node ORDER BY wgt, other) AS rn
+          FROM sym) WHERE rn = 1),
+      picked AS (
+        SELECT DISTINCT least(node, other) AS pa,
+          greatest(node, other) AS pb, wgt
+        FROM pick),
+      edges AS (
+        SELECT pa AS src, pb AS dst FROM picked
+        UNION SELECT pb, pa FROM picked),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS node, least(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      per AS (
+        SELECT c.cluster_id AS component,
+          CAST(COUNT(*) AS BIGINT) AS n_edges_picked,
+          CAST(SUM(p.wgt) AS BIGINT) AS weight_sum
+        FROM picked p JOIN comp c ON c.node = p.pa
+        GROUP BY 1),
+      sz AS (
+        SELECT cluster_id AS component,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY 1)
+      SELECT component, n_members, n_edges_picked, weight_sum
+      FROM sz JOIN per USING (component)"""))
+
   val all: Seq[Q] = Seq(
     x_dedup_dup_spans,
     x_curation_dsir,
@@ -672,5 +835,7 @@ object TrainingQueries {
     x_scale_zonemap,
     x_layout_hilbert,
     x_ts_ewma,
-    x_text_bpe_train)
+    x_text_bpe_train,
+    x_text_textrank,
+    x_graph_boruvka)
 }

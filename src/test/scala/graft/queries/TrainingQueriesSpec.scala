@@ -214,6 +214,45 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "aa", 1L)))
   }
 
+  test("boruvka round halves components: picked forest is spanning and acyclic-enough") {
+    val out = run("x_graph_boruvka_step")
+      .select(col("n_members"), col("n_edges_picked"))
+      .as[(Long, Long)].collect()
+    val nodes = out.map(_._1).sum
+    val comps = out.length.toLong
+    val edges = out.map(_._2).sum
+    // Boruvka invariant: every node joined SOME component of >= 2 nodes,
+    // so after one round comps <= nodes / 2
+    assert(comps <= nodes / 2, s"$comps components for $nodes nodes")
+    // a forest of c components over n nodes picks >= n - c distinct
+    // edges (each node picked one, dedup only removes mutual picks) and
+    // < n (it is a pseudo-forest)
+    assert(edges >= nodes - comps && edges < nodes,
+      s"picked $edges edges for $nodes nodes in $comps components")
+    out.foreach { case (m, _) => assert(m >= 2) }
+  }
+
+  test("textrank ranks connector words above leaves (planted graph)") {
+    import graft.ops.Graph
+    // star: hub adjacent to 6 leaves -> hub must rank first
+    val docs = (0 until 6).map(i => s"hub leaf$i").mkString(" hub ")
+    val toks = Seq(docs).toDF("text")
+      .select(split(lower(col("text")), " ").as("t"))
+    val pairs = toks.select(explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(element_at(t, i + 1) AS a, element_at(t, i + 2) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val top = Graph.pageRankFixedPoint(edges, iters = 3)
+      .orderBy(col("rank_fp").desc, col("node"))
+      .select(col("node")).as[String].head()
+    assert(top == "hub", s"expected hub to rank first, got $top")
+  }
+
   test("whitening stats are sane and z-scores standardize") {
     val out = run("x_embed_whitening")
     assert(out.count() == 64)
