@@ -520,8 +520,11 @@ object TrainingQueries {
           expr(zorder8Sql("div")).as("idx"), col("x"), col("y")))
         .unionByName(pts.select(lit("rowmajor").as("curve"), col("custkey"),
           (col("x") * 256 + col("y")).as("idx"), col("x"), col("y")))
+      // materialize the ranked frame ONCE: both self-join sides consume
+      // it, and ReusedExchange does not span join sides — unchecked,
+      // the whole rownum pipeline (range shuffle + windows) runs twice
       val ranked = Scale.globalRowNumberBy(curves,
-        Seq(col("curve"), col("idx"), col("custkey")))
+        Seq(col("curve"), col("idx"), col("custkey"))).localCheckpoint(true)
       // prefix-rename both sides: self-joined lineage (README gotcha)
       val a = ranked.select(col("curve").as("a_curve"), col("global_rn").as("a_rn"),
         col("x").as("ax"), col("y").as("ay"))

@@ -382,4 +382,50 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans a CartesianProduct:\n$p")
     }
   }
+
+  test("x_dedup_dup_spans: island windows partition by document, text filter pushed") {
+    val p = planStr("x_dedup_dup_spans")
+    // positive control for the detector lives in the global-window test
+    // below: a corpus-sized single-partition window WOULD print
+    // `Exchange SinglePartition`
+    assert(!p.contains("Exchange SinglePartition"),
+      s"span islands must never run a single-task window:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(text)"),
+      s"text IS NOT NULL not pushed to the documents scan:\n$p")
+  }
+
+  test("x_scale_zonemap_pruning / x_layout_hilbert: the only single-task frame is the 32-row offsets prefix sum") {
+    // globalRowNumberBy's design: local windows partition by __pid;
+    // ONE single-partition window runs over the #partitions-row offsets
+    // frame (bounded by the partition count, never the corpus).
+    // zonemap additionally computes the 1-row n_total global aggregate
+    // (its final stage is single-partition by nature). Pin the EXACT
+    // bounded budget — one more hit means a corpus-sized frame leaked
+    // through one task.
+    Seq("x_scale_zonemap_pruning" -> 2, "x_layout_hilbert" -> 1).foreach {
+      case (n, budget) =>
+        val p = planStr(n)
+        val hits = "Exchange SinglePartition".r.findAllIn(p).size
+        assert(hits <= budget,
+          s"$n has $hits single-partition exchanges (bounded budget $budget):\n$p")
+    }
+  }
+
+  test("x_sim_prefix_rerank: stage-1 top-k aggregate is partial (combines map-side)") {
+    val p = planStr("x_sim_prefix_rerank")
+    assert(p.contains("graft_topk_by"), s"bounded top-k aggregate missing:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no aggregate under the candidate stage:\n$p")
+  }
+
+  test("single-partition-window detector positive control") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(Window.orderBy($"x")))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"),
+      "the detector string no longer matches Spark's plan rendering")
+  }
 }
