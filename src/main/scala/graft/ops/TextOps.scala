@@ -827,7 +827,17 @@ object TextOps {
     * corpus size; windows partition by word, so state is bounded by
     * word length. Each round localCheckpoints the vocab-sized frame
     * (multi-consumer + iterative lineage). */
-  def bpeTrain(df: DataFrame, text: Column, rounds: Int = 8): DataFrame = {
+  def bpeTrain(df: DataFrame, text: Column, rounds: Int = 8): DataFrame =
+    bpeLoop(df, text, rounds)._1
+
+  /** The trained tokenizer's OUTPUT: the final per-word segmentation
+    * table `(w, freq, idx, tok)` after `rounds` merges — the artifact
+    * the inference path joins against (see x_text_bpe_apply). */
+  def bpeSegments(df: DataFrame, text: Column, rounds: Int = 8): DataFrame =
+    bpeLoop(df, text, rounds)._2
+
+  private def bpeLoop(df: DataFrame, text: Column,
+                      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 16, s"rounds in [1,16], got $rounds")
     import org.apache.spark.sql.expressions.Window
     val wWin = Window.partitionBy(col("w")).orderBy(col("idx"))
@@ -875,16 +885,24 @@ object TextOps {
         .select(lit(r).as("merge_round"), col("a"), col("b"), col("weight"),
           col("vocab_tokens"), col("corpus_tokens"))
     }
-    outs.reduce(_.unionByName(_))
+    (outs.reduce(_.unionByName(_)), toks)
   }
 
   /** DuckDB replay of [[bpeTrain]]; `srcCte` is a parenthesized
     * relation with a `text` column. Per-round CTE blocks mirror the
     * DataFrame loop op-for-op; multi-referenced CTEs are MATERIALIZED
     * so the 8-round chain doesn't re-derive. */
-  def bpeTrainSql(srcCte: String, rounds: Int = 8): String = {
+  def bpeTrainSql(srcCte: String, rounds: Int = 8): String =
+    s"WITH ${bpeTrainCtes(srcCte, rounds)}\n    " +
+      (1 to rounds).map(r => s"SELECT * FROM out$r")
+        .mkString("\n    UNION ALL ")
+
+  /** The CTE body shared by [[bpeTrainSql]] and the apply-path oracle:
+    * defines `vocab`, `t1` … `t{rounds+1}` (segmentations) and
+    * `out1` … `out{rounds}` (merge rows). */
+  def bpeTrainCtes(srcCte: String, rounds: Int = 8): String = {
     val sb = new StringBuilder
-    sb.append(s"""WITH vocab AS (
+    sb.append(s"""vocab AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         SELECT unnest(string_split(lower(text), ' ')) AS w FROM $srcCte)
       WHERE len(w) >= 1 GROUP BY 1),
@@ -933,8 +951,6 @@ object TextOps {
         (SELECT CAST(SUM(freq) AS BIGINT) FROM t${r + 1}) AS corpus_tokens
       FROM p$r)""")
     }
-    sb.append("\n    " + (1 to rounds).map(r => s"SELECT * FROM out$r")
-      .mkString("\n    UNION ALL "))
     sb.toString
   }
 }

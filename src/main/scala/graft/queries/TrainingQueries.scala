@@ -830,6 +830,205 @@ object TrainingQueries {
       SELECT component, n_members, n_edges_picked, weight_sum
       FROM sz JOIN per USING (component)"""))
 
+  // ---------------------------------------------------------------
+  // x_text_vocab_chao1
+  // ---------------------------------------------------------------
+
+  /** Chao1 vocabulary-richness estimation per language — the species-
+    * richness lower bound (Chao 1984) applied to corpus vocabulary:
+    * how many word types the language's FULL distribution has, from
+    * the singleton/doubleton counts of the sample
+    * (Ĉ = d + f₁·(f₁−1)/(2·(f₂+1)), the bias-corrected form that is
+    * finite when f₂ = 0). The planning number behind "how much more
+    * data until vocab saturates". Everything is exact-integer until
+    * one final fixed-point division, so the oracle replays it
+    * bit-exactly.
+    *
+    * Scale shape: token counts are one combinable groupBy bounded by
+    * vocabulary; the frequency-of-frequencies rollup is bounded by
+    * distinct frequencies; output is |languages| rows. */
+  private val x_text_chao1 = Q(
+    "x_text_vocab_chao1",
+    (s, d) => {
+      val tf = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+      tf.groupBy(col("lang"))
+        .agg(count(lit(1)).as("d_types"),
+          count(when(col("f") === 1, 1)).as("f1"),
+          count(when(col("f") === 2, 1)).as("f2"),
+          sum(col("f")).as("n_tokens"))
+        .withColumn("chao1_milli", expr(
+          "d_types * 1000 + (f1 * (f1 - 1) * 1000) DIV (2 * (f2 + 1))"))
+        .select(col("lang"), col("n_tokens"), col("d_types"), col("f1"),
+          col("f2"), col("chao1_milli"))
+    },
+    Some("""WITH tf AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY 1, 2),
+      per AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_types,
+          CAST(COUNT(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS f1,
+          CAST(COUNT(CASE WHEN f = 2 THEN 1 END) AS BIGINT) AS f2,
+          CAST(SUM(f) AS BIGINT) AS n_tokens
+        FROM tf GROUP BY 1)
+      SELECT lang, n_tokens, d_types, f1, f2,
+        CAST(d_types * 1000 + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1))
+          AS BIGINT) AS chao1_milli
+      FROM per"""))
+
+  // ---------------------------------------------------------------
+  // x_embed_fisher
+  // ---------------------------------------------------------------
+
+  /** Per-dimension Fisher discriminant ratio of the labeled embedding
+    * corpus — between-class variance of label means over mean
+    * within-class variance, the one-pass QA signal for "do these
+    * embeddings separate these labels at all" (and the per-dim
+    * feature-selection score). All moments are exact milli/micro
+    * integer sums via [[graft.functions.SumLongArray]] (one buffer per
+    * task per label); the final ratio is an identical IEEE expression
+    * tree on both engines, rounded once.
+    *
+    * Output: top-8 dims by (fisher desc, dim) — the dims a
+    * feature-selector would keep. */
+  private val x_embed_fisher = Q(
+    "x_embed_fisher",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull && col("label").isNotNull
+          && size(col("embedding")) === 64)
+      val per = emb.groupBy(col("label"))
+        .agg(GraftFunctions.sumLongArray(expr(
+          "transform(embedding," +
+            " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")).as("sm"),
+          GraftFunctions.sumLongArray(expr(
+            "transform(embedding," +
+              " x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)" +
+              " * 1000000) AS BIGINT))")).as("ssq"),
+          count(lit(1)).as("nl"))
+      val dims = per.select(col("label"), col("nl"),
+          posexplode(arrays_zip(col("sm"), col("ssq"))).as(Seq("i", "z")))
+        .select(col("label"), col("nl"), (col("i") + 1).cast("int").as("dim"),
+          col("z.sm").as("sml"), col("z.ssq").as("ssql"))
+      // each LABEL's contribution is micro-quantized BEFORE the
+      // cross-label sum, so the aggregate is an order-free integer sum
+      // (a double SUM would drift with Spark's partial-agg order); the
+      // per-label term itself is one identical IEEE tree over exact
+      // integer inputs
+      val stats = dims.groupBy(col("dim"))
+        .agg(sum(col("sml")).as("sm_all"), sum(col("nl")).as("n"),
+          sum(expr(
+            "CAST(ROUND((CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)" +
+              " * (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)" +
+              " * nl * 1000000) AS BIGINT)")).as("sq_means_micro"),
+          sum(expr(
+            "CAST(ROUND((CAST(ssql AS DOUBLE) / CAST(1000000 AS DOUBLE)" +
+              " - (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)" +
+              " * (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl) * nl)" +
+              " * 1000000) AS BIGINT)")).as("ssw_micro"))
+      val scored = stats.select(col("dim"), col("n"),
+        expr("ROUND(CAST(sq_means_micro" +
+          " - CAST(ROUND((CAST(sm_all AS DOUBLE) / CAST(1000 AS DOUBLE) / n)" +
+          " * (CAST(sm_all AS DOUBLE) / CAST(1000 AS DOUBLE) / n)" +
+          " * n * 1000000) AS BIGINT) AS DOUBLE)" +
+          " / CAST(CASE WHEN ssw_micro <= 0 THEN 1000000" +
+          " ELSE ssw_micro END AS DOUBLE), 6)").as("fisher"))
+      val top = scored.orderBy(col("fisher").desc, col("dim")).limit(8)
+      val w = Window.orderBy(col("fisher").desc, col("dim"))
+      top.withColumn("rank", row_number().over(w).cast("int"))
+    },
+    Some("""WITH e AS (
+        SELECT label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+          AND len(embedding) = 64),
+      comp AS (
+        SELECT label, i.i AS dim,
+          CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * 1000) AS BIGINT) AS m,
+          CAST(ROUND(CAST(embedding[i.i] AS DOUBLE)
+            * CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS sq
+        FROM e, (SELECT unnest(range(1, 65)) AS i) i),
+      dims AS (
+        SELECT label, CAST(dim AS INTEGER) AS dim,
+          CAST(SUM(m) AS BIGINT) AS sml, CAST(SUM(sq) AS BIGINT) AS ssql,
+          CAST(COUNT(*) AS BIGINT) AS nl
+        FROM comp GROUP BY 1, 2),
+      stats AS (
+        SELECT dim, CAST(SUM(sml) AS BIGINT) AS sm_all,
+          CAST(SUM(nl) AS BIGINT) AS n,
+          CAST(SUM(CAST(ROUND((CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)
+            * (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)
+            * nl * 1000000) AS BIGINT)) AS BIGINT) AS sq_means_micro,
+          CAST(SUM(CAST(ROUND((CAST(ssql AS DOUBLE) / CAST(1000000 AS DOUBLE)
+            - (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)
+            * (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl) * nl)
+            * 1000000) AS BIGINT)) AS BIGINT) AS ssw_micro
+        FROM dims GROUP BY 1),
+      scored AS (
+        SELECT dim, n,
+          ROUND(CAST(sq_means_micro
+            - CAST(ROUND((CAST(sm_all AS DOUBLE) / CAST(1000 AS DOUBLE) / n)
+            * (CAST(sm_all AS DOUBLE) / CAST(1000 AS DOUBLE) / n)
+            * n * 1000000) AS BIGINT) AS DOUBLE)
+            / CAST(CASE WHEN ssw_micro <= 0 THEN 1000000
+            ELSE ssw_micro END AS DOUBLE), 6) AS fisher
+        FROM stats)
+      SELECT dim, n, fisher,
+        CAST(ROW_NUMBER() OVER (ORDER BY fisher DESC, dim) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 8"""))
+
+  // ---------------------------------------------------------------
+  // x_text_bpe_apply
+  // ---------------------------------------------------------------
+
+  /** The trained tokenizer's INFERENCE path: apply the 8 learned
+    * merges to the whole corpus and report per-language tokenization
+    * cost (pieces per word — the fertility number that decides
+    * per-language token budgets). The corpus is never re-segmented:
+    * tokenizing is ONE broadcast join of the word stream against the
+    * vocabulary's final segmentation sizes ([[
+    * graft.ops.TextOps.bpeSegments]]) — at 100 TB the trained
+    * segmentation table IS the tokenizer artifact, and application is
+    * map-side. */
+  private val x_text_bpe_apply = Q(
+    "x_text_bpe_apply",
+    (s, d) => {
+      import graft.ops.TextOps
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val pieces = TextOps.bpeSegments(docs, col("text"), rounds = 8)
+        .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+      val words = docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      words.join(broadcast(pieces), "w")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces_total"))
+        .withColumn("pieces_per_word_milli",
+          expr("(n_pieces_total * 1000) DIV n_words"))
+    },
+    Some {
+      val ctes = graft.ops.TextOps.bpeTrainCtes(
+        "(SELECT text FROM documents WHERE text IS NOT NULL)", rounds = 8)
+      s"""WITH $ctes,
+      seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+        FROM t9 GROUP BY 1),
+      words AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL)
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(n_pieces) AS BIGINT) AS n_pieces_total,
+        CAST((SUM(n_pieces) * 1000) // COUNT(*) AS BIGINT)
+          AS pieces_per_word_milli
+      FROM words JOIN seg USING (w)
+      GROUP BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     x_dedup_dup_spans,
     x_curation_dsir,
@@ -840,5 +1039,8 @@ object TrainingQueries {
     x_ts_ewma,
     x_text_bpe_train,
     x_text_textrank,
-    x_graph_boruvka)
+    x_graph_boruvka,
+    x_text_chao1,
+    x_embed_fisher,
+    x_text_bpe_apply)
 }

@@ -253,6 +253,64 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(top == "hub", s"expected hub to rank first, got $top")
   }
 
+  test("chao1 is a lower-bounded richness estimate above observed types") {
+    val rows = run("x_text_vocab_chao1")
+      .select(col("d_types"), col("f1"), col("chao1_milli"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, f1, chao) =>
+      assert(chao >= d * 1000, "estimate can never fall below observed types")
+      if (f1 == 0) assert(chao == d * 1000, "no singletons -> saturated")
+    }
+  }
+
+  test("fisher ratio separates the planted dim and the query is well-formed") {
+    // dim 1 separates labels cleanly (label 0 -> -1, label 1 -> +1),
+    // dim 2 varies label-independently: between-class variance of dim 1
+    // dominates, within-class variance is ~0 -> fisher(dim1) >> fisher(dim2)
+    val emb = (0 until 40).map { i =>
+      val label = i % 2
+      val d2 = (i % 7).toDouble / 7.0
+      (label, if (label == 0) -1.0 else 1.0, d2)
+    }.toDF("label", "x1", "x2")
+    def fisher(c: String): Double = {
+      val per = emb.groupBy(col("label"))
+        .agg(sum(expr(s"CAST(ROUND($c * 1000) AS BIGINT)")).as("sml"),
+          sum(expr(s"CAST(ROUND($c * $c * 1000000) AS BIGINT)")).as("ssql"),
+          count(lit(1)).as("nl"))
+      per.agg(
+        sum(col("sml")).as("sm_all"), sum(col("nl")).as("n"),
+        sum(expr("CAST(ROUND((CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)"
+          + " * (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)"
+          + " * nl * 1000000) AS BIGINT)")).as("sq_means_micro"),
+        sum(expr("CAST(ROUND((CAST(ssql AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+          + " - (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl)"
+          + " * (CAST(sml AS DOUBLE) / CAST(1000 AS DOUBLE) / nl) * nl)"
+          + " * 1000000) AS BIGINT)")).as("ssw_micro"))
+        .select(expr("ROUND(CAST(sq_means_micro"
+          + " - CAST(ROUND((CAST(sm_all AS DOUBLE) / CAST(1000 AS DOUBLE) / n)"
+          + " * (CAST(sm_all AS DOUBLE) / CAST(1000 AS DOUBLE) / n)"
+          + " * n * 1000000) AS BIGINT) AS DOUBLE)"
+          + " / CAST(CASE WHEN ssw_micro <= 0 THEN 1000000"
+          + " ELSE ssw_micro END AS DOUBLE), 6)"))
+        .as[Double].head()
+    }
+    assert(fisher("x1") > 100 * fisher("x2"),
+      s"planted dim must dominate: ${fisher("x1")} vs ${fisher("x2")}")
+    assert(run("x_embed_fisher").count() == 8)
+  }
+
+  test("bpe apply: fertility is >= 1 piece per word and <= word length") {
+    val rows = run("x_text_bpe_apply")
+      .select(col("n_words"), col("n_pieces_total"), col("pieces_per_word_milli"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, p, milli) =>
+      assert(p >= w, "every word is at least one piece")
+      assert(milli >= 1000)
+    }
+  }
+
   test("whitening stats are sane and z-scores standardize") {
     val out = run("x_embed_whitening")
     assert(out.count() == 64)
