@@ -16,7 +16,8 @@ object Registry {
   def all: Seq[Q] =
     ReferenceQueries.all ++ ExtensionQueries.all ++ RelationalQueries.all ++
       EltQueries.all ++ TimeSeriesQueries.all ++ LayoutQueries.all ++
-      CurationQueries.all ++ GeoQueries.all ++ TrainingQueries.all
+      CurationQueries.all ++ GeoQueries.all ++ TrainingQueries.all ++
+      StatsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> withSessionDefaults(q.fn)).toMap
