@@ -953,4 +953,103 @@ object TextOps {
     }
     sb.toString
   }
+
+  /** Multinomial Naive Bayes language classifier over
+    * `docs(doc_id, lang, text)` (text/lang non-null): docs with
+    * doc_id % 5 ≠ 0 train per-class hashed-unigram LMs (`buckets` md5
+    * buckets — the DSIR constant-size feature space), the held-out
+    * fifth is classified by argmax_c [ln P(c) + Σ_tok ln P(b|c)] with
+    * add-1 smoothing, and the emit is the confusion matrix
+    * (lang, pred, n_docs). Fixed-point: each ln argument is a ratio
+    * of exact integers, one ln, rounded to micro, so scores are exact
+    * BIGINT sums and the argmax (tiebreak: smaller class) is
+    * bit-deterministic. Scale shape: train counts bounded by C·B and
+    * broadcast; test docs pre-aggregate to per-doc bucket counts so
+    * the scored frame is docs×C, never tokens×C. */
+  def naiveBayesConfusion(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val base = docs.withColumn("is_train", col("doc_id") % 5 =!= 0)
+    val toks = base.select(col("doc_id"), col("lang"), col("is_train"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("b", Sampling.hashBucket(col("tok"), buckets))
+    val train = toks.filter(col("is_train"))
+    val cbc = train.groupBy(col("lang").as("cls"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val ctot = train.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_tok"))
+    val spark = docs.sparkSession
+    val grid = ctot.crossJoin(broadcast(
+      spark.range(buckets.toLong).select(col("id").as("b"))))
+    val lp = grid.join(cbc, Seq("cls", "b"), "left")
+      .select(col("cls"), col("b"), expr(
+        s"""CAST(ROUND(LN(
+           |  CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)
+           |  / CAST(n_tok + $buckets AS DOUBLE)
+           |) * 1000000) AS BIGINT)""".stripMargin).as("lp_micro"))
+    val nDocs = base.filter(col("is_train"))
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs"))
+    val prior = nDocs
+      .crossJoin(broadcast(nDocs.agg(sum(col("n_docs")).as("n_total"))))
+      .select(col("cls"), expr(
+        """CAST(ROUND(LN(CAST(n_docs AS DOUBLE)
+          |  / CAST(n_total AS DOUBLE)) * 1000000) AS BIGINT)"""
+          .stripMargin).as("prior_micro"))
+    val dbc = toks.filter(!col("is_train"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val scored = dbc.join(broadcast(lp), "b")
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum(col("c") * col("lp_micro")).as("ll_micro"))
+      .join(broadcast(prior), "cls")
+      .withColumn("score", col("ll_micro") + col("prior_micro"))
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("cls"), struct(-col("score"), col("cls"))).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** ROUGE-1/ROUGE-2 multiset n-gram overlap between adjacent-id
+    * document pairs (candidate doc_id vs reference doc_id+1) over
+    * `docs(doc_id, text)`: overlap = Σ_g min(count_cand, count_ref),
+    * precision/recall/F1 from exact integer counts. Grams travel as
+    * 56-bit md5 digests; the overlap join is keyed (pair, n, digest),
+    * per-key width bounded by document length. */
+  def rougeAdjacent(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(lower(col("text")), " ").as("t"))
+    val uni = base.select(col("doc_id"), lit(1).as("n"),
+      explode(col("t")).as("g"))
+    val bi = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), lit(2).as("n"),
+        explode(expr("transform(sequence(1, size(t) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("g"))
+    val cnts = uni.unionAll(bi)
+      .select(col("doc_id"), col("n"), Sampling.hashValue(col("g")).as("h"))
+      .groupBy(col("doc_id"), col("n"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnts.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("ntot"))
+    val cand = cnts.select(col("doc_id").as("p"), col("n"), col("h"),
+      col("c").as("cc"))
+    val ref = cnts.select((col("doc_id") - 1).as("p"), col("n"), col("h"),
+      col("c").as("rc"))
+    val overlap = cand.join(ref, Seq("p", "n", "h"))
+      .groupBy(col("p"), col("n"))
+      .agg(sum(least(col("cc"), col("rc"))).as("overlap"))
+    val candTot = tot.select(col("doc_id").as("p"), col("n"),
+      col("ntot").as("n_cand"))
+    val refTot = tot.select((col("doc_id") - 1).as("p"), col("n"),
+      col("ntot").as("n_ref"))
+    candTot.join(refTot, Seq("p", "n"))
+      .join(overlap, Seq("p", "n"), "left")
+      .withColumn("o", coalesce(col("overlap"), lit(0L)))
+      .select(col("p").as("cand_id"), (col("p") + 1).as("ref_id"),
+        col("n"), col("o").as("overlap"), col("n_cand"), col("n_ref"),
+        round(col("o").cast("double") / col("n_cand").cast("double"), 6)
+          .as("rouge_p"),
+        round(col("o").cast("double") / col("n_ref").cast("double"), 6)
+          .as("rouge_r"),
+        round(lit(2.0) * col("o").cast("double")
+          / (col("n_cand") + col("n_ref")).cast("double"), 6).as("rouge_f"))
+  }
 }

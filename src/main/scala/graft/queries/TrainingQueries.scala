@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Sampling, Scale}
+import graft.ops.{Sampling, Scale, Similarity}
 
 /** Round-6 training-data-pipeline registry entries: duplicated-span
   * detection (the suffix-dedup output shape of Lee et al. 2021,
@@ -1029,7 +1029,465 @@ object TrainingQueries {
       GROUP BY 1"""
     })
 
+  // ---------------------------------------------------------------
+  // x_ml_naive_bayes
+  // ---------------------------------------------------------------
+
+  /** Multinomial Naive Bayes language classifier, trained and
+    * evaluated in one plan: docs with doc_id % 5 ≠ 0 train per-class
+    * hashed-unigram LMs (B = 1024 md5 buckets — DSIR's constant-size
+    * feature space), the held-out fifth is classified by
+    * argmax_c [ln P(c) + Σ_tok ln P(bucket|c)] with add-1 smoothing,
+    * and the emit is the confusion matrix (true lang × predicted).
+    *
+    * Fixed-point discipline: every ln argument is a ratio of exact
+    * integers (< 2^53), ONE ln, rounded to micro — so the per-doc
+    * score is an exact BIGINT sum and argmax (tiebreak: smaller class
+    * name) is bit-deterministic cross-engine.
+    *
+    * Scale shape: train counts are combinable aggregates bounded by
+    * C·B; the (class × bucket) log-prob grid (≤ C·B rows) broadcasts;
+    * test docs pre-aggregate to per-doc BUCKET counts before the grid
+    * join, so the scored frame is (docs × C), never (tokens × C); the
+    * confusion rollup is one combinable count. */
+  private val x_ml_naive_bayes = Q(
+    "x_ml_naive_bayes",
+    (s, d) => graft.ops.TextOps.naiveBayesConfusion(
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"), col("text"))),
+    Some(s"""WITH docs AS (
+        SELECT doc_id, lang, text, doc_id % 5 <> 0 AS is_train
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      toks AS (
+        SELECT doc_id, lang, is_train,
+          ${Sampling.hashBucketSql(
+            "unnest(string_split(lower(text), ' '))", 1024)} AS b
+        FROM docs),
+      cbc AS (
+        SELECT lang AS cls, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE is_train GROUP BY 1, 2),
+      ctot AS (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM toks WHERE is_train GROUP BY 1),
+      grid AS (
+        SELECT cls, n_tok, CAST(g.range AS BIGINT) AS b
+        FROM ctot CROSS JOIN range(1024) g),
+      lp AS (
+        SELECT cls, b, CAST(ROUND(LN(
+            CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)
+            / CAST(n_tok + 1024 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+        FROM grid LEFT JOIN cbc USING (cls, b)),
+      nd AS (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM docs WHERE is_train GROUP BY 1),
+      prior AS (
+        SELECT cls, CAST(ROUND(LN(CAST(n_docs AS DOUBLE)
+          / CAST((SELECT SUM(n_docs) FROM nd) AS DOUBLE)) * 1000000)
+          AS BIGINT) AS prior_micro
+        FROM nd),
+      dbc AS (
+        SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE NOT is_train GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT doc_id, lang, cls,
+          CAST(SUM(c * lp_micro) AS BIGINT) + ANY_VALUE(prior_micro)
+            AS score
+        FROM dbc JOIN lp USING (b) JOIN prior USING (cls)
+        GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT doc_id, lang, cls AS pred,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, cls) AS rn
+        FROM scored)
+      SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred WHERE rn = 1
+      GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------
+  // x_eval_map_mrr
+  // ---------------------------------------------------------------
+
+  /** MAP@10 / MRR@10 retrieval evaluation over the exact cosine
+    * top-10 (query batch vec_id < 10, relevance = same label) — the
+    * third leg of the eval stool next to x_ml_auc and x_text_ndcg.
+    *
+    * Per query: AP = Σ_k rel_k·(cum_rel_k/k) / min(R, 10) with R the
+    * query's total relevant count in the corpus (label count − 1, a
+    * broadcast per-label aggregate, NOT a per-query scan); RR = 1 /
+    * first relevant rank. Each precision term is micro-quantized from
+    * exact small integers (cum_rel ≤ 10, k ≤ 10 — exact in double)
+    * so the per-query sums are exact BIGINTs; the two divisions
+    * happen once at the emit. All windows run on the 10-row-per-query
+    * candidate frame. */
+  private val x_eval_map_mrr = Q(
+    "x_eval_map_mrr",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+      val ranked = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 10)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+      val rel = ranked
+        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))), "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label_v")), "neighbor_id")
+        .withColumn("is_rel", col("q_label") === col("n_label_v"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = rel
+        .withColumn("cum_rel", sum(when(col("is_rel"), 1L).otherwise(0L))
+          .over(w))
+        .withColumn("term_micro", when(col("is_rel"),
+          expr("CAST(ROUND(CAST(cum_rel AS DOUBLE) / rank * 1000000)"
+            + " AS BIGINT)")).otherwise(lit(0L)))
+      terms.groupBy(col("query_id"), col("q_label"))
+        .agg(sum(col("term_micro")).as("ap_sum_micro"),
+          sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_rel_topk"),
+          min(when(col("is_rel"), col("rank"))).as("first_rel_rank"))
+        .join(broadcast(lc.select(col("label").as("q_label"),
+          (col("n_label") - 1).as("r_total"))), "q_label")
+        .withColumn("r_eff", least(col("r_total"), lit(10L)))
+        .select(col("query_id"), col("q_label").cast("int").as("q_label"),
+          col("r_total"), col("n_rel_topk"),
+          coalesce(col("first_rel_rank"), lit(0)).cast("long")
+            .as("first_rel_rank"),
+          when(col("r_eff") > 0, round(col("ap_sum_micro").cast("double")
+            / 1000000.0 / col("r_eff").cast("double"), 6))
+            .otherwise(lit(0.0)).as("ap"),
+          coalesce(round(lit(1.0)
+            / col("first_rel_rank").cast("double"), 6), lit(0.0)).as("rr"))
+    },
+    Some("""WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        label
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS q_label
+      FROM emb WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, q_label, vec_id AS neighbor_id, label AS n_label_v,
+        ROUND(list_inner_product(qv, v)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))),
+          6) AS cosine
+      FROM emb, q WHERE query_id <> vec_id),
+    ranked AS (
+      SELECT query_id, q_label, neighbor_id, n_label_v,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 10),
+    terms AS (
+      SELECT query_id, q_label, rank,
+        q_label = n_label_v AS is_rel,
+        CAST(SUM(CASE WHEN q_label = n_label_v THEN 1 ELSE 0 END)
+          OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT) AS cum_rel
+      FROM ranked),
+    pq AS (
+      SELECT query_id, q_label,
+        CAST(SUM(CASE WHEN is_rel THEN
+          CAST(ROUND(CAST(cum_rel AS DOUBLE) / rank * 1000000) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS ap_sum_micro,
+        CAST(SUM(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rel_topk,
+        MIN(CASE WHEN is_rel THEN rank END) AS first_rel_rank
+      FROM terms GROUP BY 1, 2),
+    lc AS (
+      SELECT label AS q_label, CAST(COUNT(*) - 1 AS BIGINT) AS r_total
+      FROM emb GROUP BY 1)
+    SELECT query_id, CAST(q_label AS INTEGER) AS q_label, r_total,
+      n_rel_topk,
+      CAST(COALESCE(first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+      CASE WHEN LEAST(r_total, 10) > 0 THEN
+        ROUND(CAST(ap_sum_micro AS DOUBLE) / 1000000.0
+          / CAST(LEAST(r_total, 10) AS DOUBLE), 6) ELSE 0.0 END AS ap,
+      COALESCE(ROUND(1.0 / CAST(first_rel_rank AS DOUBLE), 6), 0.0) AS rr
+    FROM pq JOIN lc USING (q_label)"""))
+
+  // ---------------------------------------------------------------
+  // x_text_rouge
+  // ---------------------------------------------------------------
+
+  /** ROUGE-1 / ROUGE-2 overlap between adjacent-id document pairs
+    * (candidate doc_id vs reference doc_id+1) — the n-gram-overlap
+    * evaluation kernel (Lin 2004), which doubles as a near-dup
+    * similarity score: overlap = Σ_g min(count_cand(g), count_ref(g))
+    * over the n-gram MULTISETS, precision/recall/F1 from exact
+    * integer counts.
+    *
+    * Scale shape: n-gram enumeration is a per-row kernel; grams
+    * travel as the 56-bit md5 digest (bounded shuffle bytes — the
+    * dup-spans precedent, oracle replays the digest); the overlap is
+    * an equi-join keyed (pair, n, digest) whose per-key width is
+    * bounded by document length, never corpus size. */
+  private val x_text_rouge = Q(
+    "x_text_rouge",
+    (s, d) => graft.ops.TextOps.rougeAdjacent(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))),
+    Some(s"""WITH docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+      uni AS (
+        SELECT doc_id, 1 AS n, unnest(t) AS g FROM docs),
+      bi AS (
+        SELECT doc_id, 2 AS n,
+          unnest(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM docs WHERE len(t) >= 2),
+      cnts AS (
+        SELECT doc_id, n, ${Sampling.hashValueSql("g")} AS h,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS ntot
+        FROM cnts GROUP BY 1, 2),
+      ovl AS (
+        SELECT a.doc_id AS p, a.n,
+          CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS overlap
+        FROM cnts a JOIN cnts b
+          ON a.doc_id = b.doc_id - 1 AND a.n = b.n AND a.h = b.h
+        GROUP BY 1, 2)
+      SELECT ct.doc_id AS cand_id, ct.doc_id + 1 AS ref_id, ct.n AS n,
+        CAST(COALESCE(overlap, 0) AS BIGINT) AS overlap,
+        ct.ntot AS n_cand, rt.ntot AS n_ref,
+        ROUND(CAST(COALESCE(overlap, 0) AS DOUBLE) / ct.ntot, 6) AS rouge_p,
+        ROUND(CAST(COALESCE(overlap, 0) AS DOUBLE) / rt.ntot, 6) AS rouge_r,
+        ROUND(2.0 * CAST(COALESCE(overlap, 0) AS DOUBLE)
+          / (ct.ntot + rt.ntot), 6) AS rouge_f
+      FROM tot ct
+      JOIN tot rt ON rt.doc_id = ct.doc_id + 1 AND rt.n = ct.n
+      LEFT JOIN ovl ON ovl.p = ct.doc_id AND ovl.n = ct.n"""))
+
+  // ---------------------------------------------------------------
+  // x_graph_random_walk
+  // ---------------------------------------------------------------
+
+  /** Deterministic random walks over the customer–supplier bipartite
+    * graph — the corpus-generation step of node2vec/DeepWalk-style
+    * graph embeddings, made REPLAYABLE: at step t the walk picks
+    * out-neighbor rank hash(walk_id‖t) mod degree from the dst-sorted
+    * adjacency ranking, so both engines (and any re-run) produce the
+    * identical walk corpus with no RNG state.
+    *
+    * Scale shape: the adjacency ranking is a per-src window (frame =
+    * node degree); each of the 4 unrolled steps is two equi-joins
+    * (walk→degree, then (node, rank)→edge) whose left side is the
+    * walk frame, never the corpus; edges/ranking/degree are
+    * localCheckpointed once and reused by all steps (the
+    * multi-consumer rule). */
+  private val x_graph_random_walk = Q(
+    "x_graph_random_walk",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val edges = base.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      val ranked = edges.withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+        .select(col("src").as("e_src"), col("dst").as("e_dst"),
+          col("rn").cast("long").as("e_rn"))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val w0 = base.filter(col("a") <= 40).select(col("a")).distinct()
+        .select(col("a").as("walk_id"), col("a").as("node"))
+      val steps = (1 to 4).scanLeft(w0) { (cur, t) =>
+        cur.join(deg, "node")
+          .withColumn("r", Sampling.hashValue(
+            concat_ws("|", col("walk_id"), lit(t))) % col("deg"))
+          .join(ranked, col("node") === col("e_src")
+            && col("r") === col("e_rn"))
+          .select(col("walk_id"), col("e_dst").as("node"))
+      }
+      steps.zipWithIndex.map { case (df, t) =>
+        df.select(col("walk_id"), lit(t).as("step"), col("node"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      def hop(i: Int) =
+        s"""w$i AS (
+          SELECT walk_id, r.dst AS node
+          FROM w${i - 1} JOIN deg USING (node)
+          JOIN ranked r ON r.src = w${i - 1}.node
+            AND r.rn = ${Sampling.hashValueSql(
+              s"CAST(walk_id AS VARCHAR) || '|$i'")} % deg)"""
+      s"""WITH base AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT a AS src, b AS dst FROM base
+        UNION ALL SELECT b AS src, a AS dst FROM base),
+      ranked AS (
+        SELECT src, dst,
+          CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+            AS BIGINT) AS rn
+        FROM edges),
+      deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1),
+      w0 AS (
+        SELECT DISTINCT a AS walk_id, a AS node FROM base WHERE a <= 40),
+      ${hop(1)}, ${hop(2)}, ${hop(3)}, ${hop(4)}
+      SELECT walk_id, 0 AS step, node FROM w0
+      UNION ALL SELECT walk_id, 1 AS step, node FROM w1
+      UNION ALL SELECT walk_id, 2 AS step, node FROM w2
+      UNION ALL SELECT walk_id, 3 AS step, node FROM w3
+      UNION ALL SELECT walk_id, 4 AS step, node FROM w4"""
+    })
+
+  // ---------------------------------------------------------------
+  // x_ml_kmeans_par_init
+  // ---------------------------------------------------------------
+
+  /** One k-means‖ oversampling round (Bahmani et al. 2012,
+    * "Scalable k-means++") — the initialization that replaces
+    * k-means++'s k sequential corpus scans with O(log k) rounds that
+    * each sample MANY candidates independently: every point joins the
+    * candidate set with probability ℓ·d²(x)/φ (ℓ = 8), evaluated here
+    * with the deterministic hash-as-uniform draw (the DP/bootstrap
+    * precedent) so the oracle replays the exact candidate set.
+    *
+    * Scale shape: the current-center set broadcasts (1 row in round
+    * 1), d² is one map-side kernel pass micro-quantized to exact
+    * BIGINT, φ is one combinable sum broadcast back, and the accept
+    * test is map-side — no shuffle anywhere but the 1-row aggregate. */
+  private val x_ml_kmeans_par_init = Q(
+    "x_ml_kmeans_par_init",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val c0 = emb.orderBy(col("vec_id")).limit(1).select(col("v").as("c"))
+      val scoredReal = emb.crossJoin(broadcast(c0))
+        .withColumn("__dxx", GraftFunctions.dot(col("v"), col("v")))
+        .withColumn("__dcc", GraftFunctions.dot(col("c"), col("c")))
+        .withColumn("__dxc", GraftFunctions.dot(col("v"), col("c")))
+        .select(col("vec_id"),
+          expr("CAST(ROUND((__dxx + __dcc - 2 * __dxc) * 1000000) AS BIGINT)")
+            .as("d2_micro"))
+      val phi = scoredReal.agg(sum(col("d2_micro")).as("phi_micro"))
+      scoredReal.crossJoin(broadcast(phi))
+        .filter(Sampling.hashValue(col("vec_id")).cast("double")
+          / lit(7.2057594037927936e16)
+          < lit(8.0) * col("d2_micro").cast("double")
+            / col("phi_micro").cast("double"))
+        .select(col("vec_id"), col("d2_micro"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      c0 AS (SELECT v AS c FROM v ORDER BY vec_id LIMIT 1),
+      scored AS (
+        SELECT vec_id,
+          CAST(ROUND((list_inner_product(v, v) + list_inner_product(c, c)
+            - 2 * list_inner_product(v, c)) * 1000000) AS BIGINT) AS d2_micro
+        FROM v CROSS JOIN c0),
+      phi AS (SELECT CAST(SUM(d2_micro) AS BIGINT) AS phi_micro FROM scored)
+      SELECT vec_id, d2_micro
+      FROM scored CROSS JOIN phi
+      WHERE CAST(${Sampling.hashValueSql("vec_id")} AS DOUBLE)
+          / 72057594037927936.0
+        < 8.0 * CAST(d2_micro AS DOUBLE) / CAST(phi_micro AS DOUBLE)"""))
+
+  // ---------------------------------------------------------------
+  // x_text_kneser_ney
+  // ---------------------------------------------------------------
+
+  /** Interpolated Kneser–Ney bigram probabilities (D = 0.75) — the
+    * LM-smoothing gold standard, whose CONTINUATION counts ("how many
+    * distinct contexts precede w?") are exactly the novelty signal a
+    * corpus-quality pipeline wants: P_KN(w2|w1) =
+    * max(c12−D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/B.
+    *
+    * With D = 3/4 every term is a ratio of exact integers (the
+    * discount works in quarters: max(4c12−3,0)/(4c1)), so p_kn is
+    * micro-quantized from one identical IEEE tree on both engines.
+    * Scale shape: bigram enumeration is byte-linear; all four count
+    * frames (c12, c1, N1+ forward/backward, B) are vocabulary-
+    * bounded combinable aggregates; the final join tree never touches
+    * the corpus again; top-100 is TakeOrdered. */
+  private val x_text_kneser_ney = Q(
+    "x_text_kneser_ney",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bi = docs.select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> named_struct(" +
+          "'w1', element_at(t, i), 'w2', element_at(t, i + 1)))"))
+        .as("g")).select(col("g.w1"), col("g.w2"))
+      val c12 = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+        count(lit(1)).as("n1fw"))
+      val n1bw = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+      val btypes = c12.agg(count(lit(1)).as("btypes"))
+      val scored = c12.join(c1, "w1").join(n1bw, "w2")
+        .crossJoin(broadcast(btypes))
+        .withColumn("p_kn_micro", expr(
+          """CAST(ROUND((
+            |  CAST(GREATEST(4 * c12 - 3, 0) AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
+            |  + CAST(3 * n1fw AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
+            |    * (CAST(n1bw AS DOUBLE) / CAST(btypes AS DOUBLE))
+            |) * 1000000) AS BIGINT)""".stripMargin))
+        .filter(col("c12") >= 3)
+      val top = scored
+        .orderBy(col("p_kn_micro").desc, col("w1"), col("w2")).limit(100)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("p_kn_micro").desc, col("w1"), col("w2")))
+          .cast("int"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1fw"),
+          col("n1bw"), col("p_kn_micro"), col("rank"))
+    },
+    Some("""WITH docs AS (
+        SELECT string_split(lower(text), ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+      bi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM docs, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2),
+      c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bi GROUP BY 1, 2),
+      c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+          CAST(COUNT(*) AS BIGINT) AS n1fw
+        FROM c12 GROUP BY 1),
+      bw AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw
+        FROM c12 GROUP BY 1),
+      bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM c12),
+      scored AS (
+        SELECT w1, w2, c12, c1, n1fw, n1bw,
+          CAST(ROUND((
+            CAST(GREATEST(4 * c12 - 3, 0) AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
+            + CAST(3 * n1fw AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
+              * (CAST(n1bw AS DOUBLE) / CAST(btypes AS DOUBLE))
+          ) * 1000000) AS BIGINT) AS p_kn_micro
+        FROM c12 JOIN c1 USING (w1) JOIN bw USING (w2) CROSS JOIN bt
+        WHERE c12 >= 3)
+      SELECT w1, w2, c12, c1, n1fw, n1bw, p_kn_micro,
+        CAST(ROW_NUMBER() OVER (ORDER BY p_kn_micro DESC, w1, w2)
+          AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 100"""))
+
   val all: Seq[Q] = Seq(
+    x_graph_random_walk,
+    x_ml_kmeans_par_init,
+    x_text_kneser_ney,
+    x_ml_naive_bayes,
+    x_eval_map_mrr,
+    x_text_rouge,
     x_dedup_dup_spans,
     x_curation_dsir,
     x_sim_prefix_rerank,

@@ -318,4 +318,106 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(out.filter(col("n") =!= out.agg(max(col("n"))).head().getLong(0))
       .count() == 0, "every dim sees every vector")
   }
+
+  test("naive bayes: planted disjoint vocabularies classify perfectly") {
+    import graft.ops.TextOps
+    // langs with zero shared tokens; ids 1..20 -> test docs 5,10,15,20
+    val docs = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, "aa", "alpha beta gamma alpha beta")
+      else (i, "zz", "omega psi chi omega psi")
+    }.toDF("doc_id", "lang", "text")
+    val conf = TextOps.naiveBayesConfusion(docs, buckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(conf == Map(("aa", "aa") -> 2L, ("zz", "zz") -> 2L),
+      s"expected perfect diagonal, got $conf")
+  }
+
+  test("naive bayes on sf0.001: confusion rows cover exactly the held-out docs") {
+    val out = run("x_ml_naive_bayes")
+    val total = out.agg(sum(col("n_docs"))).head().getLong(0)
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull && col("lang").isNotNull
+        && col("doc_id") % 5 === 0).count()
+    assert(total == expected)
+  }
+
+  test("rouge: hand-traced overlap and the identical-pair fixed point") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a b b"),   // uni overlap 2/3, bi overlap 1/2
+      (3L, "x y z"), (4L, "x y z"))   // identical -> f = 1 at both n
+      .toDF("doc_id", "text")
+    val out = TextOps.rougeAdjacent(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(8))).toMap
+    assert(out((1L, 1))._1 == 2L)
+    assert(math.abs(out((1L, 1))._2 - 2.0 / 3) < 1e-6)
+    assert(out((1L, 2))._1 == 1L)
+    assert(math.abs(out((1L, 2))._2 - 0.5) < 1e-6)
+    assert(out((3L, 1))._2 == 1.0 && out((3L, 2))._2 == 1.0)
+    // pair (2,3) exists too (adjacent ids) but is fully disjoint
+    assert(out((2L, 1))._1 == 0L && out((2L, 1))._2 == 0.0)
+  }
+
+  test("random walks: every hop follows a real edge, 5 steps per walk") {
+    val out = run("x_graph_random_walk")
+    val perWalk = out.groupBy(col("walk_id")).count().collect()
+    assert(perWalk.nonEmpty && perWalk.forall(_.getLong(1) == 5L),
+      "each walk must emit exactly steps 0..4")
+    // rebuild the edge set the query walks over
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
+    val hops = out.select(col("walk_id"), col("step"), col("node").as("src"))
+      .join(out.select(col("walk_id"), (col("step") - 1).as("step"),
+        col("node").as("dst")), Seq("walk_id", "step"))
+    assert(hops.join(edges, Seq("src", "dst"), "left_anti").count() == 0,
+      "every consecutive walk pair must be a graph edge")
+  }
+
+  test("kmeans|| oversample: nonempty, d2 >= 0, seed center never selected") {
+    val out = run("x_ml_kmeans_par_init").collect()
+    assert(out.nonEmpty && out.length <= 64,
+      s"expected a small candidate set (~l=8), got ${out.length}")
+    assert(out.forall(_.getAs[Long]("d2_micro") >= 0L))
+    val seedId = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .agg(min(col("vec_id"))).head().getLong(0)
+    assert(!out.exists(_.getAs[Long]("vec_id") == seedId),
+      "the seed center has d2 = 0 and can never pass the threshold")
+  }
+
+  test("kneser-ney: probabilities in (0, 1], ranks are 1..100") {
+    val out = run("x_text_kneser_ney").collect()
+    assert(out.length == 100)
+    assert(out.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 100))
+    out.foreach { r =>
+      val p = r.getAs[Long]("p_kn_micro")
+      assert(p > 0L && p <= 1000000L, s"p_kn out of range: $p")
+      assert(r.getAs[Long]("c12") >= 3L)
+      assert(r.getAs[Long]("n1bw") >= 1L && r.getAs[Long]("n1fw") >= 1L)
+    }
+  }
+
+  test("map/mrr eval: per-query invariants hold on sf0.001") {
+    val rows = run("x_eval_map_mrr").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val ap = r.getAs[Double]("ap")
+      val rr = r.getAs[Double]("rr")
+      val nRel = r.getAs[Long]("n_rel_topk")
+      val first = r.getAs[Long]("first_rel_rank")
+      assert(ap >= 0.0 && ap <= 1.0)
+      assert(rr == 0.0 || (rr >= 0.1 - 1e-9 && rr <= 1.0))
+      assert(nRel >= 0L && nRel <= 10L)
+      assert((first == 0L) == (nRel == 0L),
+        "first_rel_rank = 0 iff no relevant in top-10")
+      if (first == 1L) assert(rr == 1.0)
+    }
+  }
 }
