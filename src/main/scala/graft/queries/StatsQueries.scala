@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -215,6 +216,90 @@ object StatsQueries {
       GROUP BY 1, 2, 3, 5"""))
 
   // ---------------------------------------------------------------
+  // x_stat_anova
+  // ---------------------------------------------------------------
+
+  /** One-way ANOVA F across ALL five market segments' order values —
+    * the k-group generalization of x_stat_ttest, shipped as pure
+    * sufficient statistics: per group (n, Σy, Σy²) in exact integer
+    * cents (Σy² summed in DECIMAL(38,0) on the Spark side / HUGEINT
+    * in DuckDB — cents² overflows BIGINT at corpus scale), then
+    * SST = Σy²−(Σy)²/N, SSB = Σ_g(Σy_g)²/n_g − (Σy)²/N, SSW = SST−SSB
+    * and F = (SSB/(k−1))/(SSW/(N−k)) finalized once in double via
+    * identical IEEE trees. η² = SSB/SST is the effect size; the 5%
+    * bar for df₁ = 4 at large df₂ is the embedded literal 2.372.
+    *
+    * Scale shape: one combinable per-group aggregate over the corpus,
+    * then the 5-row group frame folds to one row. */
+  private val x_stat_anova = Q(
+    "x_stat_anova",
+    (s, d) => {
+      val pts = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0)" +
+            " AS BIGINT)").as("y"))
+      val grp = pts.groupBy(col("seg")).agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("sy"),
+        sum(col("y").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+          .as("syy"))
+      grp.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("sy")).as("sy_all"),
+        sum(col("syy")).as("syy_all"),
+        sum(col("sy").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")).as("ssb_raw"))
+        .withColumn("gm2",
+          col("sy_all").cast("double") * col("sy_all").cast("double")
+            / col("n_total").cast("double"))
+        .withColumn("sst", col("syy_all").cast("double") - col("gm2"))
+        .withColumn("ssb", col("ssb_raw") - col("gm2"))
+        .withColumn("ssw", col("sst") - col("ssb"))
+        .withColumn("f",
+          (col("ssb") / (col("k") - 1).cast("double"))
+            / (col("ssw") / (col("n_total") - col("k")).cast("double")))
+        .select(col("k"), col("n_total"),
+          round(col("f"), 6).as("f"),
+          round(col("ssb") / col("sst"), 6).as("eta2"),
+          (col("f") > lit(2.372)).as("significant"))
+    },
+    Some("""WITH pts AS (
+        SELECT c_mktsegment AS seg,
+          CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      grp AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS sy,
+          SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        FROM pts GROUP BY 1),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(n) AS BIGINT) AS n_total,
+          CAST(SUM(sy) AS BIGINT) AS sy_all,
+          CAST(SUM(syy) AS DOUBLE) AS syy_all,
+          SUM(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            AS ssb_raw
+        FROM grp),
+      fin AS (
+        SELECT k, n_total, syy_all, ssb_raw,
+          CAST(sy_all AS DOUBLE) * CAST(sy_all AS DOUBLE)
+            / CAST(n_total AS DOUBLE) AS gm2
+        FROM agg),
+      fin2 AS (
+        SELECT k, n_total,
+          syy_all - gm2 AS sst, ssb_raw - gm2 AS ssb,
+          (syy_all - gm2) - (ssb_raw - gm2) AS ssw
+        FROM fin)
+      SELECT k, n_total,
+        ROUND((ssb / CAST(k - 1 AS DOUBLE))
+          / (ssw / CAST(n_total - k AS DOUBLE)), 6) AS f,
+        ROUND(ssb / sst, 6) AS eta2,
+        (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n_total - k AS DOUBLE))
+          > CAST('2.372' AS DOUBLE) AS significant
+      FROM fin2"""))
+
+  // ---------------------------------------------------------------
   // x_dq_ref_integrity
   // ---------------------------------------------------------------
 
@@ -283,9 +368,254 @@ object StatsQueries {
       }.mkString("\nUNION ALL\n")))
   )
 
+  // ---------------------------------------------------------------
+  // x_ts_acf
+  // ---------------------------------------------------------------
+
+  /** Autocorrelation function of the daily event-count series at lags
+    * 1..14 — the seasonality detector (a weekly cycle shows as a peak
+    * at lag 7): r_k = Σ d_t·d_{t+k} / Σ d_t² with deviations carried
+    * as the exact scaled integer d_t = n·y_t − Σy (no float mean, the
+    * CUSUM discipline). The corpus collapses to one daily count; the
+    * lag pairing is a self-join of the calendar-bounded day frame
+    * (≤ days × 14 rows); one double division per lag at the emit.
+    * (d_t·d_{t+k} is BIGINT-exact up to ~10⁹ events/day at 100 days;
+    * past that widen the products to DECIMAL(38,0).) */
+  private val x_ts_acf = Q(
+    "x_ts_acf",
+    (s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val base = daily
+        .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+        .crossJoin(broadcast(tot))
+        .select(col("t"), (col("n") * col("y") - col("sy")).as("dev"))
+      val den = base.agg(sum(col("dev") * col("dev")).as("den"))
+      val lagged = base
+        .withColumn("lag", explode(sequence(lit(1), lit(14))))
+        .select(col("lag"), (col("t") + col("lag")).as("t2"), col("dev"))
+      val pairs = lagged.join(
+        base.select(col("t").as("t2"), col("dev").as("dev2")), "t2")
+      pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dev") * col("dev2")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag").cast("int").as("lag"), col("n_pairs"),
+          expr("CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)" +
+            " * 1000000) AS BIGINT)").as("r_micro"))
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(y) AS BIGINT) AS sy FROM daily),
+      base AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+          CAST(n * y - sy AS BIGINT) AS dev
+        FROM daily CROSS JOIN tot),
+      den AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM base),
+      pairs AS (
+        SELECT l.lag, a.dev AS dev, b.dev AS dev2
+        FROM base a
+        CROSS JOIN (SELECT unnest(range(1, 15)) AS lag) l
+        JOIN base b ON b.t = a.t + l.lag)
+      SELECT CAST(lag AS INTEGER) AS lag,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(ROUND(CAST(SUM(dev * dev2) AS DOUBLE)
+          / CAST((SELECT den FROM den) AS DOUBLE) * 1000000) AS BIGINT)
+          AS r_micro
+      FROM pairs
+      GROUP BY 1"""))
+
+  // ---------------------------------------------------------------
+  // x_stat_spearman
+  // ---------------------------------------------------------------
+
+  /** Spearman rank correlation between order size (items per order)
+    * and order value (the 4096-bin cents grid) — the monotone-
+    * association test, computed as Pearson over MIDRANKS without
+    * ever ranking rows: both variables live on bounded grids, so the
+    * corpus collapses to the (x, y-bin) CONTINGENCY matrix, midranks
+    * come from cumulative windows over the two marginal frames, and
+    * every row-level sum is a Σ over cells of cnt·rx·ry. Ranks are
+    * carried DOUBLED (integral midrank halves; the doubling cancels
+    * in ρ exactly); cell products are summed in DECIMAL(38,0) /
+    * HUGEINT (n·rank² overflows BIGINT at corpus scale) and the four
+    * normal-equation factors combine once in double. */
+  private val x_stat_spearman = Q(
+    "x_stat_spearman",
+    (s, d) => {
+      val x = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x"))
+      val rows = Tables.orders(s, d)
+        .join(x, col("o_orderkey") === col("l_orderkey"))
+        .select(col("x"), binExpr("o_totalprice").as("yb"))
+      val cells = rows.groupBy(col("x"), col("yb"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // marginals + the cell sum all read it
+      val wx = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mx = cells.groupBy(col("x")).agg(sum(col("cnt")).as("m"))
+        .withColumn("rx2",
+          coalesce(sum(col("m")).over(wx), lit(0L)) * 2 + col("m") + 1)
+      val wy = Window.orderBy(col("yb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val my = cells.groupBy(col("yb")).agg(sum(col("cnt")).as("m"))
+        .withColumn("ry2",
+          coalesce(sum(col("m")).over(wy), lit(0L)) * 2 + col("m") + 1)
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val joined = cells
+        .join(broadcast(mx.select(col("x"), col("rx2"))), "x")
+        .join(broadcast(my.select(col("yb"), col("ry2"))), "yb")
+      joined.agg(
+        sum(col("cnt")).as("n"),
+        sum(dec(col("cnt")) * dec(col("rx2")) * dec(col("ry2"))).as("sxy"),
+        sum(dec(col("cnt")) * dec(col("rx2"))).as("sx"),
+        sum(dec(col("cnt")) * dec(col("ry2"))).as("sy"),
+        sum(dec(col("cnt")) * dec(col("rx2")) * dec(col("rx2"))).as("sxx"),
+        sum(dec(col("cnt")) * dec(col("ry2")) * dec(col("ry2"))).as("syy"))
+        .select(col("n"), expr("""ROUND(
+          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"""
+          .stripMargin).as("rho"))
+    },
+    Some(s"""WITH x AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1),
+      rows_ AS (
+        SELECT x, ${binSql("o_totalprice")} AS yb
+        FROM orders JOIN x ON o_orderkey = l_orderkey),
+      cells AS (
+        SELECT x, yb, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rows_ GROUP BY 1, 2),
+      mx AS (
+        SELECT x, CAST(COALESCE(SUM(m) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+            + m + 1 AS BIGINT) AS rx2
+        FROM (SELECT x, CAST(SUM(cnt) AS BIGINT) AS m
+          FROM cells GROUP BY 1)),
+      my AS (
+        SELECT yb, CAST(COALESCE(SUM(m) OVER (ORDER BY yb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+            + m + 1 AS BIGINT) AS ry2
+        FROM (SELECT yb, CAST(SUM(cnt) AS BIGINT) AS m
+          FROM cells GROUP BY 1)),
+      sums AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+          SUM(CAST(cnt AS HUGEINT) * rx2 * ry2) AS sxy,
+          SUM(CAST(cnt AS HUGEINT) * rx2) AS sx,
+          SUM(CAST(cnt AS HUGEINT) * ry2) AS sy,
+          SUM(CAST(cnt AS HUGEINT) * rx2 * rx2) AS sxx,
+          SUM(CAST(cnt AS HUGEINT) * ry2 * ry2) AS syy
+        FROM cells JOIN mx USING (x) JOIN my USING (yb))
+      SELECT n, ROUND(
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+      FROM sums"""))
+
+  // ---------------------------------------------------------------
+  // x_ml_feature_mi
+  // ---------------------------------------------------------------
+
+  /** Mutual information between hour-of-day and event type — the
+    * feature-selection score ("is this feature informative about the
+    * label?") over a BOUNDED contingency matrix (24 × |types|): one
+    * combinable cell count over the corpus, ln terms micro-quantized
+    * from exact integer ratios (the PMI discipline), MI and the two
+    * marginal entropies finalized in double, plus the normalized
+    * MI / min(H_x, H_y). (Σ c·ln_micro is BIGINT-exact to ~10¹¹
+    * events; widen to DECIMAL(38,0) past that.) */
+  private val x_ml_feature_mi = Q(
+    "x_ml_feature_mi",
+    (s, d) => {
+      val rows = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(hour(col("ts")).as("h"), col("event_type").as("ty"))
+      val cells = rows.groupBy(col("h"), col("ty"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // marginals + MI sum all read it
+      val mh = cells.groupBy(col("h")).agg(sum(col("c")).as("ch"))
+      val mt = cells.groupBy(col("ty")).agg(sum(col("c")).as("ct"))
+      val tot = cells.agg(sum(col("c")).as("n"))
+      val terms = cells.join(broadcast(mh), "h").join(broadcast(mt), "ty")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("c"), col("ch"), col("ct"),
+          expr("""CAST(ROUND(LN(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+            |  / (CAST(ch AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000)
+            |AS BIGINT)""".stripMargin).as("ln_micro"))
+      val hx = mh.crossJoin(broadcast(tot))
+        .agg(sum(col("ch") * expr(
+          """CAST(ROUND(LN(CAST(n AS DOUBLE) / CAST(ch AS DOUBLE))
+            | * 1000000) AS BIGINT)""".stripMargin)).as("hx_sum"),
+          max(col("n")).as("n1"))
+        .select(expr("CAST(ROUND(CAST(hx_sum AS DOUBLE) / n1) AS BIGINT)")
+          .as("hx_micro"))
+      val hy = mt.crossJoin(broadcast(tot))
+        .agg(sum(col("ct") * expr(
+          """CAST(ROUND(LN(CAST(n AS DOUBLE) / CAST(ct AS DOUBLE))
+            | * 1000000) AS BIGINT)""".stripMargin)).as("hy_sum"),
+          max(col("n")).as("n2"))
+        .select(expr("CAST(ROUND(CAST(hy_sum AS DOUBLE) / n2) AS BIGINT)")
+          .as("hy_micro"))
+      terms.agg(max(col("n")).as("n"),
+          sum(col("c") * col("ln_micro")).as("mi_sum"))
+        .select(col("n"),
+          expr("CAST(ROUND(CAST(mi_sum AS DOUBLE) / n) AS BIGINT)")
+            .as("mi_micro"))
+        .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .withColumn("nmi", expr("""ROUND(CAST(mi_micro AS DOUBLE)
+          | / LEAST(CAST(hx_micro AS DOUBLE), CAST(hy_micro AS DOUBLE)),
+          | 6)""".stripMargin))
+    },
+    Some("""WITH rows_ AS (
+        SELECT hour(ts) AS h, event_type AS ty
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      cells AS (
+        SELECT h, ty, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rows_ GROUP BY 1, 2),
+      mh AS (SELECT h, CAST(SUM(c) AS BIGINT) AS ch FROM cells GROUP BY 1),
+      mt AS (SELECT ty, CAST(SUM(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      mi AS (
+        SELECT ANY_VALUE(n) AS n,
+          CAST(ROUND(CAST(SUM(c * CAST(ROUND(LN(
+              CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+              / (CAST(ch AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000)
+            AS BIGINT)) AS DOUBLE) / ANY_VALUE(n)) AS BIGINT) AS mi_micro
+        FROM cells JOIN mh USING (h) JOIN mt USING (ty) CROSS JOIN tot),
+      hx AS (
+        SELECT CAST(ROUND(CAST(SUM(ch * CAST(ROUND(LN(
+              CAST(n AS DOUBLE) / CAST(ch AS DOUBLE)) * 1000000)
+            AS BIGINT)) AS DOUBLE) / ANY_VALUE(n)) AS BIGINT) AS hx_micro
+        FROM mh CROSS JOIN tot),
+      hy AS (
+        SELECT CAST(ROUND(CAST(SUM(ct * CAST(ROUND(LN(
+              CAST(n AS DOUBLE) / CAST(ct AS DOUBLE)) * 1000000)
+            AS BIGINT)) AS DOUBLE) / ANY_VALUE(n)) AS BIGINT) AS hy_micro
+        FROM mt CROSS JOIN tot)
+      SELECT n, mi_micro, hx_micro, hy_micro,
+        ROUND(CAST(mi_micro AS DOUBLE)
+          / LEAST(CAST(hx_micro AS DOUBLE), CAST(hy_micro AS DOUBLE)), 6)
+          AS nmi
+      FROM mi CROSS JOIN hx CROSS JOIN hy"""))
+
   val all: Seq[Q] = Seq(
     x_stat_ks_test,
     x_stat_mannwhitney,
+    x_stat_anova,
+    x_stat_spearman,
     x_stat_cusum_changepoint,
+    x_ts_acf,
+    x_ml_feature_mi,
     x_dq_ref_integrity)
 }

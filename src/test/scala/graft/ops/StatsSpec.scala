@@ -86,6 +86,46 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Date]("cp_day") == Date.valueOf("2024-02-01"))
   }
 
+  test("anova: five groups, eta2 in [0,1], F nonnegative") {
+    val r = Registry.queries("x_stat_anova")(spark, sf001).head()
+    assert(r.getAs[Long]("k") == 5L)
+    assert(r.getAs[Long]("n_total") > 0L)
+    val eta2 = r.getAs[Double]("eta2")
+    assert(eta2 >= 0.0 && eta2 <= 1.0)
+    assert(r.getAs[Double]("f") >= 0.0)
+  }
+
+  test("acf: 14 lags, r in [-1,1], pair counts shrink by one per lag") {
+    val rows = Registry.queries("x_ts_acf")(spark, sf001)
+      .orderBy(col("lag")).collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == (1 to 14))
+    val np = rows.map(_.getAs[Long]("n_pairs"))
+    assert(np.zip(np.tail).forall { case (a, b) => a == b + 1 })
+    rows.foreach { r =>
+      val rm = r.getAs[Long]("r_micro")
+      assert(rm >= -1000000L && rm <= 1000000L)
+    }
+  }
+
+  test("spearman: rho in [-1,1] on the order-size/value pair") {
+    val r = Registry.queries("x_stat_spearman")(spark, sf001).head()
+    val rho = r.getAs[Double]("rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+    assert(r.getAs[Long]("n") > 0L)
+  }
+
+  test("mutual information: MI >= 0 (to rounding), bounded by min entropy") {
+    val r = Registry.queries("x_ml_feature_mi")(spark, sf001).head()
+    val mi = r.getAs[Long]("mi_micro")
+    val hx = r.getAs[Long]("hx_micro")
+    val hy = r.getAs[Long]("hy_micro")
+    assert(mi >= -10L, s"MI can dip below 0 only by term rounding: $mi")
+    assert(mi <= math.min(hx, hy) + 10L)
+    assert(hx > 0L && hy > 0L)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-5 && nmi <= 1.0 + 1e-5)
+  }
+
   test("ref integrity: clean TPC-H FKs have zero orphans, events may not") {
     val rows = Registry.queries("x_dq_ref_integrity")(spark, sf001)
       .collect().map(r => r.getAs[String]("relation") -> r).toMap
