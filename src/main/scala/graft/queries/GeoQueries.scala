@@ -144,5 +144,115 @@ object GeoQueries {
       FROM legs
       GROUP BY user_id"""))
 
-  val all: Seq[Q] = Seq(x_geo_grid_knn, x_geo_grid_density, x_geo_path_length)
+  /** DBSCAN point classification (core / border / noise) over the
+    * customer point cloud — the density-clustering kernel (Ester et
+    * al. 1996) reduced to its two neighbor-counting passes:
+    * core = ≥ minPts neighbors (self included) within ε, border =
+    * non-core with ≥ 1 CORE neighbor within ε, noise = the rest.
+    * Distances are squared-degree Euclidean (no trig — every compare
+    * is an identical +,−,× tree both engines).
+    *
+    * Scale shape: ε doubles as the grid cell, and — the geo-kNN
+    * lesson — ε is DENSITY-ADAPTIVE (∝ 1/√n via
+    * [[Geo.adaptiveCellDeg]]), so expected per-cell population is
+    * constant and each of the two 3×3-cell candidate joins stays
+    * scan-linear at any corpus size; a FIXED ε would densify every
+    * neighborhood linearly and the join quadratically. With ~8 points
+    * per cell the ε-circle holds ~π·8 ≈ 25 neighbors in expectation,
+    * so minPts = 18 sits just above the measured mean (17.6) and splits
+    * the cloud into a real core/border/noise mix (minPts = 8 labeled
+    * 99.9% core; 24 labeled everything noise). Emits the 3-row label
+    * summary with exact mean-neighbor milli. */
+  private val x_geo_dbscan_core = Q(
+    "x_geo_dbscan_core",
+    (s, d) => {
+      val minPts = 18
+      val eps = Geo.adaptiveCellDeg(Tables.customer(s, d).count())
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        Geo.synthLat(col("c_custkey")).as("lat"),
+        Geo.synthLon(col("c_custkey")).as("lon"))
+        .withColumn("cx", floor(col("lon") / eps).cast("long"))
+        .withColumn("cy", floor(col("lat") / eps).cast("long"))
+        .localCheckpoint(true) // consumed by both candidate joins
+      def repl9(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+        .select((col("cx") + col("dx")).as("cx"),
+          (col("cy") + col("dy")).as("cy"),
+          col("id").as("rid"), col("lat").as("rlat"), col("lon").as("rlon"))
+      def near(l: org.apache.spark.sql.Column) = {
+        val dLat = col("lat") - col("rlat")
+        val dLon = col("lon") - col("rlon")
+        dLat * dLat + dLon * dLon <= lit(eps * eps)
+      }
+      val counts = pts.join(repl9(pts), Seq("cx", "cy"))
+        .filter(near(col("id")))
+        .groupBy(col("id"), col("lat"), col("lon"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("n_neigh"))
+      val coreFlagged = counts
+        .withColumn("is_core", col("n_neigh") >= minPts)
+        .localCheckpoint(true) // consumed by border join + final rollup
+      val coreSide = repl9(coreFlagged.filter(col("is_core")))
+      val border = coreFlagged.filter(!col("is_core"))
+        .join(coreSide, Seq("cx", "cy"))
+        .filter(near(col("id")) && col("rid") =!= col("id"))
+        .select(col("id")).distinct()
+      val labeled = coreFlagged.join(border.withColumn("b", lit(true)),
+          Seq("id"), "left")
+        .withColumn("label", when(col("is_core"), "core")
+          .when(col("b"), "border").otherwise("noise"))
+      labeled.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_points"),
+          expr("SUM(n_neigh) * 1000 DIV COUNT(*)").as("mean_neigh_milli"))
+    },
+    Some {
+      val eps = Geo.adaptiveCellDegSql("(SELECT COUNT(*) FROM customer)")
+      s"""WITH ep AS (SELECT $eps AS eps),
+      pts AS (
+        SELECT c_custkey AS id,
+          ${Geo.synthLatSql("c_custkey")} AS lat,
+          ${Geo.synthLonSql("c_custkey")} AS lon,
+          CAST(FLOOR(${Geo.synthLonSql("c_custkey")} / eps) AS BIGINT) AS cx,
+          CAST(FLOOR(${Geo.synthLatSql("c_custkey")} / eps) AS BIGINT) AS cy
+        FROM customer CROSS JOIN ep),
+      r9 AS (
+        SELECT cx + dx.x AS cx, cy + dy.y AS cy,
+          id AS rid, lat AS rlat, lon AS rlon
+        FROM pts,
+          (SELECT unnest([-1, 0, 1]) AS x) dx,
+          (SELECT unnest([-1, 0, 1]) AS y) dy),
+      counts AS (
+        SELECT p.id, p.lat, p.lon, p.cx, p.cy,
+          CAST(COUNT(*) AS BIGINT) AS n_neigh
+        FROM pts p JOIN r9 USING (cx, cy) CROSS JOIN ep
+        WHERE (p.lat - r9.rlat) * (p.lat - r9.rlat)
+            + (p.lon - r9.rlon) * (p.lon - r9.rlon) <= eps * eps
+        GROUP BY 1, 2, 3, 4, 5),
+      flagged AS (SELECT *, n_neigh >= 18 AS is_core FROM counts),
+      core9 AS (
+        SELECT cx + dx.x AS cx, cy + dy.y AS cy,
+          id AS rid, lat AS rlat, lon AS rlon
+        FROM flagged,
+          (SELECT unnest([-1, 0, 1]) AS x) dx,
+          (SELECT unnest([-1, 0, 1]) AS y) dy
+        WHERE is_core),
+      border AS (
+        SELECT DISTINCT f.id
+        FROM flagged f JOIN core9 USING (cx, cy) CROSS JOIN ep
+        WHERE NOT f.is_core AND core9.rid <> f.id
+          AND (f.lat - core9.rlat) * (f.lat - core9.rlat)
+            + (f.lon - core9.rlon) * (f.lon - core9.rlon) <= eps * eps),
+      labeled AS (
+        SELECT f.id, f.n_neigh,
+          CASE WHEN f.is_core THEN 'core'
+               WHEN b.id IS NOT NULL THEN 'border'
+               ELSE 'noise' END AS label
+        FROM flagged f LEFT JOIN border b ON f.id = b.id)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+        CAST(SUM(n_neigh) * 1000 // COUNT(*) AS BIGINT) AS mean_neigh_milli
+      FROM labeled GROUP BY 1"""
+    })
+
+  val all: Seq[Q] = Seq(x_geo_grid_knn, x_geo_grid_density,
+    x_geo_path_length, x_geo_dbscan_core)
 }

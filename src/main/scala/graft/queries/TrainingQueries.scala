@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.GraftFunctions
-import graft.ops.{Sampling, Scale, Similarity}
+import graft.ops.{Graph, Sampling, Scale, Similarity}
 
 /** Round-6 training-data-pipeline registry entries: duplicated-span
   * detection (the suffix-dedup output shape of Lee et al. 2021,
@@ -1272,12 +1272,16 @@ object TrainingQueries {
     * adjacency ranking, so both engines (and any re-run) produce the
     * identical walk corpus with no RNG state.
     *
-    * Scale shape: the adjacency ranking is a per-src window (frame =
-    * node degree); each of the 4 unrolled steps is two equi-joins
-    * (walk→degree, then (node, rank)→edge) whose left side is the
-    * walk frame, never the corpus; edges/ranking/degree are
-    * localCheckpointed once and reused by all steps (the
-    * multi-consumer rule). */
+    * Scale shape: the edge list is materialized ONCE (the pagerank
+    * posture) and each of the 4 unrolled steps joins the WALK frame
+    * (tens of rows — broadcast side) to it, so the corpus is only
+    * ever STREAMED map-side, never shuffled and never windowed:
+    * neighbor rank and degree are computed per step by a window
+    * partitioned by walk_id over the frontier's candidate rows (frame
+    * = the current node's degree). The first cut pre-ranked the whole
+    * adjacency with a corpus-wide window and checkpointed three
+    * corpus-sized frames — 254 s at the 100× step; this form
+    * re-measured there at a fraction (see README). */
   private val x_graph_random_walk = Q(
     "x_graph_random_walk",
     (s, d) => {
@@ -1286,27 +1290,26 @@ object TrainingQueries {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+      val edges = base.select(col("a").as("e_src"), col("b").as("e_dst"))
+        .unionAll(base.select(col("b").as("e_src"), col("a").as("e_dst")))
+        .localCheckpoint(true) // streamed once per step, never shuffled
+      val w0 = edges.filter(col("e_src") <= 40 && col("e_src") % 2 === 0)
+        .select(col("e_src")).distinct()
+        .select(col("e_src").as("walk_id"), col("e_src").as("node"))
         .localCheckpoint(true)
-      val edges = base.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
-      val ranked = edges.withColumn("rn", row_number().over(
-        Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
-        .select(col("src").as("e_src"), col("dst").as("e_dst"),
-          col("rn").cast("long").as("e_rn"))
-        .localCheckpoint(true)
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
-      val w0 = base.filter(col("a") <= 40).select(col("a")).distinct()
-        .select(col("a").as("walk_id"), col("a").as("node"))
+      // each (tiny) frontier is checkpointed so step t+1's plan reads
+      // it directly instead of replaying steps 1..t's edge scans
       val steps = (1 to 4).scanLeft(w0) { (cur, t) =>
-        cur.join(deg, "node")
-          .withColumn("r", Sampling.hashValue(
-            concat_ws("|", col("walk_id"), lit(t))) % col("deg"))
-          .join(ranked, col("node") === col("e_src")
-            && col("r") === col("e_rn"))
+        val cand = edges.join(broadcast(cur), col("e_src") === col("node"))
+        val wWalk = Window.partitionBy(col("walk_id"))
+        val ranked = cand
+          .withColumn("e_rn", (row_number().over(
+            wWalk.orderBy(col("e_dst"))) - 1).cast("long"))
+          .withColumn("e_deg", count(lit(1)).over(wWalk))
+        ranked.filter(col("e_rn") === Sampling.hashValue(
+            concat_ws("|", col("walk_id"), lit(t))) % col("e_deg"))
           .select(col("walk_id"), col("e_dst").as("node"))
+          .localCheckpoint(true)
       }
       steps.zipWithIndex.map { case (df, t) =>
         df.select(col("walk_id"), lit(t).as("step"), col("node"))
@@ -1481,7 +1484,706 @@ object TrainingQueries {
       FROM scored
       QUALIFY rank <= 100"""))
 
+  // ---------------------------------------------------------------
+  // x_text_heaps_law
+  // ---------------------------------------------------------------
+
+  /** Heaps'-law vocabulary growth fit — "how fast does vocabulary
+    * grow as the corpus grows?", the saturation-planning companion of
+    * Chao1: V(n) ≈ K·n^β, with β estimated by OLS over the ln-ln
+    * growth curve sampled at 10 doc-id deciles.
+    *
+    * The distributed trick: cumulative vocabulary per decile needs no
+    * prefix rescan — each term contributes its FIRST-OCCURRENCE
+    * doc_id (one combinable min over the term frame), new-type and
+    * token counts bucket to deciles, and both cumulative sums run
+    * over the 10-row decile frame. The ln-ln points are micro-
+    * quantized (exact-integer argument, one ln each), the OLS slope
+    * closes over exact BIGINT Σx/Σy/Σxy/Σx² of those micro values,
+    * and β is finalized once in double. Emits the 10-point curve with
+    * the fitted beta_micro on each row. */
+  private val x_text_heaps_law = Q(
+    "x_text_heaps_law",
+    (s, d) => {
+      val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(lower(col("text")), " "))
+          .as("tok"))
+      val maxDoc = toks.agg(max(col("doc_id")).as("max_doc"))
+      val bucketed = toks.crossJoin(broadcast(maxDoc))
+        .withColumn("dec", expr("CAST(doc_id * 10 DIV (max_doc + 1) AS INT)"))
+      val tokCnt = bucketed.groupBy(col("dec"))
+        .agg(count(lit(1)).as("n_tok"))
+      val newTypes = bucketed.groupBy(col("tok"))
+        .agg(min(col("dec")).as("dec"))
+        .groupBy(col("dec")).agg(count(lit(1)).as("n_new"))
+      val wCum = Window.orderBy(col("dec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = tokCnt.join(newTypes, Seq("dec"), "left")
+        .withColumn("n_cum", sum(col("n_tok")).over(wCum))
+        .withColumn("v_cum", sum(coalesce(col("n_new"), lit(0L))).over(wCum))
+        .select(col("dec"), col("n_cum"), col("v_cum"),
+          expr("CAST(ROUND(LN(CAST(n_cum AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("ln_n_micro"),
+          expr("CAST(ROUND(LN(CAST(v_cum AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("ln_v_micro"))
+      val fit = curve.agg(
+        count(lit(1)).as("m"), sum(col("ln_n_micro")).as("sx"),
+        sum(col("ln_v_micro")).as("sy"),
+        sum(col("ln_n_micro") * col("ln_v_micro")).as("sxy"),
+        sum(col("ln_n_micro") * col("ln_n_micro")).as("sxx"))
+        .select(expr("""CAST(ROUND(
+          |  (CAST(m * sxy - sx * sy AS DOUBLE)
+          |   / CAST(m * sxx - sx * sx AS DOUBLE)) * 1000000)
+          |AS BIGINT)""".stripMargin).as("beta_micro"))
+      curve.crossJoin(broadcast(fit))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      mx AS (SELECT MAX(doc_id) AS max_doc FROM toks),
+      b AS (
+        SELECT tok, CAST(doc_id * 10 // (max_doc + 1) AS INTEGER) AS dec
+        FROM toks CROSS JOIN mx),
+      tc AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS n_tok FROM b GROUP BY 1),
+      nt AS (
+        SELECT dec, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+          SELECT tok, MIN(dec) AS dec FROM b GROUP BY 1) GROUP BY 1),
+      curve AS (
+        SELECT dec,
+          CAST(SUM(n_tok) OVER (ORDER BY dec) AS BIGINT) AS n_cum,
+          CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY dec) AS BIGINT)
+            AS v_cum
+        FROM tc LEFT JOIN nt USING (dec)),
+      pts AS (
+        SELECT dec, n_cum, v_cum,
+          CAST(ROUND(LN(CAST(n_cum AS DOUBLE)) * 1000000) AS BIGINT)
+            AS ln_n_micro,
+          CAST(ROUND(LN(CAST(v_cum AS DOUBLE)) * 1000000) AS BIGINT)
+            AS ln_v_micro
+        FROM curve),
+      fit AS (
+        SELECT CAST(ROUND(
+          (CAST(COUNT(*) * SUM(ln_n_micro * ln_v_micro)
+              - SUM(ln_n_micro) * SUM(ln_v_micro) AS DOUBLE)
+           / CAST(COUNT(*) * SUM(ln_n_micro * ln_n_micro)
+              - SUM(ln_n_micro) * SUM(ln_n_micro) AS DOUBLE)) * 1000000)
+          AS BIGINT) AS beta_micro
+        FROM pts)
+      SELECT dec, n_cum, v_cum, ln_n_micro, ln_v_micro, beta_micro
+      FROM pts CROSS JOIN fit"""))
+
+  // ---------------------------------------------------------------
+  // x_dedup_cdc_chunking
+  // ---------------------------------------------------------------
+
+  /** Content-defined chunking (the Rabin/FastCDC idea at token
+    * granularity): a chunk boundary falls AFTER any token whose
+    * 56-bit digest ≡ 0 (mod 16) — so chunk boundaries depend only on
+    * CONTENT, and an insertion early in a document reshifts at most
+    * one chunk instead of every fixed-size block. Per doc: chunk
+    * count, duplicate-chunk count (chunk digest seen in >1 chunk
+    * corpus-wide), and the dup ratio in exact milli.
+    *
+    * Scale shape: tokenize + boundary flag are per-row kernels; the
+    * chunk-index window partitions BY DOCUMENT (state bounded by doc
+    * length); chunk reassembly groups (doc, chunk) with state bounded
+    * by expected chunk length (16 tokens); the dup test is one
+    * combinable count over chunk digests. */
+  private val x_dedup_cdc_chunking = Q(
+    "x_dedup_cdc_chunking",
+    (s, d) => {
+      val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " "))
+          .as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+        .withColumn("bnd",
+          when(Sampling.hashValue(col("tok")) % 16 === 0, 1L).otherwise(0L))
+      val wBefore = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = toks
+        .withColumn("cid", coalesce(sum(col("bnd")).over(wBefore), lit(0L)))
+        .groupBy(col("doc_id"), col("cid"))
+        .agg(Sampling.hashValue(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("h"),
+          count(lit(1)).as("chunk_len"))
+      val dupes = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_h"))
+      chunks.join(dupes, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_h") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(col("chunk_len")).as("n_tokens"))
+        .withColumn("dup_ratio_milli",
+          expr("n_dup_chunks * 1000 DIV n_chunks"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+      toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok,
+          CASE WHEN ${Sampling.hashValueSql("t[i]")} % 16 = 0
+            THEN 1 ELSE 0 END AS bnd
+        FROM docs, unnest(range(1, len(t) + 1)) AS u(i)),
+      cids AS (
+        SELECT doc_id, pos, tok,
+          CAST(COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cid
+        FROM toks),
+      chunks AS (
+        SELECT doc_id, cid,
+          ${Sampling.hashValueSql(
+            "string_agg(tok, ' ' ORDER BY pos)")} AS h,
+          CAST(COUNT(*) AS BIGINT) AS chunk_len
+        FROM cids GROUP BY 1, 2),
+      dupes AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_h FROM chunks GROUP BY 1)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_chunks,
+        CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+          AS BIGINT) AS dup_ratio_milli
+      FROM chunks JOIN dupes USING (h)
+      GROUP BY 1"""))
+
+  // ---------------------------------------------------------------
+  // x_ts_holt
+  // ---------------------------------------------------------------
+
+  /** Holt's double exponential smoothing (α = β = 1/2) over the
+    * monthly order-count series per priority — the TWO-state
+    * extension of x_ts_ewma's recursive class: level and trend
+    * update jointly (l_t from the forecast l+b, b_t from the level
+    * delta), still inexpressible as a window frame.
+    *
+    * Exact integer micro-units throughout; the halving is TRUNCATING
+    * division on BOTH engines (Spark `DIV`, DuckDB `//` — measured:
+    * -5//2 = -2 in DuckDB, so a floor-division spelling like
+    * shiftright diverges by 1 whenever the trend delta is negative
+    * and odd). The recursion folds over per-key collected series
+    * bounded by the calendar; the one-step forecast l+b rides
+    * along. */
+  private val x_ts_holt = Q(
+    "x_ts_holt",
+    (s, d) => {
+      val series = Tables.orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("int").as("ym"))
+        .groupBy(col("priority"), col("ym"))
+        .agg(count(lit(1)).as("n"))
+      series.groupBy(col("priority"))
+        .agg(sort_array(collect_list(struct(col("ym"), col("n")))).as("ser"))
+        .select(col("priority"), explode(expr(
+          """aggregate(ser,
+            |  CAST(array() AS array<struct<ym:int,n:bigint,l:bigint,b:bigint>>),
+            |  (acc, s) -> concat(acc, array(CASE WHEN size(acc) = 0
+            |    THEN named_struct('ym', s.ym, 'n', s.n,
+            |      'l', s.n * 1000000, 'b', CAST(0 AS BIGINT))
+            |    ELSE named_struct('ym', s.ym, 'n', s.n,
+            |      'l', CAST((s.n * 1000000
+            |        + element_at(acc, -1).l + element_at(acc, -1).b)
+            |        DIV 2 AS BIGINT),
+            |      'b', CAST((CAST((s.n * 1000000
+            |          + element_at(acc, -1).l + element_at(acc, -1).b)
+            |          DIV 2 AS BIGINT)
+            |        - element_at(acc, -1).l + element_at(acc, -1).b)
+            |        DIV 2 AS BIGINT))
+            |  END)))""".stripMargin)).as("p"))
+        .select(col("priority"), col("p.ym").as("ym"), col("p.n").as("n"),
+          col("p.l").as("level_micro"), col("p.b").as("trend_micro"),
+          (col("p.l") + col("p.b")).as("forecast_micro"))
+    },
+    Some("""WITH RECURSIVE series AS (
+        SELECT o_orderpriority AS priority,
+          CAST(year(CAST(o_orderdate AS DATE)) * 100
+            + month(CAST(o_orderdate AS DATE)) AS INTEGER) AS ym,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2),
+      s AS (
+        SELECT priority, ym, n,
+          ROW_NUMBER() OVER (PARTITION BY priority ORDER BY ym) AS t
+        FROM series),
+      r AS (
+        SELECT priority, ym, n, t,
+          CAST(n * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+        FROM s WHERE t = 1
+        UNION ALL
+        SELECT s.priority, s.ym, s.n, s.t,
+          CAST((s.n * 1000000 + r.l + r.b) // 2 AS BIGINT) AS l,
+          CAST(((s.n * 1000000 + r.l + r.b) // 2 - r.l + r.b) // 2
+            AS BIGINT) AS b
+        FROM r JOIN s ON s.priority = r.priority AND s.t = r.t + 1)
+      SELECT priority, ym, n, l AS level_micro, b AS trend_micro,
+        l + b AS forecast_micro
+      FROM r"""))
+
+  // ---------------------------------------------------------------
+  // x_text_zipf_fit
+  // ---------------------------------------------------------------
+
+  /** Zipf's-law fit over the term frequency spectrum — ln-ln OLS of
+    * frequency against rank for the top-1000 terms (TakeOrdered with
+    * (count DESC, term) total tiebreak — no global sort), the
+    * companion diagnostic to Heaps: a corpus whose slope drifts from
+    * ≈ −1 has a degenerate (template/boilerplate) frequency profile.
+    * Rank and ln-points live on the 1000-row bounded frame; Σx/Σy/
+    * Σxy/Σx²/Σy² close over exact BIGINT micro values; slope and r²
+    * finalize once in double. Emits the top-20 spectrum rows with the
+    * fit attached. */
+  private val x_text_zipf_fit = Q(
+    "x_text_zipf_fit",
+    (s, d) => {
+      val freqs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+      val pts = freqs.withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+        .withColumn("ln_r_micro",
+          expr("CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .withColumn("ln_c_micro",
+          expr("CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .localCheckpoint(true) // fit + emit both read the ranked frame
+      val fit = pts.agg(
+        count(lit(1)).as("m"), sum(col("ln_r_micro")).as("sx"),
+        sum(col("ln_c_micro")).as("sy"),
+        sum(col("ln_r_micro") * col("ln_c_micro")).as("sxy"),
+        sum(col("ln_r_micro") * col("ln_r_micro")).as("sxx"),
+        sum(col("ln_c_micro") * col("ln_c_micro")).as("syy"))
+        .select(
+          // factors combine in DOUBLE: with m = 1000 points the BIGINT
+          // products m·sxy / sx·sy overflow at the 100× corpus (ANSI
+          // mode faults); each sum is still an exact integer, and both
+          // engines run the identical double tree
+          expr("""CAST(ROUND(
+            |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000)
+            |AS BIGINT)""".stripMargin).as("slope_micro"),
+          expr("""CAST(ROUND(
+            |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / ((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |     * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+            |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000)
+            |AS BIGINT)""".stripMargin).as("r2_micro"))
+      pts.filter(col("rank") <= 20)
+        .select(col("rank"), col("tok"), col("cnt"),
+          col("ln_r_micro"), col("ln_c_micro"))
+        .crossJoin(broadcast(fit))
+    },
+    Some("""WITH freqs AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL)
+        GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 1000),
+      pts AS (
+        SELECT tok, cnt,
+          CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+        FROM freqs),
+      lpts AS (
+        SELECT rank, tok, cnt,
+          CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)
+            AS ln_r_micro,
+          CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+            AS ln_c_micro
+        FROM pts),
+      sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(SUM(ln_r_micro) AS BIGINT) AS sx,
+          CAST(SUM(ln_c_micro) AS BIGINT) AS sy,
+          CAST(SUM(ln_r_micro * ln_c_micro) AS BIGINT) AS sxy,
+          CAST(SUM(ln_r_micro * ln_r_micro) AS BIGINT) AS sxx,
+          CAST(SUM(ln_c_micro * ln_c_micro) AS BIGINT) AS syy
+        FROM lpts),
+      fit AS (
+        SELECT
+          CAST(ROUND(
+            (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000)
+            AS BIGINT) AS slope_micro,
+          CAST(ROUND(
+            (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / ((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000)
+            AS BIGINT) AS r2_micro
+        FROM sums)
+      SELECT rank, tok, cnt, ln_r_micro, ln_c_micro, slope_micro, r2_micro
+      FROM lpts CROSS JOIN fit
+      WHERE rank <= 20"""))
+
+  // ---------------------------------------------------------------
+  // x_ts_stl_decompose
+  // ---------------------------------------------------------------
+
+  /** Seasonal–trend decomposition of the daily event-count series
+    * (the classical additive form: trend = centered 7-day moving
+    * average, seasonal = day-of-week mean of the detrended series,
+    * residual = remainder) — exact integer milli throughout: the MA
+    * is sum7·1000 DIV 7, day-of-week from epoch-day mod 7 (neither
+    * engine's locale-dependent dayofweek), seasonal means truncating
+    * DIV on both engines. Edge days without a full 7-day window carry
+    * NULL trend and are excluded from the seasonal fit, exactly as
+    * the classical method prescribes.
+    *
+    * Scale shape: the corpus collapses to one daily count aggregate;
+    * every window after runs on the calendar-bounded day frame. */
+  private val x_ts_stl_decompose = Q(
+    "x_ts_stl_decompose",
+    (s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("dow", expr(
+          "CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("w_n", count(lit(1)).over(w7))
+        .withColumn("w_sum", sum(col("y")).over(w7))
+        .withColumn("trend_milli",
+          when(col("w_n") === 7, expr("w_sum * 1000 DIV 7")))
+        .withColumn("detr_milli", col("y") * 1000 - col("trend_milli"))
+      val seasonal = trended.filter(col("trend_milli").isNotNull)
+        .groupBy(col("dow"))
+        .agg(expr("CAST(SUM(detr_milli) DIV COUNT(*) AS BIGINT)")
+          .as("seasonal_milli"))
+      trended.join(broadcast(seasonal), "dow")
+        .select(col("day"), col("dow"), col("y"), col("trend_milli"),
+          col("seasonal_milli"),
+          (col("y") * 1000 - col("trend_milli") - col("seasonal_milli"))
+            .as("residual_milli"))
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y,
+          CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER) AS dow
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 3),
+      trended AS (
+        SELECT day, dow, y,
+          CASE WHEN COUNT(*) OVER w = 7
+            THEN CAST(SUM(y) OVER w * 1000 // 7 AS BIGINT) END AS trend_milli
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (
+        SELECT *, y * 1000 - trend_milli AS detr_milli FROM trended),
+      seasonal AS (
+        SELECT dow, CAST(SUM(detr_milli) // COUNT(*) AS BIGINT)
+          AS seasonal_milli
+        FROM det WHERE trend_milli IS NOT NULL GROUP BY 1)
+      SELECT day, dow, y, trend_milli, seasonal_milli,
+        y * 1000 - trend_milli - seasonal_milli AS residual_milli
+      FROM det JOIN seasonal USING (dow)"""))
+
+  // ---------------------------------------------------------------
+  // x_graph_modularity
+  // ---------------------------------------------------------------
+
+  /** Newman modularity Q of the NATION partition of the
+    * customer–supplier order graph — "do customers order from
+    * same-nation suppliers more than a random graph would?":
+    * Q = Σ_c (intra_c/S − (d_c/S)²) over the symmetrized edge list
+    * (S = 2m directed-sym edges, intra_c counting both directions,
+    * d_c the sym-degree mass of community c). The community labels
+    * are the nation keys — a REAL exogenous partition, which is the
+    * honest demonstration of the metric (synchronous label prop on a
+    * bipartite graph oscillates into an all-edges-cross partition
+    * whose Q is degenerately −Σ(d_c/S)²; x_graph_labelprop already
+    * pins that algorithm itself).
+    *
+    * Scale shape: the corpus-sized edge list is STREAMED exactly
+    * once — both endpoint-label joins broadcast the node→nation map,
+    * and the whole graph collapses map-side into the ≤|C|² community
+    * PAIR MATRIX m(c₁,c₂); d_sym, intra_sym, S and the Q numerator
+    * Σ(intra_c·S − d_c²) (exact BIGINT, one division at the emit)
+    * all derive from those ≤625 rows. The first cut symmetrized +
+    * distinct'd + checkpointed the 2|E|-row edge list and shuffled it
+    * twice more for the label joins — 171 s at the 100× step; the
+    * matrix form re-measured 98 s (26× over sf0.1 — the remaining
+    * cost is the edge-distinct materialization plus the one
+    * corpus-key shuffle for the member count, both edge-linear). */
+  private val x_graph_modularity = Q(
+    "x_graph_modularity",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint(true) // pair matrix + member count both read it
+      val labels = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("node"),
+          col("c_nationkey").cast("long").as("label"))
+        .unionByName(Tables.supplier(s, d)
+          .select((col("s_suppkey") * 2 + 1).as("node"),
+            col("s_nationkey").cast("long").as("label")))
+      // directed-edge pair matrix; sym quantities derive exactly:
+      // d_sym(c) = row_mass(c) + col_mass(c), intra_sym = 2 m(c,c),
+      // S = 2 Σ m
+      val pairs = edges
+        .join(broadcast(labels.select(col("node").as("src"),
+          col("label").as("lsrc"))), "src")
+        .join(broadcast(labels.select(col("node").as("dst"),
+          col("label").as("ldst"))), "dst")
+        .groupBy(col("lsrc"), col("ldst")).agg(count(lit(1)).as("m"))
+        .localCheckpoint(true) // ≤625 rows, read by 4 consumers
+      val rowMass = pairs.groupBy(col("lsrc").as("label"))
+        .agg(sum(col("m")).as("out_m"))
+      val colMass = pairs.groupBy(col("ldst").as("label"))
+        .agg(sum(col("m")).as("in_m"))
+      val intra = pairs.filter(col("lsrc") === col("ldst"))
+        .select(col("lsrc").as("label"), (col("m") * 2).as("intra_sym"))
+      val stot = pairs.agg((sum(col("m")) * 2).as("s_tot"))
+      val members = edges
+        .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+        .join(broadcast(labels), "node")
+        .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      val terms = rowMass.join(colMass, Seq("label"), "full")
+        .join(intra, Seq("label"), "left")
+        .join(members, Seq("label"), "full")
+        .crossJoin(broadcast(stot))
+        .select(col("label"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+          coalesce(col("intra_sym"), lit(0L)).as("intra_sym"),
+          (coalesce(col("out_m"), lit(0L)) + coalesce(col("in_m"), lit(0L)))
+            .as("d_sym"),
+          col("s_tot"))
+      val q = terms.agg(sum(col("intra_sym") * col("s_tot")
+          - col("d_sym") * col("d_sym")).as("q_num"),
+          max(col("s_tot")).as("s_tot2"))
+        .select(expr("""CAST(ROUND(CAST(q_num AS DOUBLE)
+          |  / (CAST(s_tot2 AS DOUBLE) * CAST(s_tot2 AS DOUBLE))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("q_micro"))
+      terms.crossJoin(broadcast(q))
+    },
+      Some(s"""WITH raw AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        sym AS (
+          SELECT src, dst FROM raw
+          UNION SELECT dst AS src, src AS dst FROM raw),
+        labels AS (
+          SELECT c_custkey * 2 AS node, CAST(c_nationkey AS BIGINT) AS label
+          FROM customer
+          UNION ALL
+          SELECT s_suppkey * 2 + 1 AS node, CAST(s_nationkey AS BIGINT)
+          FROM supplier),
+        joined AS (
+          SELECT ls.label AS lsrc, ld.label AS ldst
+          FROM sym e
+          JOIN labels ls ON e.src = ls.node
+          JOIN labels ld ON e.dst = ld.node),
+        comm AS (
+          SELECT lsrc AS label, CAST(COUNT(*) AS BIGINT) AS d_sym,
+            CAST(SUM(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT)
+              AS intra_sym
+          FROM joined GROUP BY 1),
+        members AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM (SELECT DISTINCT src AS node FROM sym) n
+          JOIN labels USING (node) GROUP BY 1),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_tot FROM sym),
+        terms AS (
+          SELECT label, n_members, intra_sym, d_sym, s_tot
+          FROM comm JOIN members USING (label) CROSS JOIN st),
+        q AS (
+          SELECT CAST(ROUND(CAST(SUM(intra_sym * s_tot - d_sym * d_sym)
+              AS DOUBLE)
+            / (CAST(ANY_VALUE(s_tot) AS DOUBLE)
+               * CAST(ANY_VALUE(s_tot) AS DOUBLE))
+            * 1000000) AS BIGINT) AS q_micro
+          FROM terms)
+        SELECT label, n_members, intra_sym, d_sym, s_tot, q_micro
+        FROM terms CROSS JOIN q"""))
+
+  // ---------------------------------------------------------------
+  // x_text_jensen_shannon
+  // ---------------------------------------------------------------
+
+  /** Jensen–Shannon divergence between the English and non-English
+    * sub-corpora's hashed-unigram distributions — the SYMMETRIC,
+    * bounded (≤ ln 2) corpus-drift measure (PSI's text-native
+    * sibling; also the right "did this month's crawl change?" gate):
+    * JS = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2, over B = 1024 md5
+    * buckets with add-1 smoothing.
+    *
+    * Each per-bucket log ratio is ln of a ratio of exact integers
+    * (p_b/m_b = 2·cp·Nq′ / (cp·Nq′ + cq·Np′)), one ln, micro-
+    * quantized; the two KL sums are exact BIGINTs. Scale shape: one
+    * combinable B-bounded bucket count over the corpus, everything
+    * after on the ≤B-row frame. (cp·Nq′ is BIGINT-exact to ~10⁹
+    * tokens per side; widen to DECIMAL(38,0) past that.) */
+  private val x_text_jensen_shannon = Q(
+    "x_text_jensen_shannon",
+    (s, d) => {
+      val B = 1024
+      val toks = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select((col("lang") === "en").as("is_p"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .select(col("is_p"), Sampling.hashBucket(col("tok"), B).as("b"))
+      val counts = toks.groupBy(col("b")).agg(
+        sum(when(col("is_p"), 1L).otherwise(0L)).as("cp0"),
+        sum(when(col("is_p"), 0L).otherwise(1L)).as("cq0"))
+      val grid = s.range(B.toLong).select(col("id").as("b"))
+      val cells = grid.join(counts, Seq("b"), "left")
+        .select(col("b"), (coalesce(col("cp0"), lit(0L)) + 1).as("cp"),
+          (coalesce(col("cq0"), lit(0L)) + 1).as("cq"))
+      val tot = cells.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+      val terms = cells.crossJoin(broadcast(tot))
+        .select(col("np"), col("nq"), col("cp"), col("cq"),
+          expr("""CAST(ROUND(LN(2.0 * CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+            |  / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+            |     + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE))) * 1000000)
+            |AS BIGINT)""".stripMargin).as("lnp_micro"),
+          expr("""CAST(ROUND(LN(2.0 * CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)
+            |  / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+            |     + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE))) * 1000000)
+            |AS BIGINT)""".stripMargin).as("lnq_micro"))
+      terms.groupBy(col("np"), col("nq"))
+        .agg(sum(col("cp") * col("lnp_micro")).as("s1"),
+          sum(col("cq") * col("lnq_micro")).as("s2"))
+        .select(col("np"), col("nq"),
+          expr("""CAST(ROUND((CAST(s1 AS DOUBLE) / CAST(np AS DOUBLE)
+            |  + CAST(s2 AS DOUBLE) / CAST(nq AS DOUBLE)) / 2)
+            |AS BIGINT)""".stripMargin).as("js_micro"))
+        .withColumn("drifted", col("js_micro") > lit(50000L))
+    },
+    Some(s"""WITH toks AS (
+        SELECT lang = 'en' AS is_p,
+          ${Sampling.hashBucketSql(
+            "unnest(string_split(lower(text), ' '))", 1024)} AS b
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      counts AS (
+        SELECT b,
+          CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp0,
+          CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS cq0
+        FROM toks GROUP BY 1),
+      cells AS (
+        SELECT CAST(g.range AS BIGINT) AS b,
+          CAST(COALESCE(cp0, 0) + 1 AS BIGINT) AS cp,
+          CAST(COALESCE(cq0, 0) + 1 AS BIGINT) AS cq
+        FROM range(1024) g LEFT JOIN counts ON g.range = counts.b),
+      tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+        CAST(SUM(cq) AS BIGINT) AS nq FROM cells),
+      terms AS (
+        SELECT np, nq, cp, cq,
+          CAST(ROUND(LN(2.0 * CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+            / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+               + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE))) * 1000000)
+            AS BIGINT) AS lnp_micro,
+          CAST(ROUND(LN(2.0 * CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)
+            / (CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)
+               + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE))) * 1000000)
+            AS BIGINT) AS lnq_micro
+        FROM cells CROSS JOIN tot)
+      SELECT np, nq,
+        CAST(ROUND((CAST(SUM(cp * lnp_micro) AS DOUBLE) / CAST(np AS DOUBLE)
+          + CAST(SUM(cq * lnq_micro) AS DOUBLE) / CAST(nq AS DOUBLE)) / 2)
+          AS BIGINT) AS js_micro,
+        CAST(ROUND((CAST(SUM(cp * lnp_micro) AS DOUBLE) / CAST(np AS DOUBLE)
+          + CAST(SUM(cq * lnq_micro) AS DOUBLE) / CAST(nq AS DOUBLE)) / 2)
+          AS BIGINT) > 50000 AS drifted
+      FROM terms
+      GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------
+  // x_events_attribution
+  // ---------------------------------------------------------------
+
+  /** Multi-touch attribution over the event stream — for every
+    * purchase, the non-purchase touchpoints of the same user in the
+    * preceding 7 days, credited three ways per event type:
+    * first-touch (1 to the earliest touch), last-touch (1 to the
+    * latest), and linear (1000 milli split evenly, truncating DIV —
+    * both engines). Ties inside a purchase window break by
+    * (ts, event_id) total order.
+    *
+    * Scale shape: the purchase×touch pairing is a per-user range
+    * join (equi-join on user_id + time filter), so pair volume is
+    * bounded by per-user 7-day activity — user-bounded at any corpus
+    * size; the credit rollup is one combinable aggregate. */
+  private val x_events_attribution = Q(
+    "x_events_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull
+          && col("user_id").isNotNull)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("ty"))
+      val pairs = purchases.join(touches, "user_id")
+        .filter(col("t_ts") < col("p_ts")
+          && col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      val w = Window.partitionBy(col("p_id"))
+      val scored = pairs
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("rn_first", row_number().over(
+          w.orderBy(col("t_ts"), col("t_id"))))
+        .withColumn("rn_last", row_number().over(
+          w.orderBy(col("t_ts").desc, col("t_id").desc)))
+      scored.groupBy(col("ty"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("rn_first") === 1, 1L).otherwise(0L))
+            .as("first_credit"),
+          sum(when(col("rn_last") === 1, 1L).otherwise(0L))
+            .as("last_credit"),
+          sum(expr("1000 DIV k")).as("linear_milli"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          AND user_id IS NOT NULL),
+      pairs AS (
+        SELECT t.event_type AS ty, p.event_id AS p_id,
+          t.ts AS t_ts, t.event_id AS t_id
+        FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM ev WHERE event_type <> 'purchase') t
+          USING (user_id)
+        WHERE t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY),
+      scored AS (
+        SELECT ty, p_id,
+          CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS k,
+          ROW_NUMBER() OVER (PARTITION BY p_id
+            ORDER BY t_ts, t_id) AS rn_first,
+          ROW_NUMBER() OVER (PARTITION BY p_id
+            ORDER BY t_ts DESC, t_id DESC) AS rn_last
+        FROM pairs)
+      SELECT ty, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS first_credit,
+        CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS last_credit,
+        CAST(SUM(1000 // k) AS BIGINT) AS linear_milli
+      FROM scored
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
+    x_text_jensen_shannon,
+    x_events_attribution,
+    x_text_zipf_fit,
+    x_ts_stl_decompose,
+    x_graph_modularity,
+    x_text_heaps_law,
+    x_dedup_cdc_chunking,
+    x_ts_holt,
     x_graph_random_walk,
     x_ml_kmeans_par_init,
     x_text_kneser_ney,

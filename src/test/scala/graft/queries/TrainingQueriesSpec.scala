@@ -404,6 +404,124 @@ class TrainingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("heaps law: both growth curves are monotone and vocab <= tokens") {
+    val rows = run("x_text_heaps_law").orderBy(col("dec")).collect()
+    assert(rows.length == 10)
+    val n = rows.map(_.getAs[Long]("n_cum"))
+    val v = rows.map(_.getAs[Long]("v_cum"))
+    assert(n.zip(n.tail).forall { case (a, b) => a < b })
+    assert(v.zip(v.tail).forall { case (a, b) => a <= b })
+    assert(n.zip(v).forall { case (nt, vt) => vt <= nt })
+    val beta = rows.head.getAs[Long]("beta_micro")
+    assert(rows.forall(_.getAs[Long]("beta_micro") == beta))
+    assert(beta >= 0L && beta <= 1000000L,
+      s"vocab cannot grow faster than tokens: beta_micro = $beta")
+    // this corpus' vocabulary saturates in decile 0 (31 types), the
+    // beta = 0 fixed point; a still-growing vocab must fit beta > 0
+    if (v.last > v.head) assert(beta > 0L)
+    else assert(beta == 0L, "saturated vocab must fit a flat curve")
+  }
+
+  test("cdc chunking: per-doc invariants and token conservation") {
+    val rows = run("x_dedup_cdc_chunking").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nc, nd, nt) = (r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_dup_chunks"), r.getAs[Long]("n_tokens"))
+      assert(nc >= 1L && nd >= 0L && nd <= nc && nt >= nc)
+      assert(r.getAs[Long]("dup_ratio_milli") <= 1000L)
+    }
+    val totalToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(size(split(lower(col("text")), " ")).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(totalToks == expected, "chunking must conserve every token")
+  }
+
+  test("holt: series head has level = y*1e6, zero trend, forecast = level") {
+    val out = run("x_ts_holt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("ym"))
+    val first = out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).collect()
+    assert(first.nonEmpty)
+    first.foreach { r =>
+      assert(r.getAs[Long]("level_micro") == r.getAs[Long]("n") * 1000000L)
+      assert(r.getAs[Long]("trend_micro") == 0L)
+      assert(r.getAs[Long]("forecast_micro") == r.getAs[Long]("level_micro"))
+    }
+  }
+
+  test("zipf fit: negative slope, r2 in [0,1], top-20 ranks") {
+    val rows = run("x_text_zipf_fit").orderBy(col("rank")).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    val slope = rows.head.getAs[Long]("slope_micro")
+    val r2 = rows.head.getAs[Long]("r2_micro")
+    assert(slope < 0L, s"zipf slope must be negative, got $slope")
+    assert(r2 >= 0L && r2 <= 1000000L)
+  }
+
+  test("stl: additive identity holds wherever trend is defined") {
+    val rows = run("x_ts_stl_decompose").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
+      if (!r.isNullAt(r.fieldIndex("trend_milli"))) {
+        val y = r.getAs[Long]("y")
+        assert(y * 1000L == r.getAs[Long]("trend_milli")
+          + r.getAs[Long]("seasonal_milli") + r.getAs[Long]("residual_milli"),
+          "y*1000 must equal trend + seasonal + residual exactly")
+      }
+    }
+  }
+
+  test("modularity: degree masses partition S, |Q| bounded by 1") {
+    val rows = run("x_graph_modularity").collect()
+    assert(rows.length == 25, "one community per nation")
+    val sTot = rows.head.getAs[Long]("s_tot")
+    assert(rows.map(_.getAs[Long]("d_sym")).sum == sTot)
+    assert(rows.map(_.getAs[Long]("intra_sym")).sum <= sTot)
+    val q = rows.head.getAs[Long]("q_micro")
+    assert(rows.forall(_.getAs[Long]("q_micro") == q))
+    assert(q >= -1000000L && q <= 1000000L)
+  }
+
+  test("dbscan: labels partition the point cloud") {
+    val rows = Registry.queries("x_geo_dbscan_core")(spark, sfDir).collect()
+    val byLabel = rows.map(r =>
+      r.getAs[String]("label") -> r.getAs[Long]("n_points")).toMap
+    assert(byLabel.keySet.subsetOf(Set("core", "border", "noise")))
+    val total = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(byLabel.values.sum == total,
+      "every point gets exactly one label")
+  }
+
+  test("jensen-shannon: bounded by ln 2, same-corpus vocab stays undrifted") {
+    val r = run("x_text_jensen_shannon").head()
+    val js = r.getAs[Long]("js_micro")
+    assert(js >= 0L && js <= 693148L, s"JS must sit in [0, ln 2]: $js")
+    assert(r.getAs[Long]("np") > 0L && r.getAs[Long]("nq") > 0L)
+  }
+
+  test("attribution: first and last credits both count attributed purchases") {
+    val rows = run("x_events_attribution").collect()
+    assert(rows.nonEmpty)
+    val first = rows.map(_.getAs[Long]("first_credit")).sum
+    val last = rows.map(_.getAs[Long]("last_credit")).sum
+    assert(first == last,
+      "every attributed purchase has exactly one first and one last touch")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_touches") >= r.getAs[Long]("first_credit"))
+      assert(r.getAs[Long]("linear_milli") >= 0L)
+    }
+    // linear credit conserves <= 1000 milli per attributed purchase
+    assert(rows.map(_.getAs[Long]("linear_milli")).sum <= first * 1000L)
+  }
+
   test("map/mrr eval: per-query invariants hold on sf0.001") {
     val rows = run("x_eval_map_mrr").collect()
     assert(rows.length == 10)
