@@ -609,7 +609,64 @@ object StatsQueries {
           AS nmi
       FROM mi CROSS JOIN hx CROSS JOIN hy"""))
 
+  // ---------------------------------------------------------------
+  // x_dq_pk_uniqueness
+  // ---------------------------------------------------------------
+
+  /** Primary-key uniqueness audit over six declared keys — the twin
+    * of the FK orphan audit: per relation, row count, distinct-key
+    * count, duplicated-key count and the worst multiplicity. The
+    * testdata's lineitem (l_orderkey, l_linenumber) is a KNOWN
+    * violator (duplicate pairs are planted — the tie-robustness
+    * fixture), so the audit must both catch it and stay zero on the
+    * clean keys.
+    *
+    * Scale shape: one combinable per-key count groupBy per relation,
+    * folded immediately to a 1-row summary — duplicate ROWS are never
+    * materialized. */
+  private val x_dq_pk_uniqueness = Q(
+    "x_dq_pk_uniqueness",
+    (s, d) => {
+      def audit(rel: String, df: DataFrame, keys: Seq[String]): DataFrame =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(sum(col("__c")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+            max(col("__c")).as("max_multiplicity"))
+          .select(lit(rel).as("relation"), col("n_rows"), col("n_keys"),
+            col("n_dup_keys"), col("max_multiplicity"))
+      audit("customer.c_custkey", Tables.customer(s, d), Seq("c_custkey"))
+        .unionAll(audit("supplier.s_suppkey", Tables.supplier(s, d),
+          Seq("s_suppkey")))
+        .unionAll(audit("part.p_partkey", Tables.part(s, d),
+          Seq("p_partkey")))
+        .unionAll(audit("orders.o_orderkey", Tables.orders(s, d),
+          Seq("o_orderkey")))
+        .unionAll(audit("lineitem.(orderkey,linenumber)",
+          Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber")))
+        .unionAll(audit("events.event_id", Tables.events(s, d),
+          Seq("event_id")))
+    },
+    Some(Seq(
+      ("customer.c_custkey", "customer", "c_custkey"),
+      ("supplier.s_suppkey", "supplier", "s_suppkey"),
+      ("part.p_partkey", "part", "p_partkey"),
+      ("orders.o_orderkey", "orders", "o_orderkey"),
+      ("lineitem.(orderkey,linenumber)", "lineitem",
+        "l_orderkey, l_linenumber"),
+      ("events.event_id", "events", "event_id"))
+      .map { case (rel, t, k) =>
+        s"""SELECT '$rel' AS relation,
+          CAST(SUM(c) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_keys,
+          CAST(MAX(c) AS BIGINT) AS max_multiplicity
+        FROM (SELECT COUNT(*) AS c FROM $t GROUP BY $k)"""
+      }.mkString("\nUNION ALL\n")))
+
   val all: Seq[Q] = Seq(
+    x_dq_pk_uniqueness,
     x_stat_ks_test,
     x_stat_mannwhitney,
     x_stat_anova,

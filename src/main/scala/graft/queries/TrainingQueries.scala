@@ -2175,7 +2175,367 @@ object TrainingQueries {
       FROM scored
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------
+  // x_ml_prf_eval
+  // ---------------------------------------------------------------
+
+  /** Per-class precision / recall / F1 + accuracy + macro-F1 from
+    * the Naive-Bayes confusion matrix — the classification-eval leg
+    * that completes AUC / nDCG / MAP. Pure composition: the ≤C²-row
+    * confusion matrix ([[TextOps.naiveBayesConfusion]]) collapses to
+    * per-class (tp, fp, fn); every rate is a ratio of exact integers
+    * rounded once (F1 = 2tp/(2tp+fp+fn) — no intermediate p·r
+    * product); macro-F1 averages the already-rounded per-class F1s
+    * identically on both engines. */
+  private val x_ml_prf_eval = Q(
+    "x_ml_prf_eval",
+    (s, d) => {
+      val conf = graft.ops.TextOps.naiveBayesConfusion(
+        Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("lang").isNotNull)
+          .select(col("doc_id"), col("lang"), col("text")))
+        .localCheckpoint(true) // row/col totals + tp all read it
+      val rowTot = conf.groupBy(col("lang").as("cls"))
+        .agg(sum(col("n_docs")).as("row_n"))
+      val colTot = conf.groupBy(col("pred").as("cls"))
+        .agg(sum(col("n_docs")).as("col_n"))
+      val tp = conf.filter(col("lang") === col("pred"))
+        .select(col("lang").as("cls"), col("n_docs").as("tp"))
+      val n = conf.agg(sum(col("n_docs")).as("n_total"))
+      val perClass = rowTot.join(colTot, Seq("cls"), "full")
+        .join(tp, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          (coalesce(col("col_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+            .as("fp"),
+          (coalesce(col("row_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+            .as("fn"))
+        .withColumn("precision", when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"), 6)))
+        .withColumn("recall", when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"), 6)))
+        .withColumn("f1", when(col("tp") * 2 + col("fp") + col("fn") === 0,
+          0.0).otherwise(round(col("tp").cast("double") * 2.0
+            / (col("tp") * 2 + col("fp") + col("fn")).cast("double"), 6)))
+        .localCheckpoint(true) // emit + the two rollups read it
+      val acc = perClass.agg(sum(col("tp")).as("tp_all"))
+        .crossJoin(broadcast(n))
+        .select(round(col("tp_all").cast("double")
+          / col("n_total").cast("double"), 6).as("accuracy"))
+      val macroF1 = perClass.agg(round(avg(col("f1")), 6).as("macro_f1"))
+      perClass.crossJoin(broadcast(acc)).crossJoin(broadcast(macroF1))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, lang, text, doc_id % 5 <> 0 AS is_train
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      toks AS (
+        SELECT doc_id, lang, is_train,
+          ${Sampling.hashBucketSql(
+            "unnest(string_split(lower(text), ' '))", 1024)} AS b
+        FROM docs),
+      cbc AS (
+        SELECT lang AS cls, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE is_train GROUP BY 1, 2),
+      ctot AS (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM toks WHERE is_train GROUP BY 1),
+      grid AS (
+        SELECT cls, n_tok, CAST(g.range AS BIGINT) AS b
+        FROM ctot CROSS JOIN range(1024) g),
+      lp AS (
+        SELECT cls, b, CAST(ROUND(LN(
+            CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)
+            / CAST(n_tok + 1024 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+        FROM grid LEFT JOIN cbc USING (cls, b)),
+      nd AS (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM docs WHERE is_train GROUP BY 1),
+      prior AS (
+        SELECT cls, CAST(ROUND(LN(CAST(n_docs AS DOUBLE)
+          / CAST((SELECT SUM(n_docs) FROM nd) AS DOUBLE)) * 1000000)
+          AS BIGINT) AS prior_micro
+        FROM nd),
+      dbc AS (
+        SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE NOT is_train GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT doc_id, lang, cls,
+          CAST(SUM(c * lp_micro) AS BIGINT) + ANY_VALUE(prior_micro)
+            AS score
+        FROM dbc JOIN lp USING (b) JOIN prior USING (cls)
+        GROUP BY 1, 2, 3),
+      predicted AS (
+        SELECT doc_id, lang, cls AS pred,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, cls) AS rn
+        FROM scored),
+      conf AS (
+        SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM predicted WHERE rn = 1 GROUP BY 1, 2),
+      row_tot AS (SELECT lang AS cls, CAST(SUM(n_docs) AS BIGINT) AS row_n
+        FROM conf GROUP BY 1),
+      col_tot AS (SELECT pred AS cls, CAST(SUM(n_docs) AS BIGINT) AS col_n
+        FROM conf GROUP BY 1),
+      tp AS (SELECT lang AS cls, CAST(n_docs AS BIGINT) AS tp
+        FROM conf WHERE lang = pred),
+      per_class AS (
+        SELECT cls,
+          CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+          CAST(COALESCE(col_n, 0) - COALESCE(tp, 0) AS BIGINT) AS fp,
+          CAST(COALESCE(row_n, 0) - COALESCE(tp, 0) AS BIGINT) AS fn
+        FROM row_tot FULL JOIN col_tot USING (cls)
+        LEFT JOIN tp USING (cls)),
+      rated AS (
+        SELECT cls, tp, fp, fn,
+          CASE WHEN tp + fp = 0 THEN 0.0
+            ELSE ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+            END AS precision,
+          CASE WHEN tp + fn = 0 THEN 0.0
+            ELSE ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+            END AS recall,
+          CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+            ELSE ROUND(CAST(tp AS DOUBLE) * 2.0
+              / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
+        FROM per_class),
+      acc AS (
+        SELECT ROUND(CAST((SELECT SUM(tp) FROM rated) AS DOUBLE)
+          / CAST((SELECT SUM(n_docs) FROM conf) AS DOUBLE), 6) AS accuracy),
+      mac AS (SELECT ROUND(AVG(f1), 6) AS macro_f1 FROM rated)
+      SELECT cls, tp, fp, fn, precision, recall, f1, accuracy, macro_f1
+      FROM rated CROSS JOIN acc CROSS JOIN mac"""))
+
+  // ---------------------------------------------------------------
+  // x_events_rfm
+  // ---------------------------------------------------------------
+
+  /** RFM customer segmentation (recency / frequency / monetary
+    * quintiles over purchasers) — the classic lifecycle-marketing
+    * rollup, with every quintile assigned by integer arithmetic over
+    * the RANGE-PARTITIONED global row number (the curriculum
+    * precedent — no single-task NTILE window at any corpus size):
+    * quintile = (rn−1)·5 DIV n + 1. Recency in whole days from the
+    * corpus' last purchase date; monetary in exact cents. Emits the
+    * ≤125-row segment rollup with exact per-segment mean cents. */
+  private val x_events_rfm = Q(
+    "x_events_rfm",
+    (s, d) => {
+      val purch = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("ts").isNotNull
+          && col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      val refDay = purch.agg(max(col("day")).as("ref_day"))
+      val users = purch.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("cents")).as("mon_cents"))
+        .crossJoin(broadcast(refDay))
+        .withColumn("recency_days",
+          datediff(col("ref_day"), col("last_day")).cast("long"))
+        .drop("ref_day")
+      val nU = users.agg(count(lit(1)).as("n_users_total"))
+      val r1 = Scale.globalRowNumberBy(users,
+        Seq(col("recency_days"), col("user_id")))
+        .withColumnRenamed("global_rn", "r_rn")
+      val r2 = Scale.globalRowNumberBy(r1,
+        Seq(col("freq"), col("user_id")))
+        .withColumnRenamed("global_rn", "f_rn")
+      val r3 = Scale.globalRowNumberBy(r2,
+        Seq(col("mon_cents"), col("user_id")))
+        .withColumnRenamed("global_rn", "m_rn")
+      r3.crossJoin(broadcast(nU))
+        .withColumn("rq", expr("CAST((r_rn - 1) * 5 DIV n_users_total" +
+          " + 1 AS INT)"))
+        .withColumn("fq", expr("CAST((f_rn - 1) * 5 DIV n_users_total" +
+          " + 1 AS INT)"))
+        .withColumn("mq", expr("CAST((m_rn - 1) * 5 DIV n_users_total" +
+          " + 1 AS INT)"))
+        .groupBy(col("rq"), col("fq"), col("mq"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("CAST(SUM(mon_cents) DIV COUNT(*) AS BIGINT)")
+            .as("mean_cents"))
+    },
+    Some("""WITH purch AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+          AND user_id IS NOT NULL AND value IS NOT NULL),
+      users AS (
+        SELECT user_id, MAX(day) AS last_day,
+          CAST(COUNT(*) AS BIGINT) AS freq,
+          CAST(SUM(cents) AS BIGINT) AS mon_cents
+        FROM purch GROUP BY 1),
+      ranked AS (
+        SELECT user_id, freq, mon_cents,
+          CAST((SELECT MAX(day) FROM purch) - last_day AS BIGINT)
+            AS recency_days
+        FROM users),
+      rn AS (
+        SELECT *,
+          ROW_NUMBER() OVER (ORDER BY recency_days, user_id) AS r_rn,
+          ROW_NUMBER() OVER (ORDER BY freq, user_id) AS f_rn,
+          ROW_NUMBER() OVER (ORDER BY mon_cents, user_id) AS m_rn,
+          COUNT(*) OVER () AS n_users_total
+        FROM ranked)
+      SELECT CAST((r_rn - 1) * 5 // n_users_total + 1 AS INTEGER) AS rq,
+        CAST((f_rn - 1) * 5 // n_users_total + 1 AS INTEGER) AS fq,
+        CAST((m_rn - 1) * 5 // n_users_total + 1 AS INTEGER) AS mq,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(mon_cents) // COUNT(*) AS BIGINT) AS mean_cents
+      FROM rn
+      GROUP BY 1, 2, 3"""))
+
+  // ---------------------------------------------------------------
+  // x_sim_mmr
+  // ---------------------------------------------------------------
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — diversified top-5 from the cosine top-20: each round
+    * picks argmax λ·rel − (1−λ)·max-sim-to-selected (λ = 0.7), the
+    * dedup-aware selection every RAG/few-shot retrieval stack runs
+    * after ANN. Relevance and pairwise similarities are 6dp-rounded
+    * cosines lifted to exact micro integers, so the per-round score
+    * (7·rel − 3·maxsim) DIV 10 and its argmax (tiebreak id) are
+    * bit-deterministic; the oracle replays all four selection rounds.
+    *
+    * Scale shape: ONE corpus scan (the broadcast-query top-20); the
+    * candidate pair matrix is ≤ queries·20² rows and every selection
+    * round runs on those bounded frames. */
+  private val x_sim_mmr = Q(
+    "x_sim_mmr",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      val cand = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, k = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          expr("CAST(ROUND(cosine * 1000000) AS BIGINT)").as("rel_micro"),
+          col("rank"))
+        .localCheckpoint(true) // pair matrix + every round read it
+      val vecs = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cv = cand.join(vecs, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), col("v"))
+      val a = cv.select(col("query_id"), col("neighbor_id").as("a_id"),
+        col("v").as("av"))
+      val b = cv.select(col("query_id"), col("neighbor_id").as("b_id"),
+        col("v").as("bv"))
+      val pairs = a.join(b, "query_id")
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("query_id"), col("a_id"), col("b_id"),
+          round(round(GraftFunctions.dot(col("av"), col("bv"))
+            / (sqrt(GraftFunctions.dot(col("av"), col("av")))
+              * sqrt(GraftFunctions.dot(col("bv"), col("bv")))), 6)
+            * 1000000).cast("long").as("sim_micro"))
+        .localCheckpoint(true) // read by each of the 4 rounds
+      val seed = cand.filter(col("rank") === 1)
+        .select(col("query_id"), lit(1).as("pos"), col("neighbor_id"),
+          col("rel_micro"), lit(null).cast("long").as("maxsim_micro"),
+          lit(null).cast("long").as("score_micro"))
+      val rounds = (2 to 5).scanLeft(seed) { (sel, pos) =>
+        val selSet = sel.select(col("query_id"),
+          col("neighbor_id").as("b_id"))
+        val rem = cand.join(sel.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        val ms = rem
+          .join(pairs.withColumnRenamed("a_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .join(selSet, Seq("query_id", "b_id"))
+          .groupBy(col("query_id"), col("neighbor_id"), col("rel_micro"))
+          .agg(max(col("sim_micro")).as("maxsim_micro"))
+          .withColumn("score_micro",
+            expr("(rel_micro * 7 - maxsim_micro * 3) DIV 10"))
+        val pick = ms.withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("score_micro").desc, col("neighbor_id"))))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), lit(pos).as("pos"), col("neighbor_id"),
+            col("rel_micro"), col("maxsim_micro"), col("score_micro"))
+        sel.unionAll(pick).localCheckpoint(true)
+      }
+      rounds.last
+    },
+    Some {
+      val round = (prev: String, cur: String, pos: Int) =>
+        s"""${cur}_ms AS (
+          SELECT c.query_id, c.neighbor_id, c.rel_micro,
+            MAX(p.sim_micro) AS maxsim_micro
+          FROM cand c
+          JOIN pairs p ON p.query_id = c.query_id
+            AND p.a_id = c.neighbor_id
+          JOIN $prev s ON s.query_id = p.query_id
+            AND s.neighbor_id = p.b_id
+          WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+            WHERE s2.query_id = c.query_id
+              AND s2.neighbor_id = c.neighbor_id)
+          GROUP BY 1, 2, 3),
+        ${cur}_pick AS (
+          SELECT query_id, $pos AS pos, neighbor_id, rel_micro,
+            maxsim_micro,
+            (rel_micro * 7 - maxsim_micro * 3) // 10 AS score_micro
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY (rel_micro * 7 - maxsim_micro * 3) // 10 DESC,
+                neighbor_id) AS rn
+            FROM ${cur}_ms)
+          WHERE rn = 1),
+        $cur AS (
+          SELECT query_id, pos, neighbor_id, rel_micro, maxsim_micro,
+            score_micro
+          FROM $prev
+          UNION ALL
+          SELECT query_id, pos, neighbor_id, rel_micro, maxsim_micro,
+            score_micro
+          FROM ${cur}_pick)"""
+      s"""WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+      scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+          ROUND(list_inner_product(qv, v)
+            / (sqrt(list_inner_product(qv, qv))
+             * sqrt(list_inner_product(v, v))), 6) AS cosine
+        FROM emb, q WHERE query_id <> vec_id),
+      cand AS (
+        SELECT query_id, neighbor_id,
+          CAST(ROUND(cosine * 1000000) AS BIGINT) AS rel_micro,
+          rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored)
+        WHERE rank <= 20),
+      pairs AS (
+        SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+          CAST(ROUND(ROUND(list_inner_product(av.v, bv.v)
+            / (sqrt(list_inner_product(av.v, av.v))
+             * sqrt(list_inner_product(bv.v, bv.v))), 6) * 1000000)
+            AS BIGINT) AS sim_micro
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id
+          AND a.neighbor_id <> b.neighbor_id
+        JOIN emb av ON av.vec_id = a.neighbor_id
+        JOIN emb bv ON bv.vec_id = b.neighbor_id),
+      sel1 AS (
+        SELECT query_id, 1 AS pos, neighbor_id, rel_micro,
+          CAST(NULL AS BIGINT) AS maxsim_micro,
+          CAST(NULL AS BIGINT) AS score_micro
+        FROM cand WHERE rank = 1),
+      ${round("sel1", "sel2", 2)},
+      ${round("sel2", "sel3", 3)},
+      ${round("sel3", "sel4", 4)},
+      ${round("sel4", "sel5", 5)}
+      SELECT query_id, pos, neighbor_id, rel_micro, maxsim_micro,
+        score_micro
+      FROM sel5"""
+    })
+
   val all: Seq[Q] = Seq(
+    x_ml_prf_eval,
+    x_events_rfm,
+    x_sim_mmr,
     x_text_jensen_shannon,
     x_events_attribution,
     x_text_zipf_fit,

@@ -522,6 +522,67 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("linear_milli")).sum <= first * 1000L)
   }
 
+  test("pk uniqueness: catches lineitem's planted dup keys, clean elsewhere") {
+    val rows = Registry.queries("x_dq_pk_uniqueness")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("relation") -> r).toMap
+    assert(rows.size == 6)
+    val li = rows("lineitem.(orderkey,linenumber)")
+    assert(li.getAs[Long]("n_dup_keys") > 0L,
+      "the testdata plants duplicate (orderkey, linenumber) pairs")
+    assert(li.getAs[Long]("max_multiplicity") > 1L)
+    (rows - "lineitem.(orderkey,linenumber)").values.foreach { r =>
+      assert(r.getAs[Long]("n_dup_keys") == 0L)
+      assert(r.getAs[Long]("n_keys") == r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("prf eval: rates in [0,1], macro-F1 is the mean of per-class F1") {
+    val rows = run("x_ml_prf_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("precision", "recall", "f1").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+    }
+    val macroF1 = rows.head.getAs[Double]("macro_f1")
+    val mean = rows.map(_.getAs[Double]("f1")).sum / rows.length
+    assert(math.abs(macroF1 - mean) < 1e-5)
+  }
+
+  test("rfm: quintiles in 1..5 and user conservation") {
+    val rows = run("x_events_rfm").collect()
+    Seq("rq", "fq", "mq").foreach { c =>
+      assert(rows.forall { r =>
+        val q = r.getAs[Int](c); q >= 1 && q <= 5
+      })
+    }
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    val purchasers = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull
+        && col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(total == purchasers)
+  }
+
+  test("mmr: 5 distinct picks per query from the top-20, seeded by top-1") {
+    val rows = run("x_sim_mmr").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 3)
+    byQuery.values.foreach { qr =>
+      assert(qr.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to 5))
+      assert(qr.map(_.getAs[Long]("neighbor_id")).distinct.length == 5,
+        "MMR must never select the same candidate twice")
+      val seed = qr.find(_.getAs[Int]("pos") == 1).get
+      assert(seed.isNullAt(seed.fieldIndex("score_micro")))
+      assert(qr.filter(_.getAs[Int]("pos") > 1)
+        .forall(!_.isNullAt(seed.fieldIndex("maxsim_micro"))))
+      // the seed is the relevance argmax: nothing beats its rel
+      val maxRel = qr.map(_.getAs[Long]("rel_micro")).max
+      assert(seed.getAs[Long]("rel_micro") == maxRel)
+    }
+  }
+
   test("map/mrr eval: per-query invariants hold on sf0.001") {
     val rows = run("x_eval_map_mrr").collect()
     assert(rows.length == 10)
