@@ -264,11 +264,94 @@ object LayoutQueries {
       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_rn
     FROM orders"""))
 
+  // landed hive-partitioned events dirs, one per (session, dataset)
+  private val hiveLanded = scala.collection.mutable.Set[String]()
+
+  /** Lands events hive-partitioned by day (first call per
+    * session+dataset only) and returns the directory. */
+  private def landHivePartitioned(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String = {
+    val tok = s"${sessionToken(s)}_${datasetToken(d)}"
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_warehouse_hive_$tok").getPath
+    hiveLanded.synchronized {
+      if (!hiveLanded.contains(tok)) {
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .withColumn("day", to_date(col("ts")))
+          .write.partitionBy("day").mode("overwrite").parquet(dir)
+        hiveLanded += tok
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => deleteRecursively(new java.io.File(dir))))
+      }
+    }
+    dir
+  }
+
+  /** Hive-style partition pruning — the layout story every lake table
+    * tells: events landed `partitionBy(day)` (one directory per day),
+    * then probed with a LITERAL 7-day predicate on the partition
+    * column, so the scan's PartitionFilters eliminate ~3/4 of the
+    * directories before a single row is read (LayoutSpec pins the
+    * non-empty PartitionFilters and the pruned InMemoryFileIndex
+    * size). The probe window derives from the corpus' min day via one
+    * 1-row driver action at plan time (the geo-cell precedent), so
+    * the oracle replays it from the raw table. Value sum in exact
+    * cents. */
+  private val x_source_hive_pruning = Q(
+    "x_source_hive_pruning",
+    (s, d) => {
+      val dir = landHivePartitioned(s, d)
+      val minDay = Tables.events(s, d).filter(col("ts").isNotNull)
+        .agg(min(to_date(col("ts")))).first().getDate(0)
+      val lo = java.sql.Date.valueOf(minDay.toLocalDate.plusDays(10))
+      val hi = java.sql.Date.valueOf(minDay.toLocalDate.plusDays(16))
+      val probed = s.read.parquet(dir)
+        .filter(col("day") >= lit(lo) && col("day") <= lit(hi))
+      probed.agg(
+        countDistinct(col("day")).as("n_days_probe"),
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+          .as("value_cents"))
+        .select(lit(lo).as("probe_lo"), lit(hi).as("probe_hi"),
+          col("n_days_probe"), col("n_rows"),
+          coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+    },
+    Some("""WITH mn AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events WHERE ts IS NOT NULL),
+      probe AS (
+        SELECT CAST(ts AS DATE) AS day, value
+        FROM events CROSS JOIN mn
+        WHERE ts IS NOT NULL
+          AND CAST(ts AS DATE) >= d0 + 10 AND CAST(ts AS DATE) <= d0 + 16)
+      SELECT (SELECT d0 + 10 FROM mn) AS probe_lo,
+        (SELECT d0 + 16 FROM mn) AS probe_hi,
+        CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_probe,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)), 0)
+          AS BIGINT) AS value_cents
+      FROM probe"""))
+
+  /** The pruned scan's DataFrame, exposed for LayoutSpec's plan audit
+    * (PartitionFilters non-empty, file index smaller than the full
+    * landing). */
+  private[graft] def hivePrunedScan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dir = landHivePartitioned(s, d)
+    val minDay = Tables.events(s, d).filter(col("ts").isNotNull)
+      .agg(min(to_date(col("ts")))).first().getDate(0)
+    val lo = java.sql.Date.valueOf(minDay.toLocalDate.plusDays(10))
+    val hi = java.sql.Date.valueOf(minDay.toLocalDate.plusDays(16))
+    val full = s.read.parquet(dir)
+    (full, full.filter(col("day") >= lit(lo) && col("day") <= lit(hi)))
+  }
+
   def all: Seq[Q] = Seq(
     x_scale_zorder,
     x_rel_nullsafe,
     x_rel_bagops,
     x_scale_bucketed,
     x_scale_global_rownum,
+    x_source_hive_pruning,
   )
 }

@@ -2532,9 +2532,94 @@ object TrainingQueries {
       FROM sel5"""
     })
 
+  // ---------------------------------------------------------------
+  // x_events_survival
+  // ---------------------------------------------------------------
+
+  /** Nelson–Aalen cumulative hazard of time-to-first-purchase — the
+    * survival-analysis rollup ("how fast do users convert, with
+    * censoring done right"): per user, duration = days from first
+    * event to first purchase, right-censored at the corpus horizon
+    * for users who never convert. The Nelson–Aalen estimator
+    * H(t) = Σ_{t'≤t} d_{t'}/n_{t'} is the fixed-point-friendly
+    * choice: each hazard increment is ONE micro-rounded ratio of
+    * exact integers and H is their exact BIGINT cumulative sum
+    * (Kaplan–Meier's product form would need exp/ln round-trips).
+    *
+    * Scale shape: the corpus collapses to per-user (t0, tp) min
+    * aggregates, then to the duration-day frame (calendar-bounded);
+    * the at-risk count n_t is a reverse cumulative sum over that
+    * frame. */
+  private val x_events_survival = Q(
+    "x_events_survival",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val horizon = ev.agg(max(to_date(col("ts"))).as("h_day"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("tp"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          coalesce(datediff(col("tp"), col("t0")),
+            datediff(col("h_day"), col("t0"))).cast("long").as("t"),
+          col("tp").isNotNull.as("converted"))
+      val byT = users.groupBy(col("t"))
+        .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d_events"),
+          sum(when(col("converted"), 0L).otherwise(1L)).as("n_censored"))
+      val wRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_risk",
+          sum(col("d_events") + col("n_censored")).over(wRisk))
+        .withColumn("hazard_micro", expr(
+          "CAST(ROUND(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)" +
+            " * 1000000) AS BIGINT)"))
+        .withColumn("cum_hazard_micro", sum(col("hazard_micro")).over(wCum))
+        .select(col("t"), col("n_risk"), col("d_events"), col("n_censored"),
+          col("hazard_micro"), col("cum_hazard_micro"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      hz AS (SELECT MAX(day) AS h_day FROM ev),
+      users AS (
+        SELECT user_id, MIN(day) AS t0,
+          MIN(CASE WHEN event_type = 'purchase' THEN day END) AS tp
+        FROM ev GROUP BY 1),
+      durs AS (
+        SELECT CAST(COALESCE(tp - t0, h_day - t0) AS BIGINT) AS t,
+          tp IS NOT NULL AS converted
+        FROM users CROSS JOIN hz),
+      by_t AS (
+        SELECT t,
+          CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+            AS d_events,
+          CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_censored
+        FROM durs GROUP BY 1),
+      risk AS (
+        SELECT t, d_events, n_censored,
+          CAST(SUM(d_events + n_censored) OVER (ORDER BY t
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+            AS n_risk
+        FROM by_t),
+      haz AS (
+        SELECT *, CAST(ROUND(CAST(d_events AS DOUBLE)
+          / CAST(n_risk AS DOUBLE) * 1000000) AS BIGINT) AS hazard_micro
+        FROM risk)
+      SELECT t, n_risk, d_events, n_censored, hazard_micro,
+        CAST(SUM(hazard_micro) OVER (ORDER BY t) AS BIGINT)
+          AS cum_hazard_micro
+      FROM haz"""))
+
   val all: Seq[Q] = Seq(
     x_ml_prf_eval,
     x_events_rfm,
+    x_events_survival,
     x_sim_mmr,
     x_text_jensen_shannon,
     x_events_attribution,

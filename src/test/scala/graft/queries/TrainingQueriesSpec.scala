@@ -583,6 +583,36 @@ class TrainingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("hive pruning: the probed scan's PartitionFilters prune most day dirs") {
+    val (full, pruned) = LayoutQueries.hivePrunedScan(spark, sfDir)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("(day"),
+      plan.take(400))
+    val allDays = full.select(col("day")).distinct().count()
+    val readFiles = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    val readDays = readFiles.map(f =>
+      f.split("/").find(_.startsWith("day=")).get).distinct
+    assert(readDays.length <= 7, s"probe spans 7 days, read: ${readDays.length}")
+    assert(allDays > readDays.length * 2L,
+      s"pruning must skip most of $allDays day dirs")
+  }
+
+  test("survival: risk set shrinks monotonically and conserves users") {
+    val rows = run("x_events_survival").orderBy(col("t")).collect()
+    assert(rows.nonEmpty)
+    val risk = rows.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a > b })
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(risk.head == users, "everyone is at risk at the first duration")
+    assert(rows.map(r => r.getAs[Long]("d_events")
+      + r.getAs[Long]("n_censored")).sum == users)
+    val ch = rows.map(_.getAs[Long]("cum_hazard_micro"))
+    assert(ch.zip(ch.tail).forall { case (a, b) => a <= b })
+  }
+
   test("map/mrr eval: per-query invariants hold on sf0.001") {
     val rows = run("x_eval_map_mrr").collect()
     assert(rows.length == 10)
