@@ -2616,10 +2616,59 @@ object TrainingQueries {
           AS cum_hazard_micro
       FROM haz"""))
 
+  // ---------------------------------------------------------------
+  // x_stream_chained_windows
+  // ---------------------------------------------------------------
+
+  private val chainedFixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Batch–stream parity for CHAINED stateful window aggregations
+    * ([[graft.streaming.EventStream.chainedDailyRollup]]): hourly
+    * counts re-windowed into a daily rollup inside one streaming
+    * query — the multiple-stateful-operator shape Spark 3.4 unlocked
+    * (pre-3.4 the hourly layer needed its own sink + a second query).
+    * Append mode means a daily window emits only once the watermark
+    * (max ts − 10 min) passes its end, so the trailing partial day is
+    * withheld BY DESIGN; the oracle replays exactly that boundary
+    * from max(ts). n_hours counts the distinct non-empty hours that
+    * fed each day — proof the first window layer really ran. */
+  private val x_stream_chained_windows = Q(
+    "x_stream_chained_windows",
+    (s, d) => {
+      val tmp = chainedFixtureDirs.getOrElseUpdate(d, {
+        val t = ExtensionQueries.fixtureTempDir("graft_stream_chain")
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+      import graft.streaming.EventStream
+      val agg = EventStream.chainedDailyRollup(
+        EventStream.readEvents(s, tmp, format = "parquet"))
+      val sink = "x_stream_chained_windows_sink"
+      val sq = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink)
+    },
+    Some("""WITH mx AS (
+        SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events
+        WHERE ts IS NOT NULL)
+      SELECT date_trunc('day', ts) AS day_start, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+      FROM events CROSS JOIN mx
+      WHERE ts IS NOT NULL
+        AND date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     x_ml_prf_eval,
     x_events_rfm,
     x_events_survival,
+    x_stream_chained_windows,
     x_sim_mmr,
     x_text_jensen_shannon,
     x_events_attribution,

@@ -55,6 +55,28 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("approx_users"))
 
+  /** CHAINED stateful window aggregations — two windowed aggs in ONE
+    * streaming query (hourly counts re-windowed into a daily rollup),
+    * the multiple-stateful-operator capability Spark gained in 3.4:
+    * before it, the hourly layer had to land in a sink and a second
+    * query re-read it. The time column propagates through the first
+    * window (the `w1` struct carries event time), so the second
+    * aggregation windows over it directly. Append mode is REQUIRED
+    * for chaining (the downstream operator consumes only finalized
+    * windows), so a daily window emits exactly when the watermark
+    * passes its end — the last partial day is withheld, and the batch
+    * oracle replays that boundary arithmetically from max(ts). */
+  def chainedDailyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n_hourly"))
+      .groupBy(window(col("w1"), "1 day").as("w2"), col("event_type"))
+      .agg(sum(col("n_hourly")).as("n_events"),
+        count(lit(1)).as("n_hours"))
+      .select(col("w2").getField("start").as("day_start"),
+        col("event_type"), col("n_events"), col("n_hours"))
+
   /** Streaming exact dedup: at-least-once sources (file redelivery,
     * replayed drops) collapse to exactly-one-row-per-event downstream.
     * `dropDuplicatesWithinWatermark` keys state by `idCols` only and

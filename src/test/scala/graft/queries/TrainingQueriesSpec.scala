@@ -613,6 +613,35 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(ch.zip(ch.tail).forall { case (a, b) => a <= b })
   }
 
+  test("chained windows: daily rollup matches batch, trailing day withheld") {
+    val out = run("x_stream_chained_windows").collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val h = r.getAs[Long]("n_hours"); h >= 1L && h <= 24L
+    })
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("day_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every emitted (day, type) agrees with the batch count; the only
+    // missing keys are in the withheld trailing partial day
+    val outKeys = out.map(r =>
+      (r.getTimestamp(0), r.getAs[String]("event_type"))).toSet
+    out.foreach { r =>
+      val k = (r.getTimestamp(0), r.getAs[String]("event_type"))
+      assert(batch(k) == r.getAs[Long]("n_events"), s"mismatch at $k")
+    }
+    val missingDays = batch.keySet.diff(outKeys).map(_._1)
+    assert(missingDays.size <= 10,
+      s"only trailing-day keys may be withheld, missing: $missingDays")
+    if (missingDays.nonEmpty)
+      assert(missingDays.forall(_.after(out.map(_.getTimestamp(0)).max)),
+        "withheld keys must all sit after the last emitted day")
+  }
+
   test("map/mrr eval: per-query invariants hold on sf0.001") {
     val rows = run("x_eval_map_mrr").collect()
     assert(rows.length == 10)
