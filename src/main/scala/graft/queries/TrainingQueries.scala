@@ -2664,11 +2664,161 @@ object TrainingQueries {
         AND date_trunc('day', ts) + INTERVAL 1 DAY <= wm
       GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------
+  // x_text_burstiness
+  // ---------------------------------------------------------------
+
+  /** Term burstiness (Church & Gale): the variance-to-mean ratio of a
+    * term's per-document counts over ALL documents — the
+    * template/boilerplate detector (a Poisson-scattered content word
+    * sits near VMR 1; a term that slams 50 occurrences into a handful
+    * of docs is bursty and usually machinery). Zeros cost nothing:
+    * VMR = (N·Σc² − tf²)/(N·tf) needs only the three combinable sums
+    * over DOCS CONTAINING the term, with N a broadcast corpus count —
+    * the factors combine in double from exact BIGINTs (the zipf
+    * lesson: N·Σc² overflows BIGINT at corpus scale). Top-50 by
+    * (VMR, term) via TakeOrdered over the tf ≥ 100 frame. */
+  private val x_text_burstiness = Q(
+    "x_text_burstiness",
+    (s, d) => {
+      val perDoc = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(lower(col("text")), " "))
+          .as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val nDocs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .agg(count(lit(1)).as("n_docs_total"))
+      val stats = perDoc.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+          sum(col("c") * col("c")).as("tf2"))
+        .filter(col("tf") >= 100)
+        .crossJoin(broadcast(nDocs))
+        .withColumn("vmr_micro", expr(
+          """CAST(ROUND((CAST(n_docs_total AS DOUBLE) * CAST(tf2 AS DOUBLE)
+            |  - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE))
+            |  / (CAST(n_docs_total AS DOUBLE) * CAST(tf AS DOUBLE))
+            |  * 1000000) AS BIGINT)""".stripMargin))
+      val top = stats.orderBy(col("vmr_micro").desc, col("term")).limit(50)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("vmr_micro").desc, col("term"))).cast("int"))
+        .select(col("rank"), col("term"), col("df"), col("tf"),
+          col("vmr_micro"))
+    },
+    Some("""WITH per_doc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents WHERE text IS NOT NULL)
+        GROUP BY 1, 2),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+          CAST(SUM(c) AS BIGINT) AS tf,
+          CAST(SUM(c * c) AS BIGINT) AS tf2
+        FROM per_doc GROUP BY 1),
+      scored AS (
+        SELECT term, df, tf,
+          CAST(ROUND((CAST(n_docs_total AS DOUBLE) * CAST(tf2 AS DOUBLE)
+            - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE))
+            / (CAST(n_docs_total AS DOUBLE) * CAST(tf AS DOUBLE))
+            * 1000000) AS BIGINT) AS vmr_micro
+        FROM stats CROSS JOIN nd WHERE tf >= 100)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vmr_micro DESC, term)
+          AS INTEGER) AS rank,
+        term, df, tf, vmr_micro
+      FROM scored
+      QUALIFY rank <= 50"""))
+
+  // ---------------------------------------------------------------
+  // x_ml_gmm_estep
+  // ---------------------------------------------------------------
+
+  /** One GMM E-step (spherical, unit variance, uniform priors) —
+    * k-means assignment's SOFT sibling: responsibilities
+    * r_k ∝ exp(−(d²_k − d²_min)/2) computed per point against 4
+    * deterministic modulus-sampled centers (the IVF centroid
+    * precedent), each exp term micro-rounded BEFORE normalizing so
+    * the normalization itself is exact integer arithmetic
+    * (r_milli = t_micro·1000 DIV Σt_micro) — the same
+    * one-transcendental-then-quantize discipline as the ln/PMI
+    * family. Emits the per-center rollup: hard-assignment count and
+    * the exact mean soft responsibility.
+    *
+    * Scale shape: 4 broadcast centers, one map-side kernel pass, one
+    * combinable rollup — the kmeans-step posture. */
+  private val x_ml_gmm_estep = Q(
+    "x_ml_gmm_estep",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centers = emb.filter(col("vec_id") % 97 === 0)
+        .orderBy(col("vec_id")).limit(4)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val d2 = emb.crossJoin(broadcast(centers))
+        .select(col("vec_id"), col("cid"),
+          round((GraftFunctions.dot(col("v"), col("v"))
+            + GraftFunctions.dot(col("cv"), col("cv"))
+            - lit(2.0) * GraftFunctions.dot(col("v"), col("cv"))) * 1000000)
+            .cast("long").as("d2_micro"))
+      val withMin = d2.withColumn("d2_min",
+        min(col("d2_micro")).over(Window.partitionBy(col("vec_id"))))
+        .withColumn("t_micro", expr(
+          "CAST(ROUND(EXP(-CAST(d2_micro - d2_min AS DOUBLE) / 2000000.0)" +
+            " * 1000000) AS BIGINT)"))
+      val resp = withMin
+        .withColumn("t_sum",
+          sum(col("t_micro")).over(Window.partitionBy(col("vec_id"))))
+        .withColumn("r_milli", expr("t_micro * 1000 DIV t_sum"))
+      resp.groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(-col("r_milli"), col("cid")))
+          .as("best_cid"),
+          max(col("r_milli")).as("r_best_milli"))
+        .groupBy(col("best_cid").as("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          expr("CAST(SUM(r_best_milli) DIV COUNT(*) AS BIGINT)")
+            .as("mean_r_milli"))
+    },
+    Some("""WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      centers AS (
+        SELECT vec_id AS cid, v AS cv FROM emb
+        WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 4),
+      d2 AS (
+        SELECT vec_id, cid,
+          CAST(ROUND((list_inner_product(v, v) + list_inner_product(cv, cv)
+            - 2 * list_inner_product(v, cv)) * 1000000) AS BIGINT)
+            AS d2_micro
+        FROM emb CROSS JOIN centers),
+      wm AS (
+        SELECT *, CAST(MIN(d2_micro) OVER (PARTITION BY vec_id) AS BIGINT)
+          AS d2_min
+        FROM d2),
+      t AS (
+        SELECT *, CAST(ROUND(EXP(-CAST(d2_micro - d2_min AS DOUBLE)
+          / 2000000.0) * 1000000) AS BIGINT) AS t_micro
+        FROM wm),
+      resp AS (
+        SELECT *, CAST(SUM(t_micro) OVER (PARTITION BY vec_id) AS BIGINT)
+          AS t_sum
+        FROM t),
+      best AS (
+        SELECT vec_id, cid AS best_cid,
+          t_micro * 1000 // t_sum AS r_milli,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY t_micro * 1000 // t_sum DESC, cid) AS rn
+        FROM resp)
+      SELECT best_cid AS cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+        CAST(SUM(r_milli) // COUNT(*) AS BIGINT) AS mean_r_milli
+      FROM best WHERE rn = 1
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     x_ml_prf_eval,
     x_events_rfm,
     x_events_survival,
     x_stream_chained_windows,
+    x_text_burstiness,
+    x_ml_gmm_estep,
     x_sim_mmr,
     x_text_jensen_shannon,
     x_events_attribution,

@@ -642,6 +642,34 @@ class TrainingQueriesSpec extends SparkSpec {
         "withheld keys must all sit after the last emitted day")
   }
 
+  test("burstiness: spectrum sorted, VMR nonnegative, df <= tf") {
+    val rows = run("x_text_burstiness").orderBy(col("rank")).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val v = rows.map(_.getAs[Long]("vmr_micro"))
+    assert(v.zip(v.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vmr_micro") >= 0L)
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("tf"))
+      assert(r.getAs[Long]("tf") >= 100L)
+    }
+  }
+
+  test("gmm e-step: every vector soft-assigned, best responsibility >= 1/4") {
+    val rows = run("x_ml_gmm_estep").collect()
+    assert(rows.length == 4, "four modulus-sampled centers")
+    assert(rows.forall(_.getAs[Long]("cid") % 97 == 0))
+    val total = rows.map(_.getAs[Long]("n_assigned")).sum
+    val expected = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull).count()
+    assert(total == expected)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("mean_r_milli")
+      assert(m >= 250L && m <= 1000L,
+        s"argmax responsibility must be >= uniform 1/4: $m")
+    }
+  }
+
   test("map/mrr eval: per-query invariants hold on sf0.001") {
     val rows = run("x_eval_map_mrr").collect()
     assert(rows.length == 10)
