@@ -81,6 +81,32 @@ object Stats {
         (abs(col("z")) > lit(1.96)).as("significant"))
   }
 
+  /** Classical additive seasonal–trend decomposition over a daily
+    * frame `daily(day, dow, y)`: trend = centered 7-day MA
+    * (sum·1000 DIV 7, NULL without a full window), seasonal =
+    * truncating-DIV day-of-week mean of the detrended series,
+    * residual the remainder — exact integer milli throughout. Emits
+    * (day, dow, y, trend_milli, seasonal_milli, residual_milli); all
+    * windows run on the calendar-bounded frame. */
+  def stlDecompose(daily: DataFrame): DataFrame = {
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("w_n", count(lit(1)).over(w7))
+      .withColumn("w_sum", sum(col("y")).over(w7))
+      .withColumn("trend_milli",
+        when(col("w_n") === 7, expr("w_sum * 1000 DIV 7")))
+      .withColumn("detr_milli", col("y") * 1000 - col("trend_milli"))
+    val seasonal = trended.filter(col("trend_milli").isNotNull)
+      .groupBy(col("dow"))
+      .agg(expr("CAST(SUM(detr_milli) DIV COUNT(*) AS BIGINT)")
+        .as("seasonal_milli"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("dow"), col("y"), col("trend_milli"),
+        col("seasonal_milli"),
+        (col("y") * 1000 - col("trend_milli") - col("seasonal_milli"))
+          .as("residual_milli"))
+  }
+
   /** CUSUM changepoint over a per-key counted series
     * `daily(event_type, day, cnt)`: per key, the cumulative deviation
     * S_t = Σ_{i≤t}(x_i − x̄) carried as the exact scaled integer

@@ -1843,31 +1843,17 @@ object TrainingQueries {
     *
     * Scale shape: the corpus collapses to one daily count aggregate;
     * every window after runs on the calendar-bounded day frame. */
+  /** The shared daily frame the STL family decomposes. */
+  private def stlDaily(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", expr(
+        "CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)"))
+
   private val x_ts_stl_decompose = Q(
     "x_ts_stl_decompose",
-    (s, d) => {
-      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("y"))
-        .withColumn("dow", expr(
-          "CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)"))
-      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
-      val trended = daily
-        .withColumn("w_n", count(lit(1)).over(w7))
-        .withColumn("w_sum", sum(col("y")).over(w7))
-        .withColumn("trend_milli",
-          when(col("w_n") === 7, expr("w_sum * 1000 DIV 7")))
-        .withColumn("detr_milli", col("y") * 1000 - col("trend_milli"))
-      val seasonal = trended.filter(col("trend_milli").isNotNull)
-        .groupBy(col("dow"))
-        .agg(expr("CAST(SUM(detr_milli) DIV COUNT(*) AS BIGINT)")
-          .as("seasonal_milli"))
-      trended.join(broadcast(seasonal), "dow")
-        .select(col("day"), col("dow"), col("y"), col("trend_milli"),
-          col("seasonal_milli"),
-          (col("y") * 1000 - col("trend_milli") - col("seasonal_milli"))
-            .as("residual_milli"))
-    },
+    (s, d) => graft.ops.Stats.stlDecompose(stlDaily(s, d)),
     Some("""WITH daily AS (
         SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y,
           CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER) AS dow
@@ -2812,6 +2798,145 @@ object TrainingQueries {
       FROM best WHERE rn = 1
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------
+  // x_ts_seasonal_strength
+  // ---------------------------------------------------------------
+
+  /** Seasonality / trend strength (Hyndman & Athanasopoulos, FPP):
+    * F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_t = max(0, 1 − Var(R)/Var(T+R)) over the STL components — the
+    * single-number "does this series have real weekly structure?"
+    * gate a forecasting pipeline branches on. Composes
+    * [[Stats.stlDecompose]] on the full-window days; variances are
+    * population form (n·Σx² − (Σx)²)/n² with factors combined in
+    * double from exact milli BIGINTs (the zipf overflow lesson). */
+  private val x_ts_seasonal_strength = Q(
+    "x_ts_seasonal_strength",
+    (s, d) => {
+      val comp = graft.ops.Stats.stlDecompose(stlDaily(s, d))
+        .filter(col("trend_milli").isNotNull)
+        .select(col("residual_milli").as("r"),
+          (col("seasonal_milli") + col("residual_milli")).as("sr"),
+          (col("trend_milli") + col("residual_milli")).as("tr"))
+      def varExpr(c: String) =
+        s"""(CAST(n AS DOUBLE) * CAST(s2_$c AS DOUBLE)
+           |  - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))
+           |/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin
+      comp.agg(count(lit(1)).as("n"),
+          sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("s2_r"),
+          sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("s2_sr"),
+          sum(col("tr")).as("s_tr"), sum(col("tr") * col("tr")).as("s2_tr"))
+        .select(col("n"),
+          expr(s"ROUND(GREATEST(0.0, 1.0 - (${varExpr("r")})" +
+            s" / (${varExpr("sr")})), 6)").as("f_seasonal"),
+          expr(s"ROUND(GREATEST(0.0, 1.0 - (${varExpr("r")})" +
+            s" / (${varExpr("tr")})), 6)").as("f_trend"))
+    },
+    Some {
+      val varSql = (c: String) =>
+        s"""(CAST(n AS DOUBLE) * CAST(s2_$c AS DOUBLE)
+           - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"""
+      s"""WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y,
+          CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER) AS dow
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 3),
+      trended AS (
+        SELECT day, dow, y,
+          CASE WHEN COUNT(*) OVER w = 7
+            THEN CAST(SUM(y) OVER w * 1000 // 7 AS BIGINT) END AS trend_milli
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (
+        SELECT *, y * 1000 - trend_milli AS detr_milli FROM trended),
+      seasonal AS (
+        SELECT dow, CAST(SUM(detr_milli) // COUNT(*) AS BIGINT)
+          AS seasonal_milli
+        FROM det WHERE trend_milli IS NOT NULL GROUP BY 1),
+      comp AS (
+        SELECT y * 1000 - trend_milli - seasonal_milli AS r,
+          seasonal_milli + (y * 1000 - trend_milli - seasonal_milli) AS sr,
+          trend_milli + (y * 1000 - trend_milli - seasonal_milli) AS tr
+        FROM det JOIN seasonal USING (dow)
+        WHERE trend_milli IS NOT NULL),
+      sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(r) AS BIGINT) AS s_r, CAST(SUM(r * r) AS BIGINT) AS s2_r,
+          CAST(SUM(sr) AS BIGINT) AS s_sr,
+          CAST(SUM(sr * sr) AS BIGINT) AS s2_sr,
+          CAST(SUM(tr) AS BIGINT) AS s_tr,
+          CAST(SUM(tr * tr) AS BIGINT) AS s2_tr
+        FROM comp)
+      SELECT n,
+        ROUND(GREATEST(0.0, 1.0 - (${varSql("r")}) / (${varSql("sr")})), 6)
+          AS f_seasonal,
+        ROUND(GREATEST(0.0, 1.0 - (${varSql("r")}) / (${varSql("tr")})), 6)
+          AS f_trend
+      FROM sums"""
+    })
+
+  // ---------------------------------------------------------------
+  // x_graph_powerlaw_alpha
+  // ---------------------------------------------------------------
+
+  /** Power-law degree-exponent estimate (Hill / Clauset-style MLE
+    * with the continuous correction): α = 1 + n_tail / Σ ln(d/4.5)
+    * over nodes of degree ≥ dmin = 5 in the customer–supplier order
+    * graph — the "is this graph scale-free?" summary a graph-corpus
+    * profile reports. One combinable degree groupBy over the edges,
+    * one ln per tail node micro-rounded (the PMI discipline), the α
+    * division once in double. */
+  private val x_graph_powerlaw_alpha = Q(
+    "x_graph_powerlaw_alpha",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val deg = base.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val tail = deg.filter(col("deg") >= 5)
+        .select(expr("""CAST(ROUND(LN(CAST(deg AS DOUBLE) / 4.5)
+          | * 1000000) AS BIGINT)""".stripMargin).as("ln_micro"))
+      val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+        max(col("deg")).as("max_deg"),
+        expr("CAST(SUM(deg) * 1000 DIV COUNT(*) AS BIGINT)")
+          .as("mean_deg_milli"))
+      tail.agg(count(lit(1)).as("n_tail"),
+          sum(col("ln_micro")).as("s_ln"))
+        .crossJoin(broadcast(degStats))
+        .select(col("n_nodes"), col("max_deg"), col("mean_deg_milli"),
+          col("n_tail"),
+          expr("""CAST(ROUND((1.0 + CAST(n_tail AS DOUBLE) * 1000000.0
+            | / CAST(s_ln AS DOUBLE)) * 1000000) AS BIGINT)"""
+            .stripMargin).as("alpha_micro"))
+    },
+    Some("""WITH base AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT a AS node FROM base UNION ALL SELECT b FROM base)
+        GROUP BY 1),
+      ds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(MAX(deg) AS BIGINT) AS max_deg,
+          CAST(SUM(deg) * 1000 // COUNT(*) AS BIGINT) AS mean_deg_milli
+        FROM deg),
+      tail AS (
+        SELECT CAST(ROUND(LN(CAST(deg AS DOUBLE) / 4.5) * 1000000)
+          AS BIGINT) AS ln_micro
+        FROM deg WHERE deg >= 5)
+      SELECT n_nodes, max_deg, mean_deg_milli,
+        CAST(COUNT(*) AS BIGINT) AS n_tail,
+        CAST(ROUND((1.0 + CAST(COUNT(*) AS DOUBLE) * 1000000.0
+          / CAST(SUM(ln_micro) AS DOUBLE)) * 1000000) AS BIGINT)
+          AS alpha_micro
+      FROM tail CROSS JOIN ds
+      GROUP BY 1, 2, 3"""))
+
   val all: Seq[Q] = Seq(
     x_ml_prf_eval,
     x_events_rfm,
@@ -2819,6 +2944,8 @@ object TrainingQueries {
     x_stream_chained_windows,
     x_text_burstiness,
     x_ml_gmm_estep,
+    x_ts_seasonal_strength,
+    x_graph_powerlaw_alpha,
     x_sim_mmr,
     x_text_jensen_shannon,
     x_events_attribution,

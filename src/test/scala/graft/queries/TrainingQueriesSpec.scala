@@ -670,6 +670,26 @@ class TrainingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonal strength: both strengths in [0,1], seasonal beats trend here") {
+    val r = run("x_ts_seasonal_strength").head()
+    val fs = r.getAs[Double]("f_seasonal")
+    val ft = r.getAs[Double]("f_trend")
+    assert(fs >= 0.0 && fs <= 1.0 && ft >= 0.0 && ft <= 1.0)
+    assert(r.getAs[Long]("n") > 0L)
+    // the synthetic events carry weekly structure and no trend
+    assert(fs > ft, s"weekly signal should dominate: fs=$fs ft=$ft")
+  }
+
+  test("powerlaw alpha: tail subset, alpha > 1, degree stats consistent") {
+    val r = run("x_graph_powerlaw_alpha").head()
+    assert(r.getAs[Long]("n_tail") <= r.getAs[Long]("n_nodes"))
+    assert(r.getAs[Long]("max_deg") >= 5L)
+    assert(r.getAs[Long]("mean_deg_milli") >= 1000L,
+      "mean degree of a graph with edges is >= 1")
+    assert(r.getAs[Long]("alpha_micro") > 1000000L,
+      "the MLE exponent is always > 1")
+  }
+
   test("map/mrr eval: per-query invariants hold on sf0.001") {
     val rows = run("x_eval_map_mrr").collect()
     assert(rows.length == 10)
