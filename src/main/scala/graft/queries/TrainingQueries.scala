@@ -2937,6 +2937,70 @@ object TrainingQueries {
       FROM tail CROSS JOIN ds
       GROUP BY 1, 2, 3"""))
 
+  // ---------------------------------------------------------------
+  // x_ts_forecast_baselines
+  // ---------------------------------------------------------------
+
+  /** Forecast-baseline evaluation over the monthly order series —
+    * the MASE denominators every forecasting benchmark needs
+    * (Hyndman & Koehler 2006): per priority, the in-sample MAE of
+    * the naive lag-1 forecast and the seasonal-naive lag-12
+    * forecast, plus their ratio (seasonal/naive < 1 ⇔ the yearly
+    * cycle carries signal). Exact integers: MAE_milli =
+    * Σ|Δ|·1000 DIV n over the calendar-bounded month frame; the
+    * ratio is one rounded division of exact milli values. */
+  private val x_ts_forecast_baselines = Q(
+    "x_ts_forecast_baselines",
+    (s, d) => {
+      val series = Tables.orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("int").as("ym"))
+        .groupBy(col("priority"), col("ym"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("ym"))
+      val lagged = series
+        .withColumn("l1", lag(col("n"), 1).over(w))
+        .withColumn("l12", lag(col("n"), 12).over(w))
+      lagged.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_months"),
+          count(col("l1")).as("n_naive"),
+          count(col("l12")).as("n_seasonal"),
+          sum(abs(col("n") - col("l1"))).as("sad1"),
+          sum(abs(col("n") - col("l12"))).as("sad12"))
+        .select(col("priority"), col("n_months"),
+          expr("CAST(sad1 * 1000 DIV n_naive AS BIGINT)")
+            .as("mae_naive_milli"),
+          expr("CAST(sad12 * 1000 DIV n_seasonal AS BIGINT)")
+            .as("mae_seasonal_milli"),
+          expr("""ROUND(CAST(sad12 * 1000 DIV n_seasonal AS DOUBLE)
+            | / CAST(sad1 * 1000 DIV n_naive AS DOUBLE), 6)"""
+            .stripMargin).as("seasonal_vs_naive"))
+    },
+    Some("""WITH series AS (
+        SELECT o_orderpriority AS priority,
+          CAST(year(CAST(o_orderdate AS DATE)) * 100
+            + month(CAST(o_orderdate AS DATE)) AS INTEGER) AS ym,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2),
+      lagged AS (
+        SELECT priority, n,
+          LAG(n, 1) OVER w AS l1, LAG(n, 12) OVER w AS l12
+        FROM series
+        WINDOW w AS (PARTITION BY priority ORDER BY ym))
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months,
+        CAST(SUM(abs(n - l1)) * 1000 // COUNT(l1) AS BIGINT)
+          AS mae_naive_milli,
+        CAST(SUM(abs(n - l12)) * 1000 // COUNT(l12) AS BIGINT)
+          AS mae_seasonal_milli,
+        ROUND(CAST(SUM(abs(n - l12)) * 1000 // COUNT(l12) AS DOUBLE)
+          / CAST(SUM(abs(n - l1)) * 1000 // COUNT(l1) AS DOUBLE), 6)
+          AS seasonal_vs_naive
+      FROM lagged
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     x_ml_prf_eval,
     x_events_rfm,
@@ -2946,6 +3010,7 @@ object TrainingQueries {
     x_ml_gmm_estep,
     x_ts_seasonal_strength,
     x_graph_powerlaw_alpha,
+    x_ts_forecast_baselines,
     x_sim_mmr,
     x_text_jensen_shannon,
     x_events_attribution,

@@ -690,6 +690,18 @@ class TrainingQueriesSpec extends SparkSpec {
       "the MLE exponent is always > 1")
   }
 
+  test("forecast baselines: MAEs nonnegative, lag counts consistent") {
+    val rows = run("x_ts_forecast_baselines").collect()
+    assert(rows.length == 5, "one row per order priority")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mae_naive_milli") >= 0L)
+      assert(r.getAs[Long]("mae_seasonal_milli") >= 0L)
+      assert(r.getAs[Double]("seasonal_vs_naive") >= 0.0)
+      assert(r.getAs[Long]("n_months") > 12L,
+        "the series must span more than a year for lag-12 to exist")
+    }
+  }
+
   test("map/mrr eval: per-query invariants hold on sf0.001") {
     val rows = run("x_eval_map_mrr").collect()
     assert(rows.length == 10)
