@@ -325,6 +325,213 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Graph-based ANN: fixed-round beam search over a bounded-degree
+    * neighbor graph — the navigable-small-world family (Malkov &
+    * Yashunin's NSW layer, flattened), the one ANN family LSH/IVF/PQ
+    * don't cover. Three phases, all deterministic so an unrolled SQL
+    * oracle replays the whole index:
+    *
+    *   1. GRAPH BUILD: each corpus vector joins its top-`cellsPerNode`
+    *      cells over the broadcast `centroids` (6dp cosine, ties →
+    *      larger cell id — the [[ivfTopK]] discipline), then gets
+    *      directed edges to its `m` nearest shared-cell neighbors
+    *      (6dp-rounded cosine desc, id asc). Multi-cell membership is
+    *      the navigability trick: boundary nodes bridge neighboring
+    *      cells, so the beam can cross Voronoi borders. The pair join
+    *      is an equi-join on cell id — candidate volume is
+    *      Σ(p·|cell|)², bounded by the cell partition, never corpus².
+    *   2. ENTRY: every query starts from the centroid ids themselves
+    *      (they are corpus members — the modulus-sample convention),
+    *      i.e. ≤|centroids| seed candidates per query.
+    *   3. SEARCH: `rounds` beam iterations. Each round expands the
+    *      beam through the edge list (equi-join on the beam's
+    *      candidate ids), unions expansion with the current beam,
+    *      dedups, rescores, and keeps the `beamWidth` best per query
+    *      (6dp cosine desc, id asc). Per-round candidate volume is
+    *      |Q|·beamWidth·(m+1) — independent of corpus size; the
+    *      candidate side is broadcast into the node-vector lookup.
+    *
+    * Scale shape at 100 TB: the graph build is the IVF cell join
+    * (embarrassingly cell-parallel); the edge list is |corpus|·m rows,
+    * checkpointed once and equi-joined per round; search cost is
+    * queries×beam×degree per round with every non-corpus side
+    * broadcast. Recall vs [[bruteForceTopK]] rises with beamWidth and
+    * rounds (SimilaritySpec measures it; the registry carries a recall
+    * row). Output schema matches bruteForceTopK:
+    * (query_id, neighbor_id, cosine, rank). */
+  def nswTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: DataFrame, m: Int = 6, beamWidth: Int = 8,
+              rounds: Int = 3, cellsPerNode: Int = 2): DataFrame = {
+    require(m > 0 && beamWidth > 0 && rounds >= 1 && rounds <= 8,
+      s"nsw wants m>0, beam>0, 1<=rounds<=8; got m=$m beam=$beamWidth rounds=$rounds")
+    require(cellsPerNode >= 1 && cellsPerNode <= 4,
+      s"cellsPerNode bounds the edge-join fanout; 1..4, got $cellsPerNode")
+    val cent = broadcast(
+      withVecNorm(centroids.select(col("vec_id").as("cell_id"), col("embedding")),
+        col("embedding"), "ev", "en").drop("embedding"))
+    // corpus nodes (id, vec, norm): consumed by the cell scorer, both
+    // edge-join vector lookups, and the per-round candidate rescore ->
+    // checkpoint once
+    val nodes = withVecNorm(
+        corpus.select(col("vec_id").as("nid"), col("embedding")),
+        col("embedding"), "cv", "cn").drop("embedding")
+      .localCheckpoint(true)
+    // top-cellsPerNode cells per node (6dp cosine desc, larger cell id
+    // on ties — the ivfTopK discipline). p>1 makes nodes near a Voronoi
+    // boundary members of BOTH neighboring cells, which is what puts
+    // cross-cell bridge edges into the graph — without them the beam
+    // can only descend within the entry cell and recall plateaus.
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nid"))
+      .orderBy(col("__sim").desc, col("cell_id").desc)
+    val nodeCells = nodes
+      .crossJoin(cent)
+      .withColumn("__sim",
+        round(dot(col("cv"), col("ev")) / (col("cn") * col("en")), 6))
+      .withColumn("__r", row_number().over(wCell))
+      .filter(col("__r") <= cellsPerNode)
+      .select(col("nid"), col("cell_id"))
+    // candidate pairs: distinct shared-cell id pairs FIRST (a pair
+    // sharing two cells must score once), vectors attached after by
+    // two equi-joins against the checkpointed nodes — edge-linear
+    val pairs = nodeCells.select(col("nid").as("src"), col("cell_id"))
+      .join(nodeCells.select(col("nid").as("dst"), col("cell_id")),
+        Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val wEdge = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("__ec").desc, col("dst"))
+    val edges = pairs
+      .join(nodes.select(col("nid").as("src"),
+        col("cv").as("av"), col("cn").as("an")), Seq("src"))
+      .join(nodes.select(col("nid").as("dst"),
+        col("cv").as("bv"), col("cn").as("bn")), Seq("dst"))
+      .withColumn("__ec",
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+      .withColumn("__r", row_number().over(wEdge))
+      .filter(col("__r") <= m)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true) // consumed once per search round
+    val q = broadcast(withVecNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      col("embedding"), "qv", "qn").drop("embedding"))
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand"))
+    // (query_id, cand) -> beamWidth best scored rows; the candidate
+    // list is tiny (queries x beam x degree) -> broadcast into nodes
+    def rescore(cands: DataFrame): DataFrame =
+      nodes.join(broadcast(cands), col("nid") === col("cand"))
+        .join(q, Seq("query_id"))
+        .filter(col("cand") =!= col("query_id"))
+        .select(col("query_id"), col("cand"),
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+            .as("cosine"))
+        .withColumn("rank", row_number().over(wBeam))
+        .filter(col("rank") <= beamWidth)
+        .select(col("query_id"), col("cand"), col("cosine"))
+    var beam = rescore(q.select(col("query_id"))
+        .crossJoin(cent.select(col("cell_id").as("cand"))))
+      .localCheckpoint(true) // consumed twice per round (union + expand)
+    for (_ <- 1 to rounds) {
+      val expanded = beam.join(edges, col("cand") === col("src"))
+        .select(col("query_id"), col("dst").as("cand"))
+      val cands = beam.select(col("query_id"), col("cand"))
+        .union(expanded).distinct()
+      beam = rescore(cands).localCheckpoint(true)
+    }
+    beam.withColumn("rank", row_number().over(wBeam).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** ANSI-SQL replay of [[nswTopK]] over the `embeddings` table —
+    * rebuilds cells, the bounded-degree edge list, and the unrolled
+    * beam rounds independently in DuckDB (every step is deterministic:
+    * 6dp rounding, id tiebreaks, fixed rounds — the ivf/lsh oracle
+    * convention). `queryPred` selects the query batch;
+    * `centroidPred`+`nlist` mirror the modulus-sample centroid
+    * convention (limit BEFORE the zero-norm drop, as ivfTopK). */
+  def nswTopKSql(queryPred: String, k: Int, m: Int = 6, beamWidth: Int = 8,
+                 rounds: Int = 3, cellsPerNode: Int = 2,
+                 centroidPred: String = "vec_id % 97 = 0",
+                 nlist: Int = 128): String = {
+    def beamCte(i: Int, candSrc: String) =
+      s"""beam$i AS (
+      SELECT query_id, cand, cosine FROM (
+        SELECT c.query_id, c.cand,
+          ROUND(list_inner_product(q.qv, nd.cv) / (q.qn * nd.cn), 6) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY c.query_id
+            ORDER BY ROUND(list_inner_product(q.qv, nd.cv) / (q.qn * nd.cn), 6)
+              DESC, c.cand) AS rn
+        FROM $candSrc c
+        JOIN cells nd ON c.cand = nd.nid
+        JOIN q ON c.query_id = q.query_id
+        WHERE c.cand <> c.query_id) WHERE rn <= $beamWidth)"""
+    val roundCtes = (1 to rounds).map { i =>
+      s"""cand$i AS (
+      SELECT DISTINCT query_id, cand FROM (
+        SELECT query_id, cand FROM beam${i - 1}
+        UNION ALL
+        SELECT b.query_id, e.dst AS cand
+        FROM beam${i - 1} b JOIN edges e ON b.cand = e.src)),
+    ${beamCte(i, s"cand$i")}"""
+    }.mkString(",\n    ")
+    s"""WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    n AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm
+      FROM v WHERE sqrt(list_inner_product(v, v)) > 0),
+    cent AS (
+      -- centroid cap BEFORE the zero-norm drop (the ivfTopK convention)
+      SELECT cell_id, ev, en FROM (
+        SELECT vec_id AS cell_id, v AS ev, sqrt(list_inner_product(v, v)) AS en
+        FROM v WHERE $centroidPred ORDER BY vec_id LIMIT $nlist)
+      WHERE en > 0),
+    node_cells AS (
+      -- top-$cellsPerNode cells per corpus vector; ties -> larger cell
+      -- id. Multi-cell membership puts cross-cell bridge edges in the
+      -- graph (boundary nodes belong to both neighboring cells).
+      SELECT nid, cell_id FROM (
+        SELECT a.vec_id AS nid, ct.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY ROUND(list_inner_product(a.v, ct.ev) / (a.nrm * ct.en), 6)
+              DESC, ct.cell_id DESC) AS rn
+        FROM n a CROSS JOIN cent ct) WHERE rn <= $cellsPerNode),
+    cells AS (
+      SELECT vec_id AS nid, v AS cv, nrm AS cn FROM n),
+    pairs AS (
+      -- distinct shared-cell id pairs (a pair sharing two cells must
+      -- score once)
+      SELECT DISTINCT a.nid AS src, b.nid AS dst
+      FROM node_cells a JOIN node_cells b USING (cell_id)
+      WHERE a.nid <> b.nid),
+    edges AS (
+      -- m nearest shared-cell neighbors each (6dp cosine desc, id asc)
+      SELECT src, dst FROM (
+        SELECT p.src, p.dst,
+          ROW_NUMBER() OVER (PARTITION BY p.src
+            ORDER BY ROUND(list_inner_product(a.cv, b.cv) / (a.cn * b.cn), 6)
+              DESC, p.dst) AS rn
+        FROM pairs p
+        JOIN cells a ON p.src = a.nid
+        JOIN cells b ON p.dst = b.nid) WHERE rn <= $m),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn
+      FROM n WHERE $queryPred),
+    cand0 AS (
+      SELECT query_id, cell_id AS cand FROM q CROSS JOIN cent),
+    ${beamCte(0, "cand0")},
+    $roundCtes
+    SELECT query_id, cand AS neighbor_id, cosine,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, cand) AS INTEGER) AS rank
+    FROM beam$rounds
+    QUALIFY rank <= $k"""
+  }
+
   /** One Lloyd ASSIGNMENT step: each corpus vector to its nearest
     * centroid by squared L2 (|v|² + |c|² − 2·v·c — three reuses of the
     * dot kernel; norms computed once per row, not once per pair).

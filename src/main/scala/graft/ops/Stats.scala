@@ -74,8 +74,12 @@ object Stats {
         / 12.0 * ((col("nn") + 1.0)
           - col("tie_t").cast("double") / (col("nn") * (col("nn") - 1.0))))
       .withColumn("z",
-        (col("u1_x2").cast("double") - col("mu_x2")) / 2.0
-          / sqrt(col("var_u")))
+        // var_u = 0 when every row lands in one bin (fully tied
+        // samples); an unguarded divide is engine-divergent there
+        // (Spark NULL vs IEEE NaN/inf), so pin z = 0 on both sides
+        when(col("var_u") > 0,
+          (col("u1_x2").cast("double") - col("mu_x2")) / 2.0
+            / sqrt(col("var_u"))).otherwise(lit(0.0)))
       .select(col("n1"), col("n2"), col("u1_x2"), col("tie_t"),
         round(col("z"), 6).as("z"),
         (abs(col("z")) > lit(1.96)).as("significant"))

@@ -180,13 +180,13 @@ object GeoQueries {
         .select((col("cx") + col("dx")).as("cx"),
           (col("cy") + col("dy")).as("cy"),
           col("id").as("rid"), col("lat").as("rlat"), col("lon").as("rlon"))
-      def near(l: org.apache.spark.sql.Column) = {
+      def near: org.apache.spark.sql.Column = {
         val dLat = col("lat") - col("rlat")
         val dLon = col("lon") - col("rlon")
         dLat * dLat + dLon * dLon <= lit(eps * eps)
       }
       val counts = pts.join(repl9(pts), Seq("cx", "cy"))
-        .filter(near(col("id")))
+        .filter(near)
         .groupBy(col("id"), col("lat"), col("lon"), col("cx"), col("cy"))
         .agg(count(lit(1)).as("n_neigh"))
       val coreFlagged = counts
@@ -195,7 +195,7 @@ object GeoQueries {
       val coreSide = repl9(coreFlagged.filter(col("is_core")))
       val border = coreFlagged.filter(!col("is_core"))
         .join(coreSide, Seq("cx", "cy"))
-        .filter(near(col("id")) && col("rid") =!= col("id"))
+        .filter(near && col("rid") =!= col("id"))
         .select(col("id")).distinct()
       val labeled = coreFlagged.join(border.withColumn("b", lit(true)),
           Seq("id"), "left")

@@ -161,9 +161,12 @@ object StatsQueries {
                 * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS var_u
         FROM stx)
       SELECT n1, n2, u1_x2, tie_t,
-        ROUND((CAST(u1_x2 AS DOUBLE) - mu_x2) / 2.0 / sqrt(var_u), 6) AS z,
-        abs((CAST(u1_x2 AS DOUBLE) - mu_x2) / 2.0 / sqrt(var_u))
-          > CAST('1.96' AS DOUBLE) AS significant
+        ROUND(CASE WHEN var_u > 0
+          THEN (CAST(u1_x2 AS DOUBLE) - mu_x2) / 2.0 / sqrt(var_u)
+          ELSE 0.0 END, 6) AS z,
+        abs(CASE WHEN var_u > 0
+          THEN (CAST(u1_x2 AS DOUBLE) - mu_x2) / 2.0 / sqrt(var_u)
+          ELSE 0.0 END) > CAST('1.96' AS DOUBLE) AS significant
       FROM fin"""))
 
   // ---------------------------------------------------------------

@@ -1198,11 +1198,14 @@ object TrainingQueries {
       FROM emb GROUP BY 1)
     SELECT query_id, CAST(q_label AS INTEGER) AS q_label, r_total,
       n_rel_topk,
-      CAST(COALESCE(first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+      CAST(COALESCE(pq.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
       CASE WHEN LEAST(r_total, 10) > 0 THEN
         ROUND(CAST(ap_sum_micro AS DOUBLE) / 1000000.0
           / CAST(LEAST(r_total, 10) AS DOUBLE), 6) ELSE 0.0 END AS ap,
-      COALESCE(ROUND(1.0 / CAST(first_rel_rank AS DOUBLE), 6), 0.0) AS rr
+      -- qualified pq.first_rel_rank: the bare name could lateral-bind to
+      -- the COALESCE(...,0) output alias above, turning NULL (no relevant
+      -- hit) into a 1/0 divide instead of the intended COALESCE-to-0
+      COALESCE(ROUND(1.0 / CAST(pq.first_rel_rank AS DOUBLE), 6), 0.0) AS rr
     FROM pq JOIN lc USING (q_label)"""))
 
   // ---------------------------------------------------------------
@@ -2822,10 +2825,18 @@ object TrainingQueries {
         s"""(CAST(n AS DOUBLE) * CAST(s2_$c AS DOUBLE)
            |  - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))
            |/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin
+      // squared milli sums widened to DECIMAL(38,0): Σ(sr²) crosses
+      // BIGINT around ~1e6 events/day over a year (sr ~ 1e9 milli →
+      // sr² ~ 1e18 per day), while DuckDB SUM auto-promotes to
+      // HUGEINT — the same widening discipline as spearman/anova. The
+      // per-row product itself stays BIGINT-exact to |x| ≤ 3e9 milli
+      // (~3e6 events/day); past that the milli scale must drop first.
+      def sq(c: String) =
+        sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"s2_$c")
       comp.agg(count(lit(1)).as("n"),
-          sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("s2_r"),
-          sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("s2_sr"),
-          sum(col("tr")).as("s_tr"), sum(col("tr") * col("tr")).as("s2_tr"))
+          sum(col("r")).as("s_r"), sq("r"),
+          sum(col("sr")).as("s_sr"), sq("sr"),
+          sum(col("tr")).as("s_tr"), sq("tr"))
         .select(col("n"),
           expr(s"ROUND(GREATEST(0.0, 1.0 - (${varExpr("r")})" +
             s" / (${varExpr("sr")})), 6)").as("f_seasonal"),
@@ -2862,11 +2873,12 @@ object TrainingQueries {
         WHERE trend_milli IS NOT NULL),
       sums AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-          CAST(SUM(r) AS BIGINT) AS s_r, CAST(SUM(r * r) AS BIGINT) AS s2_r,
+          CAST(SUM(r) AS BIGINT) AS s_r,
+          CAST(SUM(r * r) AS DECIMAL(38,0)) AS s2_r,
           CAST(SUM(sr) AS BIGINT) AS s_sr,
-          CAST(SUM(sr * sr) AS BIGINT) AS s2_sr,
+          CAST(SUM(sr * sr) AS DECIMAL(38,0)) AS s2_sr,
           CAST(SUM(tr) AS BIGINT) AS s_tr,
-          CAST(SUM(tr * tr) AS BIGINT) AS s2_tr
+          CAST(SUM(tr * tr) AS DECIMAL(38,0)) AS s2_tr
         FROM comp)
       SELECT n,
         ROUND(GREATEST(0.0, 1.0 - (${varSql("r")}) / (${varSql("sr")})), 6)
@@ -2970,12 +2982,19 @@ object TrainingQueries {
           sum(abs(col("n") - col("l1"))).as("sad1"),
           sum(abs(col("n") - col("l12"))).as("sad12"))
         .select(col("priority"), col("n_months"),
-          expr("CAST(sad1 * 1000 DIV n_naive AS BIGINT)")
-            .as("mae_naive_milli"),
-          expr("CAST(sad12 * 1000 DIV n_seasonal AS BIGINT)")
-            .as("mae_seasonal_milli"),
-          expr("""ROUND(CAST(sad12 * 1000 DIV n_seasonal AS DOUBLE)
-            | / CAST(sad1 * 1000 DIV n_naive AS DOUBLE), 6)"""
+          // degenerate-data guards, mirrored in the oracle: a <2-month
+          // key has n_naive = 0, a <13-month key n_seasonal = 0, and a
+          // perfectly flat series sad1 = 0 — each divide is
+          // engine-divergent unguarded, so NULL is the agreed sentinel
+          expr("""CASE WHEN n_naive > 0
+            | THEN CAST(sad1 * 1000 DIV n_naive AS BIGINT) END"""
+            .stripMargin).as("mae_naive_milli"),
+          expr("""CASE WHEN n_seasonal > 0
+            | THEN CAST(sad12 * 1000 DIV n_seasonal AS BIGINT) END"""
+            .stripMargin).as("mae_seasonal_milli"),
+          expr("""CASE WHEN n_naive > 0 AND n_seasonal > 0 AND sad1 > 0
+            | THEN ROUND(CAST(sad12 * 1000 DIV n_seasonal AS DOUBLE)
+            |   / CAST(sad1 * 1000 DIV n_naive AS DOUBLE), 6) END"""
             .stripMargin).as("seasonal_vs_naive"))
     },
     Some("""WITH series AS (
@@ -2991,13 +3010,17 @@ object TrainingQueries {
         FROM series
         WINDOW w AS (PARTITION BY priority ORDER BY ym))
       SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months,
-        CAST(SUM(abs(n - l1)) * 1000 // COUNT(l1) AS BIGINT)
-          AS mae_naive_milli,
-        CAST(SUM(abs(n - l12)) * 1000 // COUNT(l12) AS BIGINT)
-          AS mae_seasonal_milli,
-        ROUND(CAST(SUM(abs(n - l12)) * 1000 // COUNT(l12) AS DOUBLE)
-          / CAST(SUM(abs(n - l1)) * 1000 // COUNT(l1) AS DOUBLE), 6)
-          AS seasonal_vs_naive
+        CASE WHEN COUNT(l1) > 0 THEN
+          CAST(SUM(abs(n - l1)) * 1000 // COUNT(l1) AS BIGINT)
+          END AS mae_naive_milli,
+        CASE WHEN COUNT(l12) > 0 THEN
+          CAST(SUM(abs(n - l12)) * 1000 // COUNT(l12) AS BIGINT)
+          END AS mae_seasonal_milli,
+        CASE WHEN COUNT(l1) > 0 AND COUNT(l12) > 0
+            AND SUM(abs(n - l1)) > 0 THEN
+          ROUND(CAST(SUM(abs(n - l12)) * 1000 // COUNT(l12) AS DOUBLE)
+            / CAST(SUM(abs(n - l1)) * 1000 // COUNT(l1) AS DOUBLE), 6)
+          END AS seasonal_vs_naive
       FROM lagged
       GROUP BY 1"""))
 

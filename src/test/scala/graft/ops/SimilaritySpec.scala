@@ -455,4 +455,63 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  private def nswCents(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(128)
+
+  test("nswTopK: k ranked rows per query, contiguous ranks, no self-matches") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 10)
+    val out = Similarity.nswTopK(q, emb, k = 5, centroids = nswCents(emb),
+        m = 12, beamWidth = 24, rounds = 4, cellsPerNode = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5), s"ranks broken for $qid")
+      assert(rows.forall(_._2 != qid), s"self-match for $qid")
+    }
+  }
+
+  test("nswTopK recall vs brute force on real sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val nsw = Similarity.nswTopK(q, emb, k = 5, centroids = nswCents(emb),
+        m = 12, beamWidth = 24, rounds = 4, cellsPerNode = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & nsw).size.toDouble / exact.size
+    // the registered config measures 0.92 at sf0.01; well above the
+    // LSH/IVF spec floors — beam search through the bridge edges must
+    // stay far from the entry-points-only baseline
+    assert(recall >= 0.5, f"NSW recall $recall%.2f collapsed")
+  }
+
+  test("nswTopK: cross-cell bridges (p=2) beat within-cell-only (p=1)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(p: Int) = {
+      val got = Similarity.nswTopK(q, emb, k = 5, centroids = nswCents(emb),
+          m = 12, beamWidth = 24, rounds = 4, cellsPerNode = p)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    assert(recallAt(2) >= recallAt(1),
+      "bridge edges should never hurt recall at the same budget")
+  }
+
+  test("nswTopK is deterministic across partitionings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.nswTopK(q, c, k = 5, centroids = nswCents(emb),
+          m = 12, beamWidth = 24, rounds = 3, cellsPerNode = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(run(emb) == run(emb.repartition(7)))
+  }
 }
