@@ -1121,4 +1121,249 @@ object Dedup {
           / CAST(len(string_split(lower(s.text), ' ')) AS DOUBLE) AS dup_frac
       FROM $srcCte s LEFT JOIN __sc_spans p ON p.doc_id = s.doc_id)"""
   }
+
+  /** EXACT longest-duplicated-substring spans via a distributed suffix
+    * ordering — the suffix-array form of training-data dedup (Lee et
+    * al. 2021), complementing the gram-digest APPROXIMATION in
+    * dupPassages/x_dedup_dup_spans (which can only see duplication at
+    * one fixed gram size; this measures the true span length).
+    *
+    * Construction is fixed-round PREFIX DOUBLING (Manber–Myers, the
+    * pointer-jumping precedent): suffix ranks at depth 2^k are the
+    * dense rank of the pair (rank_k\[pos], rank_k\[pos+2^k]), k
+    * iterations of a corpus-linear join + a range-partitioned dense
+    * rank ([[Scale.globalRowNumberBy]] over the distinct key pairs —
+    * no single-task sort anywhere). Tokens are ranked by md5 so the
+    * suffix order is engine-portable (UTF8-collation-free); any total
+    * order on the alphabet yields a valid suffix array.
+    *
+    * The classic suffix-array fact this rides on: the maximum LCP over
+    * ALL suffix pairs is attained by a pair ADJACENT in suffix order —
+    * so adjacency (via one more global row number) plus an LCP descent
+    * (highest rank table first: equal rank at depth 2^k ⇒ advance the
+    * match cursor 2^k, exactly the O(log n) suffix-array LCP walk)
+    * finds every locally-maximal duplicated span exactly, up to the
+    * depth cap 2^(rounds+1)−1 tokens. End-of-document is handled by a
+    * −1 sentinel rank (shorter suffix sorts first) and a final clamp
+    * of the LCP to both suffixes' remaining lengths.
+    *
+    * Scale shape at 100 TB: rounds × (one equi-join on (doc, pos+2^k)
+    * + one distinct + one range shuffle) — O(n log n) total, the
+    * published cost of suffix-array construction; the descent is
+    * (rounds+1) bounded equi-joins on the ADJACENT-pair frame (n
+    * rows); output is orderBy+limit = TakeOrderedAndProject. Every
+    * rank table is checkpointed once and reused (multi-consumer rule).
+    *
+    * Output: the topN document pairs by longest shared substring —
+    * (doc_a, doc_b, lss_tokens, pos_a, pos_b, n_suffix_pairs, rank);
+    * the overlapping-suffix ladder (an L-token duplicate produces ~L
+    * adjacent pairs) is collapsed per doc pair, positions give the
+    * earliest occurrence of the maximal span, doc_a = doc_b marks a
+    * within-document repetition (genuine duplicated text too). With
+    * the default 6 rounds the LCP is exact to 127 tokens — past every
+    * document in the synthetic corpus (max 100). */
+  def suffixSpans(df: DataFrame, id: Column, text: Column,
+                  rounds: Int = 6, minLcp: Int = 8,
+                  topN: Int = 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"1..8 doubling rounds, got $rounds")
+    require(minLcp >= 1 && topN >= 1, s"minLcp/topN must be positive")
+    val toks = df.filter(text.isNotNull)
+      .select(id.as("doc"), split(lower(text), " ").as("t"))
+      .select(col("doc"), size(col("t")).cast("long").as("dlen"),
+        posexplode(col("t")).as(Seq("pos", "tok")))
+      .select(col("doc"), col("dlen"), col("pos").cast("long").as("pos"),
+        md5(col("tok")).as("tk"))
+    // rank_0: dense rank of the token (by md5 — engine-portable order).
+    // globalDenseRankBy is one range shuffle + a broadcast per call —
+    // no distinct frame, no join back. Every rank table is partitioned
+    // by doc before its checkpoint: (doc) is a subset of every later
+    // join's keys ((doc, pos) in the doubling self-join and the LCP
+    // descent), so ClusteredDistribution is already satisfied and none
+    // of those joins re-shuffles the table side — the property that
+    // keeps the 2·(rounds+1) descent joins exchange-free at scale.
+    var cur = Scale.globalDenseRankBy(toks, Seq(col("tk")), parts = 0)
+      .select(col("doc"), col("dlen"), col("pos"),
+        col("dense_rn").as("r"))
+      .repartition(col("doc"))
+      .localCheckpoint(true)
+    // Alternate SPARSE and DENSE rank composition. Doubling only needs
+    // the rank key to preserve ORDER and EQUALITY, not to be dense —
+    // so on odd rounds the pair (r, rb) is packed into one long
+    // (r·B + rb + 1, order-preserving since both < B), a pure
+    // projection with NO range shuffle; the pack overflows 63 bits if
+    // composed twice, so every even round re-densifies. Halves the
+    // densify passes (each is a range shuffle + checkpoint + window —
+    // the dominant per-round cost). The descent below only tests
+    // EQUALITY of table entries, which both key forms preserve.
+    val nTok = toks.count()
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(nTok + 2)
+    require(2 * bits + 1 <= 63,
+      s"suffix set $nTok too large for sparse pair packing — " +
+        "densify every round instead")
+    val packB = 1L << bits
+    val tables = scala.collection.mutable.ArrayBuffer(cur) // rank_0
+    for (k <- 1 to rounds) {
+      val off = 1L << (k - 1)
+      // rename-before-join: both sides derive from `cur` (the
+      // shared-lineage self-join rule)
+      val bSide = cur.select(col("doc"),
+        (col("pos") - lit(off)).as("pos"), col("r").as("rb"))
+      val paired = cur.join(bSide, Seq("doc", "pos"), "left")
+        .withColumn("rb", coalesce(col("rb"), lit(-1L)))
+      cur = (if (k % 2 == 1)
+        // sparse round: r is dense (< packB) after the previous
+        // densify, rb likewise; the packed key is unique per (r, rb)
+        paired.select(col("doc"), col("dlen"), col("pos"),
+          (col("r") * packB + col("rb") + 1).as("r"))
+      else
+        Scale.globalDenseRankBy(paired, Seq(col("r"), col("rb")),
+            parts = 0)
+          .select(col("doc"), col("dlen"), col("pos"),
+            col("dense_rn").as("r")))
+        .repartition(col("doc"))
+        .localCheckpoint(true)
+      tables += cur
+    }
+    // global suffix order; (r, doc, pos) is a total order
+    val sa = Scale.globalRowNumberBy(cur,
+      Seq(col("r"), col("doc"), col("pos")))
+      .withColumnRenamed("global_rn", "srn")
+      .localCheckpoint(true) // both sides of the adjacency self-join
+    val bAdj = sa.select((col("srn") - 1).as("srn"),
+      col("doc").as("doc_b"), col("pos").as("pos_b"),
+      col("dlen").as("dlen_b"))
+    var pairs = sa.join(bAdj, Seq("srn"))
+      .select(col("doc").as("doc_a"), col("pos").as("pos_a"),
+        col("dlen").as("dlen_a"),
+        col("doc_b"), col("pos_b"), col("dlen_b"))
+      .withColumn("l", lit(0L))
+    // LCP descent, highest table first (the suffix-array LCP walk)
+    for (k <- rounds to 0 by -1) {
+      val rk = tables(k)
+      val ra = rk.select(col("doc").as("__da"),
+        col("pos").as("__pa"), col("r").as("__ra"))
+      val rb = rk.select(col("doc").as("__db"),
+        col("pos").as("__pb"), col("r").as("__rb"))
+      pairs = pairs
+        .join(ra, col("doc_a") === col("__da")
+          && (col("pos_a") + col("l")) === col("__pa"), "left")
+        .join(rb, col("doc_b") === col("__db")
+          && (col("pos_b") + col("l")) === col("__pb"), "left")
+        .withColumn("l",
+          when(col("__ra") === col("__rb"),
+            col("l") + lit(1L << k)).otherwise(col("l")))
+        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+    }
+    val scored = pairs
+      // clamp: sentinel-padded matches past end-of-document are not
+      // real tokens; true LCP never exceeds either remaining length
+      .withColumn("lcp_tokens",
+        least(col("l"), col("dlen_a") - col("pos_a"),
+          col("dlen_b") - col("pos_b")))
+      .filter(col("lcp_tokens") >= minLcp)
+      // normalize occurrence order so one (doc pair) groups once
+      // regardless of which suffix sorted first
+      .withColumn("__sw", col("doc_a") > col("doc_b")
+        || (col("doc_a") === col("doc_b") && col("pos_a") > col("pos_b")))
+      .select(
+        when(col("__sw"), col("doc_b")).otherwise(col("doc_a")).as("doc_a"),
+        when(col("__sw"), col("pos_b")).otherwise(col("pos_a")).as("pos_a"),
+        when(col("__sw"), col("doc_a")).otherwise(col("doc_b")).as("doc_b"),
+        when(col("__sw"), col("pos_a")).otherwise(col("pos_b")).as("pos_b"),
+        col("lcp_tokens"))
+    // collapse the overlapping-suffix ladder (an L-token duplicate
+    // yields ~L adjacent pairs) to the document-pair LSS: longest
+    // shared substring + where it starts (earliest positions on ties)
+    val out = scored
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(struct(col("lcp_tokens"),
+          (-col("pos_a")).as("na"), (-col("pos_b")).as("nb"))).as("m"),
+        count(lit(1)).as("n_suffix_pairs"))
+      .select(col("doc_a"), col("doc_b"),
+        col("m.lcp_tokens").as("lss_tokens"),
+        (-col("m.na")).as("pos_a"), (-col("m.nb")).as("pos_b"),
+        col("n_suffix_pairs"))
+      .orderBy(col("lss_tokens").desc, col("doc_a"), col("doc_b"))
+      .limit(topN) // TakeOrderedAndProject — no global sort
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lss_tokens").desc, col("doc_a"), col("doc_b"))
+    out.withColumn("rank", row_number().over(w).cast("int"))
+  }
+
+  /** Full DuckDB replay of [[suffixSpans]] over `srcCte` (columns
+    * doc_id, text): unrolled prefix-doubling rounds (DENSE_RANK is
+    * the windowed form of the range-partitioned distinct-rank), the
+    * same md5 alphabet order, the same adjacency + LCP descent. */
+  def suffixSpansSql(srcCte: String, rounds: Int = 6, minLcp: Int = 8,
+                     topN: Int = 20): String = {
+    val doubling = (1 to rounds).map { k =>
+      val off = 1L << (k - 1)
+      s"""__sa_r$k AS (
+      SELECT a.doc, a.dlen, a.pos,
+        CAST(DENSE_RANK() OVER (ORDER BY a.r, COALESCE(b.r, -1))
+          AS BIGINT) AS r
+      FROM __sa_r${k - 1} a
+      LEFT JOIN __sa_r${k - 1} b ON b.doc = a.doc AND b.pos = a.pos + $off)"""
+    }.mkString(",\n    ")
+    val descent = (rounds to 0 by -1).zipWithIndex.map { case (k, i) =>
+      s"""__sa_p${i + 1} AS (
+      SELECT p.doc_a, p.pos_a, p.dlen_a, p.doc_b, p.pos_b, p.dlen_b,
+        p.l + CASE WHEN ra.r = rb.r THEN ${1L << k} ELSE 0 END AS l
+      FROM __sa_p$i p
+      LEFT JOIN __sa_r$k ra
+        ON ra.doc = p.doc_a AND ra.pos = p.pos_a + p.l
+      LEFT JOIN __sa_r$k rb
+        ON rb.doc = p.doc_b AND rb.pos = p.pos_b + p.l)"""
+    }.mkString(",\n    ")
+    s"""WITH __sa_toks AS (
+      SELECT doc, CAST(len(t) AS BIGINT) AS dlen, CAST(u.i AS BIGINT) AS pos,
+        md5(t[u.i + 1]) AS tk
+      FROM (SELECT doc_id AS doc, string_split(lower(text), ' ') AS t
+            FROM $srcCte) d,
+        unnest(range(0, len(t))) AS u(i)),
+    __sa_r0 AS (
+      SELECT doc, dlen, pos,
+        CAST(DENSE_RANK() OVER (ORDER BY tk) AS BIGINT) AS r
+      FROM __sa_toks),
+    $doubling,
+    __sa_sa AS (
+      SELECT doc, dlen, pos, r,
+        ROW_NUMBER() OVER (ORDER BY r, doc, pos) AS srn
+      FROM __sa_r$rounds),
+    __sa_p0 AS (
+      SELECT a.doc AS doc_a, a.pos AS pos_a, a.dlen AS dlen_a,
+        b.doc AS doc_b, b.pos AS pos_b, b.dlen AS dlen_b,
+        CAST(0 AS BIGINT) AS l
+      FROM __sa_sa a JOIN __sa_sa b ON b.srn = a.srn + 1),
+    $descent,
+    __sa_scored AS (
+      SELECT
+        CASE WHEN sw THEN doc_b ELSE doc_a END AS doc_a,
+        CASE WHEN sw THEN pos_b ELSE pos_a END AS pos_a,
+        CASE WHEN sw THEN doc_a ELSE doc_b END AS doc_b,
+        CASE WHEN sw THEN pos_a ELSE pos_b END AS pos_b,
+        lcp_tokens
+      FROM (
+        SELECT doc_a, pos_a, doc_b, pos_b,
+          LEAST(l, dlen_a - pos_a, dlen_b - pos_b) AS lcp_tokens,
+          (doc_a > doc_b OR (doc_a = doc_b AND pos_a > pos_b)) AS sw
+        FROM __sa_p${rounds + 1}
+        WHERE LEAST(l, dlen_a - pos_a, dlen_b - pos_b) >= $minLcp)),
+    __sa_best AS (
+      SELECT doc_a, doc_b, lcp_tokens AS lss_tokens, pos_a, pos_b,
+        n_suffix_pairs
+      FROM (
+        SELECT doc_a, doc_b, lcp_tokens, pos_a, pos_b,
+          CAST(COUNT(*) OVER (PARTITION BY doc_a, doc_b) AS BIGINT)
+            AS n_suffix_pairs,
+          ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+            ORDER BY lcp_tokens DESC, pos_a, pos_b) AS rn
+        FROM __sa_scored)
+      WHERE rn = 1)
+    SELECT doc_a, doc_b, lss_tokens, pos_a, pos_b, n_suffix_pairs,
+      CAST(ROW_NUMBER() OVER (ORDER BY lss_tokens DESC, doc_a, doc_b)
+        AS INTEGER) AS rank
+    FROM __sa_best
+    QUALIFY rank <= $topN"""
+  }
 }

@@ -119,6 +119,43 @@ object Scale {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Global DENSE rank (1..#distinct-keys) without a single-task sort
+    * AND without the distinct→row_number→join-back detour: the same
+    * range-partition trick as [[globalRowNumberBy]], but the
+    * per-partition window is dense_rank and the offsets are
+    * per-partition DISTINCT-key counts. Range partitioning sends every
+    * row of one key value to one partition, so per-partition dense
+    * ranks + a distinct-count prefix sum compose to the exact global
+    * dense rank — one range shuffle + a broadcast, no join back
+    * against a distinct frame (this sits inside every prefix-doubling
+    * round of [[Dedup.suffixSpans]], where the saved distinct + join
+    * were two corpus-sized shuffles per round). Appends `dense_rn`. */
+  def globalDenseRankBy(df: DataFrame, keys: Seq[Column],
+                        parts: Int = 32): DataFrame = {
+    // parts <= 0 leaves the partition count unpinned so AQE can
+    // coalesce the range shuffle to match the actual data volume —
+    // the right choice when the caller runs MANY chained ranks over
+    // a frame far smaller than the cluster default would shard it
+    // (prefix doubling: task-launch floors dominate otherwise)
+    val ranged = (if (parts > 0) df.repartitionByRange(parts, keys: _*)
+                  else df.repartitionByRange(keys: _*))
+      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(keys: _*)
+    val local = ranged.withColumn("__ldr", dense_rank().over(w))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count_distinct(struct(keys: _*)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("dense_rn", col("__ldr") + col("__off"))
+      .drop("__pid", "__ldr", "__off")
+  }
+
   /** Small-files compaction for a parquet directory — the maintenance
     * job every file-landing layer eventually needs (the reference's
     * monthly drops are one CSV per month; at 100 TB a streaming or

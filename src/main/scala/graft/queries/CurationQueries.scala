@@ -431,12 +431,14 @@ object CurationQueries {
           .parquet(tmp)
           .as[graft.streaming.EventStream.TypedEvent]
         val sink = "x_stream_tws_toptype_sink"
-        val sq = graft.streaming.EventStream.topTypePerUser(s, ev)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
+        graft.streaming.EventStream.withStatePartitions(s, 4) {
+          val sq = graft.streaming.EventStream.topTypePerUser(s, ev)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
         s.table(sink).groupBy(col("user_id"))
           .agg(max(struct(col("n_total"), col("n_types"),
             col("top_type"), col("top_cnt"))).as("m"))
@@ -496,12 +498,14 @@ object CurationQueries {
           .parquet(tmp)
           .as[graft.streaming.EventStream.TypedEvent]
         val sink = "x_stream_tws_recent_sink"
-        val sq = graft.streaming.EventStream.recentEventsPerUser(s, ev)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
+        graft.streaming.EventStream.withStatePartitions(s, 4) {
+          val sq = graft.streaming.EventStream.recentEventsPerUser(s, ev)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
         s.table(sink).groupBy(col("user_id"))
           .agg(max(struct(col("n_seen"), col("n_kept"), col("recent"))).as("m"))
           .select(col("user_id"), col("m.n_seen").as("n_seen"),
@@ -603,12 +607,14 @@ object CurationQueries {
           .parquet(tmp)
           .as[graft.streaming.EventStream.Event]
         val sink = "x_stream_tws_sessionize_sink"
-        val sq = graft.streaming.EventStream.sessionizeTws(s, ev)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
+        graft.streaming.EventStream.withStatePartitions(s, 4) {
+          val sq = graft.streaming.EventStream.sessionizeTws(s, ev)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
         s.table(sink).select(col("user_id"), col("n_events"),
           timestamp_millis(col("start_ms")).as("session_start"),
           timestamp_millis(col("end_ms")).as("session_end"))
@@ -1450,11 +1456,13 @@ object CurationQueries {
           .otherwise(lit(51) - length(bin(col("w")))))
         .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("reg"))
       val sink = "x_stream_hll_parity_sink"
-      val sq = regs.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s, 4) {
+        val sq = regs.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       val sk = Sketches.hllEstimate(s.table(sink).localCheckpoint(true))
       val exact = ev.groupBy(col("event_type").as("grp"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"))

@@ -687,12 +687,14 @@ object EltQueries {
         .option("maxFilesPerTrigger", "1") // force the cross-batch path
         .parquet(tmp)
       val sink = "x_stream_cdc_parity_sink"
-      val sq = EventStream.cdcLatest(src, Seq("k"), "seq", "op")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s, 4) {
+        val sq = EventStream.cdcLatest(src, Seq("k"), "seq", "op")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       val latest = s.table(sink).localCheckpoint(true)
       val survivors = base.join(latest.select(col("k")), Seq("k"), "left_anti")
       survivors.unionByName(latest.filter(col("op").isin("I", "U"))

@@ -2260,11 +2260,13 @@ object ExtensionQueries {
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("n_events"), col("min_value"), col("max_value"))
       val sink = "x_stream_hourly_parity_sink"
-      val sq = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s, 4) {
+        val sq = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       s.table(sink)
     },
     Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -2304,11 +2306,13 @@ object ExtensionQueries {
           min(col("event_id")).as("min_event"),
           max(col("event_id")).as("max_event"))
       val sink = "x_stream_static_join_sink"
-      val sq = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s, 4) {
+        val sq = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       s.table(sink)
     },
     Some("""SELECT CAST(user_id % 7 AS INTEGER) AS cohort, event_type,
@@ -2721,12 +2725,14 @@ object ExtensionQueries {
         .parquet(tmp)
         .as[EventStream.Event]
       val sink = "x_stream_sessionize_parity_sink"
-      val sq = EventStream.sessionize(s, ev)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s, 4) {
+        val sq = EventStream.sessionize(s, ev)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       s.table(sink).select(col("user_id"), col("n_events"),
         timestamp_millis(col("start_ms")).as("session_start"),
         timestamp_millis(col("end_ms")).as("session_end"))
@@ -2789,12 +2795,14 @@ object ExtensionQueries {
           .parquet(tmp)
           .as[EventStream.Event]
         val sink = "x_stream_tws_counts_sink"
-        val sq = EventStream.runningUserCounts(s, ev)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
+        graft.streaming.EventStream.withStatePartitions(s, 4) {
+          val sq = EventStream.runningUserCounts(s, ev)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
         s.table(sink).groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"))
       } finally prev match {
@@ -3528,13 +3536,17 @@ object ExtensionQueries {
         .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
         .parquet(path)
       val sink = "x_stream_join_parity_sink"
-      val sq = EventStream.clickViewJoin(src(tc), src(tv),
-          horizon = "24 hours", delay = "48 hours")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      // state partitions sized to the single-file fixture (see
+      // EventStream.withStatePartitions — measured 3x on this query)
+      EventStream.withStatePartitions(s, 4) {
+        val sq = EventStream.clickViewJoin(src(tc), src(tv),
+            horizon = "24 hours", delay = "48 hours")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       s.table(sink)
         .select(col("click_id"), col("user_id"), col("click_ts"),
           col("view_id"), col("view_ts"))
@@ -3621,12 +3633,14 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1") // force the cross-batch path
         .parquet(tmp)
       val sink = "x_stream_dedup_parity_sink"
-      val sq = EventStream.dedupEvents(src, delay = "60 days")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s, 4) {
+        val sq = EventStream.dedupEvents(src, delay = "60 days")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       s.table(sink).select(col("event_id"), col("ts"), col("user_id"))
     },
     Some("""SELECT event_id, date_trunc('second', ts) AS ts, user_id

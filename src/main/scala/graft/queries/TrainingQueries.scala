@@ -110,6 +110,26 @@ object TrainingQueries {
       FROM islands GROUP BY 1, 2"""))
 
   // ---------------------------------------------------------------
+  // x_dedup_suffix_spans
+  // ---------------------------------------------------------------
+
+  /** EXACT longest-duplicated-substring spans via distributed suffix
+    * ordering (prefix doubling + adjacency LCP descent — Manber–Myers
+    * re-expressed as fixed-round joins; see Dedup.suffixSpans) — the
+    * suffix-array complement to the fixed-gram approximation above:
+    * x_dedup_dup_spans can only say "a 16-gram here repeats"; this
+    * measures the true duplicated span length, the quantity Lee et
+    * al. 2021 threshold on. Top-20 spans ≥ 8 tokens, both engines
+    * rebuilding the whole suffix order independently (md5 alphabet,
+    * dense ranks, −1 end sentinels, final remaining-length clamp). */
+  private val x_dedup_suffix_spans = Q(
+    "x_dedup_suffix_spans",
+    (s, d) => graft.ops.Dedup.suffixSpans(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    Some(graft.ops.Dedup.suffixSpansSql(
+      "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")))
+
+  // ---------------------------------------------------------------
   // x_curation_dsir
   // ---------------------------------------------------------------
 
@@ -2635,11 +2655,13 @@ object TrainingQueries {
       val agg = EventStream.chainedDailyRollup(
         EventStream.readEvents(s, tmp, format = "parquet"))
       val sink = "x_stream_chained_windows_sink"
-      val sq = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      graft.streaming.EventStream.withStatePartitions(s, 4) {
+        val sq = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       s.table(sink)
     },
     Some("""WITH mx AS (
@@ -3025,6 +3047,7 @@ object TrainingQueries {
       GROUP BY 1"""))
 
   val all: Seq[Q] = Seq(
+    x_dedup_suffix_spans,
     x_ml_prf_eval,
     x_events_rfm,
     x_events_survival,

@@ -26,6 +26,25 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Runs `f` (start a streaming query + await it) with
+    * `spark.sql.shuffle.partitions` pinned to `n`, restoring the
+    * session value after. Stateful streaming operators instantiate
+    * one state store PER shuffle partition PER stateful operator
+    * (a stream-stream join runs four), and every micro-batch pays a
+    * per-store floor (provider init, commit, snapshot bookkeeping) —
+    * so state partitioning must be sized to the stream's volume, not
+    * inherited from the batch default. At 100 TB this knob turns UP
+    * (state sharded across executors); on the parity fixtures it
+    * turns DOWN (32 partitions of a 60k-row fixture is pure floor —
+    * measured 3x on the stream-stream join). Batch plans are
+    * unaffected: the conf is restored before any sink read. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),

@@ -358,4 +358,59 @@ class DedupSpec extends SparkSpec {
     val joined = cov.select(col("doc_id"), col("dup_tokens")).join(cov3, "doc_id")
     assert(joined.filter(col("d3") > col("dup_tokens")).count() == 0)
   }
+
+  test("suffixSpans: planted cross-doc span found exactly, once, at its position") {
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared tail one two"),
+      (2L, s"x y $shared z"),
+      (3L, "totally unrelated words that never repeat anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.suffixSpans(docs, col("doc_id"), col("text"),
+        rounds = 6, minLcp = 8, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 1, s"expected exactly the planted pair, got ${out.toSeq}")
+    val (da, db, lss, pa, pb) = out(0)
+    assert((da, db) == (1L, 2L))
+    assert(lss == 12L, s"planted 12-token span, measured $lss")
+    assert(pa == 3L && pb == 2L, s"positions off: $pa, $pb")
+  }
+
+  test("suffixSpans: within-doc repetition reported as a self-pair") {
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (7L, s"$phrase bridge word $phrase"),
+      (8L, "other text with no repeats at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.suffixSpans(docs, col("doc_id"), col("text"),
+        rounds = 6, minLcp = 8, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out(0) == ((7L, 7L, 10L, 0L, 12L)), s"got ${out(0)}")
+  }
+
+  test("suffixSpans: depth cap clamps the measured LCP to 2^(rounds+1)-1") {
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    // rounds=2 -> max measurable 1+2+4 = 7 tokens
+    val capped = Dedup.suffixSpans(docs, col("doc_id"), col("text"),
+        rounds = 2, minLcp = 2, topN = 5)
+      .agg(max(col("lss_tokens"))).collect()(0).getLong(0)
+    assert(capped == 7L, s"cap should be 7, got $capped")
+    // rounds=6 -> exact 20
+    val exact = Dedup.suffixSpans(docs, col("doc_id"), col("text"),
+        rounds = 6, minLcp = 2, topN = 5)
+      .agg(max(col("lss_tokens"))).collect()(0).getLong(0)
+    assert(exact == 20L, s"exact LSS should be 20, got $exact")
+  }
+
+  test("suffixSpans is deterministic across partitionings (real documents)") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.suffixSpans(d, col("doc_id"), col("text"), topN = 10)
+        .collect().map(_.toSeq).toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+  }
 }
