@@ -31,6 +31,11 @@ import time
 
 import duckdb
 
+# One pathological oracle must not stall the whole baseline: queries
+# slower than this per RUN are recorded at the cap (a floor value for
+# the ratio -- Spark can only look better than reported).
+PER_RUN_TIMEOUT_S = 120.0
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -53,7 +58,13 @@ def main(sf_dir: str, oracle_json: str, out_path: str) -> int:
     for name in sorted(oracles):
         sql = oracles[name]
         try:
+            t0 = time.perf_counter()
             con.execute(sql).fetchall()  # warmup: page cache + plan
+            warm = time.perf_counter() - t0
+            if warm > PER_RUN_TIMEOUT_S:
+                walls[name] = round(warm, 4)
+                print(f"{name}: {warm:.4f}s (single run -- over cap)")
+                continue
             best = None
             for _ in range(3):
                 t0 = time.perf_counter()

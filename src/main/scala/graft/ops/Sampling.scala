@@ -357,6 +357,42 @@ object Sampling {
   def prioritySql(keyExpr: String, weightExpr: String): String =
     s"CAST($weightExpr AS DOUBLE) / CAST(${hashValueSql(keyExpr)} + 1 AS DOUBLE)"
 
+  /** Weighted sampling WITHOUT replacement, the Efraimidis–Spirakis
+    * A-Res scheme (2006): each row draws u ~ Uniform(0,1] from the
+    * engine-portable md5-56 hash and keeps key u^(1/w); the k largest
+    * keys are EXACTLY a weighted sample without replacement —
+    * inclusion probability proportional to weight among remaining
+    * rows at every draw, the distributional guarantee
+    * [[prioritySample]]'s w/u priority order (a Duffield–Lund–Thorup
+    * threshold estimator) does not make. Ranked by the monotone
+    * transform ln(u)/w instead of u^(1/w) itself (same order, one ln
+    * + one divide — the PMI/ln discipline), pico-quantized to a
+    * BIGINT with a key tiebreak so the cross-engine order is exact.
+    * Same plan shape as prioritySample: map-side expression +
+    * TakeOrderedAndProject, no global sort. */
+  def aresSample(df: org.apache.spark.sql.DataFrame, key: Column,
+                 weight: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val kc = Names.fresh("ares", df.columns)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(kc).desc, key)
+    df.filter(weight.isNotNull && weight > 0 && key.isNotNull)
+      .withColumn(kc,
+        round(log((hashValue(key).cast("double") + 1.0) / 7.2057594037927936e16)
+          / weight.cast("double") * 1e12).cast("long"))
+      .orderBy(col(kc).desc, key)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumnRenamed(kc, "key_pico")
+  }
+
+  /** DuckDB key expression equal to [[aresSample]]'s ln(u)/w pico
+    * key (rank and limit are the caller's QUALIFY/ORDER BY). */
+  def aresKeySql(keyExpr: String, weightExpr: String): String =
+    s"""CAST(ROUND(ln((CAST(${hashValueSql(keyExpr)} AS DOUBLE) + 1)
+       / 72057594037927936.0) / CAST($weightExpr AS DOUBLE) * 1e12)
+       AS BIGINT)"""
+
   /** Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
     * for massive data streams" — Google's resampling scheme for data
     * too large to permute): classical bootstrap resampling needs n

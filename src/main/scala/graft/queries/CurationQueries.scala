@@ -1545,6 +1545,81 @@ object CurationQueries {
       w.n_hit, w.v_zero, w.z_int, w.registers_csv AS regs_whole
     FROM __hll_m m CROSS JOIN __hll_w w"""))
 
+  /** AMS / CountSketch second-moment (F₂) estimate over the lineitem
+    * supplier stream — the join-size/self-join-size estimator of
+    * Alon–Matias–Szegedy 1996 in its CountSketch form (Charikar et
+    * al. 2002): d=5 hash rows × w=256 signed counters, F̂₂ = MEDIAN
+    * over rows of Σ_b counter_b². Complements the suite's existing
+    * frequency sketches (Count-Min answers point queries and never
+    * undercounts; CountSketch's signed cells make Σc² an UNBIASED F₂
+    * estimator). The md5-56 hash family is engine-portable, so the
+    * oracle replays every cell, every row estimate, and the median —
+    * bit-exact, no tolerance. Emitted next to the exact F₂ with the
+    * relative error, so the estimate is CHECKED, not asserted.
+    *
+    * Scale shape: the only corpus-sized op is one combinable
+    * SUM(sign) into d·w = 1280 cells (explode ×5 is map-side, rows
+    * never shuffle); everything after runs on ≤1280 rows. BIGINT
+    * headroom: Σ_b c² ≤ w·(n/1)² needs n ≲ 6·10⁹ stream rows — past
+    * that, widen the cell squares to DECIMAL(38,0) on both engines. */
+  private val x_sketch_countsketch_f2 = Q(
+    "x_sketch_countsketch_f2",
+    (s, d) => {
+      val items = Tables.lineitem(s, d).select(col("l_suppkey").as("k"))
+        .localCheckpoint(true) // sketch pass + the exact-F2 pass
+      val cells = items
+        .withColumn("r", explode(lit((0 until 5).toArray)))
+        .withColumn("h", Sampling.hashValue(concat(lit("cs"),
+          col("r").cast("string"), lit(":"), col("k").cast("string"))))
+        .select(col("r"), (col("h") % 256).as("b"),
+          expr("1 - 2 * ((h DIV 256) % 2)").as("sgn"))
+        .groupBy(col("r"), col("b"))
+        .agg(sum(col("sgn")).as("c"))
+      val ests = cells.groupBy(col("r"))
+        .agg(sum(col("c") * col("c")).as("est"))
+      val wMed = org.apache.spark.sql.expressions.Window
+        .orderBy(col("est"), col("r"))
+      val med = ests.withColumn("rn", row_number().over(wMed))
+        .filter(col("rn") === 3) // median of the 5 row estimates
+        .select(col("est").as("est_f2"))
+      val exact = items.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("exact_f2"))
+      exact.crossJoin(broadcast(med))
+        .select(col("n_rows"), col("n_keys"), col("exact_f2"),
+          col("est_f2"),
+          round((col("est_f2") - col("exact_f2")).cast("double")
+            / col("exact_f2").cast("double"), 6).as("rel_err"))
+    },
+    Some(s"""WITH items AS (SELECT l_suppkey AS k FROM lineitem),
+      hashed AS (
+        SELECT u.r AS r,
+          ${Sampling.hashValueSql(
+            "'cs' || CAST(u.r AS VARCHAR) || ':' || CAST(k AS VARCHAR)")}
+            AS h
+        FROM items, unnest([0, 1, 2, 3, 4]) AS u(r)),
+      cells AS (
+        SELECT r, h % 256 AS b,
+          CAST(SUM(1 - 2 * ((h // 256) % 2)) AS BIGINT) AS c
+        FROM hashed GROUP BY 1, 2),
+      ests AS (
+        SELECT r, CAST(SUM(c * c) AS BIGINT) AS est
+        FROM cells GROUP BY 1),
+      med AS (
+        SELECT est AS est_f2 FROM (
+          SELECT est, ROW_NUMBER() OVER (ORDER BY est, r) AS rn
+          FROM ests) WHERE rn = 3),
+      ex AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(c * c) AS BIGINT) AS exact_f2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM items GROUP BY k))
+      SELECT n_rows, n_keys, exact_f2, est_f2,
+        ROUND(CAST(est_f2 - exact_f2 AS DOUBLE)
+          / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
+      FROM ex CROSS JOIN med"""))
+
   /** Q-digest quantile sketch over the order-price distribution
     * ([[Sketches.qdigestBuild]]: domain = price/10 in a 16-bit dyadic
     * tree, k = 800) — the output IS the digest: every surviving
@@ -2054,6 +2129,7 @@ object CurationQueries {
     x_dedup_containment,
     x_multimodal_audio_frames,
     x_sketch_countmin,
+    x_sketch_countsketch_f2,
     x_dq_k_anonymity,
     x_text_regex_tokens,
     x_text_bigram_logprob,

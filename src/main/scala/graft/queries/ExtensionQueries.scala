@@ -1093,6 +1093,29 @@ object ExtensionQueries {
     FROM t
     QUALIFY rank <= 100"""))
 
+  /** Weighted sampling WITHOUT replacement (Sampling.aresSample —
+    * Efraimidis–Spirakis A-Res): top-100 documents by the ln(u)/w
+    * exponential key with w = n_chars, the scheme whose inclusion
+    * probabilities are exactly weight-proportional-without-replacement
+    * (the distributional guarantee the w/u priority sample above
+    * doesn't make). Same TakeOrderedAndProject plan shape; the pico-
+    * quantized key is emitted so the oracle pins the whole order. */
+  private val x_sample_ares = Q(
+    "x_sample_ares",
+    (s, d) => Sampling.aresSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      col("doc_id"), col("n_chars"), k = 100),
+    Some(s"""WITH t AS (
+      SELECT doc_id, lang, n_chars,
+        ${Sampling.aresKeySql("doc_id", "n_chars")} AS key_pico
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL)
+    SELECT doc_id, lang, n_chars, key_pico,
+      CAST(ROW_NUMBER() OVER (ORDER BY key_pico DESC, doc_id) AS INTEGER)
+        AS rank
+    FROM t
+    QUALIFY rank <= 100"""))
+
   /** Corpus mixture control (Sampling): language-balanced remix of the
     * documents table — downsample dominant `en` to 40% via the per-domain
     * hash predicate, then fractional repetition weights (de×2.5, zh×0.4)
@@ -3991,6 +4014,7 @@ object ExtensionQueries {
     x_split_sample,
     x_stratified_sample,
     x_sample_priority,
+    x_sample_ares,
     x_mixture_weighted,
     x_pack_sequences,
     x_decontaminate,

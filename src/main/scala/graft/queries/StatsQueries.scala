@@ -668,6 +668,80 @@ object StatsQueries {
         FROM (SELECT COUNT(*) AS c FROM $t GROUP BY $k)"""
       }.mkString("\nUNION ALL\n")))
 
+  // ---------------------------------------------------------------
+  // x_stat_theil_sen
+  // ---------------------------------------------------------------
+
+  /** Theil–Sen robust trend estimate over the daily event-count
+    * series: slope = MEDIAN of all pairwise slopes (y_j−y_i)/(d_j−d_i),
+    * intercept = median of (y_i − slope·d_i) — the 29.3%-breakdown
+    * alternative to the OLS trend line (Sen 1968), the estimator a
+    * monitoring pipeline wants when a deploy-day outlier would drag
+    * least squares.
+    *
+    * Exactness: slopes are carried as truncating integer micro units
+    * ((Δy·10⁶) DIV Δd — both engines truncate toward zero), medians
+    * are the LOWER median picked by rank — no floats anywhere. Scale
+    * shape: ONE combinable daily count touches the corpus; the
+    * pairwise frame is calendar² (≤366² ≈ 134k rows — bounded at any
+    * corpus size), and the median windows run only over it. */
+  private val x_stat_theil_sen = Q(
+    "x_stat_theil_sen",
+    (s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(datediff(col("day"), to_date(lit("1970-01-01")))
+          .cast("long").as("dn"), col("y"))
+        .localCheckpoint(true) // pair join (×2) + the intercept pass
+      val pairs = daily.select(col("dn").as("di"), col("y").as("yi"))
+        .join(daily.select(col("dn").as("dj"), col("y").as("yj")),
+          col("dj") > col("di"))
+        .select(col("di"), col("dj"),
+          expr("(yj - yi) * 1000000 DIV (dj - di)").as("sm"))
+      val wS = Window.orderBy(col("sm"), col("di"), col("dj"))
+      val slope = pairs
+        .withColumn("rn", row_number().over(wS))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+        .select(col("n_pairs"), col("sm").as("slope_micro"))
+      val wI = Window.orderBy(col("im"), col("dn"))
+      daily.crossJoin(broadcast(slope))
+        .select(col("n_pairs"), col("slope_micro"), col("dn"),
+          (col("y") * 1000000L - col("slope_micro") * col("dn")).as("im"))
+        .withColumn("rn", row_number().over(wI))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+        .filter(col("rn") === expr("(n_days + 1) DIV 2"))
+        .select(col("n_days"), col("n_pairs"), col("slope_micro"),
+          col("im").as("intercept_micro"))
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+          CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1),
+      pairs AS (
+        SELECT a.di, a.dj, (a.yj - a.yi) * 1000000 // (a.dj - a.di) AS sm
+        FROM (SELECT i.dn AS di, i.y AS yi, j.dn AS dj, j.y AS yj
+              FROM daily i JOIN daily j ON j.dn > i.dn) a),
+      slope AS (
+        SELECT n_pairs, sm AS slope_micro FROM (
+          SELECT sm, di, dj,
+            ROW_NUMBER() OVER (ORDER BY sm, di, dj) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+          FROM pairs)
+        WHERE rn = (n_pairs + 1) // 2),
+      inter AS (
+        SELECT n_days, n_pairs, slope_micro, im AS intercept_micro FROM (
+          SELECT s.n_pairs, s.slope_micro, d.dn,
+            d.y * 1000000 - s.slope_micro * d.dn AS im,
+            ROW_NUMBER() OVER (ORDER BY d.y * 1000000 - s.slope_micro * d.dn,
+              d.dn) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+          FROM daily d CROSS JOIN slope s)
+        WHERE rn = (n_days + 1) // 2)
+      SELECT n_days, n_pairs, slope_micro, intercept_micro FROM inter"""))
+
   val all: Seq[Q] = Seq(
     x_dq_pk_uniqueness,
     x_stat_ks_test,
@@ -675,6 +749,7 @@ object StatsQueries {
     x_stat_anova,
     x_stat_spearman,
     x_stat_cusum_changepoint,
+    x_stat_theil_sen,
     x_ts_acf,
     x_ml_feature_mi,
     x_dq_ref_integrity)

@@ -483,6 +483,74 @@ object TimeSeriesQueries {
     QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, bucket
       ORDER BY area DESC NULLS LAST, rn) = 1"""))
 
+  /** Matrix profile over the daily event-count series (Yeh et al.
+    * 2016, the motif/discord primitive): for every length-7
+    * subsequence of the day-ordered series, the squared-L2 distance
+    * to its nearest non-trivial neighbor (exclusion zone |i−j| < 4 =
+    * ⌈m/2⌉, the standard trivial-match guard) and WHERE that neighbor
+    * sits. Low profile values = repeated weekly motifs; the maximum =
+    * the series' discord (anomalous week). Distances are exact BIGINT
+    * sums of squared count differences — no z-normalization floats;
+    * argmin tie-breaks to the earlier neighbor day.
+    *
+    * Scale shape: ONE combinable daily count touches the corpus;
+    * subsequences come from a bounded rows-frame window over the
+    * calendar frame, and the all-pairs join is calendar² (≤366² —
+    * bounded at any corpus size, the Theil–Sen discipline). For
+    * minute-level series the banded/STOMP refinement bounds pairs;
+    * at daily grain the exact quadratic IS the cheap option. */
+  private val x_ts_matrix_profile = Q(
+    "x_ts_matrix_profile",
+    (s, d) => {
+      val m = 7
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(datediff(col("day"), to_date(lit("1970-01-01")))
+          .cast("long").as("dn"), col("y"))
+      val wOrd = Window.orderBy(col("dn"))
+      val subs = daily
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("v",
+          collect_list(col("y")).over(wOrd.rowsBetween(0, m - 1)))
+        .filter(size(col("v")) === m)
+        .localCheckpoint(true) // both sides of the pair join
+      val a = subs.select(col("rn").as("ri"), col("dn").as("dni"),
+        col("v").as("va"))
+      val b = subs.select(col("rn").as("rj"), col("dn").as("dnj"),
+        col("v").as("vb"))
+      val prof = a.join(b, abs(col("ri") - col("rj")) >= m / 2 + 1)
+        .select(col("ri"), col("dni"), col("dnj"),
+          expr("""aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)),
+            | 0L, (acc, e) -> acc + e)""".stripMargin).as("d2"))
+        .groupBy(col("ri"), col("dni"))
+        .agg(min(struct(col("d2"), col("dnj"))).as("b"))
+      prof.select(col("dni").as("dn"), col("b.dnj").as("nn_dn"),
+        col("b.d2").as("dist2"))
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+          CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1),
+      subs AS (
+        SELECT dn, rn, v FROM (
+          SELECT dn, ROW_NUMBER() OVER (ORDER BY dn) AS rn,
+            list(y) OVER (ORDER BY dn
+              ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS v
+          FROM daily)
+        WHERE len(v) = 7),
+      pairs AS (
+        SELECT a.rn AS ri, a.dn AS dni, b.dn AS dnj,
+          CAST(list_sum(list_transform(range(1, 8),
+            i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS BIGINT) AS d2
+        FROM subs a JOIN subs b ON abs(a.rn - b.rn) >= 4)
+      SELECT dni AS dn, dnj AS nn_dn, d2 AS dist2 FROM (
+        SELECT dni, dnj, d2,
+          ROW_NUMBER() OVER (PARTITION BY ri ORDER BY d2, dnj) AS pick
+        FROM pairs)
+      WHERE pick = 1"""))
+
   def all: Seq[Q] = Seq(
     x_ts_locf,
     x_ts_rolling,
@@ -493,5 +561,6 @@ object TimeSeriesQueries {
     x_ts_ewma,
     x_ts_interval_union,
     x_ts_lttb,
+    x_ts_matrix_profile,
   )
 }

@@ -130,6 +130,159 @@ object TrainingQueries {
       "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")))
 
   // ---------------------------------------------------------------
+  // x_graph_louvain_move
+  // ---------------------------------------------------------------
+
+  /** One SYNCHRONOUS Louvain local-move phase over the
+    * customer–supplier order graph, starting from the nation
+    * partition (the modularity query's communities): every node
+    * evaluates the modularity gain of moving to each NEIGHBORING
+    * community against staying, all moves applied simultaneously —
+    * the parallel-Louvain formulation (Staudt & Meyerhenke's PLM;
+    * classic sequential Louvain is visit-order-dependent and thus
+    * not engine-replayable). Gains are compared as the EXACT integer
+    * S-scaled form: move score(C) = S·k_i,in(C) − k_i·Σtot(C), stay
+    * score = S·k_i,in(D) − k_i·(Σtot(D) − k_i) — no floats anywhere;
+    * a node moves iff its best candidate STRICTLY beats staying
+    * (ties → stay; candidate ties → smaller community label).
+    *
+    * Scale shape: the symmetrized edge list is streamed once into
+    * the (node, neighbor-community) count (edge-linear, map-side
+    * label broadcast); degrees are one node-sized groupBy; Σtot is
+    * ≤|C| rows broadcast back. Output is the bounded from→to move
+    * matrix (≤|C|²) with exact score deltas. */
+  private val x_graph_louvain_move = Q(
+    "x_graph_louvain_move",
+    (s, d) => {
+      val dir = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val sym = dir.unionByName(
+          dir.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true) // degree pass + neighbor-community pass
+      val labels = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("node"),
+          col("c_nationkey").cast("long").as("label"))
+        .unionByName(Tables.supplier(s, d)
+          .select((col("s_suppkey") * 2 + 1).as("node"),
+            col("s_nationkey").cast("long").as("label")))
+        .localCheckpoint(true) // three broadcast consumers
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint(true) // sigma pass + per-node score pass
+      val sigma = broadcast(deg.join(labels, "node")
+        .groupBy(col("label")).agg(sum(col("k")).as("tot")))
+      val sTot = sym.agg(count(lit(1)).as("s"))
+      // k_i,in(C): sym edges from each node into each neighbor community
+      val kin = sym
+        .join(broadcast(labels.select(col("node").as("dst"),
+          col("label").as("c"))), "dst")
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(count(lit(1)).as("kin"))
+      val base = deg.join(broadcast(labels), "node")
+        .withColumnRenamed("label", "from_label")
+        .join(sigma.withColumnRenamed("label", "from_label")
+          .withColumnRenamed("tot", "tot_d"), "from_label")
+        .crossJoin(broadcast(sTot))
+        .localCheckpoint(true) // stay-score side + candidate side
+      val stay = base
+        .join(kin.withColumnRenamed("c", "from_label")
+          .withColumnRenamed("kin", "kin_d"),
+          Seq("node", "from_label"), "left")
+        .select(col("node"), col("from_label"), col("k"), col("s"),
+          (col("s") * coalesce(col("kin_d"), lit(0L))
+            - col("k") * (col("tot_d") - col("k"))).as("stay_score"))
+      val cand = base.join(kin, "node")
+        .filter(col("c") =!= col("from_label"))
+        .join(sigma.withColumnRenamed("label", "c")
+          .withColumnRenamed("tot", "tot_c"), "c")
+        .select(col("node"),
+          col("c"), (col("s") * col("kin") - col("k") * col("tot_c"))
+            .as("cand_score"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cand_score"), (-col("c")).as("nc"))).as("b"))
+        .select(col("node"), col("b.cand_score").as("best_score"),
+          (-col("b.nc")).as("to_label"))
+      val moves = stay.join(cand, Seq("node"), "left")
+        .select(col("node"), col("from_label"),
+          when(col("best_score") > col("stay_score"), col("to_label"))
+            .otherwise(col("from_label")).as("to_label"),
+          when(col("best_score") > col("stay_score"),
+            col("best_score") - col("stay_score")).otherwise(lit(0L))
+            .as("delta"))
+      val tot = moves.agg(count(lit(1)).as("n_nodes"),
+        count(when(col("to_label") =!= col("from_label"), 1)).as("n_moved"))
+      moves.filter(col("to_label") =!= col("from_label"))
+        .groupBy(col("from_label"), col("to_label"))
+        .agg(count(lit(1)).as("n"), sum(col("delta")).as("delta_sum"))
+        .crossJoin(broadcast(tot))
+    },
+    Some("""WITH raw AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      sym AS (
+        SELECT src, dst FROM raw
+        UNION ALL SELECT dst AS src, src AS dst FROM raw),
+      labels AS (
+        SELECT c_custkey * 2 AS node, CAST(c_nationkey AS BIGINT) AS label
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey * 2 + 1 AS node, CAST(s_nationkey AS BIGINT)
+        FROM supplier),
+      deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+        FROM sym GROUP BY 1),
+      sigma AS (
+        SELECT label, CAST(SUM(k) AS BIGINT) AS tot
+        FROM deg JOIN labels USING (node) GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM sym),
+      kin AS (
+        SELECT e.src AS node, l.label AS c, CAST(COUNT(*) AS BIGINT) AS kin
+        FROM sym e JOIN labels l ON e.dst = l.node
+        GROUP BY 1, 2),
+      base AS (
+        SELECT d.node, d.k, lb.label AS from_label, sg.tot AS tot_d, st.s
+        FROM deg d
+        JOIN labels lb USING (node)
+        JOIN sigma sg ON sg.label = lb.label
+        CROSS JOIN st),
+      stay AS (
+        SELECT b.node, b.from_label, b.k, b.s,
+          b.s * COALESCE(kd.kin, 0) - b.k * (b.tot_d - b.k) AS stay_score
+        FROM base b
+        LEFT JOIN kin kd ON kd.node = b.node AND kd.c = b.from_label),
+      cand AS (
+        SELECT node, best_score, to_label FROM (
+          SELECT b.node,
+            b.s * kn.kin - b.k * sc.tot AS best_score,
+            kn.c AS to_label,
+            ROW_NUMBER() OVER (PARTITION BY b.node
+              ORDER BY b.s * kn.kin - b.k * sc.tot DESC, kn.c) AS rn
+          FROM base b
+          JOIN kin kn ON kn.node = b.node AND kn.c <> b.from_label
+          JOIN sigma sc ON sc.label = kn.c) t
+        WHERE rn = 1 AND best_score IS NOT NULL),
+      moves AS (
+        SELECT s.node, s.from_label,
+          CASE WHEN c.best_score > s.stay_score THEN c.to_label
+            ELSE s.from_label END AS to_label,
+          CASE WHEN c.best_score > s.stay_score
+            THEN c.best_score - s.stay_score ELSE 0 END AS delta
+        FROM stay s LEFT JOIN cand c USING (node)),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(CASE WHEN to_label <> from_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+        FROM moves)
+      SELECT from_label, to_label, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(delta) AS BIGINT) AS delta_sum, n_nodes, n_moved
+      FROM moves CROSS JOIN tot
+      WHERE to_label <> from_label
+      GROUP BY 1, 2, n_nodes, n_moved"""))
+
+  // ---------------------------------------------------------------
   // x_curation_dsir
   // ---------------------------------------------------------------
 
@@ -3048,6 +3201,7 @@ object TrainingQueries {
 
   val all: Seq[Q] = Seq(
     x_dedup_suffix_spans,
+    x_graph_louvain_move,
     x_ml_prf_eval,
     x_events_rfm,
     x_events_survival,

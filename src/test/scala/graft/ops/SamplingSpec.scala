@@ -302,4 +302,32 @@ class SamplingSpec extends SparkSpec {
       .collect().head.toSeq
     assert(a == b)
   }
+
+  test("aresSample: k rows, contiguous ranks, weight-biased inclusion") {
+    // 900 weight-1 rows + 100 weight-50 rows: under A-Res without
+    // replacement the heavy rows' inclusion mass dominates — a k=100
+    // sample must be mostly heavy rows (each heavy row's key beats a
+    // light row's with prob 50/51)
+    val rows = (0 until 1000)
+      .map(i => (i.toLong, if (i < 100) 50L else 1L)).toDF("id", "w")
+    val out = Sampling.aresSample(rows, $"id", $"w", k = 100)
+      .select($"id", $"rank").as[(Long, Int)].collect()
+    assert(out.length == 100)
+    assert(out.map(_._2).sorted.toSeq == (1 to 100))
+    val heavy = out.count(_._1 < 100)
+    assert(heavy >= 60, s"weighting ignored: only $heavy/100 heavy rows")
+    // no duplicates — without replacement by construction
+    assert(out.map(_._1).distinct.length == 100)
+  }
+
+  test("aresSample excludes non-positive weights and is repartition-stable") {
+    val rows = (0 until 300)
+      .map(i => (i.toLong, if (i % 3 == 0) 0L else i.toLong)).toDF("id", "w")
+    val a = Sampling.aresSample(rows, $"id", $"w", k = 50)
+      .select($"id").as[Long].collect().toSeq
+    val b = Sampling.aresSample(rows.repartition(7), $"id", $"w", k = 50)
+      .select($"id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a.forall(_ % 3 != 0), "zero-weight rows leaked into the sample")
+  }
 }
