@@ -3110,6 +3110,134 @@ object ExtensionQueries {
     SELECT entity_id, match_id, sim FROM pairs
     QUALIFY ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY sim DESC, match_id) = 1"""))
 
+  /** Fellegi–Sunter probabilistic record linkage (the 1969 model under
+    * Splink/RecordLinkage-style ER): candidate pairs from blocking,
+    * per-field agreement patterns, log-likelihood match weights
+    * w = ln(m/u) on agreement and ln((1−m)/(1−u)) on disagreement, and
+    * a three-way link / possible / non-link decision on the summed
+    * weight. m-probabilities are fixed literals (the usual cold-start
+    * choice before EM); u-probabilities — P(agree | random pair) — are
+    * ESTIMATED FROM THE DATA exactly as Σ_v n_v²/N² per field, each an
+    * exact-integer Σn_v² over a combinable value-count aggregate.
+    * Weights follow the one-transcendental-then-micro-quantize
+    * discipline (ln once, ROUND(·10⁶), integer sums after), so the
+    * pair scores and the decision are exact integer arithmetic.
+    *
+    * Scale shape (the x_er_jarowinkler lesson): pairs are enumerated
+    * between DISTINCT (block, compared-fields) combos — multiplicity
+    * carried as a count, within-combo pairs counted n(n−1)/2 in closed
+    * form — so pair volume scales with the SATURATING attribute
+    * vocabulary, not (duplicates/record)². Output is the bounded
+    * 3-row classification rollup (pair counts and score range). */
+  private val x_er_fellegi_sunter = Q(
+    "x_er_fellegi_sunter",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"),
+        split(col("p_name"), " ").getItem(0).as("w1"),
+        split(col("p_name"), " ").getItem(1).as("w2"))
+      def s2(c: String): org.apache.spark.sql.DataFrame = p.groupBy(col(c))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") * col("cnt")).cast("long").as(s"s2_$c"))
+      val consts = p.agg(count(lit(1)).cast("long").as("n"))
+        .crossJoin(s2("p_type")).crossJoin(s2("w1")).crossJoin(s2("w2"))
+      def wAgree(m: String, s2c: String) =
+        s"CAST(ROUND(LN(CAST('$m' AS DOUBLE) / (CAST($s2c AS DOUBLE)" +
+          s" / (CAST(n AS DOUBLE) * n))) * 1000000) AS BIGINT)"
+      def wDis(oneMinusM: String, s2c: String) =
+        s"CAST(ROUND(LN(CAST('$oneMinusM' AS DOUBLE) / (CAST(1 AS DOUBLE)" +
+          s" - CAST($s2c AS DOUBLE) / (CAST(n AS DOUBLE) * n))) * 1000000)" +
+          " AS BIGINT)"
+      val weights = consts.select(
+        expr(wAgree("0.9", "s2_p_type")).as("wa_t"),
+        expr(wDis("0.1", "s2_p_type")).as("wd_t"),
+        expr(wAgree("0.95", "s2_w1")).as("wa_w"),
+        expr(wDis("0.05", "s2_w1")).as("wd_w"),
+        expr(wAgree("0.85", "s2_w2")).as("wa_v"),
+        expr(wDis("0.15", "s2_w2")).as("wd_v"))
+      val combos = p
+        .groupBy(col("p_brand"), col("p_size"), col("p_type"),
+          col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("cn"),
+          min(col("p_partkey")).as("rep"))
+      val a = combos.select(col("p_brand"), col("p_size"),
+        col("p_type").as("t_a"), col("w1").as("w_a"), col("w2").as("v_a"),
+        col("cn").as("n_a"), col("rep").as("rep_a"))
+      val b = combos.select(col("p_brand"), col("p_size"),
+        col("p_type").as("t_b"), col("w1").as("w_b"), col("w2").as("v_b"),
+        col("cn").as("n_b"), col("rep").as("rep_b"))
+      val cross = a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("rep_a") < col("rep_b"))
+        .crossJoin(broadcast(weights))
+        .select(
+          (col("n_a") * col("n_b")).as("np"),
+          (when(col("t_a") === col("t_b"), col("wa_t")).otherwise(col("wd_t"))
+            + when(col("w_a") === col("w_b"), col("wa_w")).otherwise(col("wd_w"))
+            + when(col("v_a") === col("v_b"), col("wa_v")).otherwise(col("wd_v")))
+            .as("score_micro"))
+      val within = combos.filter(col("cn") >= 2)
+        .crossJoin(broadcast(weights))
+        .select(expr("cn * (cn - 1) DIV 2").as("np"),
+          (col("wa_t") + col("wa_w") + col("wa_v")).as("score_micro"))
+      cross.unionByName(within)
+        .withColumn("classification",
+          when(col("score_micro") >= 2000000L, "link")
+            .when(col("score_micro") <= 0L, "non_link")
+            .otherwise("possible"))
+        .groupBy(col("classification"))
+        .agg(sum(col("np")).cast("long").as("n_pairs"),
+          min(col("score_micro")).as("min_score_micro"),
+          max(col("score_micro")).as("max_score_micro"))
+    },
+    Some("""WITH p AS (
+      SELECT p_partkey, p_brand, p_size, p_type,
+        split_part(p_name, ' ', 1) AS w1,
+        split_part(p_name, ' ', 2) AS w2
+      FROM part),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+    s2t AS (SELECT CAST(SUM(c * c) AS BIGINT) AS s2_p_type
+      FROM (SELECT COUNT(*) AS c FROM p GROUP BY p_type)),
+    s2w AS (SELECT CAST(SUM(c * c) AS BIGINT) AS s2_w1
+      FROM (SELECT COUNT(*) AS c FROM p GROUP BY w1)),
+    s2v AS (SELECT CAST(SUM(c * c) AS BIGINT) AS s2_w2
+      FROM (SELECT COUNT(*) AS c FROM p GROUP BY w2)),
+    w AS (
+      SELECT
+        CAST(ROUND(LN(CAST('0.9' AS DOUBLE) / (CAST(s2_p_type AS DOUBLE)
+          / (CAST(n AS DOUBLE) * n))) * 1000000) AS BIGINT) AS wa_t,
+        CAST(ROUND(LN(CAST('0.1' AS DOUBLE) / (CAST(1 AS DOUBLE)
+          - CAST(s2_p_type AS DOUBLE) / (CAST(n AS DOUBLE) * n)))
+          * 1000000) AS BIGINT) AS wd_t,
+        CAST(ROUND(LN(CAST('0.95' AS DOUBLE) / (CAST(s2_w1 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * n))) * 1000000) AS BIGINT) AS wa_w,
+        CAST(ROUND(LN(CAST('0.05' AS DOUBLE) / (CAST(1 AS DOUBLE)
+          - CAST(s2_w1 AS DOUBLE) / (CAST(n AS DOUBLE) * n)))
+          * 1000000) AS BIGINT) AS wd_w,
+        CAST(ROUND(LN(CAST('0.85' AS DOUBLE) / (CAST(s2_w2 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * n))) * 1000000) AS BIGINT) AS wa_v,
+        CAST(ROUND(LN(CAST('0.15' AS DOUBLE) / (CAST(1 AS DOUBLE)
+          - CAST(s2_w2 AS DOUBLE) / (CAST(n AS DOUBLE) * n)))
+          * 1000000) AS BIGINT) AS wd_v
+      FROM tot CROSS JOIN s2t CROSS JOIN s2w CROSS JOIN s2v),
+    pairs AS (
+      SELECT
+        (CASE WHEN a.p_type = b.p_type THEN wa_t ELSE wd_t END)
+        + (CASE WHEN a.w1 = b.w1 THEN wa_w ELSE wd_w END)
+        + (CASE WHEN a.w2 = b.w2 THEN wa_v ELSE wd_v END) AS score_micro
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          AND a.p_partkey < b.p_partkey
+      CROSS JOIN w)
+    SELECT
+      CASE WHEN score_micro >= 2000000 THEN 'link'
+        WHEN score_micro <= 0 THEN 'non_link'
+        ELSE 'possible' END AS classification,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(MIN(score_micro) AS BIGINT) AS min_score_micro,
+      CAST(MAX(score_micro) AS BIGINT) AS max_score_micro
+    FROM pairs
+    GROUP BY 1"""))
+
   /** Entity resolution END-TO-END: the [[x_er_jarowinkler]] match graph
     * (blocked Jaro-Winkler pairs, a < b) closed into entity CLUSTERS by
     * [[Dedup.connectedComponents]], then collapsed to one GOLDEN RECORD
@@ -3945,6 +4073,91 @@ object ExtensionQueries {
         THEN ROUND(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) END AS ndcg
     FROM agg"""))
 
+  /** Sequential-pattern mining (the GSP/PrefixSpan support-counting
+    * step): for every ordered type pair (a, b), the number of users
+    * whose event sequence contains SOME a strictly before SOME b —
+    * the gap-tolerant generalization of x_events_markov (adjacent
+    * transitions only) and the ordered complement of x_events_cooccur
+    * (co-presence, order-blind). Plus confidence (support / users-
+    * with-a) and lift against independence, both in exact integer
+    * micro.
+    *
+    * The subsequence test compresses to interval arithmetic: with
+    * idx = row_number over each user's (ts, event_id) order, "a
+    * before b" holds iff min_idx(a) < max_idx(b) — so the corpus
+    * collapses to ONE window pass plus a combinable (user, type)
+    * min/max aggregate, and the pair test is a per-user self-join of
+    * that |types|-bounded frame. Scale shape: window partitioned by
+    * user (fine-grained), per-user frames ≤ |types| rows, pair counts
+    * combinable; output is ≤ |types|² however large the corpus. */
+  private val x_events_seqmine = Q(
+    "x_events_seqmine",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val idx = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("idx"))
+      val ut = idx.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("idx")).as("mi"), max(col("idx")).as("ma"))
+      val nUsers = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val typeSupport = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"),
+        col("mi"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"),
+        col("ma"))
+      val pairs = a.join(b, Seq("user_id"))
+        .filter(col("type_a") =!= col("type_b") && col("mi") < col("ma"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).cast("long").as("support"))
+      pairs
+        .join(broadcast(typeSupport.select(
+          col("event_type").as("type_a"), col("n_t").as("n_a"))), Seq("type_a"))
+        .join(broadcast(typeSupport.select(
+          col("event_type").as("type_b"), col("n_t").as("n_b"))), Seq("type_b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"), col("support"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          expr("support * 1000000 DIV n_a").as("confidence_micro"),
+          // the support·users·10⁶ product passes 9.2e18 around 10⁹
+          // users — widen to DECIMAL(38,0) like the ANOVA sums
+          expr("CAST(CAST(support AS DECIMAL(38,0)) * n_users * 1000000" +
+            " DIV (n_a * n_b) AS BIGINT)").as("lift_micro"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS idx
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    ut AS (
+      SELECT user_id, event_type,
+        CAST(MIN(idx) AS BIGINT) AS mi, CAST(MAX(idx) AS BIGINT) AS ma
+      FROM e GROUP BY 1, 2),
+    nu AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+    ts_sup AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS support
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        AND a.event_type <> b.event_type AND a.mi < b.ma
+      GROUP BY 1, 2)
+    SELECT type_b, type_a, support,
+      sa.n_t AS n_a, sb.n_t AS n_b,
+      support * 1000000 // sa.n_t AS confidence_micro,
+      CAST(CAST(support AS DECIMAL(38,0)) * n_users * 1000000
+        // (sa.n_t * sb.n_t) AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN ts_sup sa ON sa.event_type = type_a
+    JOIN ts_sup sb ON sb.event_type = type_b
+    CROSS JOIN nu"""))
+
   def all: Seq[Q] = Seq(
     x_graph_triangles,
     x_graph_lcc,
@@ -3965,6 +4178,7 @@ object ExtensionQueries {
     x_dedup_editdist,
     x_er_jarowinkler,
     x_er_soundex,
+    x_er_fellegi_sunter,
     x_scale_salted,
     x_dedup_pipeline,
     x_dedup_jaccard,
@@ -3993,6 +4207,7 @@ object ExtensionQueries {
     x_plan_skyline_pushdown,
     x_events_cooccur,
     x_events_markov,
+    x_events_seqmine,
     x_source_schema_merge,
     x_dq_k_generalize,
     x_sample_negatives,

@@ -742,6 +742,150 @@ object StatsQueries {
         WHERE rn = (n_days + 1) // 2)
       SELECT n_days, n_pairs, slope_micro, intercept_micro FROM inter"""))
 
+  // ---------------------------------------------------------------
+  // x_stat_bh_fdr
+  // ---------------------------------------------------------------
+
+  /** Benjamini–Hochberg FDR control over a family of per-event-type
+    * goodness-of-fit tests — the multiple-testing correction any
+    * monitoring stack needs once it runs one drift test PER SEGMENT
+    * (the x_dq_drift / x_stat_chi2 queries each test one hypothesis;
+    * at |types| hypotheses the naive α inflates the false-alarm rate).
+    *
+    * Per type: χ² of the 3-bucket time-of-day distribution (hour DIV 8)
+    * against the pooled distribution, df = 2 — chosen because at df = 2
+    * the χ² survival function is EXACTLY p = exp(−χ²/2), so the p-value
+    * needs no incomplete-gamma machinery. Determinism discipline:
+    * the χ² itself is exact-integer work (the (O·N − n_t·N_b)² numerator
+    * in DECIMAL(38,0), denominators likewise) finalized once per bucket
+    * in double through an IDENTICAL fixed-association expression tree
+    * on both engines (+,−,×,÷ are IEEE-correctly-rounded per op, so the
+    * doubles are bit-identical); then ONE transcendental micro-quantized
+    * (p_micro = round(exp(−χ²/2)·10⁶) — the GMM-E-step/PMI discipline),
+    * and the BH step-up decision is pure integer arithmetic:
+    * reject ranks 1..k where k = max{i : p_micro(i)·m ≤ i·100000}
+    * (α = 0.10 ⇒ i·α·10⁶ = i·100000).
+    *
+    * Scale shape: ONE combinable (type, bucket) count over the corpus;
+    * the grid completion, pivot, χ², ranking, and the BH window max all
+    * run on the ≤|types|·3 frame — bounded at any corpus size. */
+  private val x_stat_bh_fdr = Q(
+    "x_stat_bh_fdr",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr("hour(ts) DIV 8").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      // complete the |types|x3 grid so zero-count buckets still
+      // contribute their expected-count term
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(
+          s.range(3).select(col("id").cast("long").as("bucket"))))
+      val full = grid.join(counts, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("o"))
+      val bucketTot = full.groupBy(col("bucket"))
+        .agg(sum(col("o")).as("nb"))
+      val pooled = bucketTot.agg(
+        max(when(col("bucket") === 0, col("nb"))).as("nb0"),
+        max(when(col("bucket") === 1, col("nb"))).as("nb1"),
+        max(when(col("bucket") === 2, col("nb"))).as("nb2"),
+        sum(col("nb")).as("n"))
+      val perType = full.groupBy(col("event_type")).agg(
+        max(when(col("bucket") === 0, col("o"))).as("o0"),
+        max(when(col("bucket") === 1, col("o"))).as("o1"),
+        max(when(col("bucket") === 2, col("o"))).as("o2"),
+        sum(col("o")).as("nt"))
+      def term(o: String, nb: String): String =
+        s"""CASE WHEN $nb > 0 THEN CAST(
+           |  CAST($o * n - nt * $nb AS DECIMAL(38,0))
+           |  * CAST($o * n - nt * $nb AS DECIMAL(38,0)) AS DOUBLE)
+           | / CAST(CAST(n AS DECIMAL(38,0)) * nt * $nb AS DOUBLE)
+           | ELSE CAST(0 AS DOUBLE) END""".stripMargin
+      val chi2 = perType.crossJoin(broadcast(pooled))
+        .withColumn("chi2", expr(
+          s"(${term("o0", "nb0")}) + (${term("o1", "nb1")})" +
+            s" + (${term("o2", "nb2")})"))
+        .select(col("event_type"),
+          expr("CAST(ROUND(chi2 * 1000000) AS BIGINT)").as("chi2_micro"),
+          expr("CAST(ROUND(EXP(-chi2 / 2) * 1000000) AS BIGINT)")
+            .as("p_micro"))
+      val wAll = Window.orderBy(col("p_micro"), col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = chi2
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("p_micro"), col("event_type"))))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("k", max(when(
+          col("p_micro") * col("m") <= col("rank") * lit(100000L),
+          col("rank"))).over(wAll))
+      ranked.select(col("event_type"), col("chi2_micro"), col("p_micro"),
+        col("rank").cast("long").as("rank"),
+        (col("k").isNotNull && col("rank") <= col("k")).as("rejected"))
+    },
+    Some("""WITH counts AS (
+        SELECT event_type, hour(ts) // 8 AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS o
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT t.event_type, b.bucket
+        FROM (SELECT DISTINCT event_type FROM counts) t
+        CROSS JOIN (SELECT CAST(UNNEST(range(3)) AS BIGINT) AS bucket) b),
+      full_g AS (
+        SELECT g.event_type, g.bucket, COALESCE(c.o, 0) AS o
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.bucket = c.bucket),
+      pooled AS (
+        SELECT
+          CAST(SUM(CASE WHEN bucket = 0 THEN o END) AS BIGINT) AS nb0,
+          CAST(SUM(CASE WHEN bucket = 1 THEN o END) AS BIGINT) AS nb1,
+          CAST(SUM(CASE WHEN bucket = 2 THEN o END) AS BIGINT) AS nb2,
+          CAST(SUM(o) AS BIGINT) AS n
+        FROM full_g),
+      per_type AS (
+        SELECT event_type,
+          CAST(MAX(CASE WHEN bucket = 0 THEN o END) AS BIGINT) AS o0,
+          CAST(MAX(CASE WHEN bucket = 1 THEN o END) AS BIGINT) AS o1,
+          CAST(MAX(CASE WHEN bucket = 2 THEN o END) AS BIGINT) AS o2,
+          CAST(SUM(o) AS BIGINT) AS nt
+        FROM full_g GROUP BY 1),
+      chi AS (
+        SELECT event_type,
+          (CASE WHEN nb0 > 0 THEN CAST(
+              CAST(o0 * n - nt * nb0 AS DECIMAL(38,0))
+              * CAST(o0 * n - nt * nb0 AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(n AS DECIMAL(38,0)) * nt * nb0 AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END)
+          + (CASE WHEN nb1 > 0 THEN CAST(
+              CAST(o1 * n - nt * nb1 AS DECIMAL(38,0))
+              * CAST(o1 * n - nt * nb1 AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(n AS DECIMAL(38,0)) * nt * nb1 AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END)
+          + (CASE WHEN nb2 > 0 THEN CAST(
+              CAST(o2 * n - nt * nb2 AS DECIMAL(38,0))
+              * CAST(o2 * n - nt * nb2 AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(n AS DECIMAL(38,0)) * nt * nb2 AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END) AS chi2
+        FROM per_type CROSS JOIN pooled),
+      q AS (
+        SELECT event_type,
+          CAST(ROUND(chi2 * 1000000) AS BIGINT) AS chi2_micro,
+          CAST(ROUND(EXP(-chi2 / 2) * 1000000) AS BIGINT) AS p_micro
+        FROM chi),
+      ranked AS (
+        SELECT *,
+          CAST(ROW_NUMBER() OVER (ORDER BY p_micro, event_type)
+            AS BIGINT) AS rank,
+          CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM q),
+      kk AS (
+        SELECT *, MAX(CASE WHEN p_micro * m <= rank * 100000
+            THEN rank END) OVER () AS k
+        FROM ranked)
+      SELECT event_type, chi2_micro, p_micro, rank,
+        (k IS NOT NULL AND rank <= k) AS rejected
+      FROM kk"""))
+
   val all: Seq[Q] = Seq(
     x_dq_pk_uniqueness,
     x_stat_ks_test,
@@ -750,6 +894,7 @@ object StatsQueries {
     x_stat_spearman,
     x_stat_cusum_changepoint,
     x_stat_theil_sen,
+    x_stat_bh_fdr,
     x_ts_acf,
     x_ml_feature_mi,
     x_dq_ref_integrity)
