@@ -10,38 +10,62 @@ executions (min-of-3, materializing the full result) over the SAME
 parquet tables the Spark bench reads, and writes a per-query map:
 
     {"sf": "...", "duckdb_threads": N,
-     "queries": {"q_a1_pricing_summary": 0.012, ...}}
+     "queries": {"q_a1_pricing_summary": 0.012, ...},
+     "capped": ["x_slow_one", ...]}
 
 Usage: baseline_wall.py <sfDir> <oracle_sql.json> <out.json>
 
 Methodology notes (mirrors graft.Bench):
-  - min-of-3: same robust-to-host-noise estimator Bench uses
-    (min-of-2 there; the oracle runs are cheaper so 3 is affordable).
-  - one untimed warmup run per query first: DuckDB's buffer pool and
-    the OS page cache then serve the parquet bytes for the timed runs,
-    matching Bench's warmed steady-state regime.
+  - min-of-3 timed runs after one warmup: the warmup pays DuckDB's
+    buffer-pool/page-cache fill so timed runs measure steady state,
+    matching Bench's warmed regime; min is the host-noise-robust
+    estimator Bench uses.
   - .fetchall() materializes every row — comparable work to Bench's
     noop sink, which fully executes the Spark plan.
   - DuckDB runs with its default thread count (all host cores), same
     hardware budget as Bench's local[32].
+  - EVERY run (warmup included) is hard-capped via con.interrupt()
+    from a watchdog thread: a recursive-closure oracle that DuckDB
+    grinds on for an hour must not stall the whole baseline (the
+    first cut hung >70 CPU-minutes in one warmup). A capped query is
+    recorded AT the cap and listed in "capped" — a FLOOR for the
+    denominator, so Spark's ratio can only look worse than reality,
+    never better.
+  - the output map is rewritten after every query, and a rerun skips
+    queries already present — kill-safe and resumable.
 """
 import json
+import os
 import sys
+import threading
 import time
 
 import duckdb
 
-# One pathological oracle must not stall the whole baseline: queries
-# slower than this per RUN are recorded at the cap (a floor value for
-# the ratio -- Spark can only look better than reported).
-PER_RUN_TIMEOUT_S = 120.0
+PER_RUN_CAP_S = 60.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def capped_run(con, sql):
+    """Run sql with a hard wall cap; returns (seconds, was_capped)."""
+    timer = threading.Timer(PER_RUN_CAP_S, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0, False
+    except Exception as e:
+        msg = str(e).upper()
+        if "INTERRUPT" in msg:
+            return PER_RUN_CAP_S, True
+        raise
+    finally:
+        timer.cancel()
+
+
 def main(sf_dir: str, oracle_json: str, out_path: str) -> int:
-    import os
     with open(oracle_json) as f:
         oracles = json.load(f)
     if not oracles:
@@ -53,35 +77,52 @@ def main(sf_dir: str, oracle_json: str, out_path: str) -> int:
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     threads = con.execute("SELECT current_setting('threads')").fetchone()[0]
-    walls = {}
-    errs = {}
-    for name in sorted(oracles):
+    walls, capped, errs = {}, [], {}
+    if os.path.exists(out_path):  # resume: keep finished queries
+        try:
+            prev = json.load(open(out_path))
+            if prev.get("sf") == sf_dir:
+                walls = prev.get("queries", {})
+                capped = prev.get("capped", [])
+        except Exception:
+            pass
+
+    def dump():
+        out = {"sf": sf_dir, "duckdb_threads": int(threads),
+               "per_run_cap_s": PER_RUN_CAP_S, "nqueries": len(walls),
+               "capped": sorted(set(capped)), "errors": errs,
+               "queries": walls}
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+
+    todo = [n for n in sorted(oracles) if n not in walls]
+    for i, name in enumerate(todo):
         sql = oracles[name]
         try:
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()  # warmup: page cache + plan
-            warm = time.perf_counter() - t0
-            if warm > PER_RUN_TIMEOUT_S:
-                walls[name] = round(warm, 4)
-                print(f"{name}: {warm:.4f}s (single run -- over cap)")
+            warm, was_capped = capped_run(con, sql)
+            if was_capped:
+                walls[name] = PER_RUN_CAP_S
+                capped.append(name)
+                print(f"[{i+1}/{len(todo)}] {name}: CAPPED at "
+                      f"{PER_RUN_CAP_S}s", flush=True)
+                dump()
                 continue
             best = None
             for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                dt = time.perf_counter() - t0
+                dt, c2 = capped_run(con, sql)
                 best = dt if best is None else min(best, dt)
+                if c2:
+                    break
             walls[name] = round(best, 4)
-            print(f"{name}: {best:.4f}s")
+            print(f"[{i+1}/{len(todo)}] {name}: {best:.4f}s", flush=True)
         except Exception as e:
             errs[name] = str(e).split("\n")[0]
-            print(f"ERR {name}: {errs[name]}", file=sys.stderr)
-    out = {"sf": sf_dir, "duckdb_threads": int(threads),
-           "nqueries": len(walls), "errors": errs, "queries": walls}
-    with open(out_path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+            print(f"ERR {name}: {errs[name]}", file=sys.stderr, flush=True)
+        dump()
+    dump()
     print(f"\nwrote {out_path}: {len(walls)} queries, "
-          f"total {sum(walls.values()):.1f}s, threads={threads}")
+          f"total {sum(walls.values()):.1f}s, threads={threads}, "
+          f"capped={len(set(capped))}")
     return 1 if errs else 0
 
 
