@@ -107,8 +107,12 @@ def main(sf_dir: str, oracle_json: str, out_path: str) -> int:
                       f"{PER_RUN_CAP_S}s", flush=True)
                 dump()
                 continue
+            # adaptive repeat count: noise matters most on sub-second
+            # queries (min-of-3); a 15s query re-run 3x would quadruple
+            # the suite wall for a denominator already far above noise
+            n_runs = 3 if warm < 2.0 else (2 if warm < 10.0 else 1)
             best = None
-            for _ in range(3):
+            for _ in range(n_runs):
                 dt, c2 = capped_run(con, sql)
                 best = dt if best is None else min(best, dt)
                 if c2:
