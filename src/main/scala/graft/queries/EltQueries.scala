@@ -307,6 +307,160 @@ object EltQueries {
     SELECT split_bin, threshold, n_left, n_right, gain_micro, sse_parent
     FROM __split_out"""))
 
+  /** TWO gradient-boosting rounds — the sequential composition the
+    * single split finder above can't show: round 1 fits a depth-1
+    * stump on quantity, its half-learning-rate leaf predictions are
+    * subtracted EXACTLY (everything in integer cents: leaf mean
+    * = Σy DIV n, prediction = leaf DIV 2 — truncating division on
+    * both engines), and round 2 finds the best split of the RESIDUAL
+    * on a second feature (discount). Gains use the bestSplit formula
+    * (Σy² cancels; double finalized once from exact integers, micro-
+    * rounded).
+    *
+    * Scale shape: each round is ONE combinable histogram aggregate
+    * over the scan (50/11 bins) + a broadcast 1-row split frame; the
+    * residual projection is map-side arithmetic against that
+    * broadcast — boosting at 100 TB is exactly N sequential scans
+    * with model-sized state between them. */
+  private val x_ml_gbdt = Q(
+    "x_ml_gbdt_rounds",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.lineitem(s, d)
+        .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+        .select(col("l_quantity").cast("double").as("x1"),
+          expr("CAST(ROUND(CAST(l_discount AS DOUBLE) * 100, 0) AS BIGINT)")
+            .as("x2"),
+          expr("CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT)")
+            .as("y_mc"))
+        .localCheckpoint(true) // consumed by both histogram rounds
+      def gains(hist: DataFrame, nBins: Int): DataFrame = {
+        val w = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("nl", sum(col("n")).over(w))
+          .withColumn("syl", sum(col("sy")).over(w))
+        val tot = hist.agg(sum(col("n")).cast("long").as("nt"),
+          sum(col("sy")).cast("long").as("syt"))
+        cum.crossJoin(broadcast(tot))
+          .filter(col("nl") > 0 && col("nl") < col("nt"))
+          .withColumn("gain_micro", round((
+            col("syl").cast("double") * col("syl").cast("double")
+              / col("nl").cast("double")
+              + (col("syt") - col("syl")).cast("double")
+                * (col("syt") - col("syl")).cast("double")
+                / (col("nt") - col("nl")).cast("double")
+              - col("syt").cast("double") * col("syt").cast("double")
+                / col("nt").cast("double")) / lit(1e6)).cast("long"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("gain_micro").desc, col("bin"))))
+          .filter(col("rk") === 1)
+      }
+      // round 1: quantity bins 0..49
+      val h1 = src
+        .withColumn("bin", least(greatest(floor(col("x1")).cast("long"),
+          lit(0L)), lit(49L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("y_mc")).as("sy"))
+      val s1 = gains(h1, 50)
+        .select(col("bin").as("bin1"), col("nl").as("nl1"),
+          col("syl").cast("long").as("syl1"), col("nt").as("nt1"),
+          col("syt").as("syt1"), col("gain_micro").as("gain1"))
+        .localCheckpoint(true)
+      // exact integer leaf predictions at lr = 1/2
+      val withPred = src.crossJoin(broadcast(s1))
+        .withColumn("pred_mc", expr(
+          "CASE WHEN CAST(FLOOR(x1) AS BIGINT) <= bin1" +
+            " THEN (syl1 DIV nl1) DIV 2" +
+            " ELSE ((syt1 - syl1) DIV (nt1 - nl1)) DIV 2 END"))
+        .withColumn("r_mc", col("y_mc") - col("pred_mc"))
+      // round 2: residual vs discount percent bins 0..10
+      val h2 = withPred
+        .withColumn("bin", least(greatest(col("x2"), lit(0L)), lit(10L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("r_mc")).as("sy"))
+      val s2 = gains(h2, 11)
+      val r1 = s1.select(lit(1L).as("round"), lit("quantity").as("feature"),
+        col("bin1").as("split_bin"), col("nl1").cast("long").as("n_left"),
+        (col("nt1") - col("nl1")).cast("long").as("n_right"),
+        col("gain1").as("gain_micro"))
+      val r2 = s2.select(lit(2L).as("round"), lit("discount").as("feature"),
+        col("bin").as("split_bin"), col("nl").cast("long").as("n_left"),
+        (col("nt") - col("nl")).cast("long").as("n_right"),
+        col("gain_micro"))
+      r1.unionByName(r2)
+    },
+    Some("""WITH src AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x1,
+        CAST(ROUND(CAST(l_discount AS DOUBLE) * 100, 0) AS BIGINT) AS x2,
+        CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT)
+          AS y_mc
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    h1 AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(x1) AS BIGINT), 0), 49) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y_mc) AS BIGINT) AS sy
+      FROM src GROUP BY 1),
+    c1 AS (
+      SELECT bin, CAST(SUM(n) OVER w AS BIGINT) AS nl,
+        CAST(SUM(sy) OVER w AS BIGINT) AS syl
+      FROM h1
+      WINDOW w AS (ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t1 AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+      CAST(SUM(sy) AS BIGINT) AS syt FROM h1),
+    g1 AS (
+      SELECT bin, nl, syl, nt, syt,
+        CAST(ROUND((CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)
+            / CAST(nl AS DOUBLE)
+          + CAST(syt - syl AS DOUBLE) * CAST(syt - syl AS DOUBLE)
+            / CAST(nt - nl AS DOUBLE)
+          - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE)
+            / CAST(nt AS DOUBLE)) / 1e6) AS BIGINT) AS gain_micro
+      FROM c1 CROSS JOIN t1 WHERE nl > 0 AND nl < nt),
+    s1 AS (
+      SELECT bin AS bin1, nl AS nl1, syl AS syl1, nt AS nt1, syt AS syt1,
+        gain_micro AS gain1
+      FROM g1
+      QUALIFY ROW_NUMBER() OVER (ORDER BY gain_micro DESC, bin) = 1),
+    resid AS (
+      SELECT x2,
+        y_mc - (CASE WHEN CAST(FLOOR(x1) AS BIGINT) <= bin1
+          THEN (syl1 // nl1) // 2
+          ELSE ((syt1 - syl1) // (nt1 - nl1)) // 2 END) AS r_mc
+      FROM src CROSS JOIN s1),
+    h2 AS (
+      SELECT LEAST(GREATEST(x2, 0), 10) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r_mc) AS BIGINT) AS sy
+      FROM resid GROUP BY 1),
+    c2 AS (
+      SELECT bin, CAST(SUM(n) OVER w AS BIGINT) AS nl,
+        CAST(SUM(sy) OVER w AS BIGINT) AS syl
+      FROM h2
+      WINDOW w AS (ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t2 AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+      CAST(SUM(sy) AS BIGINT) AS syt FROM h2),
+    g2 AS (
+      SELECT bin, nl, nt,
+        CAST(ROUND((CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)
+            / CAST(nl AS DOUBLE)
+          + CAST(syt - syl AS DOUBLE) * CAST(syt - syl AS DOUBLE)
+            / CAST(nt - nl AS DOUBLE)
+          - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE)
+            / CAST(nt AS DOUBLE)) / 1e6) AS BIGINT) AS gain_micro
+      FROM c2 CROSS JOIN t2 WHERE nl > 0 AND nl < nt),
+    s2 AS (
+      SELECT bin, nl, nt, gain_micro FROM g2
+      QUALIFY ROW_NUMBER() OVER (ORDER BY gain_micro DESC, bin) = 1)
+    SELECT CAST(1 AS BIGINT) AS round, 'quantity' AS feature,
+      bin1 AS split_bin, nl1 AS n_left, nt1 - nl1 AS n_right,
+      gain1 AS gain_micro
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'discount', bin, nl, nt - nl, gain_micro
+    FROM s2"""))
+
   /** One logistic-regression gradient-descent step over lineitem
     * features — the linear-probe trainer as a pure aggregation. With
     * fixed weights w₀, the batch gradient Σ(σ(w·x) − y)·x is one
@@ -793,6 +947,7 @@ object EltQueries {
     x_dq_dp,
     x_split_temporal,
     x_ml_split,
+    x_ml_gbdt,
     x_ml_logreg,
     x_embed_gram,
   )
