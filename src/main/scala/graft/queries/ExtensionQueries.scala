@@ -4073,6 +4073,97 @@ object ExtensionQueries {
         THEN ROUND(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) END AS ndcg
     FROM agg"""))
 
+  /** Cluster-aware train/val/test splitting — the leakage guard an LLM
+    * data pipeline needs BETWEEN dedup and splitting: hashing each
+    * document's near-dup CLUSTER representative (not the document id)
+    * into the 80/10/10 buckets guarantees near-duplicates can never
+    * straddle train and test (the eval-contamination failure mode the
+    * decontamination queries measure after the fact — this op prevents
+    * it by construction). Emitted next to the NAIVE doc-id split with
+    * both schemes' crossing-pair counts: cluster-aware is 0 by
+    * construction, naive is measurably > 0 on the same corpus.
+    *
+    * Scale shape: rides the CC cluster map (pointer-jumping, the
+    * dedup-cluster machinery); the split itself is one portable-hash
+    * projection and the audit two pair-list joins against the bounded
+    * label frame. Output is 8 summary rows. */
+  private val x_split_cluster_aware = Q(
+    "x_split_cluster_aware",
+    (s, d) => {
+      val universe = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull
+          && col("n_chars").isNotNull
+          && size(split(lower(col("text")), " ")) >= 3)
+        .select(col("doc_id"))
+      val cc = Dedup.connectedComponents(jaccardPairsDf(s, d), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val labeled = universe.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("b_ca", Sampling.hashValue(col("cluster_id")) % 10)
+        .withColumn("b_nv", Sampling.hashValue(col("doc_id")) % 10)
+        .localCheckpoint(true) // consumed by 2 count arms + 2 audit joins
+      def splitName(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(b < 7, "train").when(b === 8, "val")
+          .when(b === 9, "test").otherwise("train")
+      def arm(scheme: String, b: org.apache.spark.sql.Column) = labeled
+        .groupBy(splitName(b).as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(scheme).as("scheme"), col("bucket"), col("n"))
+      val pairs = jaccardPairsDf(s, d).select(col("doc_a"), col("doc_b"))
+      def crossing(scheme: String, bc: String) = pairs
+        .join(labeled.select(col("doc_id").as("doc_a"),
+          col(bc).as("ba")), Seq("doc_a"))
+        .join(labeled.select(col("doc_id").as("doc_b"),
+          col(bc).as("bb")), Seq("doc_b"))
+        .filter(splitName(col("ba")) =!= splitName(col("bb")))
+        .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n"))
+        .select(lit(scheme).as("scheme"), lit("cross_pairs").as("bucket"),
+          col("n"))
+      arm("cluster_aware", col("b_ca"))
+        .unionByName(arm("naive", col("b_nv")))
+        .unionByName(crossing("cluster_aware", "b_ca"))
+        .unionByName(crossing("naive", "b_nv"))
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairsSqlCtes,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cc AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+        ${Sampling.hashValueSql("COALESCE(cc.cluster_id, d.doc_id)")} % 10
+          AS b_ca,
+        ${Sampling.hashValueSql("d.doc_id")} % 10 AS b_nv
+      FROM docs d LEFT JOIN cc ON d.doc_id = cc.node),
+    named AS (
+      SELECT doc_id,
+        CASE WHEN b_ca = 8 THEN 'val' WHEN b_ca = 9 THEN 'test'
+          ELSE 'train' END AS s_ca,
+        CASE WHEN b_nv = 8 THEN 'val' WHEN b_nv = 9 THEN 'test'
+          ELSE 'train' END AS s_nv
+      FROM labeled)
+    SELECT 'cluster_aware' AS scheme, s_ca AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM named GROUP BY 2
+    UNION ALL
+    SELECT 'naive', s_nv, CAST(COUNT(*) AS BIGINT)
+    FROM named GROUP BY 2
+    UNION ALL
+    SELECT 'cluster_aware', 'cross_pairs', CAST(COUNT(*) AS BIGINT)
+    FROM pairs p JOIN named a ON p.doc_a = a.doc_id
+      JOIN named b ON p.doc_b = b.doc_id
+    WHERE a.s_ca <> b.s_ca
+    UNION ALL
+    SELECT 'naive', 'cross_pairs', CAST(COUNT(*) AS BIGINT)
+    FROM pairs p JOIN named a ON p.doc_a = a.doc_id
+      JOIN named b ON p.doc_b = b.doc_id
+    WHERE a.s_nv <> b.s_nv"""))
+
   /** Sequential-pattern mining (the GSP/PrefixSpan support-counting
     * step): for every ordered type pair (a, b), the number of users
     * whose event sequence contains SOME a strictly before SOME b —
@@ -4186,6 +4277,7 @@ object ExtensionQueries {
     x_dedup_minhash_lsh,
     x_dedup_simhash,
     x_dedup_clusters,
+    x_split_cluster_aware,
     x_dedup_survivors,
     x_sim_cosine_topk,
     x_sim_lsh_topk,
