@@ -332,14 +332,21 @@ object Similarity {
     * oracle replays the whole index:
     *
     *   1. GRAPH BUILD: each corpus vector joins its top-`cellsPerNode`
-    *      cells over the broadcast `centroids` (6dp cosine, ties →
-    *      larger cell id — the [[ivfTopK]] discipline), then gets
-    *      directed edges to its `m` nearest shared-cell neighbors
-    *      (6dp-rounded cosine desc, id asc). Multi-cell membership is
-    *      the navigability trick: boundary nodes bridge neighboring
-    *      cells, so the beam can cross Voronoi borders. The pair join
-    *      is an equi-join on cell id — candidate volume is
-    *      Σ(p·|cell|)², bounded by the cell partition, never corpus².
+    *      COARSE cells over the broadcast `centroids` (6dp cosine,
+    *      ties → larger cell id — the [[ivfTopK]] discipline); each
+    *      coarse membership then re-assigns to its top-2 FINE cells
+    *      around hash-sampled member pivots (expected 1 per 16
+    *      members), and directed edges go to the `m` nearest
+    *      shared-FINE-cell neighbors (6dp-rounded cosine desc, id
+    *      asc). Multi-cell membership at BOTH levels is the
+    *      navigability trick: boundary nodes bridge neighboring
+    *      coarse cells and neighboring fine cells, so the beam can
+    *      cross Voronoi borders. The fine split keeps per-cell
+    *      population CONSTANT at any corpus size, so the pair join is
+    *      scan-linear — with a fixed nlist alone it is quadratic in
+    *      corpus/nlist (the round-7 100× step measured exactly that:
+    *      ~1.25e9 candidate pairs at 3,125 members/cell filled the
+    *      spill disk).
     *   2. ENTRY: every query starts from the centroid ids themselves
     *      (they are corpus members — the modulus-sample convention),
     *      i.e. ≤|centroids| seed candidates per query.
@@ -376,21 +383,61 @@ object Similarity {
         corpus.select(col("vec_id").as("nid"), col("embedding")),
         col("embedding"), "cv", "cn").drop("embedding")
       .localCheckpoint(true)
-    // top-cellsPerNode cells per node (6dp cosine desc, larger cell id
-    // on ties — the ivfTopK discipline). p>1 makes nodes near a Voronoi
-    // boundary members of BOTH neighboring cells, which is what puts
-    // cross-cell bridge edges into the graph — without them the beam
-    // can only descend within the entry cell and recall plateaus.
+    // top-cellsPerNode COARSE cells per node (6dp cosine desc, larger
+    // cell id on ties — the ivfTopK discipline). p>1 makes nodes near
+    // a Voronoi boundary members of BOTH neighboring cells, which is
+    // what puts cross-cell bridge edges into the graph — without them
+    // the beam can only descend within the entry cell and recall
+    // plateaus.
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nid"))
       .orderBy(col("__sim").desc, col("cell_id").desc)
-    val nodeCells = nodes
+    val coarseCells = nodes
       .crossJoin(cent)
       .withColumn("__sim",
         round(dot(col("cv"), col("ev")) / (col("cn") * col("en")), 6))
       .withColumn("__r", row_number().over(wCell))
       .filter(col("__r") <= cellsPerNode)
       .select(col("nid"), col("cell_id"))
+    // HIERARCHICAL FINE SPLIT (round-7 scale fix): with nlist fixed,
+    // coarse-cell population grows linearly with the corpus and the
+    // shared-cell pair join grows QUADRATICALLY — the 100x step filled
+    // the disk with ~1.25e9 candidate pairs (3,125 members/cell).
+    // Each coarse cell is therefore split around hash-sampled member
+    // PIVOTS (expected 1 per fineTarget members — the modulus-sample
+    // convention, engine-portable via the md5-56 kernel): every
+    // membership re-assigns to its top-2 fine pivots within that
+    // coarse cell, so per-fine-cell population is ~2·cellsPerNode·
+    // fineTarget at ANY corpus size and the pair join is scan-LINEAR.
+    // Bridge structure survives on both axes: cross-COARSE bridges via
+    // cellsPerNode>1 (unchanged), cross-FINE bridges within a coarse
+    // cell via the top-2 fine membership. Coarse cells too small to
+    // yield a pivot keep the coarse id as their single fine cell —
+    // i.e. at small SF the behavior degrades gracefully toward the
+    // flat form.
+    val fineTarget = 16
+    val pivots = coarseCells
+      .filter(graft.ops.Sampling.hashValue(col("nid")) % fineTarget === 0)
+      .join(nodes, Seq("nid"))
+      .select(col("cell_id").as("coarse_id"), col("nid").as("fine_id"),
+        col("cv").as("fv"), col("cn").as("fn"))
+      .localCheckpoint(true) // consumed by assignment + orphan anti-join
+    val wFine = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nid"), col("coarse_id"))
+      .orderBy(col("__sim").desc, col("fine_id").desc)
+    val fineAssign = coarseCells.select(col("nid"), col("cell_id").as("coarse_id"))
+      .join(nodes, Seq("nid"))
+      .join(pivots, Seq("coarse_id"))
+      .withColumn("__sim",
+        round(dot(col("cv"), col("fv")) / (col("cn") * col("fn")), 6))
+      .withColumn("__r", row_number().over(wFine))
+      .filter(col("__r") <= 2)
+      .select(col("nid"), col("fine_id").as("cell_id"))
+    val orphan = coarseCells.select(col("nid"), col("cell_id").as("coarse_id"))
+      .join(pivots.select(col("coarse_id")).distinct(), Seq("coarse_id"),
+        "left_anti")
+      .select(col("nid"), col("coarse_id").as("cell_id"))
+    val nodeCells = fineAssign.unionByName(orphan).distinct()
     // candidate pairs: distinct shared-cell id pairs FIRST (a pair
     // sharing two cells must score once), vectors attached after by
     // two equi-joins against the checkpointed nodes — edge-linear
@@ -490,10 +537,11 @@ object Similarity {
         SELECT vec_id AS cell_id, v AS ev, sqrt(list_inner_product(v, v)) AS en
         FROM v WHERE $centroidPred ORDER BY vec_id LIMIT $nlist)
       WHERE en > 0),
-    node_cells AS (
-      -- top-$cellsPerNode cells per corpus vector; ties -> larger cell
-      -- id. Multi-cell membership puts cross-cell bridge edges in the
-      -- graph (boundary nodes belong to both neighboring cells).
+    coarse_cells AS (
+      -- top-$cellsPerNode COARSE cells per corpus vector; ties ->
+      -- larger cell id. Multi-cell membership puts cross-cell bridge
+      -- edges in the graph (boundary nodes belong to both neighboring
+      -- cells).
       SELECT nid, cell_id FROM (
         SELECT a.vec_id AS nid, ct.cell_id,
           ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -502,6 +550,35 @@ object Similarity {
         FROM n a CROSS JOIN cent ct) WHERE rn <= $cellsPerNode),
     cells AS (
       SELECT vec_id AS nid, v AS cv, nrm AS cn FROM n),
+    pivots AS (
+      -- hierarchical fine split: hash-sampled member pivots, expected
+      -- 1 per 16 members (md5-56 modulus, engine-portable)
+      SELECT cc.cell_id AS coarse_id, cc.nid AS fine_id,
+        c.cv AS fv, c.cn AS fn
+      FROM coarse_cells cc JOIN cells c ON cc.nid = c.nid
+      WHERE ${graft.ops.Sampling.hashValueSql("cc.nid")} % 16 = 0),
+    fine_assign AS (
+      -- each coarse membership re-assigns to its top-2 fine pivots
+      -- (6dp cosine desc, larger fine id on ties)
+      SELECT nid, fine_id AS cell_id FROM (
+        SELECT cc.nid, p.fine_id,
+          ROW_NUMBER() OVER (PARTITION BY cc.nid, cc.cell_id
+            ORDER BY ROUND(list_inner_product(c.cv, p.fv) / (c.cn * p.fn), 6)
+              DESC, p.fine_id DESC) AS rn
+        FROM coarse_cells cc
+        JOIN cells c ON cc.nid = c.nid
+        JOIN pivots p ON cc.cell_id = p.coarse_id) WHERE rn <= 2),
+    orphan AS (
+      -- coarse cells too small to yield a pivot keep the coarse id as
+      -- their single fine cell
+      SELECT cc.nid, cc.cell_id
+      FROM coarse_cells cc
+      WHERE NOT EXISTS (SELECT 1 FROM pivots p
+        WHERE p.coarse_id = cc.cell_id)),
+    node_cells AS (
+      SELECT DISTINCT nid, cell_id FROM (
+        SELECT nid, cell_id FROM fine_assign
+        UNION ALL SELECT nid, cell_id FROM orphan)),
     pairs AS (
       -- distinct shared-cell id pairs (a pair sharing two cells must
       -- score once)
