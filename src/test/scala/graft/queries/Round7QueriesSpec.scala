@@ -70,6 +70,38 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("gbdt rounds: round-2 gain can never exceed parent-corrected round-1") {
+    val rows = run("x_ml_gbdt_rounds")
+      .select(col("round"), col("feature"), col("n_left"), col("n_right"),
+        col("gain_micro"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    assert(rows.map(_._2).toSeq == Seq("quantity", "discount"))
+    rows.foreach { case (_, _, nl, nr, gain) =>
+      assert(nl > 0 && nr > 0, "both split sides must be populated")
+      assert(gain >= 0L, "SSE-reduction gain is nonnegative by definition")
+    }
+    // total rows conserved across both splits
+    assert(rows(0)._3 + rows(0)._4 == rows(1)._3 + rows(1)._4)
+  }
+
+  test("cluster-aware split: zero crossing pairs, naive split leaks") {
+    val rows = run("x_split_cluster_aware")
+      .select(col("scheme"), col("bucket"), col("n"))
+      .as[(String, String, Long)].collect()
+    val ca = rows.filter(_._1 == "cluster_aware").map(r => r._2 -> r._3).toMap
+    val nv = rows.filter(_._1 == "naive").map(r => r._2 -> r._3).toMap
+    assert(ca("cross_pairs") == 0L,
+      "cluster-aware split must never separate a near-dup pair")
+    // both schemes partition the same universe
+    val universe = Seq("train", "val", "test")
+    assert(universe.map(b => ca.getOrElse(b, 0L)).sum
+      == universe.map(b => nv.getOrElse(b, 0L)).sum)
+    // and the corpus has pairs at all (else the guard is vacuous)
+    val pairs = run("x_dedup_jaccard").count()
+    assert(pairs > 0, "test corpus must contain near-dup pairs")
+  }
+
   test("fellegi-sunter: rollup partitions the blocked pair space") {
     val rows = run("x_er_fellegi_sunter")
       .select(col("classification"), col("n_pairs"),
