@@ -743,6 +743,71 @@ object StatsQueries {
       SELECT n_days, n_pairs, slope_micro, intercept_micro FROM inter"""))
 
   // ---------------------------------------------------------------
+  // x_stat_qq
+  // ---------------------------------------------------------------
+
+  /** Q–Q comparison of the two market segments: decile quantiles of
+    * both distributions read off the SHARED bin grid — the visual-
+    * diagnostic companion to the KS statistic (KS gives the max CDF
+    * gap; the Q–Q table says WHERE the distributions diverge). Decile
+    * q's bin is the first whose cumulative count reaches ⌈q·n/10⌉,
+    * an exact integer condition (cum·10 ≥ q·n — no division), so the
+    * picks are bit-deterministic. Scale shape: the one combinable
+    * per-bin count over the corpus, then a 9×4096 bounded cross join
+    * and argmin per (decile, side). */
+  private val x_stat_qq = Q(
+    "x_stat_qq",
+    (s, d) => {
+      val perBin = segPoints(s, d)
+        .groupBy(col("b"))
+        .agg(count(when(col("is_a"), 1)).as("na"),
+          count(when(!col("is_a"), 1)).as("nb"))
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perBin
+        .withColumn("ca", sum(col("na")).over(w))
+        .withColumn("cb", sum(col("nb")).over(w))
+      val tot = perBin.agg(sum(col("na")).cast("long").as("nta"),
+        sum(col("nb")).cast("long").as("ntb"))
+      val deciles = s.range(1, 10).select(col("id").as("decile"))
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+        .groupBy(col("decile"))
+        .agg(
+          min(when(col("ca") * 10 >= col("decile") * col("nta"), col("b")))
+            .as("bin_a"),
+          min(when(col("cb") * 10 >= col("decile") * col("ntb"), col("b")))
+            .as("bin_b"))
+        .select(col("decile"), col("bin_a"), col("bin_b"),
+          (col("bin_b") - col("bin_a")).as("shift_bins"))
+    },
+    Some(s"""WITH pts AS ($segPointsSql),
+      per_bin AS (
+        SELECT b,
+          CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM pts GROUP BY 1),
+      cum AS (
+        SELECT b,
+          CAST(SUM(na) OVER (ORDER BY b) AS BIGINT) AS ca,
+          CAST(SUM(nb) OVER (ORDER BY b) AS BIGINT) AS cb
+        FROM per_bin),
+      tot AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS nta,
+          CAST(SUM(nb) AS BIGINT) AS ntb
+        FROM per_bin),
+      deciles AS (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS decile)
+      SELECT decile,
+        CAST(MIN(CASE WHEN ca * 10 >= decile * nta THEN b END) AS BIGINT)
+          AS bin_a,
+        CAST(MIN(CASE WHEN cb * 10 >= decile * ntb THEN b END) AS BIGINT)
+          AS bin_b,
+        CAST(MIN(CASE WHEN cb * 10 >= decile * ntb THEN b END)
+          - MIN(CASE WHEN ca * 10 >= decile * nta THEN b END) AS BIGINT)
+          AS shift_bins
+      FROM cum CROSS JOIN tot CROSS JOIN deciles
+      GROUP BY 1"""))
+
+  // ---------------------------------------------------------------
   // x_stat_bh_fdr
   // ---------------------------------------------------------------
 
@@ -895,6 +960,7 @@ object StatsQueries {
     x_stat_cusum_changepoint,
     x_stat_theil_sen,
     x_stat_bh_fdr,
+    x_stat_qq,
     x_ts_acf,
     x_ml_feature_mi,
     x_dq_ref_integrity)
