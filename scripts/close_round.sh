@@ -16,7 +16,9 @@ shopt -s nullglob
 to_add=()
 for a in "${ARTIFACTS[@]}" "$@"; do
   for f in $a; do
-    [ -e "$f" ] && to_add+=("$f")
+    # skip gitignored artifacts (e.g. PROGRESS.jsonl) — one ignored
+    # path would fail the whole git add under set -e
+    [ -e "$f" ] && ! git check-ignore -q "$f" && to_add+=("$f")
   done
 done
 if [ ${#to_add[@]} -eq 0 ]; then
