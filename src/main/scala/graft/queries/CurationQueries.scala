@@ -1545,6 +1545,98 @@ object CurationQueries {
       w.n_hit, w.v_zero, w.z_int, w.registers_csv AS regs_whole
     FROM __hll_m m CROSS JOIN __hll_w w"""))
 
+  /** HLL set-operation completion: INTERSECTION cardinality via
+    * inclusion–exclusion over three register files — |A∩B| ≈
+    * Ê(A) + Ê(B) − Ê(A∪B), where the union sketch is the per-bucket
+    * register MAX (exact for HLL, the property x_sketch_hll_union
+    * pins) — the audience-overlap estimator (users who both click AND
+    * purchase) every sketch warehouse derives, with its known caveat
+    * surfaced rather than hidden: inclusion–exclusion inherits THREE
+    * estimators' errors, so the result ships NEXT TO the exact
+    * intersection and the relative error is a computed column the
+    * oracle hashes (the estimate is checked, not asserted).
+    *
+    * Scale shape: one hash pass over the filtered corpus into two
+    * 64-register files; union-merge, all three estimates, and the
+    * inclusion–exclusion run on ≤3·64 rows. The exact comparison arm
+    * is two distinct-sets + one semi-join (row-linear). */
+  private val x_sketch_hll_intersect = Q(
+    "x_sketch_hll_intersect",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase")
+          && col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"))
+        .localCheckpoint(true) // sketch pass + exact arm
+      def regsOf(t: String, g: String) = ev
+        .filter(col("event_type") === t)
+        .select(lit(g).as("grp"), Sampling.hashValue(col("user_id")).as("h"))
+        .select(col("grp"), (col("h") % Sketches.HllM).as("bucket"),
+          shiftright(col("h"), 6).as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(51))
+          .otherwise(lit(51) - length(bin(col("w")))))
+        .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("reg"))
+      val ra = regsOf("click", "a")
+      val rb = regsOf("purchase", "b")
+      val ru = ra.unionByName(rb).groupBy(col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+        .select(lit("u").as("grp"), col("bucket"), col("reg"))
+      val ests = Sketches.hllEstimate(ra.unionByName(rb).unionByName(ru))
+        .groupBy()
+        .agg(max(when(col("grp") === "a", col("est_hll"))).as("est_a"),
+          max(when(col("grp") === "b", col("est_hll"))).as("est_b"),
+          max(when(col("grp") === "u", col("est_hll"))).as("est_union"))
+      val ua = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val ub = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val exact = ua.join(ub, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("exact_intersect"))
+      ests.crossJoin(broadcast(exact))
+        .withColumn("est_intersect",
+          round(col("est_a") + col("est_b") - col("est_union"), 6))
+        .withColumn("rel_err_micro", expr(
+          "CAST(ROUND((est_intersect - exact_intersect)" +
+            " / CAST(exact_intersect AS DOUBLE) * 1000000) AS BIGINT)"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          col("est_intersect"), col("exact_intersect"), col("rel_err_micro"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL),
+    h AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS grp,
+        ${Sampling.hashValueSql("user_id")} AS h
+      FROM ev),
+    regs_ab AS (
+      SELECT grp, h % ${Sketches.HllM} AS bucket,
+        CAST(MAX(CASE WHEN h >> 6 = 0 THEN 51
+          ELSE 51 - length(bin(h >> 6)) END) AS INTEGER) AS reg
+      FROM h GROUP BY 1, 2),
+    regs_u AS (
+      SELECT 'u' AS grp, bucket, CAST(MAX(reg) AS INTEGER) AS reg
+      FROM regs_ab GROUP BY 2),
+    regs_all AS (
+      SELECT * FROM regs_ab UNION ALL SELECT * FROM regs_u),
+    ${Sketches.hllEstimateSql("regs_all", "__hll_i")},
+    ests AS (
+      SELECT MAX(CASE WHEN grp = 'a' THEN est_hll END) AS est_a,
+        MAX(CASE WHEN grp = 'b' THEN est_hll END) AS est_b,
+        MAX(CASE WHEN grp = 'u' THEN est_hll END) AS est_union
+      FROM __hll_i),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+        SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'))
+    SELECT est_a, est_b, est_union,
+      ROUND(est_a + est_b - est_union, 6) AS est_intersect,
+      exact_intersect,
+      CAST(ROUND((ROUND(est_a + est_b - est_union, 6) - exact_intersect)
+        / CAST(exact_intersect AS DOUBLE) * 1000000) AS BIGINT)
+        AS rel_err_micro
+    FROM ests CROSS JOIN exact"""))
+
   /** AMS / CountSketch second-moment (F₂) estimate over the lineitem
     * supplier stream — the join-size/self-join-size estimator of
     * Alon–Matias–Szegedy 1996 in its CountSketch form (Charikar et
@@ -2097,6 +2189,7 @@ object CurationQueries {
     x_embed_coreset,
     x_sketch_hll,
     x_sketch_hll_union,
+    x_sketch_hll_intersect,
     x_stream_hll_parity,
     x_sketch_qdigest,
     x_sketch_qdigest_q,
