@@ -673,6 +673,95 @@ object EltQueries {
     SELECT bin, n, n_pos, emp_micro, conf_micro, gap_micro, ece_micro
     FROM __cal_out"""))
 
+  /** Isotonic calibration (PAVA) of the same classifier — the FIX for
+    * what x_ml_calibration only measures: the monotone-nondecreasing
+    * recalibration map ŷ_k = max_{i≤k} min_{j≥k} rate(i..j), the
+    * closed-form minimax characterization of the pool-adjacent-
+    * violators solution (Robertson et al.; equivalent to iterative
+    * pooling but order-free, so it distributes and replays).
+    * Segment rates are truncating integer micro ratios of exact
+    * pooled counts (Σpos·10⁶ DIV Σn — both engines), so the fit is
+    * exact integer arithmetic end to end.
+    *
+    * Scale shape: the corpus collapses to the SAME one combinable
+    * 10-bin count as the calibration query; the minimax runs on the
+    * ≤55-segment × ≤10-k frame — bounded at any corpus size (the
+    * closed form is O(B²)–O(B³) in BINS, the classic reason binned
+    * isotonic is the distributed form). */
+  private val x_ml_isotonic = Q(
+    "x_ml_isotonic",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bins = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(TextOps.hashClfScore(col("text")).as("s"),
+          (col("lang") === "en").as("y"))
+        .select(expr("CAST(ROUND((s + CAST('1.0' AS DOUBLE))" +
+          " / CAST('2.0' AS DOUBLE) * 1000000) AS BIGINT)").as("p_micro"),
+          col("y"))
+        .groupBy(expr("LEAST(CAST(floor(p_micro * 10 / 1000000) AS BIGINT), 9)")
+          .as("bin"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          count(when(col("y"), 1)).cast("long").as("n_pos"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bins
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cp", sum(col("n_pos")).over(w))
+        .localCheckpoint(true) // 3 consumers: i-side, j-side, k frame
+      val iSide = cum.select(col("bin").as("i"),
+        (col("cn") - col("n")).as("cni"), (col("cp") - col("n_pos")).as("cpi"))
+      val jSide = cum.select(col("bin").as("j"),
+        col("cn").as("cnj"), col("cp").as("cpj"))
+      val segs = iSide.join(jSide, col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          expr("(cpj - cpi) * 1000000 DIV (cnj - cni)").as("rate_micro"))
+      val ks = cum.select(col("bin").as("k"))
+      val fit = segs.join(broadcast(ks),
+          col("i") <= col("k") && col("j") >= col("k"))
+        .groupBy(col("k"), col("i"))
+        .agg(min(col("rate_micro")).as("inner_min"))
+        .groupBy(col("k"))
+        .agg(max(col("inner_min")).as("iso_micro"))
+      cum.select(col("bin"), col("n"), col("n_pos"),
+          expr("n_pos * 1000000 DIV n").as("emp_micro"))
+        .join(fit, col("bin") === col("k"))
+        .select(col("bin"), col("n"), col("n_pos"), col("emp_micro"),
+          col("iso_micro"))
+    },
+    Some(s"""WITH src AS (
+      SELECT ${TextOps.hashClfScoreSql("text")} AS s, lang = 'en' AS y
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    rows_p AS (
+      SELECT CAST(ROUND((s + CAST('1.0' AS DOUBLE)) / CAST('2.0' AS DOUBLE)
+          * 1000000) AS BIGINT) AS p_micro, y
+      FROM src),
+    bins AS (
+      SELECT LEAST(CAST(floor(p_micro * 10 / 1000000) AS BIGINT), 9) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos
+      FROM rows_p GROUP BY 1),
+    cum AS (
+      SELECT bin, n, n_pos,
+        CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      FROM bins),
+    segs AS (
+      SELECT a.bin AS i, b.bin AS j,
+        (b.cp - (a.cp - a.n_pos)) * 1000000
+          // (b.cn - (a.cn - a.n)) AS rate_micro
+      FROM cum a JOIN cum b ON a.bin <= b.bin),
+    fit AS (
+      SELECT k, CAST(MAX(inner_min) AS BIGINT) AS iso_micro FROM (
+        SELECT kf.bin AS k, s2.i, MIN(s2.rate_micro) AS inner_min
+        FROM segs s2 JOIN cum kf ON s2.i <= kf.bin AND s2.j >= kf.bin
+        GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT c.bin, c.n, c.n_pos,
+      c.n_pos * 1000000 // c.n AS emp_micro,
+      f.iso_micro
+    FROM cum c JOIN fit f ON c.bin = f.k"""))
+
   /** Leave-one-out target encoding of the customer's nation against
     * order value ([[Features.targetEncodeLoo]]): each order's feature is
     * the mean o_totalprice of the OTHER orders from the same nation,
@@ -944,6 +1033,7 @@ object EltQueries {
     x_ml_auc,
     x_dq_psi,
     x_ml_calibration,
+    x_ml_isotonic,
     x_dq_dp,
     x_split_temporal,
     x_ml_split,
