@@ -743,6 +743,64 @@ object StatsQueries {
       SELECT n_days, n_pairs, slope_micro, intercept_micro FROM inter"""))
 
   // ---------------------------------------------------------------
+  // x_stat_gini
+  // ---------------------------------------------------------------
+
+  /** Revenue-concentration Gini over customers — the inequality
+    * summary (and Lorenz endpoint shares) a marketplace warehouse
+    * tracks: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * revenue-ascending order, computed EXACTLY — revenues as integer
+    * cents, ranks from the RANGE-PARTITIONED global row number (no
+    * single-task sort at any corpus size — the rownum machinery), the
+    * Σ i·x product widened to DECIMAL(38,0) (rank·cents passes BIGINT
+    * around 10⁹ customers), and the final ratio one truncating micro
+    * division mirrored on both engines. Ties rank deterministically
+    * by customer key, which leaves G unchanged (equal x swap freely).
+    *
+    * Scale shape: one combinable per-customer sum, one range shuffle
+    * for the rownum, one combinable 1-row reduce. */
+  private val x_stat_gini = Q(
+    "x_stat_gini",
+    (s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(expr("CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0)"
+          + " AS BIGINT)) AS BIGINT)").as("cents"))
+      val ranked = graft.ops.Scale.globalRowNumberBy(rev,
+        Seq(col("cents"), col("o_custkey")))
+      ranked.agg(
+          count(lit(1)).cast("long").as("n_customers"),
+          sum(col("cents")).cast("long").as("total_cents"),
+          sum(expr("CAST(global_rn AS DECIMAL(38,0)) * cents")).as("ix"))
+        .select(col("n_customers"), col("total_cents"),
+          expr("CAST((2 * ix - CAST(n_customers + 1 AS DECIMAL(38,0))" +
+            " * total_cents) * 1000000" +
+            " DIV (CAST(n_customers AS DECIMAL(38,0)) * total_cents)" +
+            " AS BIGINT)").as("gini_micro"))
+    },
+    Some("""WITH rev AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0)
+          AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT cents,
+        CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+          AS global_rn
+      FROM rev),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(cents) AS BIGINT) AS total_cents,
+        SUM(CAST(global_rn AS DECIMAL(38,0)) * cents) AS ix
+      FROM ranked)
+    SELECT n_customers, total_cents,
+      CAST((2 * ix - CAST(n_customers + 1 AS DECIMAL(38,0)) * total_cents)
+        * 1000000
+        // (CAST(n_customers AS DECIMAL(38,0)) * total_cents) AS BIGINT)
+        AS gini_micro
+    FROM agg"""))
+
+  // ---------------------------------------------------------------
   // x_stat_qq
   // ---------------------------------------------------------------
 
@@ -961,6 +1019,7 @@ object StatsQueries {
     x_stat_theil_sen,
     x_stat_bh_fdr,
     x_stat_qq,
+    x_stat_gini,
     x_ts_acf,
     x_ml_feature_mi,
     x_dq_ref_integrity)
