@@ -102,6 +102,26 @@ class Round7QueriesSpec extends SparkSpec {
     assert(pairs > 0, "test corpus must contain near-dup pairs")
   }
 
+  test("gini: bounded in [0,1) and invariant to uniform scaling") {
+    val row = run("x_stat_gini")
+      .select(col("n_customers"), col("total_cents"), col("gini_micro"))
+      .as[(Long, Long, Long)].head()
+    val (n, total, g) = row
+    assert(n > 0 && total > 0)
+    assert(g >= 0L && g < 1000000L, s"gini $g out of [0, 1e6)")
+    // independent recompute from raw data via the closed form
+    val rev = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0)"
+        + " AS BIGINT)) AS BIGINT)").as("cents"))
+      .orderBy(col("cents"), col("o_custkey"))
+      .select(col("cents")).as[Long].collect()
+    val ix = rev.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val exact = (BigInt(2) * ix - BigInt(rev.length + 1) * rev.sum) *
+      BigInt(1000000) / (BigInt(rev.length) * rev.sum)
+    assert(g == exact.toLong, s"gini $g != driver recompute $exact")
+  }
+
   test("fellegi-sunter: rollup partitions the blocked pair space") {
     val rows = run("x_er_fellegi_sunter")
       .select(col("classification"), col("n_pairs"),
