@@ -4221,6 +4221,84 @@ object ExtensionQueries {
         THEN ROUND(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) END AS ndcg
     FROM agg"""))
 
+  /** DAU / WAU / MAU engagement with DAU/MAU stickiness — the
+    * windowed-DISTINCT rollup every product warehouse publishes, in
+    * the scalable EXPLODE-CONTRIBUTION form: windowed COUNT(DISTINCT)
+    * over raw events is unbounded state, so the corpus first collapses
+    * to the (user, day) frame (one combinable distinct), and each
+    * user-day then CONTRIBUTES to the 7 / 30 trailing windows it
+    * falls in (a bounded explode of the collapsed frame, never of raw
+    * events), closing with per-day distinct counts. Day spine from
+    * the corpus min/max (broadcast 1-row frame) so empty days emit
+    * explicit rows; windows at the spine edges are partial by design
+    * (the standard trailing-window convention). Stickiness =
+    * DAU·10⁶ DIV MAU, truncating both engines.
+    *
+    * Scale shape: one distinct collapse over the corpus; everything
+    * after runs on user-days ×7/×30 — bounded by active-user-days,
+    * not events. */
+  private val x_events_dau_wau_mau = Q(
+    "x_events_dau_wau_mau",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(true) // dau + wau + mau consumers
+      def contrib(win: Int, name: String) = ud
+        .withColumn("off", explode(sequence(lit(0), lit(win - 1))))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+        .distinct()
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as(name))
+      val dau = ud.groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("dau"))
+      val spine = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine
+        .join(dau, Seq("day"), "left")
+        .join(contrib(7, "wau"), Seq("day"), "left")
+        .join(contrib(30, "mau"), Seq("day"), "left")
+        .na.fill(0L, Seq("dau", "wau", "mau"))
+        // trailing windows past the corpus max day are clipped by the
+        // spine join; within the spine every window is fully counted
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          expr("CASE WHEN mau > 0 THEN dau * 1000000 DIV mau" +
+            " ELSE 0 END").as("stickiness_micro"))
+    },
+    Some("""WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    wau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM (
+        SELECT DISTINCT user_id, day + CAST(o.off AS INTEGER) AS day
+        FROM ud CROSS JOIN
+          (SELECT UNNEST(range(7)) AS off) o)
+      GROUP BY 1),
+    mau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS mau FROM (
+        SELECT DISTINCT user_id, day + CAST(o.off AS INTEGER) AS day
+        FROM ud CROSS JOIN
+          (SELECT UNNEST(range(30)) AS off) o)
+      GROUP BY 1),
+    spine AS (
+      SELECT UNNEST(generate_series(
+        (SELECT MIN(day) FROM ud), (SELECT MAX(day) FROM ud),
+        INTERVAL 1 DAY))::DATE AS day)
+    SELECT s.day,
+      COALESCE(d.dau, 0) AS dau,
+      COALESCE(w.wau, 0) AS wau,
+      COALESCE(m.mau, 0) AS mau,
+      CASE WHEN COALESCE(m.mau, 0) > 0
+        THEN COALESCE(d.dau, 0) * 1000000 // m.mau ELSE 0 END
+        AS stickiness_micro
+    FROM spine s
+    LEFT JOIN dau d ON s.day = d.day
+    LEFT JOIN wau w ON s.day = w.day
+    LEFT JOIN mau m ON s.day = m.day"""))
+
   /** Cluster-aware train/val/test splitting — the leakage guard an LLM
     * data pipeline needs BETWEEN dedup and splitting: hashing each
     * document's near-dup CLUSTER representative (not the document id)
@@ -4449,6 +4527,7 @@ object ExtensionQueries {
     x_events_cooccur,
     x_events_markov,
     x_events_seqmine,
+    x_events_dau_wau_mau,
     x_source_schema_merge,
     x_dq_k_generalize,
     x_sample_negatives,
