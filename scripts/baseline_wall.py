@@ -34,6 +34,7 @@ Methodology notes (mirrors graft.Bench):
   - the output map is rewritten after every query, and a rerun skips
     queries already present — kill-safe and resumable.
 """
+import hashlib
 import json
 import os
 import sys
@@ -77,13 +78,32 @@ def main(sf_dir: str, oracle_json: str, out_path: str) -> int:
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     threads = con.execute("SELECT current_setting('threads')").fetchone()[0]
-    walls, capped, errs = {}, [], {}
+    def sha(sql):
+        return hashlib.sha256(sql.encode()).hexdigest()[:16]
+
+    walls, capped, errs, shas = {}, [], {}, {}
     if os.path.exists(out_path):  # resume: keep finished queries
         try:
             prev = json.load(open(out_path))
-            if prev.get("sf") == sf_dir:
+            # a wall measured under a DIFFERENT cap is not comparable
+            # (capped floors would mix cap values) — invalidate wholesale
+            if (prev.get("sf") == sf_dir
+                    and prev.get("per_run_cap_s") == PER_RUN_CAP_S):
                 walls = prev.get("queries", {})
                 capped = prev.get("capped", [])
+                shas = prev.get("sql_sha", {})
+                # re-time queries whose oracle SQL changed since the
+                # prior run (or predate sha tracking) — the incremental
+                # refresh close_round.sh relies on
+                stale = [n for n in walls
+                         if shas.get(n) != sha(oracles.get(n, ""))]
+                for n in stale:
+                    walls.pop(n, None)
+                    shas.pop(n, None)
+                capped = [n for n in capped if n in walls]
+                if stale:
+                    print(f"resume: re-timing {len(stale)} stale "
+                          f"queries", flush=True)
         except Exception:
             pass
 
@@ -91,7 +111,7 @@ def main(sf_dir: str, oracle_json: str, out_path: str) -> int:
         out = {"sf": sf_dir, "duckdb_threads": int(threads),
                "per_run_cap_s": PER_RUN_CAP_S, "nqueries": len(walls),
                "capped": sorted(set(capped)), "errors": errs,
-               "queries": walls}
+               "sql_sha": shas, "queries": walls}
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
 
@@ -102,6 +122,7 @@ def main(sf_dir: str, oracle_json: str, out_path: str) -> int:
             warm, was_capped = capped_run(con, sql)
             if was_capped:
                 walls[name] = PER_RUN_CAP_S
+                shas[name] = sha(sql)
                 capped.append(name)
                 print(f"[{i+1}/{len(todo)}] {name}: CAPPED at "
                       f"{PER_RUN_CAP_S}s", flush=True)
@@ -116,8 +137,13 @@ def main(sf_dir: str, oracle_json: str, out_path: str) -> int:
                 dt, c2 = capped_run(con, sql)
                 best = dt if best is None else min(best, dt)
                 if c2:
+                    # a timed run hit the cap after a sub-cap warmup:
+                    # the recorded wall is a FLOOR — list it as capped
+                    # so the JSON's caveat holds for every floor value
+                    capped.append(name)
                     break
             walls[name] = round(best, 4)
+            shas[name] = sha(sql)
             print(f"[{i+1}/{len(todo)}] {name}: {best:.4f}s", flush=True)
         except Exception as e:
             errs[name] = str(e).split("\n")[0]

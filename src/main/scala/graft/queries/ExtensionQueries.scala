@@ -1738,7 +1738,13 @@ object ExtensionQueries {
         levels = levels :+ next
         visited = visited.unionByName(next.select(col("seed"), col("node")))
       }
-      // backward dependency sweep: δ = 0 at the deepest level
+      // backward dependency sweep: δ = 0 at the deepest level. Each
+      // per-level delta frame is materialized as levels(k) LEFT JOIN
+      // the computed sums with COALESCE(δ,0): a level-k node whose
+      // successors were ALL already visited (a leaf of the BFS dag)
+      // has δ=0 but must still be present, so at level k−1 its
+      // (10⁶+0)·σ_v DIV σ_w term is not silently dropped — the
+      // documented Brandes dependency formula, now complete.
       var deltas = Vector(
         levels(maxDepth).select(col("seed"), col("node"),
           lit(0L).as("delta_micro")))
@@ -1747,14 +1753,18 @@ object ExtensionQueries {
           .join(deltas.head, Seq("seed", "node"))
           .select(col("seed").as("__wseed"), col("node").as("__w"),
             col("sigma").as("__sw"), col("delta_micro").as("__dw"))
-        val dk = levels(k)
+        val sums = levels(k)
           .join(edges, col("node") === col("src"))
           .join(down, col("seed") === col("__wseed")
             && col("dst") === col("__w"))
           .select(col("seed"), col("node"),
             expr("sigma * (1000000 + __dw) DIV __sw").as("term"))
           .groupBy(col("seed"), col("node"))
-          .agg(sum(col("term")).as("delta_micro"))
+          .agg(sum(col("term")).as("delta_sum"))
+        val dk = levels(k).select(col("seed"), col("node"))
+          .join(sums, Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"),
+            coalesce(col("delta_sum"), lit(0L)).as("delta_micro"))
           .localCheckpoint(true)
         deltas = dk +: deltas
       }
@@ -1806,24 +1816,34 @@ object ExtensionQueries {
       GROUP BY 1, 2),
     d3 AS (
       SELECT seed, node, CAST(0 AS BIGINT) AS delta_micro FROM v3),
-    d2 AS (
+    d2s AS (
       SELECT v.seed, v.node,
         CAST(SUM(v.sigma * (1000000 + dw.delta_micro) // w.sigma)
-          AS BIGINT) AS delta_micro
+          AS BIGINT) AS delta_sum
       FROM v2 v
       JOIN edges e ON v.node = e.src
       JOIN v3 w ON w.seed = v.seed AND w.node = e.dst
       JOIN d3 dw ON dw.seed = w.seed AND dw.node = w.node
       GROUP BY 1, 2),
-    d1 AS (
+    d2 AS (
+      SELECT v.seed, v.node,
+        COALESCE(s.delta_sum, CAST(0 AS BIGINT)) AS delta_micro
+      FROM v2 v LEFT JOIN d2s s
+        ON s.seed = v.seed AND s.node = v.node),
+    d1s AS (
       SELECT v.seed, v.node,
         CAST(SUM(v.sigma * (1000000 + dw.delta_micro) // w.sigma)
-          AS BIGINT) AS delta_micro
+          AS BIGINT) AS delta_sum
       FROM v1 v
       JOIN edges e ON v.node = e.src
       JOIN v2 w ON w.seed = v.seed AND w.node = e.dst
       JOIN d2 dw ON dw.seed = w.seed AND dw.node = w.node
       GROUP BY 1, 2),
+    d1 AS (
+      SELECT v.seed, v.node,
+        COALESCE(s.delta_sum, CAST(0 AS BIGINT)) AS delta_micro
+      FROM v1 v LEFT JOIN d1s s
+        ON s.seed = v.seed AND s.node = v.node),
     acc AS (
       SELECT node, CAST(SUM(delta_micro) AS BIGINT) AS betweenness_micro,
         CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching
@@ -3282,8 +3302,13 @@ object ExtensionQueries {
     (s, d) => {
       val p = Tables.part(s, d).select(
         col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"),
-        split(col("p_name"), " ").getItem(0).as("w1"),
-        split(col("p_name"), " ").getItem(1).as("w2"))
+        // coalesce to '' so a <2-word name matches DuckDB split_part
+        // semantics ('' = '' is AGREEMENT there; a Spark NULL token
+        // would silently fall to the disagreement weight)
+        coalesce(split(col("p_name"), " ").getItem(0), lit(""))
+          .as("w1"),
+        coalesce(split(col("p_name"), " ").getItem(1), lit(""))
+          .as("w2"))
       def s2(c: String): org.apache.spark.sql.DataFrame = p.groupBy(col(c))
         .agg(count(lit(1)).as("cnt"))
         .agg(sum(col("cnt") * col("cnt")).cast("long").as(s"s2_$c"))
@@ -4441,9 +4466,11 @@ object ExtensionQueries {
           col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
           expr("support * 1000000 DIV n_a").as("confidence_micro"),
           // the support·users·10⁶ product passes 9.2e18 around 10⁹
-          // users — widen to DECIMAL(38,0) like the ANOVA sums
+          // users — widen to DECIMAL(38,0) like the ANOVA sums; the
+          // n_a·n_b denominator wraps at the same scale, widen it too
           expr("CAST(CAST(support AS DECIMAL(38,0)) * n_users * 1000000" +
-            " DIV (n_a * n_b) AS BIGINT)").as("lift_micro"))
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+            .as("lift_micro"))
     },
     Some("""WITH e AS (
       SELECT user_id, event_type,
@@ -4469,7 +4496,8 @@ object ExtensionQueries {
       sa.n_t AS n_a, sb.n_t AS n_b,
       support * 1000000 // sa.n_t AS confidence_micro,
       CAST(CAST(support AS DECIMAL(38,0)) * n_users * 1000000
-        // (sa.n_t * sb.n_t) AS BIGINT) AS lift_micro
+        // (CAST(sa.n_t AS DECIMAL(38,0)) * sb.n_t) AS BIGINT)
+        AS lift_micro
     FROM pairs
     JOIN ts_sup sa ON sa.event_type = type_a
     JOIN ts_sup sb ON sb.event_type = type_b

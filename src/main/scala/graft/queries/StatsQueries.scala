@@ -918,10 +918,17 @@ object StatsQueries {
         max(when(col("bucket") === 1, col("o"))).as("o1"),
         max(when(col("bucket") === 2, col("o"))).as("o2"),
         sum(col("o")).as("nt"))
+      // widen BOTH products to DECIMAL(38,0) BEFORE multiplying (o·n
+      // wraps int64 around ~3e9 events otherwise — silent in Spark, a
+      // hard error in DuckDB), then square in DOUBLE (exact-decimal
+      // square would itself outgrow 38 digits near the same scale;
+      // IEEE double ops are bit-identical across engines)
       def term(o: String, nb: String): String =
-        s"""CASE WHEN $nb > 0 THEN CAST(
-           |  CAST($o * n - nt * $nb AS DECIMAL(38,0))
-           |  * CAST($o * n - nt * $nb AS DECIMAL(38,0)) AS DOUBLE)
+        s"""CASE WHEN $nb > 0 THEN
+           |  CAST(CAST($o AS DECIMAL(38,0)) * n
+           |    - CAST(nt AS DECIMAL(38,0)) * $nb AS DOUBLE)
+           |  * CAST(CAST($o AS DECIMAL(38,0)) * n
+           |    - CAST(nt AS DECIMAL(38,0)) * $nb AS DOUBLE)
            | / CAST(CAST(n AS DECIMAL(38,0)) * nt * $nb AS DOUBLE)
            | ELSE CAST(0 AS DOUBLE) END""".stripMargin
       val chi2 = perType.crossJoin(broadcast(pooled))
@@ -974,19 +981,25 @@ object StatsQueries {
         FROM full_g GROUP BY 1),
       chi AS (
         SELECT event_type,
-          (CASE WHEN nb0 > 0 THEN CAST(
-              CAST(o0 * n - nt * nb0 AS DECIMAL(38,0))
-              * CAST(o0 * n - nt * nb0 AS DECIMAL(38,0)) AS DOUBLE)
+          (CASE WHEN nb0 > 0 THEN
+              CAST(CAST(o0 AS DECIMAL(38,0)) * n
+                - CAST(nt AS DECIMAL(38,0)) * nb0 AS DOUBLE)
+              * CAST(CAST(o0 AS DECIMAL(38,0)) * n
+                - CAST(nt AS DECIMAL(38,0)) * nb0 AS DOUBLE)
             / CAST(CAST(n AS DECIMAL(38,0)) * nt * nb0 AS DOUBLE)
             ELSE CAST(0 AS DOUBLE) END)
-          + (CASE WHEN nb1 > 0 THEN CAST(
-              CAST(o1 * n - nt * nb1 AS DECIMAL(38,0))
-              * CAST(o1 * n - nt * nb1 AS DECIMAL(38,0)) AS DOUBLE)
+          + (CASE WHEN nb1 > 0 THEN
+              CAST(CAST(o1 AS DECIMAL(38,0)) * n
+                - CAST(nt AS DECIMAL(38,0)) * nb1 AS DOUBLE)
+              * CAST(CAST(o1 AS DECIMAL(38,0)) * n
+                - CAST(nt AS DECIMAL(38,0)) * nb1 AS DOUBLE)
             / CAST(CAST(n AS DECIMAL(38,0)) * nt * nb1 AS DOUBLE)
             ELSE CAST(0 AS DOUBLE) END)
-          + (CASE WHEN nb2 > 0 THEN CAST(
-              CAST(o2 * n - nt * nb2 AS DECIMAL(38,0))
-              * CAST(o2 * n - nt * nb2 AS DECIMAL(38,0)) AS DOUBLE)
+          + (CASE WHEN nb2 > 0 THEN
+              CAST(CAST(o2 AS DECIMAL(38,0)) * n
+                - CAST(nt AS DECIMAL(38,0)) * nb2 AS DOUBLE)
+              * CAST(CAST(o2 AS DECIMAL(38,0)) * n
+                - CAST(nt AS DECIMAL(38,0)) * nb2 AS DOUBLE)
             / CAST(CAST(n AS DECIMAL(38,0)) * nt * nb2 AS DOUBLE)
             ELSE CAST(0 AS DOUBLE) END) AS chi2
         FROM per_type CROSS JOIN pooled),
