@@ -1130,29 +1130,38 @@ object Dedup {
     *
     * Construction is fixed-round PREFIX DOUBLING (Manber–Myers, the
     * pointer-jumping precedent): suffix ranks at depth 2^k are the
-    * dense rank of the pair (rank_k\[pos], rank_k\[pos+2^k]), k
-    * iterations of a corpus-linear join + a range-partitioned dense
-    * rank ([[Scale.globalRowNumberBy]] over the distinct key pairs —
-    * no single-task sort anywhere). Tokens are ranked by md5 so the
-    * suffix order is engine-portable (UTF8-collation-free); any total
-    * order on the alphabet yields a valid suffix array.
+    * dense rank of the pair (rank_k\[pos], rank_k\[pos+2^k]). The
+    * pair lookup is NOT a self-join: positions are dense within a
+    * document, so rank_k\[pos+2^k] is lead(r, 2^k) over the per-doc
+    * position order — one in-memory window per round over the
+    * doc-partitioned rank table, zero exchanges. Only the densify
+    * rounds range-shuffle (via [[Scale.globalDenseRankBy]] — no
+    * single-task sort anywhere). Tokens are ranked by the first 60
+    * bits of their md5 (a BIGINT key, engine-portable order,
+    * UTF8-collation-free); any total order on the alphabet yields a
+    * valid suffix array.
     *
     * The classic suffix-array fact this rides on: the maximum LCP over
     * ALL suffix pairs is attained by a pair ADJACENT in suffix order —
-    * so adjacency (via one more global row number) plus an LCP descent
-    * (highest rank table first: equal rank at depth 2^k ⇒ advance the
-    * match cursor 2^k, exactly the O(log n) suffix-array LCP walk)
+    * so adjacency (via one more global row number) plus a per-pair LCP
     * finds every locally-maximal duplicated span exactly, up to the
-    * depth cap 2^(rounds+1)−1 tokens. End-of-document is handled by a
-    * −1 sentinel rank (shorter suffix sorts first) and a final clamp
-    * of the LCP to both suffixes' remaining lengths.
+    * depth cap 2^(rounds+1)−1 tokens. The LCP itself is computed
+    * DIRECTLY on the token arrays (two joins against the per-doc
+    * token frame + one leading-equal-count expression), which is
+    * bit-identical to the classic O(log n) rank-table descent under
+    * the same depth cap (both touch O(cap) tokens per pair) while
+    * costing 2 joins instead of 2·(rounds+1) — see the inline note.
+    * End-of-document is handled by a −1 sentinel rank in the ORDER
+    * construction (shorter suffix sorts first) and by clamping the
+    * compared window to both suffixes' remaining lengths.
     *
-    * Scale shape at 100 TB: rounds × (one equi-join on (doc, pos+2^k)
-    * + one distinct + one range shuffle) — O(n log n) total, the
-    * published cost of suffix-array construction; the descent is
-    * (rounds+1) bounded equi-joins on the ADJACENT-pair frame (n
-    * rows); output is orderBy+limit = TakeOrderedAndProject. Every
-    * rank table is checkpointed once and reused (multi-consumer rule).
+    * Scale shape at 100 TB: rounds × (one exchange-free lead window)
+    * + rounds/2 range shuffles — O(n log n) total, the published cost
+    * of suffix-array construction; the LCP stage is 2 bounded
+    * equi-joins on the ADJACENT-pair frame (n rows); output is
+    * orderBy+limit = TakeOrderedAndProject. Only genuinely
+    * multi-consumer frames are checkpointed (the doc-token arrays,
+    * the densified rank tables, the suffix order).
     *
     * Output: the topN document pairs by longest shared substring —
     * (doc_a, doc_b, lss_tokens, pos_a, pos_b, n_suffix_pairs, rank);
@@ -1167,20 +1176,34 @@ object Dedup {
                   topN: Int = 20): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"1..8 doubling rounds, got $rounds")
     require(minLcp >= 1 && topN >= 1, s"minLcp/topN must be positive")
-    val toks = df.filter(text.isNotNull)
-      .select(id.as("doc"), split(lower(text), " ").as("t"))
-      .select(col("doc"), size(col("t")).cast("long").as("dlen"),
-        posexplode(col("t")).as(Seq("pos", "tok")))
+    // Per-doc token arrays, hash-partitioned by doc and checkpointed
+    // FIRST. Two reasons: (a) the raw documents table can arrive as a
+    // handful of input splits (a few MB of parquet at test SF), so
+    // without an up-front exchange every tokenize/hash stage runs on
+    // that handful of tasks; (b) the frame has three consumers — the
+    // exploded rank-0 input below and both sides of the final LCP
+    // join (multi-consumer rule).
+    val docToks = df.filter(text.isNotNull)
+      .select(id.as("doc"), split(lower(text), " ").as("toks"))
+      .repartition(col("doc"))
+      .localCheckpoint(true)
+    val toks = docToks
+      .select(col("doc"), size(col("toks")).cast("long").as("dlen"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
       .select(col("doc"), col("dlen"), col("pos").cast("long").as("pos"),
-        md5(col("tok")).as("tk"))
+        // first 60 bits of md5 as BIGINT, not the 32-char hex string:
+        // the token key rides through every range shuffle, sort and
+        // checkpoint of the construction, and an 8-byte long keeps
+        // those 4x smaller + compares word-wise. Same order, same
+        // equality (up to the md5-collision class both forms share);
+        // the oracle applies the identical prefix cast.
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+          .as("tk"))
     // rank_0: dense rank of the token (by md5 — engine-portable order).
     // globalDenseRankBy is one range shuffle + a broadcast per call —
-    // no distinct frame, no join back. Every rank table is partitioned
-    // by doc before its checkpoint: (doc) is a subset of every later
-    // join's keys ((doc, pos) in the doubling self-join and the LCP
-    // descent), so ClusteredDistribution is already satisfied and none
-    // of those joins re-shuffles the table side — the property that
-    // keeps the 2·(rounds+1) descent joins exchange-free at scale.
+    // no distinct frame, no join back. Dense-round rank tables are
+    // partitioned by doc before their checkpoint so the doubling
+    // windows below never exchange.
     var cur = Scale.globalDenseRankBy(toks, Seq(col("tk")), parts = 0)
       .select(col("doc"), col("dlen"), col("pos"),
         col("dense_rn").as("r"))
@@ -1193,73 +1216,109 @@ object Dedup {
     // projection with NO range shuffle; the pack overflows 63 bits if
     // composed twice, so every even round re-densifies. Halves the
     // densify passes (each is a range shuffle + checkpoint + window —
-    // the dominant per-round cost). The descent below only tests
-    // EQUALITY of table entries, which both key forms preserve.
-    val nTok = toks.count()
+    // the dominant per-round cost). Downstream only tests EQUALITY of
+    // rank entries, which both key forms preserve.
+    // token count from the materialized doc frame (one tiny agg; the
+    // exploded form would re-run tokenization just to count it)
+    val nTok = docToks.agg(sum(size(col("toks"))).cast("long"))
+      .head.getLong(0)
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(nTok + 2)
     require(2 * bits + 1 <= 63,
       s"suffix set $nTok too large for sparse pair packing — " +
         "densify every round instead")
     val packB = 1L << bits
-    val tables = scala.collection.mutable.ArrayBuffer(cur) // rank_0
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
     for (k <- 1 to rounds) {
-      val off = 1L << (k - 1)
-      // rename-before-join: both sides derive from `cur` (the
-      // shared-lineage self-join rule)
-      val bSide = cur.select(col("doc"),
-        (col("pos") - lit(off)).as("pos"), col("r").as("rb"))
-      val paired = cur.join(bSide, Seq("doc", "pos"), "left")
-        .withColumn("rb", coalesce(col("rb"), lit(-1L)))
-      cur = (if (k % 2 == 1)
-        // sparse round: r is dense (< packB) after the previous
-        // densify, rb likewise; the packed key is unique per (r, rb)
+      val off = (1L << (k - 1)).toInt
+      // rank at (doc, pos+2^(k-1)) = lead(r, 2^(k-1)) over the
+      // per-doc pos order — pos is DENSE 0..dlen−1 by construction,
+      // so the window's row offset IS the position offset. This is
+      // the doubling "self-join" with no join at all: one in-memory
+      // window over the doc-partitioned rank table (no exchange; and
+      // chained windows share one sort — same partition+order spec).
+      // NULL past end-of-doc is the −1 sentinel (shorter sorts first)
+      val paired = cur.withColumn("rb",
+        coalesce(lead(col("r"), off).over(wDoc), lit(-1L)))
+      cur = if (k == rounds)
+        // the FINAL round never needs a rank VALUE at all — only the
+        // suffix ORDER below — and dense rank is order-isomorphic to
+        // its key, so order by (r_final, doc, pos) ≡ order by
+        // (r_prev, rb_prev, doc, pos). Keep both key columns and
+        // skip the last densify's range shuffle entirely.
+        paired.select(col("doc"), col("dlen"), col("pos"),
+          col("r"), col("rb"))
+      else if (k % 2 == 1)
+        // sparse round: a pure projection, not even materialized —
+        // the next densify's range shuffle re-evaluates the window
+        // chain from the last checkpoint (in-partition, cheap) once
+        // for bound sampling, once for the shuffle itself
         paired.select(col("doc"), col("dlen"), col("pos"),
           (col("r") * packB + col("rb") + 1).as("r"))
       else
         Scale.globalDenseRankBy(paired, Seq(col("r"), col("rb")),
             parts = 0)
           .select(col("doc"), col("dlen"), col("pos"),
-            col("dense_rn").as("r")))
-        .repartition(col("doc"))
-        .localCheckpoint(true)
-      tables += cur
+            col("dense_rn").as("r"))
+          .repartition(col("doc"))
+          .localCheckpoint(true)
     }
-    // global suffix order; (r, doc, pos) is a total order
-    val sa = Scale.globalRowNumberBy(cur,
-      Seq(col("r"), col("doc"), col("pos")))
+    // global suffix order; (r[, rb], doc, pos) is a total order
+    val orderKeys =
+      if (cur.columns.contains("rb"))
+        Seq(col("r"), col("rb"), col("doc"), col("pos"))
+      else Seq(col("r"), col("doc"), col("pos"))
+    // no outer checkpoint: globalRowNumberBy already materializes the
+    // range-partitioned frame internally, and both adjacency sides
+    // re-derive from it with one in-partition window + broadcast —
+    // cheaper than another materialization barrier
+    val sa = Scale.globalRowNumberBy(cur, orderKeys)
       .withColumnRenamed("global_rn", "srn")
-      .localCheckpoint(true) // both sides of the adjacency self-join
     val bAdj = sa.select((col("srn") - 1).as("srn"),
       col("doc").as("doc_b"), col("pos").as("pos_b"),
       col("dlen").as("dlen_b"))
-    var pairs = sa.join(bAdj, Seq("srn"))
+    val pairs = sa.join(bAdj, Seq("srn"))
       .select(col("doc").as("doc_a"), col("pos").as("pos_a"),
         col("dlen").as("dlen_a"),
         col("doc_b"), col("pos_b"), col("dlen_b"))
-      .withColumn("l", lit(0L))
-    // LCP descent, highest table first (the suffix-array LCP walk)
-    for (k <- rounds to 0 by -1) {
-      val rk = tables(k)
-      val ra = rk.select(col("doc").as("__da"),
-        col("pos").as("__pa"), col("r").as("__ra"))
-      val rb = rk.select(col("doc").as("__db"),
-        col("pos").as("__pb"), col("r").as("__rb"))
-      pairs = pairs
-        .join(ra, col("doc_a") === col("__da")
-          && (col("pos_a") + col("l")) === col("__pa"), "left")
-        .join(rb, col("doc_b") === col("__db")
-          && (col("pos_b") + col("l")) === col("__pb"), "left")
-        .withColumn("l",
-          when(col("__ra") === col("__rb"),
-            col("l") + lit(1L << k)).otherwise(col("l")))
-        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
-    }
+    // LCP of each adjacent pair, computed DIRECTLY on the token
+    // arrays: with the depth cap D = 2^(rounds+1)−1 tokens, the
+    // classic O(log n) rank-table descent (2·(rounds+1) distributed
+    // joins of the n-row pair frame — git history) and a direct
+    // common-prefix count over ≤D tokens do identical per-pair work
+    // (the descent's window walk also touches O(D) tokens' worth of
+    // rank state), but the direct form needs only TWO joins against
+    // the per-doc token arrays and one codegen-stage expression —
+    // 12 fewer shuffles of the pair frame. Values are bit-identical:
+    // counting leading equal tokens over min(rem_a, rem_b, D) equals
+    // the descent's sentinel-padded walk after its end-of-doc clamp.
+    // Memory bound: each pair row materializes its docs' arrays
+    // in-stage (never shuffled — the slice+count collapses to a
+    // scalar before the next exchange), so per-row cost is O(doc
+    // length), the same bound the text column itself already carries.
+    // docToks is the doc-partitioned checkpoint from the top.
+    val ta = docToks.select(col("doc").as("__da"), col("toks").as("__ta"))
+    val tb = docToks.select(col("doc").as("__db"), col("toks").as("__tb"))
+    val depthCap = (1L << (rounds + 1)) - 1
     val scored = pairs
-      // clamp: sentinel-padded matches past end-of-document are not
-      // real tokens; true LCP never exceeds either remaining length
-      .withColumn("lcp_tokens",
-        least(col("l"), col("dlen_a") - col("pos_a"),
-          col("dlen_b") - col("pos_b")))
+      .join(ta, col("doc_a") === col("__da"))
+      .join(tb, col("doc_b") === col("__db"))
+      .withColumn("__m", least(col("dlen_a") - col("pos_a"),
+        col("dlen_b") - col("pos_b"), lit(depthCap)))
+      // leading-equal count = position of the first mismatch in the
+      // zipped equality mask, minus 1; no mismatch → the full window.
+      // array_position is a native (non-lambda) scan (the one lambda
+      // left is the trivial per-element x = y) and returns 0 — not
+      // NULL — when nothing matches, hence the nullif gate.
+      .withColumn("lcp_tokens", expr(
+        """CAST(coalesce(
+          |  nullif(array_position(
+          |    zip_with(slice(__ta, CAST(pos_a + 1 AS INT), CAST(__m AS INT)),
+          |             slice(__tb, CAST(pos_b + 1 AS INT), CAST(__m AS INT)),
+          |             (x, y) -> x = y),
+          |    false), 0) - 1,
+          |  __m) AS BIGINT)""".stripMargin))
+      .drop("__da", "__ta", "__db", "__tb", "__m")
       .filter(col("lcp_tokens") >= minLcp)
       // normalize occurrence order so one (doc pair) groups once
       // regardless of which suffix sorted first
@@ -1317,7 +1376,7 @@ object Dedup {
     }.mkString(",\n    ")
     s"""WITH __sa_toks AS (
       SELECT doc, CAST(len(t) AS BIGINT) AS dlen, CAST(u.i AS BIGINT) AS pos,
-        md5(t[u.i + 1]) AS tk
+        CAST(('0x' || substring(md5(t[u.i + 1]), 1, 15)) AS BIGINT) AS tk
       FROM (SELECT doc_id AS doc, string_split(lower(text), ' ') AS t
             FROM $srcCte) d,
         unnest(range(0, len(t))) AS u(i)),

@@ -1715,17 +1715,30 @@ object ExtensionQueries {
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
+      // ONE exchange builds the checkpointed edge list: repartition
+      // the doubled (still duplicated) pairs by src, then dedup via
+      // distinct — hashpartitioning(src) already satisfies
+      // ClusteredDistribution(src,dst), so the dedup aggregate adds
+      // NO second exchange. Pre-sorting by src before the checkpoint
+      // matters because LogicalRDD carries outputPartitioning AND
+      // outputOrdering: all 5 downstream frontier joins (3 forward +
+      // 2 backward, every one keyed node = src) then skip both the
+      // Exchange and the Sort on the edge side — only the
+      // node-bounded frontier shuffles per round
       val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src"))
+        .distinct()
+        .sortWithinPartitions(col("src"))
         .localCheckpoint(true) // 3 forward + 2 backward consumers
       val maxDepth = 3
+      // no checkpoint on the seed frame: recomputing it is a 4-row
+      // pushed-filter scan, cheaper than an eager materialization job
       var levels = Vector(
         Tables.customer(s, d).filter(col("c_custkey") <= 4)
           .select((col("c_custkey") * 2).as("seed"))
           .withColumn("node", col("seed"))
-          .withColumn("sigma", lit(1L))
-          .localCheckpoint(true))
+          .withColumn("sigma", lit(1L)))
       var visited = levels(0).select(col("seed"), col("node"))
       for (k <- 1 to maxDepth) {
         val next = levels(k - 1)
@@ -1745,12 +1758,13 @@ object ExtensionQueries {
       // has δ=0 but must still be present, so at level k−1 its
       // (10⁶+0)·σ_v DIV σ_w term is not silently dropped — the
       // documented Brandes dependency formula, now complete.
+      // Each delta frame carries σ alongside δ so the next round's
+      // `down` side IS the frame itself — no levels(k+1)⋈deltas join.
       var deltas = Vector(
-        levels(maxDepth).select(col("seed"), col("node"),
+        levels(maxDepth).select(col("seed"), col("node"), col("sigma"),
           lit(0L).as("delta_micro")))
       for (k <- (maxDepth - 1) to 1 by -1) {
-        val down = levels(k + 1)
-          .join(deltas.head, Seq("seed", "node"))
+        val down = deltas.head
           .select(col("seed").as("__wseed"), col("node").as("__w"),
             col("sigma").as("__sw"), col("delta_micro").as("__dw"))
         val sums = levels(k)
@@ -1761,14 +1775,18 @@ object ExtensionQueries {
             expr("sigma * (1000000 + __dw) DIV __sw").as("term"))
           .groupBy(col("seed"), col("node"))
           .agg(sum(col("term")).as("delta_sum"))
-        val dk = levels(k).select(col("seed"), col("node"))
+        val dk0 = levels(k).select(col("seed"), col("node"), col("sigma"))
           .join(sums, Seq("seed", "node"), "left")
-          .select(col("seed"), col("node"),
+          .select(col("seed"), col("node"), col("sigma"),
             coalesce(col("delta_sum"), lit(0L)).as("delta_micro"))
-          .localCheckpoint(true)
+        // the k=1 frame has a single consumer (the final union) —
+        // checkpoint only the frames the next round re-reads
+        val dk = if (k > 1) dk0.localCheckpoint(true) else dk0
         deltas = dk +: deltas
       }
-      val all = deltas.reduce(_ unionByName _)
+      val all = deltas
+        .map(_.select(col("seed"), col("node"), col("delta_micro")))
+        .reduce(_ unionByName _)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("betweenness_micro").desc, col("node"))
       all.groupBy(col("node"))
