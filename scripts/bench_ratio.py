@@ -26,13 +26,21 @@ def main(bench_path: str, base_path: str, out_path: str) -> int:
     with open(base_path) as f:
         base = json.load(f)
     duck = base["queries"]
+    # measured per-query driver floor: the registered x_noop_floor
+    # control (a one-row constant through the same noop-sink path).
+    # Subtracting it gives the floor-adjusted ratio — what the query's
+    # PLAN costs beyond the fixed local[32] scheduling/commit overhead.
+    floor = bench.get("x_noop_floor", 0.0)
     rows = {}
     for name, sw in sorted(bench.items()):
         dw = duck.get(name)
         if dw is None:
             continue
+        adj = max(sw - floor, 0.0)
         rows[name] = {"spark": sw, "duckdb": dw,
-                      "ratio": round(sw / dw, 2) if dw > 0 else None}
+                      "ratio": round(sw / dw, 2) if dw > 0 else None,
+                      "ratio_floor_adj":
+                          round(adj / dw, 2) if dw > 0 else None}
     common = [r for r in rows.values() if r["ratio"] is not None]
     tot_s = sum(r["spark"] for r in common)
     tot_d = sum(r["duckdb"] for r in common)
@@ -40,6 +48,7 @@ def main(bench_path: str, base_path: str, out_path: str) -> int:
            if r["spark"] >= 0.5 and r["duckdb"] >= 0.5]
     out = {
         "n_common": len(common),
+        "spark_floor_sec": round(floor, 3),
         "spark_total_sec": round(tot_s, 1),
         "duckdb_total_sec": round(tot_d, 1),
         "aggregate_ratio": round(tot_s / tot_d, 2) if tot_d else None,
@@ -51,15 +60,16 @@ def main(bench_path: str, base_path: str, out_path: str) -> int:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"common queries: {len(common)}  spark {tot_s:.1f}s  "
           f"duckdb {tot_d:.1f}s  aggregate ratio "
-          f"{out['aggregate_ratio']}x")
+          f"{out['aggregate_ratio']}x  "
+          f"(per-query floor {floor:.3f}s)")
     print(f"both-heavy (>0.5s each side): {len(big)}, "
           f"of which >2x: {out['n_over_2x_both_heavy']}\n")
-    print("| query | spark s | duckdb s | ratio |")
-    print("|---|---|---|---|")
+    print("| query | spark s | duckdb s | ratio | floor-adj |")
+    print("|---|---|---|---|---|")
     worst = sorted(rows.items(), key=lambda kv: -(kv[1]["ratio"] or 0))
     for n, r in worst[:20]:
         print(f"| {n} | {r['spark']:.2f} | {r['duckdb']:.2f} "
-              f"| {r['ratio']}x |")
+              f"| {r['ratio']}x | {r['ratio_floor_adj']}x |")
     return 0
 
 

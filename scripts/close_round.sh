@@ -9,6 +9,23 @@
 # staged. Safe to run repeatedly: a no-change run commits nothing.
 set -e
 cd "$(dirname "$0")/.."
+# Ratio refresh (round-7 verdict ask #1): every registered query ships
+# with a DuckDB baseline ratio. baseline_wall.py is incremental — it
+# re-times only queries whose oracle SQL changed (sha-tracked) or that
+# are new, so a no-change run costs one oracle dump + two json joins.
+SF_DIR=${SF_DIR:-/root/testdata/sf0.1}
+if [ -f BENCH_LOCAL.json ] && [ "${SKIP_RATIO:-}" != "1" ]; then
+  echo "close_round: refreshing DuckDB baseline + ratios"
+  scripts/run_verify.sh "$SF_DIR" /tmp/close_round_oracle __oracle_only__ \
+    >/dev/null 2>&1 || echo "close_round: oracle dump failed (stale build?)"
+  if [ -f /tmp/close_round_oracle/oracle_sql.json ]; then
+    python3 scripts/baseline_wall.py "$SF_DIR" \
+      /tmp/close_round_oracle/oracle_sql.json BASELINE_LOCAL.json \
+      || echo "close_round: baseline_wall reported errors (recorded)"
+    python3 scripts/bench_ratio.py BENCH_LOCAL.json BASELINE_LOCAL.json \
+      BENCH_RATIO.json || echo "close_round: bench_ratio failed"
+  fi
+fi
 ARTIFACTS=(BENCH_r*.json CORRECTNESS_r*.json BENCH_LOCAL.json \
   BENCH_LOCAL.partial.json LEAKCHECK.json BASELINE_LOCAL.json \
   BENCH_RATIO.json COPYCHECK.json VERDICT.md ADVICE.md PROGRESS.jsonl)

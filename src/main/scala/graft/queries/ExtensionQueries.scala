@@ -4521,7 +4521,23 @@ object ExtensionQueries {
     JOIN ts_sup sb ON sb.event_type = type_b
     CROSS JOIN nu"""))
 
+  /** MEASUREMENT CONTROL, not an operator: a one-row constant that
+    * rides the exact same Verify/Bench path (plan → noop sink) as
+    * every real query. Its bench wall IS the per-query driver floor —
+    * job scheduling, plan compilation cache lookup, sink commit — the
+    * constant that dominates sub-100ms ratios at local[32] and
+    * amortizes to nothing on a long-lived cluster session. bench_ratio
+    * subtracts it in the floor-adjusted column so per-query ratios
+    * stay honest as the registry grows; BASELINE.md cites the measured
+    * value. */
+  private val x_noop_floor = Q(
+    "x_noop_floor",
+    (s, _) => s.range(1)
+      .select(org.apache.spark.sql.functions.lit(1L).as("one")),
+    Some("SELECT CAST(1 AS BIGINT) AS one"))
+
   def all: Seq[Q] = Seq(
+    x_noop_floor,
     x_graph_triangles,
     x_graph_lcc,
     x_graph_assort,
