@@ -383,6 +383,34 @@ object Similarity {
         corpus.select(col("vec_id").as("nid"), col("embedding")),
         col("embedding"), "cv", "cn").drop("embedding")
       .localCheckpoint(true)
+    val edges = nswEdgeList(nodes, cent, m, cellsPerNode)
+    val q = broadcast(withVecNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      col("embedding"), "qv", "qn").drop("embedding"))
+    val beam = nswBeam(q, nodes, edges,
+      q.select(col("query_id"))
+        .crossJoin(cent.select(col("cell_id").as("cand"))),
+      beamWidth, rounds)
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand"))
+    beam.withColumn("rank", row_number().over(wBeam).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Bounded-degree NSW edge list over `nodes` (nid, cv, cn) given the
+    * broadcast centroid frame (cell_id, ev, en) — the graph-build
+    * phase of [[nswTopK]]/[[hnswTopK]], factored so the hierarchical
+    * variant can build one graph per layer. `pivotSalt` decorrelates
+    * the fine-pivot sample from any OUTER modulus sample of the node
+    * set (an upper HNSW layer selected by hash(nid) % 2^j would
+    * otherwise make EVERY member a pivot); salt 0 keeps the original
+    * hash stream, bit-compatible with the pre-refactor build. */
+  private def nswEdgeList(nodes: DataFrame, cent: DataFrame, m: Int,
+                          cellsPerNode: Int,
+                          pivotSalt: Long = 0L): DataFrame = {
     // top-cellsPerNode COARSE cells per node (6dp cosine desc, larger
     // cell id on ties — the ivfTopK discipline). p>1 makes nodes near
     // a Voronoi boundary members of BOTH neighboring cells, which is
@@ -416,8 +444,10 @@ object Similarity {
     // i.e. at small SF the behavior degrades gracefully toward the
     // flat form.
     val fineTarget = 16
+    val pivotKey =
+      if (pivotSalt == 0L) col("nid") else col("nid") + lit(pivotSalt)
     val pivots = coarseCells
-      .filter(graft.ops.Sampling.hashValue(col("nid")) % fineTarget === 0)
+      .filter(graft.ops.Sampling.hashValue(pivotKey) % fineTarget === 0)
       .join(nodes, Seq("nid"))
       .select(col("cell_id").as("coarse_id"), col("nid").as("fine_id"),
         col("cv").as("fv"), col("cn").as("fn"))
@@ -448,7 +478,7 @@ object Similarity {
       .select(col("src"), col("dst")).distinct()
     val wEdge = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("__ec").desc, col("dst"))
-    val edges = pairs
+    pairs
       .join(nodes.select(col("nid").as("src"),
         col("cv").as("av"), col("cn").as("an")), Seq("src"))
       .join(nodes.select(col("nid").as("dst"),
@@ -459,9 +489,17 @@ object Similarity {
       .filter(col("__r") <= m)
       .select(col("src"), col("dst"))
       .localCheckpoint(true) // consumed once per search round
-    val q = broadcast(withVecNorm(
-      queries.select(col("vec_id").as("query_id"), col("embedding")),
-      col("embedding"), "qv", "qn").drop("embedding"))
+  }
+
+  /** Fixed-round beam search over a prebuilt NSW `edges` list — the
+    * search phase of [[nswTopK]]/[[hnswTopK]], factored so the
+    * hierarchical variant can run one beam per layer. `q` is the
+    * broadcast query frame (query_id, qv, qn); `seed` the initial
+    * (query_id, cand) candidates. Returns the final beam
+    * (query_id, cand, cosine), beamWidth rows per query. */
+  private def nswBeam(q: DataFrame, nodes: DataFrame, edges: DataFrame,
+                      seed: DataFrame, beamWidth: Int,
+                      rounds: Int): DataFrame = {
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand"))
@@ -477,8 +515,7 @@ object Similarity {
         .withColumn("rank", row_number().over(wBeam))
         .filter(col("rank") <= beamWidth)
         .select(col("query_id"), col("cand"), col("cosine"))
-    var beam = rescore(q.select(col("query_id"))
-        .crossJoin(cent.select(col("cell_id").as("cand"))))
+    var beam = rescore(seed)
       .localCheckpoint(true) // consumed twice per round (union + expand)
     for (_ <- 1 to rounds) {
       val expanded = beam.join(edges, col("cand") === col("src"))
@@ -487,7 +524,86 @@ object Similarity {
         .union(expanded).distinct()
       beam = rescore(cands).localCheckpoint(true)
     }
-    beam.withColumn("rank", row_number().over(wBeam).cast("int"))
+    beam
+  }
+
+  /** Hierarchical NSW (the HNSW shape, Malkov & Yashunin 2016): one
+    * SPARSE UPPER LAYER of modulus-sampled nodes (hash(nid) %
+    * `layerMod` = 0 — the engine-portable md5-56 sample, expected
+    * corpus/layerMod members) with its own bounded-degree graph, plus
+    * the full layer-0 graph. Search descends: a short beam over the
+    * upper layer finds a good NEIGHBORHOOD from coarse entry points,
+    * then the layer-0 beam refines from there — better entries than
+    * [[nswTopK]]'s fixed centroid seeds at the same beam width.
+    *
+    * Entry points are the classic "top layer" analog, a sparser
+    * modulus sample of the upper sample (hash % layerMod·entryFactor
+    * = 0), unioned with the centroid ids so a tiny corpus whose entry
+    * sample comes up empty degrades gracefully to NSW seeding rather
+    * than an empty result. The upper graph's fine pivots draw from a
+    * SALTED hash stream (hash(nid+7919)) — the unsalted stream would
+    * make every upper member a pivot, since upper membership itself
+    * zeroes hash % layerMod.
+    *
+    * Every phase is deterministic (modulus samples, 6dp-rounded
+    * cosines, id tiebreaks, fixed rounds), so [[hnswTopKSql]] replays
+    * the whole two-layer index in DuckDB. Scale shape: both graph
+    * builds are the scan-linear cell pipeline (the upper one over
+    * corpus/layerMod rows); search is queries×beam×degree per round
+    * with every non-corpus side broadcast — the upper rounds touch
+    * the small layer first, exactly the HNSW cost argument. */
+  def hnswTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               centroids: DataFrame, m: Int = 6, beamWidth: Int = 8,
+               upperRounds: Int = 2, lowerRounds: Int = 3,
+               cellsPerNode: Int = 2, layerMod: Int = 16,
+               entryFactor: Int = 8): DataFrame = {
+    require(m > 0 && beamWidth > 0 && upperRounds >= 1 && lowerRounds >= 1
+        && upperRounds + lowerRounds <= 8,
+      s"hnsw wants m>0, beam>0, rounds>=1 per layer (<=8 total); " +
+        s"got m=$m beam=$beamWidth up=$upperRounds low=$lowerRounds")
+    require(cellsPerNode >= 1 && cellsPerNode <= 4,
+      s"cellsPerNode bounds the edge-join fanout; 1..4, got $cellsPerNode")
+    require(layerMod >= 2 && entryFactor >= 2,
+      s"layerMod/entryFactor must thin each layer; got $layerMod/$entryFactor")
+    val cent = broadcast(
+      withVecNorm(centroids.select(col("vec_id").as("cell_id"), col("embedding")),
+        col("embedding"), "ev", "en").drop("embedding"))
+    val nodes = withVecNorm(
+        corpus.select(col("vec_id").as("nid"), col("embedding")),
+        col("embedding"), "cv", "cn").drop("embedding")
+      .localCheckpoint(true)
+    val upperNodes = nodes
+      .filter(graft.ops.Sampling.hashValue(col("nid")) % layerMod === 0)
+      .localCheckpoint(true) // consumed throughout the upper build
+    val upperEdges = nswEdgeList(upperNodes, cent, m, cellsPerNode,
+      pivotSalt = 7919L)
+    val lowerEdges = nswEdgeList(nodes, cent, m, cellsPerNode)
+    val q = broadcast(withVecNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      col("embedding"), "qv", "qn").drop("embedding"))
+    val entries = nodes
+      .filter(graft.ops.Sampling.hashValue(col("nid"))
+        % (layerMod.toLong * entryFactor) === 0)
+      .select(col("nid").as("cand"))
+      .unionByName(cent.select(col("cell_id").as("cand")))
+      .distinct()
+    val seed0 = q.select(col("query_id")).crossJoin(broadcast(entries))
+    val upperBeam = nswBeam(q, nodes, upperEdges, seed0,
+      beamWidth, upperRounds)
+    // layer-0 seeds = the upper beam's refined neighborhood UNION the
+    // centroid ids: the descent keeps the hierarchy's better entries
+    // while never seeding WORSE than the flat NSW search (whose seed
+    // set this strictly contains)
+    val lowerSeed = upperBeam.select(col("query_id"), col("cand"))
+      .unionByName(q.select(col("query_id"))
+        .crossJoin(cent.select(col("cell_id").as("cand"))))
+      .distinct()
+    val lowerBeam = nswBeam(q, nodes, lowerEdges, lowerSeed,
+      beamWidth, lowerRounds)
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand"))
+    lowerBeam.withColumn("rank", row_number().over(wBeam).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand").as("neighbor_id"),
         col("cosine"), col("rank"))
@@ -606,6 +722,138 @@ object Similarity {
       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, cand) AS INTEGER) AS rank
     FROM beam$rounds
+    QUALIFY rank <= $k"""
+  }
+
+  /** The NSW edge-build CTE chain with a name prefix — the SQL mirror
+    * of [[nswEdgeList]], emitted once per HNSW layer. `memberSrc` is a
+    * CTE with (nid, cv, cn); `pivotKeySql` the (possibly salted)
+    * pivot-sample key expression over alias cc. */
+  private def nswEdgesSqlCtes(p: String, memberSrc: String, m: Int,
+                              cellsPerNode: Int,
+                              pivotKeySql: String): String =
+    s"""${p}coarse AS (
+      SELECT nid, cell_id FROM (
+        SELECT a.nid, ct.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY a.nid
+            ORDER BY ROUND(list_inner_product(a.cv, ct.ev) / (a.cn * ct.en), 6)
+              DESC, ct.cell_id DESC) AS rn
+        FROM $memberSrc a CROSS JOIN cent ct) WHERE rn <= $cellsPerNode),
+    ${p}pivots AS (
+      SELECT cc.cell_id AS coarse_id, cc.nid AS fine_id,
+        c.cv AS fv, c.cn AS fn
+      FROM ${p}coarse cc JOIN cells c ON cc.nid = c.nid
+      WHERE ${graft.ops.Sampling.hashValueSql(pivotKeySql)} % 16 = 0),
+    ${p}fine AS (
+      SELECT nid, fine_id AS cell_id FROM (
+        SELECT cc.nid, pv.fine_id,
+          ROW_NUMBER() OVER (PARTITION BY cc.nid, cc.cell_id
+            ORDER BY ROUND(list_inner_product(c.cv, pv.fv) / (c.cn * pv.fn), 6)
+              DESC, pv.fine_id DESC) AS rn
+        FROM ${p}coarse cc
+        JOIN cells c ON cc.nid = c.nid
+        JOIN ${p}pivots pv ON cc.cell_id = pv.coarse_id) WHERE rn <= 2),
+    ${p}orphan AS (
+      SELECT cc.nid, cc.cell_id
+      FROM ${p}coarse cc
+      WHERE NOT EXISTS (SELECT 1 FROM ${p}pivots pv
+        WHERE pv.coarse_id = cc.cell_id)),
+    ${p}ncells AS (
+      SELECT DISTINCT nid, cell_id FROM (
+        SELECT nid, cell_id FROM ${p}fine
+        UNION ALL SELECT nid, cell_id FROM ${p}orphan)),
+    ${p}pairs AS (
+      SELECT DISTINCT a.nid AS src, b.nid AS dst
+      FROM ${p}ncells a JOIN ${p}ncells b USING (cell_id)
+      WHERE a.nid <> b.nid),
+    ${p}edges AS (
+      SELECT src, dst FROM (
+        SELECT pr.src, pr.dst,
+          ROW_NUMBER() OVER (PARTITION BY pr.src
+            ORDER BY ROUND(list_inner_product(a.cv, b.cv) / (a.cn * b.cn), 6)
+              DESC, pr.dst) AS rn
+        FROM ${p}pairs pr
+        JOIN cells a ON pr.src = a.nid
+        JOIN cells b ON pr.dst = b.nid) WHERE rn <= $m)"""
+
+  /** ANSI-SQL replay of [[hnswTopK]] — both layer graphs, the entry
+    * sample, and both unrolled beam descents, rebuilt independently in
+    * DuckDB (same 6dp rounding, id tiebreaks, modulus samples). */
+  def hnswTopKSql(queryPred: String, k: Int, m: Int = 6,
+                  beamWidth: Int = 8, upperRounds: Int = 2,
+                  lowerRounds: Int = 3, cellsPerNode: Int = 2,
+                  layerMod: Int = 16, entryFactor: Int = 8,
+                  centroidPred: String = "vec_id % 97 = 0",
+                  nlist: Int = 128): String = {
+    def beamCte(p: String, i: Int, candSrc: String, edgesCte: String) =
+      s"""${p}beam$i AS (
+      SELECT query_id, cand, cosine FROM (
+        SELECT c.query_id, c.cand,
+          ROUND(list_inner_product(q.qv, nd.cv) / (q.qn * nd.cn), 6) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY c.query_id
+            ORDER BY ROUND(list_inner_product(q.qv, nd.cv) / (q.qn * nd.cn), 6)
+              DESC, c.cand) AS rn
+        FROM $candSrc c
+        JOIN cells nd ON c.cand = nd.nid
+        JOIN q ON c.query_id = q.query_id
+        WHERE c.cand <> c.query_id) WHERE rn <= $beamWidth)"""
+    def roundCtes(p: String, rounds: Int, edgesCte: String) =
+      (1 to rounds).map { i =>
+        s"""${p}cand$i AS (
+      SELECT DISTINCT query_id, cand FROM (
+        SELECT query_id, cand FROM ${p}beam${i - 1}
+        UNION ALL
+        SELECT b.query_id, e.dst AS cand
+        FROM ${p}beam${i - 1} b JOIN $edgesCte e ON b.cand = e.src)),
+    ${beamCte(p, i, s"${p}cand$i", edgesCte)}"""
+      }.mkString(",\n    ")
+    s"""WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    n AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm
+      FROM v WHERE sqrt(list_inner_product(v, v)) > 0),
+    cent AS (
+      -- centroid cap BEFORE the zero-norm drop (the ivfTopK convention)
+      SELECT cell_id, ev, en FROM (
+        SELECT vec_id AS cell_id, v AS ev, sqrt(list_inner_product(v, v)) AS en
+        FROM v WHERE $centroidPred ORDER BY vec_id LIMIT $nlist)
+      WHERE en > 0),
+    cells AS (
+      SELECT vec_id AS nid, v AS cv, nrm AS cn FROM n),
+    u_members AS (
+      -- sparse upper layer: md5-56 modulus sample of the corpus
+      SELECT nid, cv, cn FROM cells
+      WHERE ${graft.ops.Sampling.hashValueSql("nid")} % $layerMod = 0),
+    ${nswEdgesSqlCtes("u_", "u_members", m, cellsPerNode,
+      "cc.nid + 7919")},
+    ${nswEdgesSqlCtes("", "cells", m, cellsPerNode, "cc.nid")},
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn
+      FROM n WHERE $queryPred),
+    entries AS (
+      -- top-layer entry points: a sparser modulus sample of the upper
+      -- sample, unioned with the centroid ids (graceful fallback)
+      SELECT DISTINCT cand FROM (
+        SELECT nid AS cand FROM cells
+        WHERE ${graft.ops.Sampling.hashValueSql("nid")}
+          % ${layerMod.toLong * entryFactor} = 0
+        UNION ALL SELECT cell_id AS cand FROM cent)),
+    u_cand0 AS (
+      SELECT query_id, cand FROM q CROSS JOIN entries),
+    ${beamCte("u_", 0, "u_cand0", "u_edges")},
+    ${roundCtes("u_", upperRounds, "u_edges")},
+    cand0 AS (
+      SELECT DISTINCT query_id, cand FROM (
+        SELECT query_id, cand FROM u_beam$upperRounds
+        UNION ALL
+        SELECT query_id, cell_id AS cand FROM q CROSS JOIN cent)),
+    ${beamCte("", 0, "cand0", "edges")},
+    ${roundCtes("", lowerRounds, "edges")}
+    SELECT query_id, cand AS neighbor_id, cosine,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, cand) AS INTEGER) AS rank
+    FROM beam$lowerRounds
     QUALIFY rank <= $k"""
   }
 

@@ -516,6 +516,83 @@ object ExtensionQueries {
     FROM truth t LEFT JOIN got g
       ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id"""))
 
+  /** Hierarchical NSW top-5 (the HNSW shape — round-7 verdict ask #5):
+    * one sparse upper layer (md5-56 modulus sample, 1/16 of the
+    * corpus) with its own bounded-degree graph; search beams 2 rounds
+    * over the upper layer from the sparser entry sample (∪ centroids),
+    * then descends — the upper beam seeds 3 layer-0 rounds. Same edge
+    * budget (m=12) and beam width (24) as `x_sim_nsw_topk`; the win is
+    * better ENTRY points than fixed centroid seeds. Every phase is
+    * deterministic, so Similarity.hnswTopKSql replays both layer
+    * graphs and both beam descents in DuckDB. Recall companion:
+    * `x_sim_hnsw_recall`. */
+  private val x_sim_hnsw_topk = Q(
+    "x_sim_hnsw_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hnswTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        centroids = emb.filter(col("vec_id") % 97 === 0)
+          .orderBy(col("vec_id")).limit(128),
+        m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+        cellsPerNode = 2, layerMod = 16, entryFactor = 8)
+    },
+    Some(Similarity.hnswTopKSql("vec_id < 10", k = 5,
+      m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+      cellsPerNode = 2, layerMod = 16, entryFactor = 8)))
+
+  /** Recall@5 of the hierarchical beam search against exact brute
+    * force — one summary row, fully SQL-replayed on both sides (the
+    * `x_sim_nsw_recall` contract). The acceptance bar from the
+    * round-7 verdict: ≥ the flat NSW's recall at equal beam width. */
+  private val x_sim_hnsw_recall = Q(
+    "x_sim_hnsw_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = Similarity.hnswTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 5, centroids = emb.filter(col("vec_id") % 97 === 0)
+            .orderBy(col("vec_id")).limit(128),
+          m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+          cellsPerNode = 2, layerMod = 16, entryFactor = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(got, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .select(col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double")
+            / col("n_truth").cast("double"), 6).as("recall_at_5"))
+    },
+    Some(s"""WITH truth AS (
+      WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 10),
+      c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          ROUND(list_inner_product(qv, cv)
+            / (sqrt(list_inner_product(qv, qv))
+              * sqrt(list_inner_product(cv, cv))), 6) AS cosine
+        FROM c, q WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 5),
+    got AS (${Similarity.hnswTopKSql("vec_id < 10", k = 5,
+      m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+      cellsPerNode = 2, layerMod = 16, entryFactor = 8)})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+      CAST(COUNT(g.neighbor_id) AS BIGINT) AS n_hits,
+      ROUND(CAST(COUNT(g.neighbor_id) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_5
+    FROM truth t LEFT JOIN got g
+      ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id"""))
+
   /** One Lloyd k-means assignment step over the embeddings — the IVF
     * index trainer's inner loop (Similarity.kmeansAssign), oracle-
     * checked: DuckDB recomputes every corpus×centroid squared-L2 and
@@ -4573,6 +4650,8 @@ object ExtensionQueries {
     x_sim_ivf_topk,
     x_sim_nsw_topk,
     x_sim_nsw_recall,
+    x_sim_hnsw_topk,
+    x_sim_hnsw_recall,
     x_sim_quantized_topk,
     x_sim_pq_adc,
     x_sim_pq_subspace,

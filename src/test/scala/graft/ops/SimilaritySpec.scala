@@ -514,4 +514,52 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().toSet
     assert(run(emb) == run(emb.repartition(7)))
   }
+
+  test("hnswTopK: k ranked rows per query, contiguous ranks, no self-matches") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 10)
+    val out = Similarity.hnswTopK(q, emb, k = 5, centroids = nswCents(emb),
+        m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+        cellsPerNode = 2, layerMod = 16, entryFactor = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5), s"ranks broken for $qid")
+      assert(rows.forall(_._2 != qid), s"self-match for $qid")
+    }
+  }
+
+  test("hnswTopK recall matches or beats flat NSW at equal beam budget") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val flat = Similarity.nswTopK(q, emb, k = 5, centroids = nswCents(emb),
+        m = 12, beamWidth = 24, rounds = 4, cellsPerNode = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hier = Similarity.hnswTopK(q, emb, k = 5, centroids = nswCents(emb),
+        m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+        cellsPerNode = 2, layerMod = 16, entryFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rFlat = (exact & flat).size.toDouble / exact.size
+    val rHier = (exact & hier).size.toDouble / exact.size
+    // same m, same beam width; the hierarchy only changes ENTRY
+    // points (and its layer-0 seed set contains the flat seed set)
+    assert(rHier >= rFlat - 1e-9,
+      f"hierarchical recall $rHier%.2f below flat $rFlat%.2f")
+  }
+
+  test("hnswTopK is deterministic across partitionings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.hnswTopK(q, c, k = 5, centroids = nswCents(emb),
+          m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 3,
+          cellsPerNode = 2, layerMod = 16, entryFactor = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(run(emb) == run(emb.repartition(7)))
+  }
 }
