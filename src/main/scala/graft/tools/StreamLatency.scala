@@ -1,0 +1,117 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import graft.streaming.EventStream
+
+/** Dev-only continuous-trigger latency characterization for the
+  * streaming tier (round-7 verdict ask #7): the 12 registry parity
+  * rows prove the streaming operators BATCH-equivalent under
+  * AvailableNow; this tool measures the live micro-batch regime —
+  * sustained throughput and p50/p95 trigger-execution latency at a
+  * fixed input rate from the `rate` source, configurable processing-time
+  * trigger (arg 3, default 1s) — for the two stateful paths a deployment watches:
+  *
+  *   - sessionize: flatMapGroupsWithState event-time-gap sessions
+  *     (per-user state store, event-time timeout)
+  *   - stream-stream join: clickViewJoin's time-interval join
+  *     (watermarked state both sides)
+  *
+  * Usage: StreamLatency [rowsPerSec] [seconds] [triggerSec]; prints one summary
+  * line per path for README §streaming.
+  */
+object StreamLatency {
+  def main(args: Array[String]): Unit = {
+    val rate = args.headOption.map(_.toInt).getOrElse(50000)
+    val runSec = args.lift(1).map(_.toInt).getOrElse(45)
+    val trigSec = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_latency").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    final case class Batch(rows: Long, trigMs: Long, procRps: Double)
+    val batches = new ConcurrentLinkedQueue[Batch]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0)
+          batches.add(Batch(p.numInputRows,
+            p.durationMs.getOrDefault("triggerExecution", 0L),
+            p.processedRowsPerSecond))
+      }
+    })
+
+    def characterize(label: String)(
+        start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      batches.clear()
+      val q = start()
+      Thread.sleep(runSec * 1000L)
+      // stop() interrupts any in-flight micro-batch; the resulting
+      // CANNOT_COMMIT noise is teardown, not measurement — swallow it
+      try { q.stop(); q.awaitTermination() }
+      catch { case _: Throwable => () }
+      import scala.jdk.CollectionConverters._
+      val all = batches.asScala.toVector
+      // drop the first two batches: source ramp + state-store open
+      val warm = all.drop(2)
+      if (warm.isEmpty) { println(s"$label: no batches"); return }
+      val lat = warm.map(_.trigMs).sorted
+      def pct(p: Double) = lat(math.min(lat.size - 1,
+        math.ceil(p * lat.size).toInt - 1).max(0))
+      val rows = warm.map(_.rows).sum
+      val span = warm.map(_.trigMs).sum / 1000.0
+      println(f"$label%-14s rate=$rate%d rows/s  batches=${warm.size}%d  " +
+        f"rows=$rows%d  sustained=${rows / (runSec - 2).toDouble}%.0f rows/s  " +
+        f"p50=${pct(0.5)}%d ms  p95=${pct(0.95)}%d ms  " +
+        f"busy=${span / (runSec - 2) * 100}%.0f%%")
+    }
+
+    // rate source -> Event: user from a 10k-user cycle, event time =
+    // source timestamp (monotonic, so the 0s watermark advances)
+    def events = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"),
+        (col("value") % 10000).as("user_id"))
+
+    characterize("sessionize") { () =>
+      EventStream.sessionize(spark, events.as[EventStream.Event])
+        .writeStream.format("noop")
+        .trigger(Trigger.ProcessingTime(s"$trigSec second"))
+        .outputMode("append").start()
+    }
+
+    characterize("stream-join") { () =>
+      val clicks = spark.readStream.format("rate")
+        .option("rowsPerSecond", rate / 2).load()
+        .select(col("value").as("event_id"), col("timestamp").as("ts"),
+          (col("value") % 10000).as("user_id"))
+      val views = spark.readStream.format("rate")
+        .option("rowsPerSecond", rate / 2).load()
+        .select((col("value") + 1000000000L).as("event_id"),
+          col("timestamp").as("ts"), (col("value") % 10000).as("user_id"))
+      EventStream.clickViewJoin(clicks, views,
+          horizon = "10 minutes", delay = "10 minutes")
+        .writeStream.format("noop")
+        .trigger(Trigger.ProcessingTime(s"$trigSec second"))
+        .outputMode("append").start()
+    }
+
+    spark.stop()
+    System.exit(0) // teardown noise from interrupted batches is not a failure
+  }
+}
