@@ -533,11 +533,11 @@ object ExtensionQueries {
       Similarity.hnswTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
         centroids = emb.filter(col("vec_id") % 97 === 0)
           .orderBy(col("vec_id")).limit(128),
-        m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+        m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 3,
         cellsPerNode = 2, layerMod = 16, entryFactor = 8)
     },
     Some(Similarity.hnswTopKSql("vec_id < 10", k = 5,
-      m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+      m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 3,
       cellsPerNode = 2, layerMod = 16, entryFactor = 8)))
 
   /** Recall@5 of the hierarchical beam search against exact brute
@@ -554,7 +554,7 @@ object ExtensionQueries {
       val got = Similarity.hnswTopK(emb.filter(col("vec_id") < 10), emb,
           k = 5, centroids = emb.filter(col("vec_id") % 97 === 0)
             .orderBy(col("vec_id")).limit(128),
-          m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+          m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 3,
           cellsPerNode = 2, layerMod = 16, entryFactor = 8)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       truth.join(got, Seq("query_id", "neighbor_id"), "left")
@@ -584,7 +584,7 @@ object ExtensionQueries {
       FROM scored
       QUALIFY rank <= 5),
     got AS (${Similarity.hnswTopKSql("vec_id < 10", k = 5,
-      m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 4,
+      m = 12, beamWidth = 24, upperRounds = 2, lowerRounds = 3,
       cellsPerNode = 2, layerMod = 16, entryFactor = 8)})
     SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
       CAST(COUNT(g.neighbor_id) AS BIGINT) AS n_hits,
