@@ -33,6 +33,8 @@ def main(bench_path: str, base_path: str, out_path: str) -> int:
     floor = bench.get("x_noop_floor", 0.0)
     rows = {}
     for name, sw in sorted(bench.items()):
+        if name == "x_noop_floor":
+            continue  # measurement control: calibrates, isn't graded
         dw = duck.get(name)
         if dw is None:
             continue

@@ -1190,7 +1190,8 @@ object Dedup {
       .localCheckpoint(true)
     // token count from the materialized doc frame (one tiny agg; the
     // exploded form would re-run tokenization just to count it)
-    val nTok = docToks.agg(sum(size(col("toks"))).cast("long"))
+    val nTok = docToks
+      .agg(coalesce(sum(size(col("toks"))), lit(0L)).cast("long"))
       .head.getLong(0)
     // SIZE-GATED materialization: every intermediate below that feeds
     // a range repartition is evaluated TWICE by it (bound sampling +

@@ -785,7 +785,7 @@ object Similarity {
                   layerMod: Int = 16, entryFactor: Int = 8,
                   centroidPred: String = "vec_id % 97 = 0",
                   nlist: Int = 128): String = {
-    def beamCte(p: String, i: Int, candSrc: String, edgesCte: String) =
+    def beamCte(p: String, i: Int, candSrc: String) =
       s"""${p}beam$i AS (
       SELECT query_id, cand, cosine FROM (
         SELECT c.query_id, c.cand,
@@ -805,7 +805,7 @@ object Similarity {
         UNION ALL
         SELECT b.query_id, e.dst AS cand
         FROM ${p}beam${i - 1} b JOIN $edgesCte e ON b.cand = e.src)),
-    ${beamCte(p, i, s"${p}cand$i", edgesCte)}"""
+    ${beamCte(p, i, s"${p}cand$i")}"""
       }.mkString(",\n    ")
     s"""WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -841,14 +841,14 @@ object Similarity {
         UNION ALL SELECT cell_id AS cand FROM cent)),
     u_cand0 AS (
       SELECT query_id, cand FROM q CROSS JOIN entries),
-    ${beamCte("u_", 0, "u_cand0", "u_edges")},
+    ${beamCte("u_", 0, "u_cand0")},
     ${roundCtes("u_", upperRounds, "u_edges")},
     cand0 AS (
       SELECT DISTINCT query_id, cand FROM (
         SELECT query_id, cand FROM u_beam$upperRounds
         UNION ALL
         SELECT query_id, cell_id AS cand FROM q CROSS JOIN cent)),
-    ${beamCte("", 0, "cand0", "edges")},
+    ${beamCte("", 0, "cand0")},
     ${roundCtes("", lowerRounds, "edges")}
     SELECT query_id, cand AS neighbor_id, cosine,
       CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -706,8 +706,9 @@ object ReferenceQueries {
     * as a hash aggregate with a per-customer window ON TOP of the
     * aggregate (≤3 rows per customer reach the window); the final
     * DISTINCT + COUNT-OVER-3-bucket windows — which would funnel every
-    * row into ≤3 tasks at scale — run as groupBy counts crossJoined with
-    * broadcast 1-row totals. */
+    * row into ≤3 tasks at scale — run as ONE ROLLUP aggregate whose
+    * grouping-total row carries the global totals, crossJoined back as
+    * a broadcast ≤4-row frame (one pass over the CTE, not three). */
   private val q_adhoc_c_composite = Q(
     "q_adhoc_c_composite",
     (s, d) => {
@@ -730,13 +731,24 @@ object ReferenceQueries {
             .when(col("percent") >= 50, "50% - 99%")
             .otherwise("<50%"))
         .filter(col("ct_total") > 1)
-      // (SELECT COUNT(DISTINCT host_id) FROM CTE) — broadcast 1-row agg
-      val totalMulti = cte.agg(countDistinct(col("o_custkey")).as("total_multi"))
-      val truth = cte.filter(col("flag") === "TRUE")
-      val totals = truth.agg(count(lit(1)).as("n_same_total"))
-        .crossJoin(broadcast(totalMulti))
-      truth.groupBy(col("percent_range"))
-        .agg(count(lit(1)).as("n_per_range"))
+      // Single pass over cte (the round-8 double-computation fix):
+      // ROLLUP on percent_range yields both the per-range TRUE counts
+      // and — in the grouping-total row — the global n_same_total and
+      // COUNT(DISTINCT custkey) total_multi, so the orders scan +
+      // window aggregation runs once instead of three times.
+      // percent_range is never null (CASE has an ELSE), so isNull
+      // unambiguously identifies the rollup total row; the ≤4-row
+      // rollup result is localCheckpointed because two consumers read
+      // it (multi-consumer rule).
+      val rolled = cte.rollup(col("percent_range")).agg(
+          count(when(col("flag") === "TRUE", lit(1))).as("n_true"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .localCheckpoint(true)
+      val totals = rolled.filter(col("percent_range").isNull)
+        .select(col("n_true").as("n_same_total"),
+          col("n_cust").as("total_multi"))
+      rolled.filter(col("percent_range").isNotNull && col("n_true") > 0)
+        .select(col("percent_range"), col("n_true").as("n_per_range"))
         .crossJoin(broadcast(totals))
         .select(col("percent_range"), col("n_per_range"), col("n_same_total"),
           col("total_multi"),

@@ -39,7 +39,8 @@ object StreamLatency {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    final case class Batch(rows: Long, trigMs: Long, procRps: Double)
+    final case class Batch(rows: Long, trigMs: Long, procRps: Double,
+        startMs: Long)
     val batches = new ConcurrentLinkedQueue[Batch]()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
@@ -52,7 +53,8 @@ object StreamLatency {
         if (p.numInputRows > 0)
           batches.add(Batch(p.numInputRows,
             p.durationMs.getOrDefault("triggerExecution", 0L),
-            p.processedRowsPerSecond))
+            p.processedRowsPerSecond,
+            java.time.Instant.parse(p.timestamp).toEpochMilli))
       }
     })
 
@@ -75,10 +77,17 @@ object StreamLatency {
         math.ceil(p * lat.size).toInt - 1).max(0))
       val rows = warm.map(_.rows).sum
       val span = warm.map(_.trigMs).sum / 1000.0
+      // warm window measured from the warm batches themselves (first
+      // batch start -> last batch end), not runSec - 2: the 2 dropped
+      // warmup batches span ~2*trigSec, which skews sustained/busy for
+      // triggers > 1 s if assumed to be 2 s.
+      val warmSec = math.max(
+        (warm.last.startMs + warm.last.trigMs - warm.head.startMs) / 1000.0,
+        0.001)
       println(f"$label%-14s rate=$rate%d rows/s  batches=${warm.size}%d  " +
-        f"rows=$rows%d  sustained=${rows / (runSec - 2).toDouble}%.0f rows/s  " +
+        f"rows=$rows%d  sustained=${rows / warmSec}%.0f rows/s  " +
         f"p50=${pct(0.5)}%d ms  p95=${pct(0.95)}%d ms  " +
-        f"busy=${span / (runSec - 2) * 100}%.0f%%")
+        f"busy=${span / warmSec * 100}%.0f%%")
     }
 
     // rate source -> Event: user from a 10k-user cycle, event time =
