@@ -1,0 +1,391 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+import graft.pipeline.{Datamart, Staging, Warehouse}
+
+/** End-to-end DuckDB oracle for the Airbnb pipeline itself (round-8
+  * verdict ask #2): every other surface in the repo is double-
+  * implemented, but the pipeline's KPI correctness rested on
+  * hand-computed goldens (PipelineScaleSpec). These queries close that
+  * gap: a deterministic listings-shaped corpus is derived from the
+  * driver testdata (orders ⋈ customer ⋈ nation — the derivation is
+  * expressed IDENTICALLY in Spark and in the oracle SQL), fed through
+  * the REAL pipeline code path — `Staging.listing` (harmonize → NULL
+  * normalization → casts → price parse → (id, filename) dedup) →
+  * `Warehouse.factListing` (suburb derivation, broadcast location
+  * joins, LGA fixups, snapshot-validity filter, name→code resolution)
+  * → the `Datamart` KPI views (one-pass conditional aggregation) —
+  * while the oracle replays the reference's LITERAL SQL: the staging
+  * dedup of design.sql:265–266, the fact build of design.sql:419–549,
+  * and the full-outer-join-of-filtered-aggregates KPI views of
+  * populate.py:507,628,747,886. A hash match proves the Spark-first
+  * rewrites (one scan + one shuffle per view) equal the reference's
+  * N-scan join form on a corpus with every mess the reference handles:
+  * duplicate (id, filename) rows, NULL spellings, '$1,234.00' prices,
+  * unicode/LIKE suburb fixups, missing dim rows, out-of-month
+  * snapshots, and NULL grouping keys (the per-arm split regime).
+  *
+  * The corpus derivation itself is mess-injection, not logic under
+  * test: each modulus branch below plants one failure mode the
+  * pipeline must absorb, and both engines build it from the same rows.
+  */
+object PipelineOracleQueries {
+
+  // ------------------------------------------------------- shared corpus
+
+  /** Spark-side corpus: raw (all-string) listings rows + the location
+    * dim, derived from orders/customer/nation/region. Mirrors
+    * [[derivationSql]] expression for expression. */
+  private def corpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val nr = Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+    // nation 3 deliberately absent from the dim -> those suburbs miss the
+    // join and take the OTHER/MISSING sentinel path; the ' EAST' variant
+    // rows give one lga_name two codes so the keyed-min resolution
+    // (Warehouse.locCodes) has real work to do
+    val locBase = nr.filter(col("n_nationkey") =!= 3)
+    val locdim = locBase.select(
+        col("n_name").as("suburb_name"),
+        (col("r_regionkey") + 100).as("lga_code"),
+        col("r_name").as("lga_name"))
+      .unionByName(locBase.filter(col("n_nationkey") % 6 === 0).select(
+        concat(col("n_name"), lit(" EAST")).as("suburb_name"),
+        (col("r_regionkey") + 200).as("lga_code"),
+        col("r_name").as("lga_name")))
+    val src = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderpriority"), col("n_name"))
+
+    val k = col("k")
+    // %23 rows: filename claims the NEXT month -> snapshot-validity drop
+    val snap = when(k % 23 === 0, add_months(col("o_orderdate"), 1))
+      .otherwise(col("o_orderdate").cast("date"))
+    val c0 = (k * 7) % 90000 + 1000
+    val dollars = floor(c0 / 100).cast("long")
+    val centsStr = lpad((c0 % 100).cast("string"), 2, "0")
+    val filenameC = concat(lit("listings_"),
+      lpad(month(snap).cast("string"), 2, "0"), lit("_"),
+      year(snap).cast("string"), lit(".csv"))
+    val hostIdC = when(k % 19 === 0, "NULL").otherwise(col("o_custkey").cast("string"))
+    val hostLocC = when(k % 47 === 0, lit("East Darling Harbour, New South Wales"))
+      .when(k % 11 === 0, lit("NULL"))
+      .otherwise(concat(col("n_name"), lit(", New South Wales, Australia")))
+    val neighC = when(k % 43 === 0, lit("north curl curl beach")) // LIKE fixup
+      .when(k % 13 === 0, lit("悉尼")) // unicode fixup
+      .when(k % 17 === 0, concat(lit("city of "), col("n_name"))) // normSuburb strip
+      .when(k % 7 === 0, lit("")) // empty NULL spelling -> OTHER sentinel
+      .otherwise(col("n_name"))
+    val neighClC = when(k % 5 === 0, lit("")).otherwise(col("n_name")) // NULL key (raw view)
+    val propC = when(k % 41 === 0, lit("")).otherwise(col("o_orderpriority")) // NULL key (KPI2)
+    val roomC = when(col("o_orderstatus") === "O", "Entire home/apt")
+      .when(col("o_orderstatus") === "F", "Private room")
+      .otherwise("Shared room")
+    val accC = when(k % 37 === 0, lit("")).otherwise((k % 8 + 1).cast("string"))
+    val priceC = when(k % 31 === 0, lit("NULL")) // -> fact filter drop
+      .when(k % 29 === 0, concat(lit("$1,"), lpad(dollars.cast("string"), 3, "0"),
+        lit("."), centsStr)) // comma form exercises parsePrice
+      .otherwise(concat(lit("$"), dollars.cast("string"), lit("."), centsStr))
+    val availC = when(k % 3 === 0, "t").when(k % 3 === 1, "f").otherwise(lit(""))
+    val a30C = (k % 31).cast("string")
+
+    def row(nameC: Column, scrapedC: Column, priceCol: Column, superC: Column) = Seq(
+      filenameC.as("filename"), k.cast("string").as("id"), nameC.as("name"),
+      scrapedC.as("last_scraped"), hostIdC.as("host_id"), hostLocC.as("host_location"),
+      superC.as("host_is_superhost"), neighC.as("neighbourhood"),
+      neighClC.as("neighbourhood_cleansed"), propC.as("property_type"),
+      roomC.as("room_type"), accC.as("accommodates"), priceCol.as("price"),
+      availC.as("has_availability"), a30C.as("availability_30"))
+
+    val orig = src.select(row(concat(lit("L"), k.cast("string")),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"), priceC,
+      when(k % 4 === 0, "t").otherwise("f")): _*)
+    // planted (id, filename) duplicates: scraped a day earlier with a
+    // decoy price/name -> the staging dedup (last_scraped DESC, name)
+    // must keep the original; a wrong keep corrupts every KPI hash
+    val dups = src.filter(k % 10 === 0).select(row(
+      concat(lit("Dup"), k.cast("string")),
+      date_format(date_sub(col("o_orderdate").cast("date"), 1), "yyyy-MM-dd"),
+      lit("$999.99"), lit("f")): _*)
+    (orig.unionByName(dups), locdim)
+  }
+
+  /** The real pipeline, end to end, over the derived corpus. */
+  private def fact(s: SparkSession, d: String): DataFrame = {
+    val (raw, locdim) = corpus(s, d)
+    Warehouse.factListing(Staging.listing(Seq(raw)), locdim)
+  }
+
+  private val factCols = Seq(
+    "id", "filename", "file_year", "file_month", "neighbourhood_suburb",
+    "host_suburb", "neighbourhood_lga", "host_lga", "neighbourhood_lga_code",
+    "host_lga_code", "neighbourhood_cleansed", "host_id", "host_is_superhost",
+    "has_availability", "availability_30", "property_type", "room_type",
+    "accommodates")
+
+  // ------------------------------------------------- shared oracle SQL
+
+  /** design.sql:42 NULL_IF normalization, per column. */
+  private def nn(c: String): String =
+    s"CASE WHEN $c IN ('\\N','NULL','NUL','') THEN NULL ELSE $c END"
+
+  /** Cleanse.normSuburb replay (design.sql:451–453). */
+  private def normSuburbSql(c: String): String =
+    "TRIM(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"UPPER(TRIM($c)), 'COUNCIL', '', 'g'), 'CITY OF', '', 'g'), " +
+      "'OF THE', '', 'g'), 'SAINT ', 'ST ', 'g'))"
+
+  /** Warehouse.fixupLga replay (design.sql:473–541). */
+  private def fixupSql(suburb: String, joined: String, sentinel: String): String =
+    s"""CASE WHEN $suburb IS NULL THEN '$sentinel'
+         WHEN $suburb LIKE 'NORTH CURL CURL%' THEN 'NORTHERN BEACHES'
+         WHEN $suburb LIKE '%DARLING HARBOUR' THEN 'SYDNEY'
+         WHEN $suburb IN ('悉尼', 'СИДНЕЙ') THEN 'SYDNEY'
+         WHEN $suburb = 'РЕДФЕРН' THEN 'SYDNEY'
+         WHEN $suburb = '스트라스필드' THEN 'STRATHFIELD'
+         ELSE COALESCE($joined, '$sentinel') END"""
+
+  /** Corpus derivation + staging + fact build as DuckDB CTEs — the
+    * derivation mirrors [[corpus]]; staging/fact replay the reference's
+    * literal SQL (design.sql:187–267, 419–549). */
+  private val derivationSql: String = {
+    val genCols = (name: String, scraped: String, price: String, superhost: String) =>
+      s"""SELECT
+      'listings_' || lpad(CAST(month(snap) AS VARCHAR), 2, '0') || '_' ||
+        CAST(year(snap) AS VARCHAR) || '.csv' AS filename,
+      CAST(k AS VARCHAR) AS id,
+      $name AS name,
+      $scraped AS last_scraped,
+      CASE WHEN k % 19 = 0 THEN 'NULL' ELSE CAST(o_custkey AS VARCHAR) END AS host_id,
+      CASE WHEN k % 47 = 0 THEN 'East Darling Harbour, New South Wales'
+           WHEN k % 11 = 0 THEN 'NULL'
+           ELSE n_name || ', New South Wales, Australia' END AS host_location,
+      $superhost AS host_is_superhost,
+      CASE WHEN k % 43 = 0 THEN 'north curl curl beach'
+           WHEN k % 13 = 0 THEN '悉尼'
+           WHEN k % 17 = 0 THEN 'city of ' || n_name
+           WHEN k % 7 = 0 THEN ''
+           ELSE n_name END AS neighbourhood,
+      CASE WHEN k % 5 = 0 THEN '' ELSE n_name END AS neighbourhood_cleansed,
+      CASE WHEN k % 41 = 0 THEN '' ELSE o_orderpriority END AS property_type,
+      CASE o_orderstatus WHEN 'O' THEN 'Entire home/apt'
+           WHEN 'F' THEN 'Private room' ELSE 'Shared room' END AS room_type,
+      CASE WHEN k % 37 = 0 THEN '' ELSE CAST(k % 8 + 1 AS VARCHAR) END AS accommodates,
+      $price AS price,
+      CASE CAST(k % 3 AS INTEGER) WHEN 0 THEN 't' WHEN 1 THEN 'f' ELSE '' END AS has_availability,
+      CAST(k % 31 AS VARCHAR) AS availability_30"""
+    val priceCase =
+      """CASE WHEN k % 31 = 0 THEN 'NULL'
+           WHEN k % 29 = 0 THEN '$1,' || lpad(CAST(c0 // 100 AS VARCHAR), 3, '0')
+             || '.' || lpad(CAST(c0 % 100 AS VARCHAR), 2, '0')
+           ELSE '$' || CAST(c0 // 100 AS VARCHAR)
+             || '.' || lpad(CAST(c0 % 100 AS VARCHAR), 2, '0') END"""
+    s"""nr AS (
+      SELECT n_nationkey, n_name, r_regionkey, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey),
+    locdim AS (
+      SELECT n_name AS suburb_name, r_regionkey + 100 AS lga_code, r_name AS lga_name
+      FROM nr WHERE n_nationkey <> 3
+      UNION ALL
+      SELECT n_name || ' EAST', r_regionkey + 200, r_name
+      FROM nr WHERE n_nationkey <> 3 AND n_nationkey % 6 = 0),
+    loccodes AS (SELECT lga_name, MIN(lga_code) AS lga_code FROM locdim GROUP BY 1),
+    src AS (
+      SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_orderdate, o_orderpriority, n_name
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    gen0 AS (
+      SELECT *,
+        CASE WHEN k % 23 = 0 THEN CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+             ELSE CAST(o_orderdate AS DATE) END AS snap,
+        (k * 7) % 90000 + 1000 AS c0
+      FROM src),
+    gen AS (
+      ${genCols("'L' || CAST(k AS VARCHAR)", "strftime(o_orderdate, '%Y-%m-%d')",
+        priceCase, "CASE WHEN k % 4 = 0 THEN 't' ELSE 'f' END")}
+      FROM gen0
+      UNION ALL
+      ${genCols("'Dup' || CAST(k AS VARCHAR)",
+        "strftime(CAST(o_orderdate AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d')",
+        "'$999.99'", "'f'")}
+      FROM gen0 WHERE k % 10 = 0),
+    typed AS (
+      SELECT filename,
+        CAST(${nn("id")} AS BIGINT) AS id,
+        ${nn("name")} AS name,
+        CAST(${nn("last_scraped")} AS DATE) AS last_scraped,
+        CAST(${nn("host_id")} AS BIGINT) AS host_id,
+        ${nn("host_location")} AS host_location,
+        ${nn("host_is_superhost")} AS host_is_superhost,
+        ${nn("neighbourhood")} AS neighbourhood,
+        ${nn("neighbourhood_cleansed")} AS neighbourhood_cleansed,
+        ${nn("property_type")} AS property_type,
+        ${nn("room_type")} AS room_type,
+        CAST(${nn("accommodates")} AS INTEGER) AS accommodates,
+        TRY_CAST(regexp_replace(split_part(${nn("price")}, '$$', -1), ',', '', 'g')
+          AS DECIMAL(12,2)) AS price,
+        ${nn("has_availability")} AS has_availability,
+        CAST(${nn("availability_30")} AS INTEGER) AS availability_30
+      FROM gen),
+    staged AS (
+      SELECT * EXCLUDE rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id, filename
+          ORDER BY last_scraped DESC NULLS LAST, name ASC NULLS LAST) AS rn
+        FROM typed) WHERE rn = 1),
+    fbase AS (
+      SELECT *,
+        -- DuckDB's split_part(NULL) yields '' where Spark and Postgres
+        -- propagate NULL; guard to replay the reference's semantics
+        CASE WHEN host_location IS NULL THEN NULL
+             ELSE UPPER(TRIM(split_part(host_location, ',', 1))) END AS host_suburb,
+        ${normSuburbSql("neighbourhood")} AS neighbourhood_suburb,
+        CAST(split_part(filename, '_', -2) AS INTEGER) AS file_month,
+        CAST(split_part(split_part(filename, '_', -1), '.', 1) AS INTEGER) AS file_year
+      FROM staged
+      WHERE price IS NOT NULL AND host_id IS NOT NULL),
+    fdate AS (SELECT *, make_date(file_year, file_month, 1) AS file_date FROM fbase),
+    fjoin AS (
+      SELECT f.*, ln.lga_name AS nlga_joined, lh.lga_name AS hlga_joined
+      FROM fdate f
+      LEFT JOIN locdim ln ON f.neighbourhood_suburb = ln.suburb_name
+      LEFT JOIN locdim lh ON f.host_suburb = lh.suburb_name),
+    ffix AS (
+      SELECT *,
+        ${fixupSql("neighbourhood_suburb", "nlga_joined", "OTHER")} AS neighbourhood_lga,
+        ${fixupSql("host_suburb", "hlga_joined", "MISSING")} AS host_lga
+      FROM fjoin),
+    fvalid AS (
+      SELECT * FROM ffix
+      WHERE last_scraped >= file_date AND last_scraped <= last_day(file_date)),
+    fact AS (
+      SELECT v.id, v.filename, v.file_year, v.file_month,
+        COALESCE(v.neighbourhood_suburb, 'OTHER') AS neighbourhood_suburb,
+        COALESCE(v.host_suburb, 'MISSING') AS host_suburb,
+        v.neighbourhood_lga, v.host_lga, v.neighbourhood_cleansed,
+        v.host_id, v.host_is_superhost, v.price, v.has_availability,
+        v.availability_30, v.property_type, v.room_type, v.accommodates,
+        nc.lga_code AS neighbourhood_lga_code, hc.lga_code AS host_lga_code
+      FROM fvalid v
+      LEFT JOIN loccodes nc ON v.neighbourhood_lga = nc.lga_name
+      LEFT JOIN loccodes hc ON v.host_lga = hc.lga_name)"""
+  }
+
+  private val estRevenueSql = "(30 - availability_30) * price"
+
+  /** populate.py:507–743 KPI view as literal join-of-aggregates SQL. */
+  private def kpiNeighbourhoodSql(areaExpr: String): String =
+    s"""WITH $derivationSql,
+    t AS (SELECT $areaExpr AS area, file_year, file_month,
+        COUNT(*) AS n_listings, COUNT(DISTINCT host_id) AS n_hosts,
+        CAST(MIN(price) AS DOUBLE) AS min_price,
+        CAST(MAX(price) AS DOUBLE) AS max_price,
+        median(CAST(price AS DOUBLE)) AS median_price,
+        ${Exact.avgMoneySql("price")} AS avg_price
+      FROM fact GROUP BY 1, 2, 3),
+    a AS (SELECT $areaExpr AS area, file_year, file_month, COUNT(*) AS n_active,
+        ${Exact.sumMoneySql(estRevenueSql)} AS est_revenue_active
+      FROM fact WHERE has_availability = 't' GROUP BY 1, 2, 3),
+    sh AS (SELECT $areaExpr AS area, file_year, file_month,
+        COUNT(DISTINCT host_id) AS n_superhosts
+      FROM fact WHERE host_is_superhost = 't' GROUP BY 1, 2, 3),
+    i AS (SELECT $areaExpr AS area, file_year, file_month, COUNT(*) AS n_inactive
+      FROM fact WHERE has_availability = 'f' GROUP BY 1, 2, 3),
+    j AS (SELECT * FROM t
+      FULL OUTER JOIN a USING (area, file_year, file_month)
+      FULL OUTER JOIN sh USING (area, file_year, file_month)
+      FULL OUTER JOIN i USING (area, file_year, file_month)),
+    r AS (SELECT *,
+      ROUND(CAST(n_active AS DOUBLE) / CAST(n_listings AS DOUBLE) * 100.0, 2) AS active_rate,
+      CASE WHEN n_hosts = 0 THEN NULL
+           ELSE ROUND(CAST(n_superhosts AS DOUBLE) / CAST(n_hosts AS DOUBLE) * 100.0, 2)
+           END AS superhost_rate
+      FROM j)
+    SELECT *,
+      (CAST(n_active AS DOUBLE) - CAST(LAG(n_active) OVER w AS DOUBLE))
+        / CAST(LAG(n_active) OVER w AS DOUBLE) * 100.0 AS pct_change_active
+    FROM r
+    WINDOW w AS (PARTITION BY area ORDER BY file_year, file_month,
+      n_listings ASC NULLS FIRST, n_active ASC NULLS FIRST,
+      n_superhosts ASC NULLS FIRST, n_inactive ASC NULLS FIRST)"""
+
+  // ------------------------------------------------------------- queries
+
+  /** The fact build itself (design.sql:419–549), row-for-row. */
+  private val q_pipeline_fact = Q(
+    "q_pipeline_fact",
+    (s, d) => fact(s, d).select(
+      factCols.map(col) :+ col("price").cast("double").as("price"): _*),
+    Some(s"""WITH $derivationSql
+    SELECT ${factCols.mkString(", ")}, CAST(price AS DOUBLE) AS price FROM fact"""))
+
+  /** KPI 1 (populate.py:507–622): per (LGA, year, month); area key is
+    * never null (fixup sentinels), so no split rows — the base case. */
+  private val q_pipeline_kpi_neighbourhood = Q(
+    "q_pipeline_kpi_neighbourhood",
+    (s, d) => Datamart.kpiNeighbourhoodMonth(fact(s, d), "neighbourhood_lga"),
+    Some(kpiNeighbourhoodSql("neighbourhood_lga")))
+
+  /** KPI 1-raw (populate.py:628–743): area = raw neighbourhood_cleansed,
+    * NULLABLE — the literal FULL OUTER JOIN emits one row per matched
+    * arm for NULL-keyed groups; the one-pass rewrite must reproduce
+    * that split exactly, LAG ordering included. */
+  private val q_pipeline_kpi_neighbourhood_raw = Q(
+    "q_pipeline_kpi_neighbourhood_raw",
+    (s, d) => Datamart.kpiNeighbourhoodMonth(fact(s, d), "neighbourhood_cleansed"),
+    Some(kpiNeighbourhoodSql("neighbourhood_cleansed")))
+
+  /** KPI 2 (populate.py:747–880): 5-key grain with two nullable keys
+    * (property_type, accommodates). */
+  private val q_pipeline_kpi_property_type = Q(
+    "q_pipeline_kpi_property_type",
+    (s, d) => Datamart.kpiPropertyTypeMonth(fact(s, d)),
+    Some(s"""WITH $derivationSql,
+    t AS (SELECT property_type, room_type, accommodates, file_year, file_month,
+        COUNT(*) AS n_listings, COUNT(DISTINCT host_id) AS n_hosts,
+        median(CAST(price AS DOUBLE)) AS median_price,
+        ${Exact.avgMoneySql("price")} AS avg_price
+      FROM fact GROUP BY 1, 2, 3, 4, 5),
+    a AS (SELECT property_type, room_type, accommodates, file_year, file_month,
+        COUNT(*) AS n_active,
+        ${Exact.sumMoneySql(estRevenueSql)} AS est_revenue_active
+      FROM fact WHERE has_availability = 't' GROUP BY 1, 2, 3, 4, 5),
+    i AS (SELECT property_type, room_type, accommodates, file_year, file_month,
+        COUNT(*) AS n_inactive
+      FROM fact WHERE has_availability = 'f' GROUP BY 1, 2, 3, 4, 5),
+    j AS (SELECT * FROM t
+      FULL OUTER JOIN a USING (property_type, room_type, accommodates, file_year, file_month)
+      FULL OUTER JOIN i USING (property_type, room_type, accommodates, file_year, file_month))
+    SELECT *,
+      (CAST(n_active AS DOUBLE) - CAST(LAG(n_active) OVER w AS DOUBLE))
+        / CAST(LAG(n_active) OVER w AS DOUBLE) * 100.0 AS pct_change_active
+    FROM j
+    WINDOW w AS (PARTITION BY property_type, room_type, accommodates
+      ORDER BY file_year, file_month, n_listings ASC NULLS FIRST,
+      n_active ASC NULLS FIRST, n_inactive ASC NULLS FIRST)"""))
+
+  /** KPI 3 (populate.py:886–925): host-side rollup per (host_lga, y, m). */
+  private val q_pipeline_kpi_host = Q(
+    "q_pipeline_kpi_host",
+    (s, d) => Datamart.kpiHostMonth(fact(s, d)),
+    Some(s"""WITH $derivationSql,
+    t AS (SELECT host_lga, file_year, file_month,
+        COUNT(DISTINCT host_id) AS n_hosts, COUNT(*) AS n_listings,
+        ${Exact.avgMoneySql("price")} AS avg_price
+      FROM fact GROUP BY 1, 2, 3),
+    a AS (SELECT host_lga, file_year, file_month, COUNT(*) AS n_active,
+        ${Exact.sumMoneySql(estRevenueSql)} AS est_revenue_active
+      FROM fact WHERE has_availability = 't' GROUP BY 1, 2, 3)
+    SELECT * FROM t
+    FULL OUTER JOIN a USING (host_lga, file_year, file_month)"""))
+
+  def all: Seq[Q] = Seq(
+    q_pipeline_fact,
+    q_pipeline_kpi_neighbourhood,
+    q_pipeline_kpi_neighbourhood_raw,
+    q_pipeline_kpi_property_type,
+    q_pipeline_kpi_host)
+}

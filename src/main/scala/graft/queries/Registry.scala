@@ -17,7 +17,7 @@ object Registry {
     ReferenceQueries.all ++ ExtensionQueries.all ++ RelationalQueries.all ++
       EltQueries.all ++ TimeSeriesQueries.all ++ LayoutQueries.all ++
       CurationQueries.all ++ GeoQueries.all ++ TrainingQueries.all ++
-      StatsQueries.all
+      StatsQueries.all ++ PipelineOracleQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> withSessionDefaults(q.fn)).toMap
