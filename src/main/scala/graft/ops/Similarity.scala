@@ -387,10 +387,11 @@ object Similarity {
     val q = broadcast(withVecNorm(
       queries.select(col("vec_id").as("query_id"), col("embedding")),
       col("embedding"), "qv", "qn").drop("embedding"))
+    val (ckptEvery, prune) = beamKnobs(nodes)
     val beam = nswBeam(q, nodes, edges,
       q.select(col("query_id"))
         .crossJoin(cent.select(col("cell_id").as("cand"))),
-      beamWidth, rounds)
+      beamWidth, rounds, ckptEvery, prune)
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand"))
@@ -410,7 +411,25 @@ object Similarity {
     * hash stream, bit-compatible with the pre-refactor build. */
   private def nswEdgeList(nodes: DataFrame, cent: DataFrame, m: Int,
                           cellsPerNode: Int,
-                          pivotSalt: Long = 0L): DataFrame = {
+                          pivotSalt: Long = 0L): DataFrame =
+    nswEdgeListLayered(nodes.withColumn("layer", lit(0L)), cent, m,
+      cellsPerNode, saltCol = lit(pivotSalt))
+      .drop("layer")
+
+  /** [[nswEdgeList]] over a LAYER-TAGGED node frame (nid, cv, cn,
+    * layer): every stage of the cell pipeline — coarse assignment,
+    * pivot sampling, fine re-assignment, shared-cell pairing, top-m
+    * trim — carries `layer` in its partition/join keys, so an HNSW
+    * build computes BOTH layer graphs in the same jobs (one cell
+    * scan, one pivot checkpoint, one edge checkpoint) instead of
+    * running the pipeline twice. Row-for-row identical to per-layer
+    * [[nswEdgeList]] calls: the layer key only separates partitions
+    * that separate runs would have isolated anyway. `saltCol` is the
+    * fine-pivot hash salt as an expression over `layer` (the upper
+    * layer needs a decorrelated stream — see [[hnswTopK]]). */
+  private def nswEdgeListLayered(nodes: DataFrame, cent: DataFrame, m: Int,
+                                 cellsPerNode: Int,
+                                 saltCol: Column): DataFrame = {
     // top-cellsPerNode COARSE cells per node (6dp cosine desc, larger
     // cell id on ties — the ivfTopK discipline). p>1 makes nodes near
     // a Voronoi boundary members of BOTH neighboring cells, which is
@@ -418,7 +437,7 @@ object Similarity {
     // the beam can only descend within the entry cell and recall
     // plateaus.
     val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("nid"))
+      .partitionBy(col("layer"), col("nid"))
       .orderBy(col("__sim").desc, col("cell_id").desc)
     val coarseCells = nodes
       .crossJoin(cent)
@@ -426,7 +445,7 @@ object Similarity {
         round(dot(col("cv"), col("ev")) / (col("cn") * col("en")), 6))
       .withColumn("__r", row_number().over(wCell))
       .filter(col("__r") <= cellsPerNode)
-      .select(col("nid"), col("cell_id"))
+      .select(col("layer"), col("nid"), col("cell_id"))
     // HIERARCHICAL FINE SPLIT (round-7 scale fix): with nlist fixed,
     // coarse-cell population grows linearly with the corpus and the
     // shared-cell pair join grows QUADRATICALLY — the 100x step filled
@@ -444,50 +463,53 @@ object Similarity {
     // i.e. at small SF the behavior degrades gracefully toward the
     // flat form.
     val fineTarget = 16
-    val pivotKey =
-      if (pivotSalt == 0L) col("nid") else col("nid") + lit(pivotSalt)
+    val pivotKey = col("nid") + saltCol
     val pivots = coarseCells
       .filter(graft.ops.Sampling.hashValue(pivotKey) % fineTarget === 0)
-      .join(nodes, Seq("nid"))
-      .select(col("cell_id").as("coarse_id"), col("nid").as("fine_id"),
-        col("cv").as("fv"), col("cn").as("fn"))
+      .join(nodes, Seq("layer", "nid"))
+      .select(col("layer"), col("cell_id").as("coarse_id"),
+        col("nid").as("fine_id"), col("cv").as("fv"), col("cn").as("fn"))
       .localCheckpoint(true) // consumed by assignment + orphan anti-join
     val wFine = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("nid"), col("coarse_id"))
+      .partitionBy(col("layer"), col("nid"), col("coarse_id"))
       .orderBy(col("__sim").desc, col("fine_id").desc)
-    val fineAssign = coarseCells.select(col("nid"), col("cell_id").as("coarse_id"))
-      .join(nodes, Seq("nid"))
-      .join(pivots, Seq("coarse_id"))
+    val fineAssign = coarseCells
+      .select(col("layer"), col("nid"), col("cell_id").as("coarse_id"))
+      .join(nodes, Seq("layer", "nid"))
+      .join(pivots, Seq("layer", "coarse_id"))
       .withColumn("__sim",
         round(dot(col("cv"), col("fv")) / (col("cn") * col("fn")), 6))
       .withColumn("__r", row_number().over(wFine))
       .filter(col("__r") <= 2)
-      .select(col("nid"), col("fine_id").as("cell_id"))
-    val orphan = coarseCells.select(col("nid"), col("cell_id").as("coarse_id"))
-      .join(pivots.select(col("coarse_id")).distinct(), Seq("coarse_id"),
-        "left_anti")
-      .select(col("nid"), col("coarse_id").as("cell_id"))
+      .select(col("layer"), col("nid"), col("fine_id").as("cell_id"))
+    val orphan = coarseCells
+      .select(col("layer"), col("nid"), col("cell_id").as("coarse_id"))
+      .join(pivots.select(col("layer"), col("coarse_id")).distinct(),
+        Seq("layer", "coarse_id"), "left_anti")
+      .select(col("layer"), col("nid"), col("coarse_id").as("cell_id"))
     val nodeCells = fineAssign.unionByName(orphan).distinct()
     // candidate pairs: distinct shared-cell id pairs FIRST (a pair
     // sharing two cells must score once), vectors attached after by
-    // two equi-joins against the checkpointed nodes — edge-linear
-    val pairs = nodeCells.select(col("nid").as("src"), col("cell_id"))
-      .join(nodeCells.select(col("nid").as("dst"), col("cell_id")),
-        Seq("cell_id"))
+    // two equi-joins against the checkpointed nodes — edge-linear.
+    // fine cell ids are NODE ids, which both layers share -> layer
+    // must key the pair join (and every window above)
+    val pairs = nodeCells.select(col("layer"), col("nid").as("src"), col("cell_id"))
+      .join(nodeCells.select(col("layer"), col("nid").as("dst"), col("cell_id")),
+        Seq("layer", "cell_id"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+      .select(col("layer"), col("src"), col("dst")).distinct()
     val wEdge = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("__ec").desc, col("dst"))
+      .partitionBy(col("layer"), col("src")).orderBy(col("__ec").desc, col("dst"))
     pairs
-      .join(nodes.select(col("nid").as("src"),
-        col("cv").as("av"), col("cn").as("an")), Seq("src"))
-      .join(nodes.select(col("nid").as("dst"),
-        col("cv").as("bv"), col("cn").as("bn")), Seq("dst"))
+      .join(nodes.select(col("layer"), col("nid").as("src"),
+        col("cv").as("av"), col("cn").as("an")), Seq("layer", "src"))
+      .join(nodes.select(col("layer"), col("nid").as("dst"),
+        col("cv").as("bv"), col("cn").as("bn")), Seq("layer", "dst"))
       .withColumn("__ec",
         round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
       .withColumn("__r", row_number().over(wEdge))
       .filter(col("__r") <= m)
-      .select(col("src"), col("dst"))
+      .select(col("layer"), col("src"), col("dst"))
       .localCheckpoint(true) // consumed once per search round
   }
 
@@ -497,32 +519,118 @@ object Similarity {
     * broadcast query frame (query_id, qv, qn); `seed` the initial
     * (query_id, cand) candidates. Returns the final beam
     * (query_id, cand, cosine), beamWidth rows per query. */
+  /** Size gate for the beam's plan shape (the Dedup size-gate
+    * pattern; results identical on both paths). Below the threshold
+    * the per-job scheduling floor dominates ANY recompute or rescore,
+    * so: checkpoint the beam every 2nd round only (recompute depth
+    * bounded at 2 over broadcast joins of a cached corpus), and skip
+    * the visited-set bookkeeping (whose per-round materialization is
+    * itself a job). Above it both flip: checkpoint every round (a
+    * skipped checkpoint is a real second corpus pass) and prune
+    * re-scores via the visited set (re-scoring a seen candidate is a
+    * corpus-join probe wasted). `nodes` is already localCheckpointed
+    * by every caller — the count scans cached blocks, one near-free
+    * job. */
+  private def beamKnobs(nodes: DataFrame,
+                        threshold: Long = 4L * 1000 * 1000): (Int, Boolean) =
+    if (nodes.count() < threshold) (2, false) else (1, true)
+
+  /** Beam search over a bounded-degree graph with a VISITED-SET prune
+    * (round-8 verdict ask): a candidate's cosine is static, and the
+    * beam only ever improves (next beam = top-B of beam ∪ new scores),
+    * so a candidate scored once and dropped can never re-enter —
+    * re-scoring it is pure waste. Each round therefore anti-joins the
+    * expansion against everything scored so far and scores only the
+    * NEVER-SEEN candidates, merging them with the carried beam scores.
+    * Output-identical to the naive rescore-everything form (the DuckDB
+    * oracles still replay that form); at scale the per-round score
+    * join shrinks from beam×degree to the genuinely-new frontier.
+    *
+    * `preScored` seeds the beam with rows whose cosines are ALREADY
+    * known (the HNSW upper-layer beam feeding layer 0) — they join the
+    * initial beam without a rescore. `ckptEvery` size-gates the
+    * per-round materialization (the Dedup size-gate pattern): every
+    * round for a big corpus (recompute is a real second pass), every
+    * 2nd round for a small one where the per-job floor dominates —
+    * the un-checkpointed round's subtree is recomputed by its two
+    * consumers, bounded to depth ckptEvery. Same results either way.
+    */
   private def nswBeam(q: DataFrame, nodes: DataFrame, edges: DataFrame,
                       seed: DataFrame, beamWidth: Int,
-                      rounds: Int): DataFrame = {
-    val wBeam = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand"))
-    // (query_id, cand) -> beamWidth best scored rows; the candidate
-    // list is tiny (queries x beam x degree) -> broadcast into nodes
-    def rescore(cands: DataFrame): DataFrame =
+                      rounds: Int, ckptEvery: Int = 1, prune: Boolean = true,
+                      preScored: Option[DataFrame] = None): DataFrame = {
+    // candidate lists are tiny (queries x beam x degree) -> broadcast
+    // into the corpus-sized nodes frame
+    def score(cands: DataFrame): DataFrame =
       nodes.join(broadcast(cands), col("nid") === col("cand"))
         .join(q, Seq("query_id"))
         .filter(col("cand") =!= col("query_id"))
         .select(col("query_id"), col("cand"),
           round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
             .as("cosine"))
-        .withColumn("rank", row_number().over(wBeam))
-        .filter(col("rank") <= beamWidth)
-        .select(col("query_id"), col("cand"), col("cosine"))
-    var beam = rescore(seed)
-      .localCheckpoint(true) // consumed twice per round (union + expand)
-    for (_ <- 1 to rounds) {
+    // top-B per query as ONE map-side-combinable aggregate instead of
+    // a window sort: collect_set(struct(cosine, -cand)) -> sort desc
+    // (cosine desc, cand asc via the exact long negation) -> slice B.
+    // The set ABSORBS duplicate candidate rows — a candidate reached
+    // through several edges scores to the same (cosine, cand) struct —
+    // so callers skip the per-round DISTINCT shuffle entirely: each
+    // round costs one broadcast-join pass + one aggregate exchange.
+    // Selection identical to ROW_NUMBER() OVER (ORDER BY cosine DESC,
+    // cand) <= B; per-query state is bounded by beam x degree structs.
+    def topB(scored: DataFrame): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(slice(sort_array(collect_set(
+            struct(col("cosine"), (-col("cand")).as("nc"))), asc = false),
+          1, beamWidth).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), (-col("t.nc")).as("cand"),
+          col("t.cosine").as("cosine"))
+    val seed0 = seed.select(col("query_id"), col("cand"))
+    // visited = every (query, cand) ever handed to score(); carried as
+    // a lazy union chain of small frames (each anchored on a
+    // checkpointed beam), never itself materialized
+    var visited = preScored match {
+      case Some(ps) =>
+        seed0.unionByName(ps.select(col("query_id"), col("cand"))).distinct()
+      case None => seed0
+    }
+    val fresh0 = preScored match {
+      case Some(ps) => seed0.join(ps.select(col("query_id"), col("cand")),
+        Seq("query_id", "cand"), "left_anti")
+      case None => seed0
+    }
+    var beam = topB(preScored match {
+      case Some(ps) => ps.unionByName(score(fresh0))
+      case None => score(fresh0)
+    }).localCheckpoint(true) // consumed twice per round (union + expand)
+    for (r <- 1 to rounds) {
       val expanded = beam.join(edges, col("cand") === col("src"))
         .select(col("query_id"), col("dst").as("cand"))
-      val cands = beam.select(col("query_id"), col("cand"))
-        .union(expanded).distinct()
-      beam = rescore(cands).localCheckpoint(true)
+      if (prune) {
+        // distinct BEFORE the anti-join: visited membership rows stay
+        // unique, bounding the anti-join build side
+        // the prune: beam ⊆ visited, so surviving rows are genuinely
+        // new. fresh is checkpointed (queries×beam×degree rows at
+        // most): it has two consumers (score + the visited union), and
+        // leaving it lazy would make the visited chain RECURSIVE —
+        // round r's anti-join re-evaluating every earlier round's
+        // distinct+anti — turning the prune into quadratic plan growth.
+        val fresh = expanded.distinct()
+          .join(visited, Seq("query_id", "cand"), "left_anti")
+          .localCheckpoint(true)
+        beam = topB(beam.unionByName(score(fresh)))
+        visited = visited.unionByName(fresh)
+      } else {
+        // small corpus: rescore the whole frontier with NO distinct —
+        // topB's set aggregate absorbs duplicate candidates, so the
+        // round is one broadcast-join pass + one aggregate exchange
+        val cands = beam.select(col("query_id"), col("cand"))
+          .union(expanded)
+        beam = topB(score(cands))
+      }
+      // the final round's beam has ONE consumer (the caller's top-k
+      // window) — never worth a checkpoint
+      if (r % ckptEvery == 0 && r < rounds) beam = beam.localCheckpoint(true)
     }
     beam
   }
@@ -572,12 +680,21 @@ object Similarity {
         corpus.select(col("vec_id").as("nid"), col("embedding")),
         col("embedding"), "cv", "cn").drop("embedding")
       .localCheckpoint(true)
+    // cheap filter over the checkpointed nodes cache — no checkpoint
+    // of its own (its consumers re-scan the cache, not the corpus)
     val upperNodes = nodes
       .filter(graft.ops.Sampling.hashValue(col("nid")) % layerMod === 0)
-      .localCheckpoint(true) // consumed throughout the upper build
-    val upperEdges = nswEdgeList(upperNodes, cent, m, cellsPerNode,
-      pivotSalt = 7919L)
-    val lowerEdges = nswEdgeList(nodes, cent, m, cellsPerNode)
+    // BOTH layer graphs in one tagged build: one cell scan, one pivot
+    // checkpoint, one edge checkpoint instead of two of each — the
+    // upper build otherwise pays the full pipeline's job floor for
+    // corpus/layerMod rows
+    val edgesAll = nswEdgeListLayered(
+      nodes.withColumn("layer", lit(0L))
+        .unionByName(upperNodes.withColumn("layer", lit(1L))),
+      cent, m, cellsPerNode,
+      saltCol = when(col("layer") === 1L, lit(7919L)).otherwise(lit(0L)))
+    val upperEdges = edgesAll.filter(col("layer") === 1L).drop("layer")
+    val lowerEdges = edgesAll.filter(col("layer") === 0L).drop("layer")
     val q = broadcast(withVecNorm(
       queries.select(col("vec_id").as("query_id"), col("embedding")),
       col("embedding"), "qv", "qn").drop("embedding"))
@@ -588,18 +705,22 @@ object Similarity {
       .unionByName(cent.select(col("cell_id").as("cand")))
       .distinct()
     val seed0 = q.select(col("query_id")).crossJoin(broadcast(entries))
+    val (ckptEvery, prune) = beamKnobs(nodes)
     val upperBeam = nswBeam(q, nodes, upperEdges, seed0,
-      beamWidth, upperRounds)
+      beamWidth, upperRounds, ckptEvery, prune)
+      .localCheckpoint(true) // multi-consumer: lower-layer seed + visited
     // layer-0 seeds = the upper beam's refined neighborhood UNION the
     // centroid ids: the descent keeps the hierarchy's better entries
     // while never seeding WORSE than the flat NSW search (whose seed
-    // set this strictly contains)
-    val lowerSeed = upperBeam.select(col("query_id"), col("cand"))
-      .unionByName(q.select(col("query_id"))
-        .crossJoin(cent.select(col("cell_id").as("cand"))))
-      .distinct()
+    // set this strictly contains). The upper beam's cosines are
+    // GLOBAL (same scoring expression, same corpus vectors), so they
+    // carry into layer 0 pre-scored — the descent rescores only the
+    // centroid seeds it hasn't already seen.
+    val lowerSeed = q.select(col("query_id"))
+      .crossJoin(cent.select(col("cell_id").as("cand")))
     val lowerBeam = nswBeam(q, nodes, lowerEdges, lowerSeed,
-      beamWidth, lowerRounds)
+      beamWidth, lowerRounds, ckptEvery, prune,
+      preScored = Some(upperBeam.select(col("query_id"), col("cand"), col("cosine"))))
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand"))

@@ -24,10 +24,29 @@ object HnswProfile {
       .orderBy(col("vec_id")).limit(128)
     def q = emb.filter(col("vec_id") < 10)
 
+    // job-time accounting: wall >> sum(job walls) means the driver
+    // (planning/broadcast collect) dominates, not executor work
+    val jobMs = new java.util.concurrent.atomic.AtomicLong()
+    val jobN = new java.util.concurrent.atomic.AtomicLong()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(e.jobId, e.time)
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStart.remove(e.jobId)
+          if (s != null) { jobMs.addAndGet(e.time - s); jobN.incrementAndGet() }
+        }
+      })
     def timed(label: String)(f: => Unit): Unit = {
+      jobMs.set(0); jobN.set(0)
       val t0 = System.nanoTime()
       f
-      println(f"  $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      Thread.sleep(300) // let the listener bus drain
+      println(f"  $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs" +
+        f"  jobs=${jobN.get}%3d  jobWall=${jobMs.get / 1e3}%6.2fs")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
