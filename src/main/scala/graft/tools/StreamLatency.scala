@@ -29,8 +29,15 @@ object StreamLatency {
     val rate = args.headOption.map(_.toInt).getOrElse(50000)
     val runSec = args.lift(1).map(_.toInt).getOrElse(45)
     val trigSec = args.lift(2).map(_.toInt).getOrElse(1)
+    // state-store partition count (arg 4): a streaming query bakes
+    // spark.sql.shuffle.partitions into its state layout at first
+    // start, and every stateful operator commits one state store per
+    // partition per batch — at low rates that commit fan-out IS the
+    // per-batch floor, so sizing it down is the lever this tool
+    // measures (round-8 verdict ask #5)
+    val stateParts = args.lift(3).map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", stateParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_latency").toString)
@@ -84,7 +91,7 @@ object StreamLatency {
       val warmSec = math.max(
         (warm.last.startMs + warm.last.trigMs - warm.head.startMs) / 1000.0,
         0.001)
-      println(f"$label%-14s rate=$rate%d rows/s  batches=${warm.size}%d  " +
+      println(f"$label%-14s parts=$stateParts%d rate=$rate%d rows/s  batches=${warm.size}%d  " +
         f"rows=$rows%d  sustained=${rows / warmSec}%.0f rows/s  " +
         f"p50=${pct(0.5)}%d ms  p95=${pct(0.95)}%d ms  " +
         f"busy=${span / warmSec * 100}%.0f%%")
