@@ -101,17 +101,26 @@ object PipelineOracleQueries {
       roomC.as("room_type"), accC.as("accommodates"), priceCol.as("price"),
       availC.as("has_availability"), a30C.as("availability_30"))
 
-    val orig = src.select(row(concat(lit("L"), k.cast("string")),
+    val orig = struct(row(concat(lit("L"), k.cast("string")),
       date_format(col("o_orderdate"), "yyyy-MM-dd"), priceC,
       when(k % 4 === 0, "t").otherwise("f")): _*)
     // planted (id, filename) duplicates: scraped a day earlier with a
     // decoy price/name -> the staging dedup (last_scraped DESC, name)
-    // must keep the original; a wrong keep corrupts every KPI hash
-    val dups = src.filter(k % 10 === 0).select(row(
+    // must keep the original; a wrong keep corrupts every KPI hash.
+    // Emitted via ONE exploded struct array, not a union of two
+    // selects over src: the union form made Catalyst re-run the whole
+    // orders ⋈ customer ⋈ nation derivation once per branch — two
+    // corpus scans to add a 10% duplicate block (the README
+    // multi-branch rule; caught by this round's plan audit).
+    val dup = struct(row(
       concat(lit("Dup"), k.cast("string")),
       date_format(date_sub(col("o_orderdate").cast("date"), 1), "yyyy-MM-dd"),
       lit("$999.99"), lit("f")): _*)
-    (orig.unionByName(dups), locdim)
+    val raw = src
+      .select(explode(when(k % 10 === 0, array(orig, dup))
+        .otherwise(array(orig))).as("r"))
+      .select(col("r.*"))
+    (raw, locdim)
   }
 
   /** The real pipeline, end to end, over the derived corpus. */
