@@ -9,7 +9,7 @@
 # Workflow: iterate with scripts/run_verify.sh on the queries you're
 # touching, run smoke.sh before each commit, full close_round.sh at
 # round end.
-set -e
+set -e -o pipefail # pipefail: `sbt compile | tail` must not mask a broken build
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 OUT=/tmp/smoke_out

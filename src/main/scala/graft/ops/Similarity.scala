@@ -530,10 +530,16 @@ object Similarity {
     * re-scores via the visited set (re-scoring a seen candidate is a
     * corpus-join probe wasted). `nodes` is already localCheckpointed
     * by every caller — the count scans cached blocks, one near-free
-    * job. */
-  private def beamKnobs(nodes: DataFrame,
-                        threshold: Long = 4L * 1000 * 1000): (Int, Boolean) =
+    * job. The session conf `graft.sim.beamThreshold` overrides the
+    * default so specs can exercise the big-corpus path (per-round
+    * checkpoints + visited-set prune) on small data — without it the
+    * prune branch would ship tested only at ≥4M-row corpora. */
+  private def beamKnobs(nodes: DataFrame): (Int, Boolean) = {
+    val threshold = nodes.sparkSession.conf
+      .getOption("graft.sim.beamThreshold").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
     if (nodes.count() < threshold) (2, false) else (1, true)
+  }
 
   /** Beam search over a bounded-degree graph with a VISITED-SET prune
     * (round-8 verdict ask): a candidate's cosine is static, and the

@@ -15,8 +15,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the staging dedup key is (id, filename) (design.sql:265–266), the
   * fact's month columns derive from the filename, and the location /
   * census dims are static side files — so a fact row depends on its
-  * source file and the dims, never on another month's file. One raw
-  * file ↦ one (file_year, file_month) partition.
+  * source file and the dims, never on another month's file. The
+  * commit unit is the month partition; when several files share a
+  * month, the tick that completes the month re-includes its earlier
+  * files (see [[refreshFact]]).
   *
   * Commit mechanics: the month partitions are written with DYNAMIC
   * partition overwrite (only the months present in the increment are
@@ -55,9 +57,29 @@ object Refresh {
     else spark.read.textFile(dir.toString).collect().toSet
   }
 
+  /** The month token a file's rows will land in, parsed from the
+    * filename EXACTLY as the fact build does (`listings_MM_YYYY.csv`
+    * → negative-index split_part, design.sql:454–455). A name that
+    * doesn't carry the month pattern keys to itself, so it can never
+    * group with another file. */
+  private def monthKey(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val parts = base.split('_')
+    if (parts.length < 3) base
+    else parts(parts.length - 2) + "_" + parts.last.takeWhile(_ != '.')
+  }
+
   /** One refresh tick. Returns the newly processed file paths (empty =
     * nothing to do). `filesPerMonth` sizes the per-partition output
-    * files exactly as [[Warehouse.writeFact]]. */
+    * files exactly as [[Warehouse.writeFact]].
+    *
+    * Because the commit unit is a MONTH partition (dynamic overwrite)
+    * while the discovery unit is a FILE, a tick that brings a new file
+    * into an ALREADY-BUILT month must re-include that month's earlier
+    * files in the increment — otherwise the overwrite would replace
+    * the month with the new file's rows alone, silently dropping the
+    * earlier ones. Normal operation has one file per month (the
+    * reference layout), so the reprocess set is empty. */
   def refreshFact(spark: SparkSession, rawDir: String, factDir: String,
                   filesPerMonth: Int = 1): Seq[String] = {
     val raw = new Path(rawDir)
@@ -67,28 +89,22 @@ object Refresh {
     val done = processedFiles(spark, factDir)
     val fresh = all.filterNot(done)
     if (fresh.isEmpty) return Nil
+    // earlier files of the months this increment touches (see Scaladoc)
+    val freshMonths = fresh.map(monthKey).toSet
+    val reprocess = all.filter(p => done(p) && freshMonths(monthKey(p)))
 
     val stagingLocation = Staging.location(
       Ingest.rawSsc(spark, rawDir), Ingest.rawLga(spark, rawDir))
-    val staged = Staging.listing(fresh.map(p => Ingest.rawListings(spark, p)))
+    val staged = Staging.listing(
+      (fresh ++ reprocess).map(p => Ingest.rawListings(spark, p)))
     val fact = Warehouse.factListing(staged, stagingLocation)
 
     // dynamic overwrite: replace exactly the increment's months
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try {
-      fact
-        .repartition(org.apache.spark.sql.functions.col("file_year"),
-          org.apache.spark.sql.functions.col("file_month"),
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.hash(
-              org.apache.spark.sql.functions.col("id")),
-            org.apache.spark.sql.functions.lit(filesPerMonth)))
-        .write.mode("overwrite")
-        .partitionBy("file_year", "file_month")
-        .parquet(dataDir(factDir))
-    } finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    try Warehouse.writeFact(fact, dataDir(factDir), filesPerMonth)
+    finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
 
     // ledger append AFTER the data commit (see Scaladoc)
     import spark.implicits._

@@ -28,7 +28,10 @@ object HnswProfile {
     // (planning/broadcast collect) dominates, not executor work
     val jobMs = new java.util.concurrent.atomic.AtomicLong()
     val jobN = new java.util.concurrent.atomic.AtomicLong()
-    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // boxed Long: remove() must return null (not unbox to 0) when a
+    // job-start event was dropped by the listener bus
+    val jobStart =
+      new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
