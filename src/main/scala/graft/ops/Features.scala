@@ -253,16 +253,22 @@ object Features {
       .withColumn("bin", least(greatest(
         floor((col("__x") - lit(lo)) / lit(width)).cast("long"), lit(0L)),
         lit(nBins - 1L)))
+      // Σy² kept in exact integer CENTS²: its decimal sum exceeds 2^53
+      // and DuckDB's huge-decimal→double cast is ±1 ulp (see
+      // Quality.profileNumeric), so sse_parent finalizes via exact
+      // integer division instead of a double subtraction
+      .withColumn("__yc", (col("__y") * 100).cast(DecimalType(20, 0)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("sy"),
-        sum(col("__y") * col("__y")).as("syy"))
+        sum(col("__yc") * col("__yc")).as("syy_c2"))
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = binned
       .withColumn("nl", sum(col("n")).over(w))
       .withColumn("syl", sum(col("sy")).over(w))
     val tot = binned.agg(sum(col("n")).cast("long").as("nt"),
-      sum(col("sy")).as("syt"), sum(col("syy")).as("syyt"))
+      sum(col("sy")).as("syt"),
+      sum(col("syy_c2")).cast(DecimalType(38, 0)).as("syyt_c2"))
     val gains = cum.crossJoin(broadcast(tot))
       .filter(col("nl") > 0 && col("nl") < col("nt")) // non-empty sides
       .withColumn("gain_micro", round((
@@ -283,9 +289,14 @@ object Features {
         col("nl").cast("long").as("n_left"),
         (col("nt") - col("nl")).cast("long").as("n_right"),
         col("gain_micro"),
-        round(col("syyt").cast("double")
-          - col("syt").cast("double") * col("syt").cast("double")
-            / col("nt").cast("double"), 6)
+        // sse = Σy² − (Σy)²/n in dollars², finalized as the exactly-
+        // rounded integer (2·num + D) div (2·D) with num = nt·Σy²_c −
+        // (Σy_c)² in cents² and D = nt·10⁴ — at ~1e15 dollars² the old
+        // 6dp round was below double spacing anyway, and the integer
+        // path is bit-identical across engines at any magnitude
+        expr("CAST((2 * (nt * syyt_c2" +
+          " - CAST(syt * 100 AS DECIMAL(38,0)) * CAST(syt * 100 AS DECIMAL(38,0)))" +
+          " + nt * 10000) div (2 * nt * 10000) AS DOUBLE)")
           .as("sse_parent"))
   }
 
@@ -300,7 +311,8 @@ object Features {
             / ${wlit(width)}) AS BIGINT), 0), ${nBins - 1}) AS bin,
         CAST(COUNT(*) AS BIGINT) AS n,
         SUM(CAST(y AS DECIMAL(18,2))) AS sy,
-        SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS syy
+        SUM(CAST(CAST(y AS DECIMAL(18,2)) * 100 AS HUGEINT)
+          * CAST(CAST(y AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS syy_c2
       FROM $srcCte WHERE x IS NOT NULL AND y IS NOT NULL
       GROUP BY 1),
     __split_cum AS (
@@ -311,10 +323,11 @@ object Features {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS syl
       FROM __split_bins),
     __split_tot AS (
-      SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sy) AS syt, SUM(syy) AS syyt
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sy) AS syt,
+        SUM(syy_c2) AS syyt_c2
       FROM __split_bins),
     __split_gains AS (
-      SELECT bin, nl, nt, syt, syyt,
+      SELECT bin, nl, nt, syt, syyt_c2,
         CAST(ROUND((CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)
             / CAST(nl AS DOUBLE)
           + CAST(syt - syl AS DOUBLE) * CAST(syt - syl AS DOUBLE)
@@ -329,8 +342,10 @@ object Features {
           AS threshold,
         CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
         gain_micro,
-        ROUND(CAST(syyt AS DOUBLE) - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE)
-          / CAST(nt AS DOUBLE), 6) AS sse_parent
+        CAST((2 * (nt * syyt_c2
+            - CAST(syt * 100 AS HUGEINT) * CAST(syt * 100 AS HUGEINT))
+          + nt * 10000) // (2 * CAST(nt AS HUGEINT) * 10000) AS DOUBLE)
+          AS sse_parent
       FROM __split_gains
       QUALIFY ROW_NUMBER() OVER (ORDER BY gain_micro DESC, bin) = 1)"""
   }

@@ -71,21 +71,39 @@ object Quality {
     require(cols.nonEmpty, "profileNumeric: at least one column")
     import org.apache.spark.sql.types.DecimalType
     val entries = cols.map { c =>
-      val xd = col(c).cast(DecimalType(18, 2))
+      // mean/variance ENTIRELY in exact integer cents until the final
+      // small-magnitude division: the earlier double form cast the
+      // Σx² decimal (>2^53) to double, and DuckDB's huge-decimal →
+      // double conversion is off by up to 1 ulp (measured −0.25 at
+      // 7e15 on sf0.1), which shifted the 6dp-rounded variance by one
+      // grid step. Here the 6dp rounding itself is integer arithmetic
+      // — half-away-from-zero via truncating div, the same op both
+      // engines implement exactly at any magnitude — and the only
+      // double conversions are of micro-unit integers (< 2^53).
+      val cents = (col(c).cast(DecimalType(18, 2)) * 100)
+        .cast(DecimalType(20, 0))
       val n = count(col(c))
-      val sx = sum(xd).cast("double")
-      val sxx = sum(xd * xd).cast("double")
+      val s = sum(cents).cast(DecimalType(38, 0))
+      val ss = sum(cents * cents).cast(DecimalType(38, 0))
       struct(
         lit(c).as("col_name"),
         n.as("n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
         min(col(c)).cast("double").as("min"),
         max(col(c)).cast("double").as("max"),
-        when(n > 0, round(sx / n, 6)).as("mean"),
-        when(n > 1, round((sxx - sx * sx / n) / (n - 1), 6)).as("variance"))
+        n.as("__n"), s.as("__s"), ss.as("__ss"))
     }
     df.agg(array(entries: _*).as("__p"))
       .select(explode(col("__p")).as("r")).select(col("r.*"))
+      .withColumn("mean",
+        when(col("__n") > 0, expr(
+          "CAST((2 * __s * 10000 + (CASE WHEN __s >= 0 THEN __n ELSE -__n END))" +
+            " div (2 * __n) AS DOUBLE) / 1e6")))
+      .withColumn("variance",
+        when(col("__n") > 1, expr(
+          "CAST((2 * (__n * __ss - __s * __s) * 100 + (__n * (__n - 1)))" +
+            " div (2 * __n * (__n - 1)) AS DOUBLE) / 1e6")))
+      .drop("__n", "__s", "__ss")
   }
 
   /** Equi-width histogram of a numeric column: one hash aggregate on

@@ -140,18 +140,28 @@ object EltQueries {
     (s, d) => Quality.profileNumeric(Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     Some {
+      // mean/variance replayed in exact HUGEINT cents, rounding to 6dp
+      // via truncating integer division (half-away-from-zero) — the
+      // double form diverged because DuckDB's huge-decimal→double cast
+      // is not correctly rounded (±1 ulp at >2^53; measured −0.25 at
+      // sf0.1). See Quality.profileNumeric.
       def arm(c: String) =
         s"""SELECT '$c' AS col_name, COUNT($c) AS n,
         CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max,
         CASE WHEN COUNT($c) > 0 THEN
-          ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c), 6)
+          CAST((2 * SUM(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT)) * 10000
+              + (CASE WHEN SUM(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT)) >= 0
+                 THEN COUNT($c) ELSE -COUNT($c) END))
+            // (2 * COUNT($c)) AS DOUBLE) / 1e6
         END AS mean,
         CASE WHEN COUNT($c) > 1 THEN
-          ROUND((CAST(SUM(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
-            - CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
-              * CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c))
-            / (COUNT($c) - 1), 6)
+          CAST((2 * (COUNT($c) * SUM(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                                     * CAST(CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT))
+                   - SUM(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT))
+                     * SUM(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT))) * 100
+              + (COUNT($c) * (COUNT($c) - 1)))
+            // (2 * COUNT($c) * (COUNT($c) - 1)) AS DOUBLE) / 1e6
         END AS variance
       FROM lineitem"""
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

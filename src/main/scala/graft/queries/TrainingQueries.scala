@@ -459,6 +459,17 @@ object TrainingQueries {
     * ops, so identical trees give bit-identical doubles. */
   private val meanRaw =
     "(CAST(sum_milli AS DOUBLE) / CAST(1000 AS DOUBLE) / n)"
+  /** The OUTPUT mean rounds in exact integer micro units (half-away
+    * via truncating integer division — `div` in Spark, `//` in DuckDB,
+    * both truncate toward zero): mean = sum_milli/(1000·n) has
+    * granularity 1/(1000·n), which at sf0.1 (n=2000) lands EXACTLY on
+    * 5e-7 rounding boundaries where Spark's round (BigDecimal of the
+    * shortest decimal repr) and DuckDB's round (scaled multiply) split
+    * deterministically. The raw double form stays for the variance /
+    * z0 internals, which are not structurally boundary-aligned. */
+  private def meanMicro(divOp: String) =
+    "CAST((2 * sum_milli * 1000 + (CASE WHEN sum_milli >= 0 THEN n ELSE -n END))" +
+      s" $divOp (2 * n) AS DOUBLE) / 1e6"
   private val varRaw =
     "(CAST(sumsq_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) / n" +
       s" - $meanRaw * $meanRaw)"
@@ -504,7 +515,7 @@ object TrainingQueries {
         .select((col("i0") + 1).cast("int").as("dim"), col("x0_milli"))
       dims.join(broadcast(v0), "dim")
         .select(col("dim"), col("n"), col("sum_milli"), col("sumsq_micro"),
-          expr(s"ROUND($meanRaw, 6)").as("mean"),
+          expr(meanMicro("div")).as("mean"),
           expr(s"ROUND($varRaw, 6)").as("variance"),
           expr(s"CASE WHEN $varRaw <= 0 THEN NULL" +
             s" ELSE ROUND($z0Raw, 6) END").as("z0"))
@@ -525,7 +536,7 @@ object TrainingQueries {
         FROM comp GROUP BY 1),
       v0 AS (SELECT dim, m AS x0_milli FROM comp WHERE vec_id = 0)
       SELECT CAST(a.dim AS INTEGER) AS dim, n, sum_milli, sumsq_micro,
-        ROUND($meanRaw, 6) AS mean,
+        ${meanMicro("//")} AS mean,
         ROUND($varRaw, 6) AS variance,
         CASE WHEN $varRaw <= 0 THEN NULL
           ELSE ROUND($z0Raw, 6) END AS z0
