@@ -152,18 +152,33 @@ object Fixtures {
       Map("k" -> "LGA10470", "code" -> "10470", "label" -> "NORTHERN BEACHES (A)"),
       Map("k" -> "LGA10900", "code" -> "10900", "label" -> "STRATHFIELD (A)")))
 
-    // ---- SSC suburbs (c1 lga key, c3 'Suburb (NSW)', c6 area);
-    // PYRMONT appears under two LGAs with different total areas ---------
+    writeSsc(dir)
+  }
+
+  /** SSC suburbs (c1 lga key, c3 'Suburb (NSW)', c6 area); PYRMONT
+    * appears under two LGAs with different total areas. Public and
+    * parameterized so the refresh spec can EDIT the dim in place:
+    * shrinking Pyrmont's LGA10050 area below LGA10470's flips the
+    * largest-area winner, changing fact rows for Pyrmont listings. */
+  def writeSsc(dir: Path, pyrmontSydneyArea: String = "50"): Unit = {
     val sscCols = Seq("k", "u1", "suburb", "u2", "u3", "area")
     def ssc(key: String, suburb: String, area: String) =
       Map("k" -> key, "suburb" -> suburb, "area" -> area)
     writeCsv(dir, "SSC_2016_AUST.csv", sscCols, Seq(
       ssc("LGA10050", "Sydney (NSW)", "30"),
-      ssc("LGA10050", "Pyrmont (NSW)", "50"),
+      ssc("LGA10050", "Pyrmont (NSW)", pyrmontSydneyArea),
       ssc("LGA10050", "Bondi Beach (NSW)", "20"),
       ssc("LGA10470", "North Curl Curl (NSW)", "40"),
       ssc("LGA10470", "Northern Beaches (NSW)", "35"),
       ssc("LGA10470", "Pyrmont (NSW)", "5"),
       ssc("LGA10900", "Strathfield (NSW)", "25")))
   }
+
+  /** A month whose every row is dropped by the fact filters (NULL
+    * price, design.sql:459) — exercises the refresh path where a tick
+    * commits zero rows and the fact must stay readable. */
+  def writeAllFiltered(dir: Path, name: String): Unit =
+    writeCsv(dir, name, C, Seq(
+      listing("id" -> "999", "name" -> "Ghost", "last_scraped" -> "2020-09-05",
+        "host_id" -> "100", "price" -> "", "has_availability" -> "t")))
 }

@@ -111,6 +111,66 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(canon(Refresh.fact(spark, factDir)) == before)
   }
 
+  test("padded and unpadded month spellings share one month partition") {
+    val (all, raw) = stage()
+    val factDir = Files.createTempDirectory("refresh_fact_pad").toString
+    deliver(all, raw, "listings_05_2020.csv")
+    Refresh.refreshFact(spark, raw.toString, factDir)
+    // same content under an UNPADDED spelling of the same month: both
+    // cast to file_month=5 in the fact, so the reprocess guard must key
+    // on the parsed (year, month) — raw-token keys ('05_2020' vs
+    // '5_2020') would miss the earlier file and the month overwrite
+    // would silently drop its rows (the round-9 ADVICE data-loss mode)
+    Files.copy(all.resolve("listings_05_2020.csv"),
+      raw.resolve("listings_5_2020.csv"))
+    val p = Refresh.refreshFact(spark, raw.toString, factDir)
+    assert(p.size == 1 && p.head.endsWith("listings_5_2020.csv"))
+    assert(canon(Refresh.fact(spark, factDir)) == canon(batchFact(raw.toString)),
+      "unpadded month spelling dropped the padded file's rows")
+  }
+
+  test("a dim side-file change invalidates already-built months") {
+    val (all, raw) = stage()
+    val factDir = Files.createTempDirectory("refresh_fact_dim").toString
+    deliver(all, raw, "listings_05_2020.csv")
+    deliver(all, raw, "listings_01_2021.csv")
+    Refresh.refreshFact(spark, raw.toString, factDir)
+    assert(Refresh.refreshFact(spark, raw.toString, factDir).isEmpty,
+      "dims untouched -> tick must be a no-op")
+    // edit the SSC geography in place: Pyrmont's largest-area LGA flips
+    // from SYDNEY to NORTHERN BEACHES, so already-built months are stale
+    Fixtures.writeSsc(raw, pyrmontSydneyArea = "1")
+    val re = Refresh.refreshFact(spark, raw.toString, factDir)
+    assert(re.size == 2, "dim change must reprocess every file")
+    assert(canon(Refresh.fact(spark, factDir)) == canon(batchFact(raw.toString)),
+      "fact after dim change diverges from a batch rebuild over the new dims")
+    assert(Refresh.fact(spark, factDir)
+      .filter(col("neighbourhood_suburb") === "PYRMONT")
+      .select("neighbourhood_lga").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("NORTHERN BEACHES"),
+      "rebuilt fact must reflect the edited dim")
+    assert(Refresh.refreshFact(spark, raw.toString, factDir).isEmpty,
+      "digest stored -> next tick is a no-op again")
+  }
+
+  test("a first tick whose rows are all filtered leaves a readable empty fact") {
+    val (all, raw) = stage()
+    val factDir = Files.createTempDirectory("refresh_fact_empty").toString
+    Fixtures.writeAllFiltered(raw, "listings_09_2020.csv")
+    assert(Refresh.refreshFact(spark, raw.toString, factDir).size == 1)
+    // zero committed rows: parquet has nothing to infer a schema from;
+    // the sidecar must keep the fact readable (round-9 ADVICE)
+    val empty = Refresh.fact(spark, factDir)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("neighbourhood_lga"))
+    assert(Refresh.refreshFact(spark, raw.toString, factDir).isEmpty,
+      "the filtered file is ledgered -> re-tick is a no-op")
+    deliver(all, raw, "listings_05_2020.csv")
+    Refresh.refreshFact(spark, raw.toString, factDir)
+    assert(canon(Refresh.fact(spark, factDir)) == canon(batchFact(raw.toString)),
+      "a real month after the empty one diverges from the batch rebuild")
+  }
+
   test("reprocessing a file is idempotent (dynamic month overwrite)") {
     val (all, raw) = stage()
     val factDir = Files.createTempDirectory("refresh_fact_idem").toString
