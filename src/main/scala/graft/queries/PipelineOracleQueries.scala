@@ -123,11 +123,27 @@ object PipelineOracleQueries {
     (raw, locdim)
   }
 
-  /** The real pipeline, end to end, over the derived corpus. */
-  private def fact(s: SparkSession, d: String): DataFrame = {
-    val (raw, locdim) = corpus(s, d)
-    Warehouse.factListing(Staging.listing(Seq(raw)), locdim)
-  }
+  /** The real pipeline, end to end, over the derived corpus — built
+    * ONCE per (session, sf dir) and shared by all five queries. Each
+    * family member used to re-derive the identical corpus and re-run
+    * staging + fact (~10 sequential shuffle/broadcast stages), putting
+    * three KPI views above 9× the oracle on pure re-derivation cost
+    * (round-9 verdict ask #1). The fact is small (one row per
+    * surviving listing-month), so an eager localCheckpoint pins the
+    * computed rows in block storage and the four views start from
+    * them — exactly how the reference runs, too: populate.py builds
+    * fact_listing once and the views read the TABLE, not the raw
+    * files. Keyed by session so a restarted session (dead block
+    * manager) re-derives instead of reading freed blocks. */
+  private val factCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def fact(s: SparkSession, d: String): DataFrame =
+    factCache.computeIfAbsent((s, d), { case (sess, dir) =>
+      val (raw, locdim) = corpus(sess, dir)
+      Warehouse.factListing(Staging.listing(Seq(raw)), locdim)
+        .localCheckpoint(true)
+    })
 
   private val factCols = Seq(
     "id", "filename", "file_year", "file_month", "neighbourhood_suburb",
