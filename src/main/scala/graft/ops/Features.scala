@@ -240,7 +240,14 @@ object Features {
     * is engine-stable. Scale shape: ONE combinable histogram aggregate
     * (the only corpus-sized op), prefix sums over the |bins|-row
     * frame, a 1-row winner. Returns one row: split_bin, threshold,
-    * n_left, n_right, gain_micro, sse_parent_micro. */
+    * n_left, n_right, gain_micro, sse_parent.
+    *
+    * sse_parent contract: Σy² − (Σy)²/N in dollars², finalized as the
+    * exactly-rounded INTEGER (half-away-from-zero) — all fractional
+    * dollars² are dropped by design. At GBT-relevant corpus sizes the
+    * SSE magnitude (~1e15 here) puts 1 dollar² below double spacing,
+    * so nothing is lost; for small-magnitude y where sub-dollar² SSE
+    * resolution matters, rescale y before calling. */
   def bestSplit(df: DataFrame, x: Column, y: Column,
                 lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins >= 2 && hi > lo, s"bad split shape [$lo,$hi) x $nBins")

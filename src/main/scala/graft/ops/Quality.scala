@@ -66,7 +66,13 @@ object Quality {
     * (values ≤2 decimal places square exactly in scale 4, precision 37
     * ≤ Spark's 38 cap), and the closing double arithmetic is the same
     * IEEE sequence on every engine. Sample variance; NULL when n < 2,
-    * mean NULL when n = 0 (matching SQL aggregate semantics). */
+    * mean NULL when n = 0 (matching SQL aggregate semantics).
+    *
+    * Magnitude bound: Σ(x·100)² must fit DECIMAL(38,0) — e.g. 10⁹ rows
+    * of |x| ≤ 10¹².⁵ dollars. Beyond it, ANSI mode (the Spark 4
+    * default) throws at the aggregate; under non-ANSI the sum would
+    * come back NULL, which the guard below turns into a loud error
+    * instead of a silent NULL variance. */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileNumeric: at least one column")
     import org.apache.spark.sql.types.DecimalType
@@ -100,9 +106,15 @@ object Quality {
           "CAST((2 * __s * 10000 + (CASE WHEN __s >= 0 THEN __n ELSE -__n END))" +
             " div (2 * __n) AS DOUBLE) / 1e6")))
       .withColumn("variance",
-        when(col("__n") > 1, expr(
-          "CAST((2 * (__n * __ss - __s * __s) * 100 + (__n * (__n - 1)))" +
-            " div (2 * __n * (__n - 1)) AS DOUBLE) / 1e6")))
+        when(col("__n") > 1,
+          // non-ANSI overflow guard (see Scaladoc): a NULL exact sum
+          // with rows present means DECIMAL(38,0) overflowed silently
+          when(col("__s").isNull || col("__ss").isNull, raise_error(concat(
+            lit("profileNumeric: exact sum overflowed DECIMAL(38,0) for "),
+            col("col_name"))).cast("double"))
+          .otherwise(expr(
+            "CAST((2 * (__n * __ss - __s * __s) * 100 + (__n * (__n - 1)))" +
+              " div (2 * __n * (__n - 1)) AS DOUBLE) / 1e6"))))
       .drop("__n", "__s", "__ss")
   }
 

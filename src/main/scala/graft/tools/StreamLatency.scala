@@ -78,7 +78,13 @@ object StreamLatency {
       val all = batches.asScala.toVector
       // drop the first two batches: source ramp + state-store open
       val warm = all.drop(2)
-      if (warm.isEmpty) { println(s"$label: no batches"); return }
+      // also covers short runSec / long triggers: < 3 non-empty batches
+      // leaves no warm window — skip the summary instead of indexing it
+      if (warm.isEmpty) {
+        println(s"$label: insufficient batches " +
+          s"(${all.size} non-empty; need >= 3) — lengthen runSec")
+        return
+      }
       val lat = warm.map(_.trigMs).sorted
       def pct(p: Double) = lat(math.min(lat.size - 1,
         math.ceil(p * lat.size).toInt - 1).max(0))
