@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -436,16 +436,30 @@ object Similarity {
     // what puts cross-cell bridge edges into the graph — without them
     // the beam can only descend within the entry cell and recall
     // plateaus.
-    val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("layer"), col("nid"))
-      .orderBy(col("__sim").desc, col("cell_id").desc)
+    //
+    // Computed as a NARROW per-node projection over the centroid set
+    // carried as one broadcast array column — score all |cent| cells,
+    // sort, slice — instead of the corpus×|cent| row explosion feeding
+    // a sort-window exchange (at sf0.1 that window shuffled ~8M rows
+    // to keep 2 per node). Legal precisely because the centroid count
+    // is BOUNDED by contract (nlist, the ivf convention) — the same
+    // reason `cent` broadcasts at all; the fine-pivot stage below,
+    // whose pivot count grows with the corpus, keeps the join form.
+    // Selection identical: reverse(array_sort) orders the (sim,
+    // cell_id) structs (desc, desc), the old window's exact order.
+    val centArr = broadcast(cent.agg(collect_list(
+      struct(col("cell_id"), col("ev"), col("en"))).as("__cents")))
     val coarseCells = nodes
-      .crossJoin(cent)
-      .withColumn("__sim",
-        round(dot(col("cv"), col("ev")) / (col("cn") * col("en")), 6))
-      .withColumn("__r", row_number().over(wCell))
-      .filter(col("__r") <= cellsPerNode)
-      .select(col("layer"), col("nid"), col("cell_id"))
+      .crossJoin(centArr)
+      .select(col("layer"), col("nid"),
+        slice(reverse(array_sort(transform(col("__cents"), c =>
+          struct(
+            round(dot(col("cv"), c.getField("ev"))
+              / (col("cn") * c.getField("en")), 6).as("sim"),
+            c.getField("cell_id").as("cell_id"))))),
+          1, cellsPerNode).as("__top"))
+      .select(col("layer"), col("nid"), explode(col("__top")).as("t"))
+      .select(col("layer"), col("nid"), col("t.cell_id").as("cell_id"))
     // HIERARCHICAL FINE SPLIT (round-7 scale fix): with nlist fixed,
     // coarse-cell population grows linearly with the corpus and the
     // shared-cell pair join grows QUADRATICALLY — the 100x step filled
@@ -561,7 +575,33 @@ object Similarity {
     * the un-checkpointed round's subtree is recomputed by its two
     * consumers, bounded to depth ckptEvery. Same results either way.
     */
+  /** AQE off for the duration of `body` (restored after). The beam
+    * loop's shape is fully known at plan time — every join side is an
+    * explicit broadcast() of a queries×beam×degree frame, every
+    * aggregate is tiny — so AQE's stage-by-stage re-optimization buys
+    * nothing here and COSTS the round floor: each materialized query
+    * stage runs as its own job, and the loop's wall is ~70 ms of
+    * scheduling floor × the stage-job count (measured via HnswProfile,
+    * round 9). Statically planned, each checkpoint action is ONE job.
+    * Results are identical — AQE only re-plans, never re-scores. */
+  private def withoutAqe[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   private def nswBeam(q: DataFrame, nodes: DataFrame, edges: DataFrame,
+                      seed: DataFrame, beamWidth: Int,
+                      rounds: Int, ckptEvery: Int = 1, prune: Boolean = true,
+                      preScored: Option[DataFrame] = None): DataFrame =
+    withoutAqe(nodes.sparkSession) {
+      nswBeamLoop(q, nodes, edges, seed, beamWidth, rounds, ckptEvery,
+        prune, preScored)
+    }
+
+  private def nswBeamLoop(q: DataFrame, nodes: DataFrame, edges: DataFrame,
                       seed: DataFrame, beamWidth: Int,
                       rounds: Int, ckptEvery: Int = 1, prune: Boolean = true,
                       preScored: Option[DataFrame] = None): DataFrame = {
@@ -601,7 +641,8 @@ object Similarity {
       case None => seed0
     }
     val fresh0 = preScored match {
-      case Some(ps) => seed0.join(ps.select(col("query_id"), col("cand")),
+      case Some(ps) => seed0.join(
+        broadcast(ps.select(col("query_id"), col("cand"))),
         Seq("query_id", "cand"), "left_anti")
       case None => seed0
     }
@@ -610,7 +651,11 @@ object Similarity {
       case None => score(fresh0)
     }).localCheckpoint(true) // consumed twice per round (union + expand)
     for (r <- 1 to rounds) {
-      val expanded = beam.join(edges, col("cand") === col("src"))
+      // beam is queries×beam rows — explicit broadcast into the
+      // checkpointed edge list (one map-side pass over edges; without
+      // the hint the statically-planned join would sort-merge, and
+      // with AQE the runtime conversion costs a stage-job per round)
+      val expanded = broadcast(beam).join(edges, col("cand") === col("src"))
         .select(col("query_id"), col("dst").as("cand"))
       if (prune) {
         // distinct BEFORE the anti-join: visited membership rows stay
@@ -622,7 +667,9 @@ object Similarity {
         // round r's anti-join re-evaluating every earlier round's
         // distinct+anti — turning the prune into quadratic plan growth.
         val fresh = expanded.distinct()
-          .join(visited, Seq("query_id", "cand"), "left_anti")
+          // visited is bounded (queries×beam×degree×rounds) — explicit
+          // broadcast builds the anti-join's hash side without a shuffle
+          .join(broadcast(visited), Seq("query_id", "cand"), "left_anti")
           .localCheckpoint(true)
         beam = topB(beam.unionByName(score(fresh)))
         visited = visited.unionByName(fresh)
