@@ -45,6 +45,33 @@ object EventStream {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** The measured sizing rule (README §streaming, round-9
+    * `StreamLatency` sweep) as code: state partitions follow the
+    * stream's per-second ROW volume, not the core count — the
+    * per-batch floor is the state-store commit fan-out (stores ×
+    * partitions), which scales ~linearly with partitions, while
+    * throughput per partition holds ~1.25k rows/s comfortably at the
+    * measured points (8 partitions sustain a 10k rows/s stream-stream
+    * join under a 1 s trigger; 32 partitions push the same join's
+    * floor to ~5 s). Rounds UP to a power of two (the sweep's grid),
+    * clamped to [4, session shuffle partitions] — the upper clamp is
+    * the 100 TB posture: a high-rate stream takes the session's
+    * cluster-sized parallelism, only LOW-rate streams size down. */
+  def statePartitionsForRate(spark: SparkSession, rowsPerSec: Long): Int = {
+    require(rowsPerSec > 0, s"rowsPerSec must be positive, got $rowsPerSec")
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val wanted = math.ceil(rowsPerSec / 1250.0)
+    val pow2 = Iterator.iterate(4L)(_ * 2).find(_ >= wanted).get
+    math.max(4, math.min(sessionParts.toLong, pow2)).toInt
+  }
+
+  /** [[withStatePartitions]] sized by [[statePartitionsForRate]] —
+    * the one-call production entry point: start the stateful query
+    * inside `f` and its state layout is rate-appropriate. */
+  def withStatePartitionsForRate[T](spark: SparkSession, rowsPerSec: Long)(
+      f: => T): T =
+    withStatePartitions(spark, statePartitionsForRate(spark, rowsPerSec))(f)
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),

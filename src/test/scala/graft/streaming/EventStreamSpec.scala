@@ -337,4 +337,59 @@ class EventStreamSpec extends SparkSpec {
       (2L, "I", 1L, "b"),    // higher seq wins over the redelivered 0
       (3L, "D", 4L, "c2"))) // same-seq tie: op asc => D beats I
   }
+
+  test("statePartitionsForRate applies the measured sizing table") {
+    // README §streaming round-9 sweep, under a production-like session
+    // default (32): 10k rows/s -> 8 partitions (the point where the
+    // stream-stream join first holds a 1 s trigger); low rates clamp
+    // at 4; high rates take the session's cluster-sized parallelism
+    EventStream.withStatePartitions(spark, 32) {
+      assert(EventStream.statePartitionsForRate(spark, 10000) == 8)
+      assert(EventStream.statePartitionsForRate(spark, 1000) == 4)
+      assert(EventStream.statePartitionsForRate(spark, 20000) == 16)
+      assert(EventStream.statePartitionsForRate(spark, 1000000) == 32)
+    }
+    // and the clamp follows the session: this 4-partition test session
+    // never over-shards a low-rate stream's state
+    assert(EventStream.statePartitionsForRate(spark, 1000000) ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  test("withStatePartitionsForRate lets the stream-stream join hold a 1 s trigger at 10k rows/s") {
+    // the operational form of the round-9 sweep: at the SESSION default
+    // (32 partitions) this join's per-batch floor measured ~5.2 s p50 —
+    // it cannot hold a 1 s trigger at any rate; sized by rate (8) it
+    // measured ~1.0 s p50. The 3.5 s bound discriminates the two
+    // regimes with ~3x headroom for suite-concurrency noise.
+    def rateSide(rps: Int, idOffset: Long) = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+      .select((col("value") + idOffset).as("event_id"),
+        col("timestamp").as("ts"), (col("value") % 10000).as("user_id"))
+    // outer 32 = the production-like session default the rate sizing
+    // overrides; inner call sizes the state layout down to 8
+    val q = EventStream.withStatePartitions(spark, 32) {
+      EventStream.withStatePartitionsForRate(spark, 10000) {
+        EventStream.clickViewJoin(
+            rateSide(5000, 0L), rateSide(5000, 1000000000L),
+            horizon = "10 minutes", delay = "10 minutes")
+          .writeStream.format("noop")
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .outputMode("append").start()
+      }
+    }
+    try {
+      Thread.sleep(15000)
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progress.length >= 4, s"only ${progress.length} non-empty batches")
+      // the rate-sized layout is baked into the state stores
+      assert(progress.last.stateOperators.head.numShufflePartitions == 8L,
+        "state layout must use the rate-sized partition count")
+      val walls = progress.drop(2) // source ramp + store open
+        .map(_.durationMs.get("triggerExecution").toLong).sorted
+      val p50 = walls(walls.length / 2)
+      assert(p50 <= 3500,
+        s"p50 batch wall ${p50} ms — the rate-sized join should hold a " +
+          s"1 s trigger (32-partition floor measured ~5200 ms)")
+    } finally q.stop()
+  }
 }
