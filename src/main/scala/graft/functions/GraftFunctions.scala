@@ -442,6 +442,29 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Canonical crawl URL ([[Kernels.canonicalizeUrl]], the
+  * graft.ops.Urls rule set). NULLABLE even for non-null input — a
+  * string without "://" or a path slash canonicalizes to NULL by
+  * contract — so codegen re-checks the kernel's result. */
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_canonical_url"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.canonicalizeUrl(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Kernels.canonicalizeUrl($c);
+      ${ev.isNull} = (${ev.value} == null);""")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL-registration surface for the native expressions. */
 object GraftFunctions {
 
@@ -494,6 +517,9 @@ object GraftFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.column(JaroWinkler(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def canonicalUrl(url: Column): Column =
+    ColumnBridge.column(CanonicalUrl(ColumnBridge.expression(url)))
 
   /** Bounded top-k aggregate Column: array<struct<score,key>> of the k
     * highest-scored keys per group, partial-aggregable (see
@@ -570,7 +596,10 @@ object GraftFunctions {
           GramUpperTriQ(e) }),
       (FunctionIdentifier("graft_sum_long_array"), info("graft_sum_long_array"),
         builder("graft_sum_long_array", "(arr)") { case Seq(e) =>
-          SumLongArray(e).toAggregateExpression() }))
+          SumLongArray(e).toAggregateExpression() }),
+      (FunctionIdentifier("graft_canonical_url"), info("graft_canonical_url"),
+        builder("graft_canonical_url", "(url)") { case Seq(e) =>
+          CanonicalUrl(e) }))
   }
 
   /** Register `graft_*` as session SQL functions so `spark.sql` users get

@@ -481,4 +481,76 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Lowercase with EXACT Spark `lower()` semantics (UTF8String's
+    * ASCII fast path / full-unicode slow path), so the kernel form
+    * below stays bit-identical to the composed-Column form. */
+  private def lowerLikeSpark(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
+
+  /** Canonical crawl URL in ONE compiled pass — the
+    * [[graft.ops.Urls]] rule set (scheme/host case-fold, default-port
+    * drop, fragment drop, utm_* strip + bytewise param sort, trailing
+    * slash trim), previously a ~50-node composed string-expression
+    * tree whose generated code re-sliced the input per sub-expression.
+    * Null (loudly excluded from the dedup groupBy) when the input
+    * lacks "://" or the path slash. Bit-identical to the composed form
+    * — UrlsSpec cross-checks both on the alias corpus: lowercase via
+    * UTF8String semantics, params sorted in UTF-8 binary order
+    * (array_sort's ordering), same first-'?'-first-':' anchors. */
+  def canonicalizeUrl(url: UTF8String): UTF8String = {
+    val s = url.toString
+    val hi = s.indexOf('#')
+    val noFrag = if (hi >= 0) s.substring(0, hi) else s
+    val si = noFrag.indexOf("://")
+    if (si < 0) return null // not well-formed
+    // scheme = before the FIRST "://", remainder after the LAST (the
+    // substring_index(±1) pair of the composed form)
+    val rest = noFrag.substring(noFrag.lastIndexOf("://") + 3)
+    val slash = rest.indexOf('/')
+    if (slash < 0) return null // no path
+    val scheme = lowerLikeSpark(noFrag.substring(0, si))
+    val hp = rest.substring(0, slash)
+    val tail = rest.substring(slash)
+    val qm = tail.indexOf('?')
+    val path0 = if (qm >= 0) tail.substring(0, qm) else tail
+    val query = if (qm >= 0) tail.substring(qm + 1) else ""
+    val cp = hp.indexOf(':')
+    val host = lowerLikeSpark(if (cp >= 0) hp.substring(0, cp) else hp)
+    val port = if (cp >= 0) hp.substring(cp + 1) else ""
+    val dropPort = port.isEmpty ||
+      (scheme == "https" && port == "443") ||
+      (scheme == "http" && port == "80")
+    val path =
+      if (path0.length > 1 && path0.charAt(path0.length - 1) == '/')
+        path0.substring(0, path0.length - 1)
+      else path0
+    val out = new java.lang.StringBuilder(s.length)
+    out.append(scheme).append("://").append(host)
+    if (!dropPort) out.append(':').append(port)
+    out.append(path)
+    if (query.nonEmpty) {
+      val raw = query.split("&", -1)
+      val kept = new java.util.ArrayList[UTF8String](raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val p = raw(i)
+        if (p.length > 0 && !p.startsWith("utm_")) {
+          kept.add(UTF8String.fromString(p))
+        }
+        i += 1
+      }
+      if (!kept.isEmpty) {
+        java.util.Collections.sort(kept) // UTF-8 binary order
+        out.append('?')
+        var j = 0
+        while (j < kept.size) {
+          if (j > 0) out.append('&')
+          out.append(kept.get(j).toString)
+          j += 1
+        }
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
 }

@@ -33,7 +33,17 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  def canonicalizeUrl(url: Column): Column = {
+  /** One compiled pass ([[graft.functions.Kernels.canonicalizeUrl]],
+    * the Kernels tier precedent): the composed-Column form below
+    * generated a ~50-node string-expression tree that re-sliced the
+    * input per sub-expression — corpus-linear compute both engines pay,
+    * but ours paid it several times over per row. The kernel parses
+    * once. [[canonicalizeUrlComposed]] stays as the executable spec;
+    * UrlsSpec asserts both forms agree on the alias corpus and edges. */
+  def canonicalizeUrl(url: Column): Column =
+    graft.functions.GraftFunctions.canonicalUrl(url)
+
+  private[graft] def canonicalizeUrlComposed(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
     val scheme = lower(substring_index(noFrag, "://", 1))
     // exactly one "://" by contract, so the -1 split is the remainder

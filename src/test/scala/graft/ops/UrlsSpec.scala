@@ -56,6 +56,38 @@ class UrlsSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("compiled kernel agrees with the composed-Column form everywhere") {
+    // the kernel (graft_canonical_url) replaced the composed expression
+    // tree for speed; this pins them bit-identical on every rule edge —
+    // including unicode case-folding, multiple '://', shuffled/empty
+    // params, and the malformed->NULL contract
+    val inputs = Seq(
+      "HTTPS://Shop.Example.COM/a?x=1", "https://h.com:443/a",
+      "http://h.com:80/a", "https://h.com:8443/a", "http://h.com:443/a",
+      "https://h.com/a#sec", "https://h.com/a?utm_source=x&ref=2&b=1",
+      "https://h.com/a?ref=2&b=1", "https://h.com/a?utm_campaign=z",
+      "https://h.com/a/b/", "https://h.com/", "no-scheme.com/a",
+      "https://hostonly-no-path", "https://ÉXample.com/Ä/?b=2&utm_x=1&a=1#f",
+      "://starts-with-sep.com/a", "https://x.com/a://weird/b?z=1&z=1",
+      "https://h.com:/empty-port/", "https://h.com/a?&&a=1&",
+      "https://h.com//", "HTTP://H.COM:80/A/?C=2&B=1#x")
+    val both = inputs.toDF("url").select(
+      Urls.canonicalizeUrl($"url").as("kernel"),
+      Urls.canonicalizeUrlComposed($"url").as("composed")).collect()
+    both.zip(inputs).foreach { case (r, in) =>
+      val k = if (r.isNullAt(0)) null else r.getString(0)
+      val c = if (r.isNullAt(1)) null else r.getString(1)
+      assert(k == c, s"kernel($in) = $k, composed = $c")
+    }
+    // and via the registered SQL function, same answer
+    graft.functions.GraftFunctions.register(spark)
+    inputs.take(3).toDF("url").createOrReplaceTempView("urls_kernel_test")
+    val sqlGot = spark.sql(
+      "SELECT graft_canonical_url(url) FROM urls_kernel_test")
+      .collect().map(_.getString(0)).toSeq
+    assert(sqlGot == both.take(3).map(_.getString(0)).toSeq)
+  }
+
   test("malformed URLs canonicalize to NULL, not garbage") {
     val out = Seq("no-scheme.com/a", "https://hostonly-no-path",
         "https://ok.com/a")
