@@ -14,6 +14,22 @@ cd "$(dirname "$0")/.."
 # re-times only queries whose oracle SQL changed (sha-tracked) or that
 # are new, so a no-change run costs one oracle dump + two json joins.
 SF_DIR=${SF_DIR:-/root/testdata/sf0.1}
+# Suite-wall drift gate (round-9 verdict ask #7): a >10% like-for-like
+# drift from the last committed bench blocks the close until attributed
+# (WALL_GUARD_OK=1 acknowledges a diagnosed drift; adjudicate in
+# BASELINE.md first). Runs BEFORE the ratio refresh so a bad total
+# never silently becomes the new baseline.
+if [ -f BENCH_LOCAL.json ] && [ "${SKIP_GUARD:-}" != "1" ]; then
+  python3 scripts/wall_guard.py BENCH_LOCAL.json
+fi
+# Numeric-contract smoke at BOTH scale factors (round-9 verdict ask #8):
+# check.py rules 4-5 (decimal overflow, boundary rounding) only surface
+# at sf0.1 cardinalities — the sf0.01 gate alone missed them in r9.
+if [ "${SKIP_SMOKE:-}" != "1" ]; then
+  echo "close_round: smoke at sf0.01 + sf0.1"
+  scripts/smoke.sh /root/testdata/sf0.01
+  scripts/smoke.sh /root/testdata/sf0.1
+fi
 if [ -f BENCH_LOCAL.json ] && [ "${SKIP_RATIO:-}" != "1" ]; then
   echo "close_round: refreshing DuckDB baseline + ratios"
   scripts/run_verify.sh "$SF_DIR" /tmp/close_round_oracle __oracle_only__ \
