@@ -43,34 +43,45 @@ object Graph {
                          damping: Int = 85): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0 && damping < 100, s"need 0 < damping < 100, got $damping")
-    // materialize the edge list ONCE: it re-enters every iteration's
-    // join AND the degree aggregate, and ReusedExchange does not span
-    // the whole unrolled multi-iteration plan — without this the
-    // derivation subtree (often a join+distinct itself) is re-executed
-    // per round (measured 3.6 s -> 1.4 s at sf0.1 for 3 rounds on the
-    // order-supplier graph). Same lineage-truncation posture as the
-    // per-round checkpoint in [[pageRankConverged]].
-    val edges = edgesIn.localCheckpoint(true)
+    // statically planned + co-partitioned iteration (the labelprop
+    // discipline, round 10): the edge list is hash-partitioned on src
+    // ONCE and checkpointed — the degree aggregate then runs
+    // in-partition and every round's contribution join is
+    // exchange-free (each rank frame comes out of its node-keyed
+    // aggregate already partitioned on the join key). The one
+    // inherent exchange per round is the message shuffle (combinable
+    // sum by dst). Materializing edges ONCE also keeps the derivation
+    // subtree (often a join+distinct itself) from re-executing per
+    // round (measured 3.6 s -> 1.4 s at sf0.1 for 3 rounds on the
+    // order-supplier graph).
+    Confs.withoutAqe(edgesIn.sparkSession) {
+    val edges = edgesIn.repartition(col("src")).localCheckpoint(true)
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))
-    // (node, deg, n_nodes): the loop-invariant frame
-    val base = deg.crossJoin(broadcast(n))
+    // (node, deg, n_nodes): the loop-invariant frame, consumed by every
+    // round's rank rebuild — checkpointed so the degree aggregate runs
+    // once, not once per consumer
+    val base = deg.crossJoin(broadcast(n)).localCheckpoint(true)
     val teleport = expr(s"(($RankFp div n_nodes) * ${100 - damping}) div 100")
     var ranks = base.withColumn("r", expr(s"$RankFp div n_nodes"))
     for (_ <- 1 to iters) {
+      // shuffle_hash: co-partitioned sides -> exchange-free AND
+      // sort-free (SMJ would re-sort the static edge list per round)
       val contribs = edges
-        .join(ranks.select(col("node"), col("deg"), col("r")),
+        .join(ranks.select(col("node"), col("deg"), col("r"))
+            .hint("shuffle_hash"),
           edges("src") === col("node"))
         .select(col("dst").as("node"), expr("r div deg").as("contrib"))
       val sums = contribs.groupBy(col("node"))
         .agg(sum(col("contrib")).as("s"))
-      ranks = base.join(sums, Seq("node"), "left")
+      ranks = base.join(sums.hint("shuffle_hash"), Seq("node"), "left")
         .withColumn("r",
           teleport + expr(s"(coalesce(s, 0L) * $damping) div 100"))
         .drop("s")
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
+    }
   }
 
   /** Personalized (topic-sensitive) PageRank: the teleport mass lands
@@ -91,7 +102,10 @@ object Graph {
                            iters: Int, damping: Int = 85): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0 && damping < 100, s"need 0 < damping < 100, got $damping")
-    val edges = edgesIn.localCheckpoint(true)
+    // co-partitioned statically-planned iteration — see
+    // [[pageRankFixedPoint]]'s note
+    Confs.withoutAqe(edgesIn.sparkSession) {
+    val edges = edgesIn.repartition(col("src")).localCheckpoint(true)
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val seeds = seedsIn.select(col("node")).distinct()
@@ -112,18 +126,20 @@ object Graph {
     var ranks = base.withColumn("r", col("p"))
     for (_ <- 1 to iters) {
       val contribs = edges
-        .join(ranks.select(col("node"), col("deg"), col("r")),
+        .join(ranks.select(col("node"), col("deg"), col("r"))
+            .hint("shuffle_hash"),
           edges("src") === col("node"))
         .select(col("dst").as("node"), expr("r div deg").as("contrib"))
       val sums = contribs.groupBy(col("node"))
         .agg(sum(col("contrib")).as("s"))
-      ranks = base.join(sums, Seq("node"), "left")
+      ranks = base.join(sums.hint("shuffle_hash"), Seq("node"), "left")
         .withColumn("r",
           expr(s"(p * ${100 - damping}) div 100") +
             expr(s"(coalesce(s, 0L) * $damping) div 100"))
         .drop("s")
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
+    }
   }
 
   /** General PageRank for DIRECTED graphs: node domain is src ∪ dst,
@@ -158,13 +174,17 @@ object Graph {
                         damping: Int = 85): (DataFrame, Int) = {
     require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
     require(damping > 0 && damping < 100, s"need 0 < damping < 100, got $damping")
-    // see pageRankFixedPoint: the edge list re-enters every round
-    val edges = edgesIn.localCheckpoint(true)
+    // co-partitioned statically-planned iteration — see
+    // [[pageRankFixedPoint]]'s note. The rank frame is node-keyed and
+    // checkpointed per round (partitioning preserved), so the
+    // contribution join never exchanges either side.
+    Confs.withoutAqe(edgesIn.sparkSession) {
+    val edges = edgesIn.repartition(col("src")).localCheckpoint(true)
     val outDeg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("odeg"))
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
-    val deg = nodes.join(outDeg, Seq("node"), "left")
+    val deg = nodes.join(outDeg.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), coalesce(col("odeg"), lit(0L)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     val teleport = expr(s"(($RankFp div n_nodes) * ${100 - damping}) div 100")
@@ -176,7 +196,8 @@ object Graph {
     while (used < maxIters && !converged) {
       val cur = ranks
       val contribs = edges
-        .join(cur.filter(col("deg") > 0).select(col("node"), col("deg"), col("r")),
+        .join(cur.filter(col("deg") > 0)
+            .select(col("node"), col("deg"), col("r")).hint("shuffle_hash"),
           edges("src") === col("node"))
         .select(col("dst").as("node"), expr("r div deg").as("contrib"))
       val sums = contribs.groupBy(col("node")).agg(sum(col("contrib")).as("s"))
@@ -184,7 +205,7 @@ object Graph {
       val dang = cur.filter(col("deg") === 0)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val next = cur.withColumnRenamed("r", "r_prev")
-        .join(sums, Seq("node"), "left")
+        .join(sums.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .withColumn("r", teleport +
           expr(s"((coalesce(s, 0L) + (dang div n_nodes)) * $damping) div 100"))
@@ -197,6 +218,7 @@ object Graph {
       ranks = next.drop("r_prev")
     }
     (ranks.select(col("node"), col("deg"), col("r").as("rank_fp")), used)
+    }
   }
 
   /** Per-node triangle counts by DEGREE-ORDERED edge orientation — the
@@ -432,22 +454,33 @@ object Graph {
     * Output: (node, role 'hub'|'authority', score_micro). */
   def hitsFixedPoint(edgesIn: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"need 1 <= rounds <= 8, got $rounds")
-    val edges = edgesIn.localCheckpoint(true)
-    var auth = edges.select(col("dst").as("node")).distinct()
+    // co-partitioned statically-planned iteration (the labelprop
+    // discipline). HITS alternates join keys — hub pull joins on dst,
+    // authority pull on src — so the edge list is materialized TWICE,
+    // once per partitioning (bounded: 2× edges), making BOTH per-round
+    // joins exchange-free; the two inherent exchanges per round are
+    // the combinable score sums (by src, then by dst), whose keyed
+    // outputs are exactly the partitionings the next joins need.
+    Confs.withoutAqe(edgesIn.sparkSession) {
+    val edgesByDst = edgesIn.repartition(col("dst")).localCheckpoint(true)
+    val edgesBySrc = edgesByDst.repartition(col("src")).localCheckpoint(true)
+    var auth = edgesByDst.select(col("dst").as("node")).distinct()
       .withColumn("a", lit(1000000L))
       .localCheckpoint(true)
     var hub: DataFrame = null
     for (_ <- 1 to rounds) {
-      val hraw = edges.join(auth, auth("node") === edges("dst"))
-        .groupBy(edges("src").as("hnode")).agg(sum(col("a")).as("hr"))
+      val hraw = edgesByDst
+        .join(auth.hint("shuffle_hash"), auth("node") === edgesByDst("dst"))
+        .groupBy(edgesByDst("src").as("hnode")).agg(sum(col("a")).as("hr"))
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       hub = hraw.crossJoin(broadcast(hmax))
         .select(col("hnode").as("node"),
           round(col("hr").cast("double") / col("hm").cast("double") * lit(1e6))
             .cast("long").as("h"))
         .localCheckpoint(true)
-      val araw = edges.join(hub, hub("node") === edges("src"))
-        .groupBy(edges("dst").as("anode")).agg(sum(col("h")).as("ar"))
+      val araw = edgesBySrc
+        .join(hub.hint("shuffle_hash"), hub("node") === edgesBySrc("src"))
+        .groupBy(edgesBySrc("dst").as("anode")).agg(sum(col("h")).as("ar"))
       val amax = araw.agg(max(col("ar")).as("am"))
       auth = araw.crossJoin(broadcast(amax))
         .select(col("anode").as("node"),
@@ -458,6 +491,7 @@ object Graph {
     hub.select(col("node"), lit("hub").as("role"), col("h").as("score_micro"))
       .unionByName(auth.select(col("node"), lit("authority").as("role"),
         col("a").as("score_micro")))
+    }
   }
 
   /** Degree assortativity (Newman 2002) — ONE number summarizing a
@@ -537,33 +571,54 @@ object Graph {
     * neighbors, all updates reading the PREVIOUS round (synchronous —
     * the asynchronous variant is order-dependent and untestable).
     *
-    * Per round: one equi-join of the symmetrized edge list to the
-    * current labels, one combinable (node, label) count, and a
-    * row_number top-1 whose window partition holds at most
-    * |distinct neighbor labels| rows — never a corpus-wide partition.
-    * Labels are localCheckpointed per round (lineage stays flat; the
+    * Per round: one CO-PARTITIONED equi-join of the symmetrized edge
+    * list to the current labels (the edge list is hash-partitioned on
+    * src ONCE before the loop; each round's label frame comes out of
+    * its final aggregate hash-partitioned on node — so the join itself
+    * plans ZERO exchange, round after round: the classic
+    * partition-reuse discipline of distributed graph engines), one
+    * combinable (node, label) count (map-side combine collapses hot
+    * labels before the message shuffle — the one inherent exchange per
+    * round), and the modal label as ONE combinable `max(struct(c,
+    * −label))` aggregate — selection identical to ROW_NUMBER ordered
+    * (c DESC, label ASC), without the window's sort. The loop runs
+    * with AQE off ([[Confs.withoutAqe]]): the per-round plan is fully
+    * known, and stage-jobs were most of a small graph's wall. Labels
+    * are localCheckpointed per round (lineage stays flat; the
     * iterative-loop rule). `edges` is directed input; symmetrized
     * internally, so communities are over the undirected structure.
     * Returns (node, label) after `rounds` rounds. */
   def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"need 1 <= rounds <= 16 (each round is unrolled in plans/oracles), got $rounds")
+    Confs.withoutAqe(edgesIn.sparkSession) {
     val sym = edgesIn.select(col("src"), col("dst"))
       .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+      // repartition BEFORE distinct: HashPartitioning(src) satisfies the
+      // (src, dst) clustered distribution, so the dedup runs in-partition
+      // and the edge list comes out co-partitioned for every round's
+      // join in the SAME single exchange
+      .repartition(col("src"))
       .distinct()
       .localCheckpoint(true) // consumed once per round
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .localCheckpoint(true) // partitioned by node (src's partitioning)
     for (_ <- 1 to rounds) {
       val counted = sym
-        .join(labels, sym("src") === labels("node"))
+        // shuffle_hash: both sides are already partitioned on the key,
+        // so the hinted hash join runs exchange-free AND sort-free
+        // (SMJ would re-sort the static edge list every round)
+        .join(labels.hint("shuffle_hash"), sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("label"))
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-      labels = Qualify.rowNumber(counted,
-        Seq(col("node")), Seq(col("c").desc, col("label").asc), n = 1)
-        .select(col("node"), col("label"))
+      labels = counted
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
         .localCheckpoint()
     }
     labels
+    }
   }
 }

@@ -575,22 +575,13 @@ object Similarity {
     * the un-checkpointed round's subtree is recomputed by its two
     * consumers, bounded to depth ckptEvery. Same results either way.
     */
-  /** AQE off for the duration of `body` (restored after). The beam
-    * loop's shape is fully known at plan time — every join side is an
-    * explicit broadcast() of a queries×beam×degree frame, every
-    * aggregate is tiny — so AQE's stage-by-stage re-optimization buys
-    * nothing here and COSTS the round floor: each materialized query
-    * stage runs as its own job, and the loop's wall is ~70 ms of
-    * scheduling floor × the stage-job count (measured via HnswProfile,
-    * round 9). Statically planned, each checkpoint action is ONE job.
-    * Results are identical — AQE only re-plans, never re-scores. */
-  private def withoutAqe[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-  }
+  /** See [[Confs.withoutAqe]] — the beam loop's shape is fully known
+    * at plan time (every join side an explicit broadcast of a
+    * queries×beam×degree frame, every aggregate tiny), so statically
+    * planned, each checkpoint action is ONE job instead of a job per
+    * AQE query stage. */
+  private def withoutAqe[T](spark: SparkSession)(body: => T): T =
+    Confs.withoutAqe(spark)(body)
 
   private def nswBeam(q: DataFrame, nodes: DataFrame, edges: DataFrame,
                       seed: DataFrame, beamWidth: Int,
