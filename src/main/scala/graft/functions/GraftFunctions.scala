@@ -442,6 +442,33 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-row Poisson-bootstrap replica vector
+  * ([[Kernels.bootstrapRow]]): array<long> of length 2·replicas —
+  * [w_0..w_{n-1}, w_0·v..w_{n-1}·v]. */
+case class BootstrapRow(left: Expression, right: Expression, replicas: Int)
+    extends BinaryExpression {
+  require(replicas > 0, "replicas must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType && left.dataType != NullType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, bigint); id is ${left.dataType.catalogString}")
+    else if (right.dataType != LongType && right.dataType != NullType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, bigint); value is ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bootstrap_row"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.bootstrapRow(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[Long], replicas)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.bootstrapRow($a, $b, $replicas)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BootstrapRow =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Canonical crawl URL ([[Kernels.canonicalizeUrl]], the
   * graft.ops.Urls rule set). NULLABLE even for non-null input — a
   * string without "://" or a path slash canonicalizes to NULL by
@@ -520,6 +547,10 @@ object GraftFunctions {
 
   def canonicalUrl(url: Column): Column =
     ColumnBridge.column(CanonicalUrl(ColumnBridge.expression(url)))
+
+  def bootstrapRow(id: Column, v: Column, replicas: Int): Column =
+    ColumnBridge.column(BootstrapRow(
+      ColumnBridge.expression(id), ColumnBridge.expression(v), replicas))
 
   /** Bounded top-k aggregate Column: array<struct<score,key>> of the k
     * highest-scored keys per group, partial-aggregable (see

@@ -482,6 +482,61 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Poisson(1) inverse-CDF thresholds on the 56-bit hash scale,
+    * truncated at k = 6 — the same derivation as
+    * `Sampling.PoissonThresholds` (SamplingSpec pins the two equal). */
+  private val poissonThresholds56: Array[Long] = {
+    val eInv = math.exp(-1.0)
+    val fact = Array(1L, 1L, 2L, 6L, 24L, 120L)
+    val two56 = math.pow(2, 56)
+    fact.indices.map { k =>
+      val c = (0 to k).map(j => eInv / fact(j)).sum
+      math.floor(c * two56).toLong
+    }.toArray
+  }
+
+  /** One bootstrap row's FULL replica contribution: out[r] = w_r and
+    * out[replicas + r] = w_r · v, where w_r is the Poisson(1)
+    * multiplicity drawn from md5-56("boot:&lt;r&gt;:&lt;id&gt;") — the
+    * row-local resampling of Chamandy et al.'s Poisson bootstrap.
+    * Replaces the explode(×replicas) + per-replica concat_ws/md5
+    * Column pipeline with one compiled loop per row; the positional
+    * array then feeds [[graft.functions.SumLongArray]], so the
+    * per-replica (Σw, Σw·v) sums are unchanged exact longs arriving
+    * via one combinable aggregate instead of a ×replicas row shuffle. */
+  // "boot:<r>:" key prefixes, cached for the common replica counts —
+  // the md5 input is then two update() calls on reused byte arrays,
+  // no per-draw String/UTF8String allocation
+  private val bootPrefixes: Array[Array[Byte]] =
+    Array.tabulate(256)(r => s"boot:$r:".getBytes("UTF-8"))
+
+  def bootstrapRow(id: UTF8String, v: Long, replicas: Int): ArrayData = {
+    val out = new Array[Long](2 * replicas)
+    val idBytes = id.getBytes
+    val md = md5Tl.get()
+    var r = 0
+    while (r < replicas) {
+      md.reset()
+      md.update(if (r < 256) bootPrefixes(r) else s"boot:$r:".getBytes("UTF-8"))
+      md.update(idBytes)
+      val d = md.digest()
+      var h = 0L
+      var i = 14
+      while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+      var w = 6L
+      var k = 0
+      var found = false
+      while (!found && k < poissonThresholds56.length) {
+        if (h < poissonThresholds56(k)) { w = k.toLong; found = true }
+        k += 1
+      }
+      out(r) = w
+      out(replicas + r) = w * v
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Lowercase with EXACT Spark `lower()` semantics (UTF8String's
     * ASCII fast path / full-unicode slow path), so the kernel form
     * below stays bit-identical to the composed-Column form. */

@@ -437,14 +437,23 @@ object Sampling {
     val rows = df.select(id.cast("string").as("__id"),
         value.cast("long").as("__v"))
       .filter(col("__id").isNotNull && col("__v").isNotNull)
-      .localCheckpoint(true) // feeds the point estimate AND the explode
-    val reps = rows
-      .select(col("__id"), col("__v"),
-        explode(array((0 until replicas).map(lit(_)): _*)).as("r"))
-      .withColumn("w", poissonWeight(hashValue(
-        concat_ws(":", lit("boot"), col("r"), col("__id")))))
-      .groupBy(col("r"))
-      .agg(sum(col("w")).as("sw"), sum(col("w") * col("__v")).as("swv"))
+      .localCheckpoint(true) // feeds the point estimate AND the resample
+    // all `replicas` draws per row in ONE compiled kernel call
+    // (Kernels.bootstrapRow — same "boot:<r>:<id>" md5-56 keys, same
+    // inverse-CDF thresholds), positionally summed by the combinable
+    // SumLongArray aggregate: the ×replicas explode + per-replica
+    // concat/hash row pipeline is gone, map volume is |rows| again,
+    // and the shuffle carries 2·replicas longs per partition. The
+    // per-replica (Σw, Σw·v) sums are the SAME exact integers, so the
+    // replica means — and the oracle hash — are unchanged.
+    val sums = rows.agg(graft.functions.GraftFunctions.sumLongArray(
+      graft.functions.GraftFunctions.bootstrapRow(
+        col("__id"), col("__v"), replicas)).as("s"))
+    val reps = sums
+      .filter(size(col("s")) === 2 * replicas) // empty input -> 0-len sum
+      .select(explode(sequence(lit(1), lit(replicas))).as("r"), col("s"))
+      .select(element_at(col("s"), col("r")).as("sw"),
+        element_at(col("s"), col("r") + lit(replicas)).as("swv"))
       .filter(col("sw") > 0)
       .select((col("swv").cast("double") / col("sw").cast("double")).as("m"))
     val ci = reps.agg(
