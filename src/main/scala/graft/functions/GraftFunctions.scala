@@ -442,6 +442,22 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Positional gram-gram md5 hex digests ([[Kernels.posGramMd5]]):
+  * array<string>, one 32-char digest per gram start position. */
+case class PosGramMd5(child: Expression, gram: Int) extends UnaryExpression {
+  require(gram >= 2, "gram must be >= 2")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireStringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_pos_gram_md5"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.posGramMd5(input.asInstanceOf[ArrayData], gram)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.posGramMd5($c, $gram)")
+  override protected def withNewChildInternal(newChild: Expression): PosGramMd5 =
+    copy(child = newChild)
+}
+
 /** Per-row Poisson-bootstrap replica vector
   * ([[Kernels.bootstrapRow]]): array<long> of length 2·replicas —
   * [w_0..w_{n-1}, w_0·v..w_{n-1}·v]. */
@@ -551,6 +567,9 @@ object GraftFunctions {
   def bootstrapRow(id: Column, v: Column, replicas: Int): Column =
     ColumnBridge.column(BootstrapRow(
       ColumnBridge.expression(id), ColumnBridge.expression(v), replicas))
+
+  def posGramMd5(tokens: Column, gram: Int): Column =
+    ColumnBridge.column(PosGramMd5(ColumnBridge.expression(tokens), gram))
 
   /** Bounded top-k aggregate Column: array<struct<score,key>> of the k
     * highest-scored keys per group, partial-aggregable (see

@@ -537,6 +537,57 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Positional `gram`-gram md5 HEX digests of a token array:
+    * out[j] = md5_hex(concat_ws(" ", tokens[j..j+gram))) for
+    * 0 ≤ j ≤ n−gram — the compiled form of the
+    * `transform(sequence, i -> md5(concat_ws(slice(...))))` lambda
+    * pipeline (interpreted, one array-slice + string-concat allocation
+    * per position) shared by the passage/novelty/coverage dedup
+    * family. Token bytes are staged once; each position is two-or-more
+    * digest update() calls and one 32-char hex emit. Null tokens are
+    * skipped exactly as concat_ws skips them (no separator left
+    * behind). Docs shorter than `gram` emit an empty array. */
+  def posGramMd5(tokens: ArrayData, gram: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n - gram + 1
+    if (m <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5Tl.get()
+    val out = new Array[AnyRef](m)
+    var j = 0
+    while (j < m) {
+      md.reset()
+      var first = true
+      var k = j
+      while (k < j + gram) {
+        if (tb(k) != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(tb(k))
+          first = false
+        }
+        k += 1
+      }
+      val d = md.digest()
+      val cs = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = hexDigits((d(b) >> 4) & 0xf).toByte
+        cs(2 * b + 1) = hexDigits(d(b) & 0xf).toByte
+        b += 1
+      }
+      out(j) = UTF8String.fromBytes(cs)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Lowercase with EXACT Spark `lower()` semantics (UTF8String's
     * ASCII fast path / full-unicode slow path), so the kernel form
     * below stays bit-identical to the composed-Column form. */

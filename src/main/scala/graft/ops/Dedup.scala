@@ -741,13 +741,21 @@ object Dedup {
     // stage the token array first (see the evaluation-cost rule above)
     val tk = df.select(id.as("doc_id"), split(lower(text), " ").as("t"))
       .filter(size(col("t")) >= gram)
-    // sequence() guard: size >= gram above keeps the bound >= 1
-    // (Spark's sequence DESCENDS on upper < lower)
+    // one compiled pass per doc (Kernels.posGramMd5) — the
+    // transform(sequence, md5 ∘ concat_ws ∘ slice) lambda form it
+    // replaces ran interpreted with per-position slice/concat
+    // allocations; digests are byte-identical (DedupSpec pins both)
     tk.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, size(t) - ${gram - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(t, i, $gram))))")))
+        posexplode(graft.functions.GraftFunctions.posGramMd5(col("t"), gram)))
       .select(col("doc_id"), col("pos"), col("col").as("gd"))
   }
+
+  /** The original lambda-pipeline formulation of [[positionalGrams]]'s
+    * digest array — kept as the executable cross-check the spec pins
+    * the kernel against. */
+  private[graft] def posGramMd5Composed(t: Column, gram: Int): Column =
+    transform(sequence(lit(1), size(t) - (gram - 1)),
+      i => md5(concat_ws(" ", slice(t, i, lit(gram))).cast("binary")))
 
   /** Exact duplicated-PASSAGE detection between document pairs — the
     * substring-level dedup signal (Lee et al. 2022, "Deduplicating

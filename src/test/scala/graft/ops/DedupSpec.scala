@@ -17,6 +17,39 @@ class DedupSpec extends SparkSpec {
     (3L, distinct1.trim), (4L, distinct2.trim)
   ).toDF("doc_id", "text")
 
+  test("posGramMd5 kernel equals the lambda-pipeline digests everywhere") {
+    // the compiled kernel replaced transform(sequence, md5∘concat_ws∘
+    // slice) under the passage/novelty/coverage family; pin them
+    // byte-identical on the planted corpus plus the edges — exact-gram
+    // boundary, double spaces (empty tokens), unicode, single token
+    val edgy = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100L, "a b c"),                 // == gram: one digest
+        (101L, "a  b   c d"),            // empty tokens from runs of spaces
+        (102L, "héllo wörld ünïcode gram boundary test case seven eight"),
+        (103L, "single")                 // < gram: empty array
+      ).toDF("doc_id", "text"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    for (gram <- Seq(2, 3, 8)) {
+      // the composed lambda needs the production path's size>=gram
+      // guard (sequence() descends below it); the kernel handles short
+      // docs itself — asserted separately below
+      val both = edgy.filter(size(col("t")) >= gram).select(
+        graft.functions.GraftFunctions.posGramMd5(col("t"), gram).as("k"),
+        Dedup.posGramMd5Composed(col("t"), gram).as("c")).collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"gram=$gram kernel/composed digests diverge")
+      }
+    }
+    // short doc: kernel emits an empty array, no error
+    val short = edgy.filter(size(col("t")) === 1)
+      .select(graft.functions.GraftFunctions.posGramMd5(col("t"), 2))
+      .collect()
+    assert(short.length == 1 && short.head.getSeq[String](0).isEmpty)
+  }
+
   test("shingled emits distinct word 3-grams; short texts yield empty set") {
     val out = Dedup.shingled(Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text"),
       col("doc_id"), col("text"))
