@@ -25,6 +25,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JDK-17 module guard: without `--add-opens java.base/
+    // sun.util.calendar=ALL-UNNAMED` Spark BOOTS fine and almost every
+    // query runs — then date-row decoding throws mid-suite (round 10:
+    // a hand-launched bench ran 299/300 and "failed" one on exactly
+    // this). Exercise the decode path up front and fail fast with the
+    // cure instead of producing a map with a bogus failure.
+    try spark.range(1)
+      .select(org.apache.spark.sql.functions.expr("DATE'2020-01-01'"))
+      .head()
+    catch { case e: Throwable =>
+      System.err.println("[bench] this JVM cannot decode date rows — " +
+        "launch with the --add-opens set from scripts/bench.sh " +
+        s"(root cause: ${e.getMessage})")
+      sys.exit(2)
+    }
     // dev-only subset filter (driver leaves it unset): comma-list of
     // query names, for timing one query without the full suite
     val onlyNames = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
