@@ -43,18 +43,20 @@ object Graph {
                          damping: Int = 85): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0 && damping < 100, s"need 0 < damping < 100, got $damping")
-    // statically planned + co-partitioned iteration (the labelprop
-    // discipline, round 10): the edge list is hash-partitioned on src
-    // ONCE and checkpointed — the degree aggregate then runs
-    // in-partition and every round's contribution join is
+    // Co-partitioned iteration (round 10): the edge list is hash-
+    // partitioned on src ONCE and checkpointed — the degree aggregate
+    // then runs in-partition and every round's contribution join is
     // exchange-free (each rank frame comes out of its node-keyed
     // aggregate already partitioned on the join key). The one
     // inherent exchange per round is the message shuffle (combinable
-    // sum by dst). Materializing edges ONCE also keeps the derivation
-    // subtree (often a join+distinct itself) from re-executing per
-    // round (measured 3.6 s -> 1.4 s at sf0.1 for 3 rounds on the
+    // sum by dst). AQE stays ON: its runtime coalescing of the tiny
+    // per-round exchanges measured faster at local[32] than static
+    // plans paying 32 tasks per stage (the static form only won at
+    // narrow local[4] runs — a measured round-10 negative result).
+    // Materializing edges ONCE also keeps the derivation subtree
+    // (often a join+distinct itself) from re-executing per round
+    // (measured 3.6 s -> 1.4 s at sf0.1 for 3 rounds on the
     // order-supplier graph).
-    Confs.withoutAqe(edgesIn.sparkSession) {
     val edges = edgesIn.repartition(col("src")).localCheckpoint(true)
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -81,7 +83,6 @@ object Graph {
         .drop("s")
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
-    }
   }
 
   /** Personalized (topic-sensitive) PageRank: the teleport mass lands
@@ -102,9 +103,8 @@ object Graph {
                            iters: Int, damping: Int = 85): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0 && damping < 100, s"need 0 < damping < 100, got $damping")
-    // co-partitioned statically-planned iteration — see
+    // co-partitioned AQE-planned iteration — see
     // [[pageRankFixedPoint]]'s note
-    Confs.withoutAqe(edgesIn.sparkSession) {
     val edges = edgesIn.repartition(col("src")).localCheckpoint(true)
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -139,7 +139,6 @@ object Graph {
         .drop("s")
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
-    }
   }
 
   /** General PageRank for DIRECTED graphs: node domain is src ∪ dst,
@@ -174,11 +173,10 @@ object Graph {
                         damping: Int = 85): (DataFrame, Int) = {
     require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
     require(damping > 0 && damping < 100, s"need 0 < damping < 100, got $damping")
-    // co-partitioned statically-planned iteration — see
+    // co-partitioned AQE-planned iteration — see
     // [[pageRankFixedPoint]]'s note. The rank frame is node-keyed and
     // checkpointed per round (partitioning preserved), so the
-    // contribution join never exchanges either side.
-    Confs.withoutAqe(edgesIn.sparkSession) {
+    // contribution join exchanges nothing beyond what AQE coalesces.
     val edges = edgesIn.repartition(col("src")).localCheckpoint(true)
     val outDeg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("odeg"))
@@ -218,7 +216,6 @@ object Graph {
       ranks = next.drop("r_prev")
     }
     (ranks.select(col("node"), col("deg"), col("r").as("rank_fp")), used)
-    }
   }
 
   /** Per-node triangle counts by DEGREE-ORDERED edge orientation — the
@@ -454,33 +451,28 @@ object Graph {
     * Output: (node, role 'hub'|'authority', score_micro). */
   def hitsFixedPoint(edgesIn: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"need 1 <= rounds <= 8, got $rounds")
-    // co-partitioned statically-planned iteration (the labelprop
-    // discipline). HITS alternates join keys — hub pull joins on dst,
-    // authority pull on src — so the edge list is materialized TWICE,
-    // once per partitioning (bounded: 2× edges), making BOTH per-round
-    // joins exchange-free; the two inherent exchanges per round are
-    // the combinable score sums (by src, then by dst), whose keyed
-    // outputs are exactly the partitionings the next joins need.
-    Confs.withoutAqe(edgesIn.sparkSession) {
-    val edgesByDst = edgesIn.repartition(col("dst")).localCheckpoint(true)
-    val edgesBySrc = edgesByDst.repartition(col("src")).localCheckpoint(true)
-    var auth = edgesByDst.select(col("dst").as("node")).distinct()
+    // Measured negative result (round 10): HITS alternates join keys
+    // (hub pull on dst, authority pull on src), so the co-partition
+    // discipline needs the edge list materialized TWICE — and the two
+    // eager corpus-sized repartition+checkpoints cost MORE at local[32]
+    // than the per-round exchange they save (4.9 s -> 8.6 s isolated,
+    // controls flat). The single-copy AQE-planned form below stays.
+    val edges = edgesIn.localCheckpoint(true)
+    var auth = edges.select(col("dst").as("node")).distinct()
       .withColumn("a", lit(1000000L))
       .localCheckpoint(true)
     var hub: DataFrame = null
     for (_ <- 1 to rounds) {
-      val hraw = edgesByDst
-        .join(auth.hint("shuffle_hash"), auth("node") === edgesByDst("dst"))
-        .groupBy(edgesByDst("src").as("hnode")).agg(sum(col("a")).as("hr"))
+      val hraw = edges.join(auth, auth("node") === edges("dst"))
+        .groupBy(edges("src").as("hnode")).agg(sum(col("a")).as("hr"))
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       hub = hraw.crossJoin(broadcast(hmax))
         .select(col("hnode").as("node"),
           round(col("hr").cast("double") / col("hm").cast("double") * lit(1e6))
             .cast("long").as("h"))
         .localCheckpoint(true)
-      val araw = edgesBySrc
-        .join(hub.hint("shuffle_hash"), hub("node") === edgesBySrc("src"))
-        .groupBy(edgesBySrc("dst").as("anode")).agg(sum(col("h")).as("ar"))
+      val araw = edges.join(hub, hub("node") === edges("src"))
+        .groupBy(edges("dst").as("anode")).agg(sum(col("h")).as("ar"))
       val amax = araw.agg(max(col("ar")).as("am"))
       auth = araw.crossJoin(broadcast(amax))
         .select(col("anode").as("node"),
@@ -491,7 +483,6 @@ object Graph {
     hub.select(col("node"), lit("hub").as("role"), col("h").as("score_micro"))
       .unionByName(auth.select(col("node"), lit("authority").as("role"),
         col("a").as("score_micro")))
-    }
   }
 
   /** Degree assortativity (Newman 2002) — ONE number summarizing a
@@ -581,9 +572,9 @@ object Graph {
     * labels before the message shuffle — the one inherent exchange per
     * round), and the modal label as ONE combinable `max(struct(c,
     * −label))` aggregate — selection identical to ROW_NUMBER ordered
-    * (c DESC, label ASC), without the window's sort. The loop runs
-    * with AQE off ([[Confs.withoutAqe]]): the per-round plan is fully
-    * known, and stage-jobs were most of a small graph's wall. Labels
+    * (c DESC, label ASC), without the window's sort. AQE stays ON
+    * (its coalescing of the tiny per-round exchanges measured faster
+    * at local[32] than static 32-task stages — round-10 A/B). Labels
     * are localCheckpointed per round (lineage stays flat; the
     * iterative-loop rule). `edges` is directed input; symmetrized
     * internally, so communities are over the undirected structure.
@@ -591,7 +582,6 @@ object Graph {
   def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"need 1 <= rounds <= 16 (each round is unrolled in plans/oracles), got $rounds")
-    Confs.withoutAqe(edgesIn.sparkSession) {
     val sym = edgesIn.select(col("src"), col("dst"))
       .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
       // repartition BEFORE distinct: HashPartitioning(src) satisfies the
@@ -619,6 +609,5 @@ object Graph {
         .localCheckpoint()
     }
     labels
-    }
   }
 }
